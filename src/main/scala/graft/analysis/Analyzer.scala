@@ -1,0 +1,247 @@
+package graft.analysis
+
+/** A token emitted by the analysis chain.
+  *
+  * `position` is the absolute token position (0-based) after applying
+  * position increments — stop-filtered and over-long tokens leave gaps,
+  * mirroring Lucene's `FilteringTokenFilter` posIncrement accumulation
+  * (reference: lucene/core/src/java/org/apache/lucene/analysis/FilteringTokenFilter.java:50-56)
+  * and `StandardTokenizer`'s skippedPositions
+  * (reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java:143-166).
+  */
+final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int)
+
+/** Raw token before filters: carries the position increment. */
+final case class RawToken(term: String, posIncr: Int, startOffset: Int, endOffset: Int)
+
+/** UAX#29-subset word-break tokenizer.
+  *
+  * Re-expresses the behavior of Lucene's `StandardTokenizer` (a JFlex DFA,
+  * reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.jflex)
+  * as a hand-written scanner over the word-break classes that matter for
+  * code/text corpora:
+  *
+  *  - ALetter / Numeric runs chain together (WB5, WB8, WB9, WB10)
+  *  - ExtendNumLet ('_', connector punctuation) joins runs (WB13a/b) —
+  *    so `foo_bar` is ONE token
+  *  - MidLetter / MidNumLet / single quote join letter runs when surrounded
+  *    by letters (WB6/WB7) — `foo.bar`, `o'neil` are ONE token
+  *  - MidNum / MidNumLet join digit runs when surrounded by digits
+  *    (WB11/WB12) — `3.14`, `1,024` are ONE token
+  *  - Han/Hiragana ideographs are emitted as single-codepoint tokens
+  *
+  * Tokens longer than `maxTokenLength` chars (default 255, matching
+  * `StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH`,
+  * reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:39)
+  * are dropped but still consume one position.
+  */
+object Tokenizer {
+
+  private final val ALetter = 0
+  private final val Numeric = 1
+  private final val ExtendNumLet = 2
+  private final val MidLetter = 3
+  private final val MidNum = 4
+  private final val MidNumLet = 5
+  private final val Ideographic = 6
+  private final val Other = 7
+
+  private def classify(cp: Int): Int = {
+    if (cp == '_' || Character.getType(cp) == Character.CONNECTOR_PUNCTUATION) ExtendNumLet
+    else if (Character.isDigit(cp)) Numeric
+    else if (Character.isLetter(cp)) {
+      val script = Character.UnicodeScript.of(cp)
+      if (script == Character.UnicodeScript.HAN || script == Character.UnicodeScript.HIRAGANA) Ideographic
+      else ALetter
+    } else cp match {
+      case ':' | 0x00B7 | 0x05F4 | 0x2027 => MidLetter
+      case ',' | ';' => MidNum
+      case '.' | '\'' | 0x2019 => MidNumLet
+      case _ => Other
+    }
+  }
+
+  /** True if `cls` can start or continue the body of a token run. */
+  @inline private def isRunClass(cls: Int): Boolean =
+    cls == ALetter || cls == Numeric || cls == ExtendNumLet
+
+  def tokenize(text: String, maxTokenLength: Int = 255): Iterator[RawToken] = new Iterator[RawToken] {
+    private var i = 0
+    private var skipped = 0 // accumulated position increments from dropped tokens
+    private var nextTok: RawToken = null
+    private val len = text.length
+    advance()
+
+    override def hasNext: Boolean = nextTok != null
+    override def next(): RawToken = { val t = nextTok; advance(); t }
+
+    private def cpAt(idx: Int): Int = text.codePointAt(idx)
+
+    private def advance(): Unit = {
+      nextTok = null
+      while (nextTok == null && i < len) {
+        val cp = cpAt(i)
+        val cls = classify(cp)
+        if (cls == Ideographic) {
+          val start = i
+          i += Character.charCount(cp)
+          emit(text.substring(start, i), start, i)
+        } else if (isRunClass(cls)) {
+          val start = i
+          i += Character.charCount(cp)
+          var lastMain = cls // class of the last run-body char consumed
+          var done = false
+          while (!done && i < len) {
+            val c1 = cpAt(i)
+            val cls1 = classify(c1)
+            if (isRunClass(cls1)) {
+              i += Character.charCount(c1); lastMain = cls1
+            } else if (cls1 == MidLetter || cls1 == MidNum || cls1 == MidNumLet) {
+              // WB6/7 + WB11/12: mid char joins only when surrounded by the
+              // right class on both sides.
+              val j = i + Character.charCount(c1)
+              if (j < len) {
+                val c2 = cpAt(j)
+                val cls2 = classify(c2)
+                val joinsLetters = (cls1 == MidLetter || cls1 == MidNumLet) &&
+                  lastMain == ALetter && cls2 == ALetter
+                val joinsDigits = (cls1 == MidNum || cls1 == MidNumLet) &&
+                  lastMain == Numeric && cls2 == Numeric
+                if (joinsLetters || joinsDigits) {
+                  i = j + Character.charCount(c2); lastMain = cls2
+                } else done = true
+              } else done = true
+            } else done = true
+          }
+          emit(text.substring(start, i), start, i)
+        } else {
+          i += Character.charCount(cp)
+        }
+      }
+    }
+
+    private def emit(term: String, start: Int, end: Int): Unit = {
+      if (term.length > maxTokenLength) {
+        // over-long token: dropped but still consumes a position
+        skipped += 1
+      } else {
+        nextTok = RawToken(term, skipped + 1, start, end)
+        skipped = 0
+      }
+    }
+  }
+}
+
+/** Analyzer = Tokenizer -> LowerCaseFilter -> StopFilter composition,
+  * mirroring `StandardAnalyzer`
+  * (reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:81-95).
+  *
+  * `simple = true` switches to a trivial split-on-non-alphanumeric
+  * tokenizer (lowercase, `[a-z0-9]+` runs). This mode exists so that the
+  * driver-facing oracle queries have an exactly-SQL-expressible analyzer
+  * (DuckDB `string_split_regex(lower(text),'[^a-z0-9]+')`); the engine
+  * itself defaults to the UAX#29 subset.
+  */
+final case class Analyzer(
+    stopWords: Set[String] = Set.empty,
+    maxTokenLength: Int = 255,
+    simple: Boolean = false) extends Serializable {
+
+  /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
+    * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
+    * Deliberately NOT `String.toLowerCase` (locale/special-casing differs).
+    */
+  def lowercase(s: String): String = {
+    var needs = false
+    var k = 0
+    while (k < s.length && !needs) {
+      val cp = s.codePointAt(k)
+      if (Character.toLowerCase(cp) != cp) needs = true
+      k += Character.charCount(cp)
+    }
+    if (!needs) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        j += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  private def simpleTokens(text: String): Iterator[RawToken] = new Iterator[RawToken] {
+    private var i = 0
+    private val len = text.length
+    private var s = -1
+    private var e = -1
+    findNext()
+    @inline private def isTokChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+    private def findNext(): Unit = {
+      s = -1
+      while (i < len && !isTokChar(text.charAt(i))) i += 1
+      if (i < len) { s = i; while (i < len && isTokChar(text.charAt(i))) i += 1; e = i }
+    }
+    override def hasNext: Boolean = s >= 0
+    override def next(): RawToken = { val t = RawToken(text.substring(s, e), 1, s, e); findNext(); t }
+  }
+
+  /** Full analysis chain: returns tokens with absolute positions. */
+  def analyze(text: String): Iterator[Token] = {
+    val raw = if (simple) simpleTokens(text) else Tokenizer.tokenize(text, maxTokenLength)
+    var pos = -1
+    var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
+    raw.flatMap { rt =>
+      val term = lowercase(rt.term)
+      if (stopWords.contains(term)) {
+        pendingGap += rt.posIncr
+        Iterator.empty
+      } else {
+        pos += rt.posIncr + pendingGap
+        pendingGap = 0
+        Iterator.single(Token(term, pos, rt.startOffset, rt.endOffset))
+      }
+    }
+  }
+
+  /** Per-(term) stats for one document: (term -> (tf, positions)) plus the
+    * field length = number of emitted tokens (discountOverlaps semantics:
+    * Lucene counts `state.length - state.numOverlap`; our chain produces no
+    * overlaps, so length == emitted token count.
+    * Reference: lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:116-126).
+    */
+  def invert(text: String): (collection.mutable.LinkedHashMap[String, (Int, collection.mutable.ArrayBuffer[Int])], Int) = {
+    val byTerm = collection.mutable.LinkedHashMap.empty[String, (Int, collection.mutable.ArrayBuffer[Int])]
+    var length = 0
+    analyze(text).foreach { t =>
+      length += 1
+      val (tf, poss) = byTerm.getOrElseUpdate(t.term, (0, collection.mutable.ArrayBuffer.empty[Int]))
+      poss += t.position
+      byTerm(t.term) = (tf + 1, poss)
+    }
+    (byTerm, length)
+  }
+}
+
+object Analyzers {
+  /** StandardAnalyzer default: EMPTY stop set
+    * (reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:50-53). */
+  val standard: Analyzer = Analyzer()
+
+  /** The 33-word English stop set of `EnglishAnalyzer.ENGLISH_STOP_WORDS_SET`
+    * (reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:43-54). */
+  val ENGLISH_STOP_WORDS: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
+  val english: Analyzer = Analyzer(stopWords = ENGLISH_STOP_WORDS)
+
+  /** SQL-expressible analyzer for DuckDB-oracle-facing queries. */
+  val simple: Analyzer = Analyzer(simple = true)
+}

@@ -1,0 +1,82 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  private def terms(a: Analyzer, text: String): Seq[String] = a.analyze(text).map(_.term).toSeq
+  private def termPos(a: Analyzer, text: String): Seq[(String, Int)] =
+    a.analyze(text).map(t => (t.term, t.position)).toSeq
+
+  val std = Analyzers.standard
+  val en = Analyzers.english
+
+  test("basic word breaks and lowercasing") {
+    assert(terms(std, "Hello World FOO") == Seq("hello", "world", "foo"))
+    assert(terms(std, "CamelCase stays oneToken") == Seq("camelcase", "stays", "onetoken"))
+  }
+
+  test("UAX#29 mid-letter/mid-num joins (golden: StandardTokenizerImpl.jflex semantics)") {
+    // '.' between letters joins (MidNumLet), between digits joins
+    assert(terms(std, "foo.bar") == Seq("foo.bar"))
+    assert(terms(std, "3.14") == Seq("3.14"))
+    assert(terms(std, "1,024") == Seq("1,024"))
+    // trailing dot does not join
+    assert(terms(std, "end.") == Seq("end"))
+    // underscore = ExtendNumLet, joins
+    assert(terms(std, "foo_bar x2y") == Seq("foo_bar", "x2y"))
+    // mixed letter-digit runs chain
+    assert(terms(std, "sha256sum") == Seq("sha256sum"))
+    // punctuation splits otherwise
+    assert(terms(std, "a-b c/d (e)") == Seq("a", "b", "c", "d", "e"))
+    // apostrophe between letters joins
+    assert(terms(std, "o'neil can't") == Seq("o'neil", "can't"))
+  }
+
+  test("CJK ideographs emit one token per codepoint") {
+    assert(terms(std, "中文abc") == Seq("中", "文", "abc"))
+  }
+
+  test("over-255-char tokens dropped but consume a position") {
+    val long = "x" * 300
+    assert(termPos(std, s"before $long after") == Seq(("before", 0), ("after", 2)))
+  }
+
+  test("stop filter leaves position gaps (FilteringTokenFilter semantics)") {
+    // 'the' and 'of' are in the 33-word English set
+    assert(termPos(en, "the rise of nations") == Seq(("rise", 1), ("nations", 3)))
+    // leading + consecutive stops
+    assert(termPos(en, "to be or not to be great") == Seq(("great", 6)))
+    // standard analyzer has an EMPTY stop set (StandardAnalyzer.java:50-53)
+    assert(termPos(std, "the rise") == Seq(("the", 0), ("rise", 1)))
+  }
+
+  test("english stop set has exactly 33 entries") {
+    assert(Analyzers.ENGLISH_STOP_WORDS.size == 33)
+  }
+
+  test("invert computes tf, positions and field length") {
+    val (byTerm, len) = en.invert("the cat and the cat sat")
+    // emitted tokens: cat(1) cat(4) sat(5) -> length 3
+    assert(len == 3)
+    assert(byTerm("cat")._1 == 2)
+    assert(byTerm("cat")._2.toSeq == Seq(1, 4))
+    assert(byTerm("sat")._2.toSeq == Seq(5))
+  }
+
+  test("offsets are codepoint-correct") {
+    val toks = std.analyze("ab cd").toSeq
+    assert(toks.map(t => (t.startOffset, t.endOffset)) == Seq((0, 2), (3, 5)))
+  }
+
+  test("simple analyzer splits on non-alphanumerics only") {
+    val s = Analyzers.simple
+    assert(terms(s, "Foo.bar_baz 3.14") == Seq("foo", "bar", "baz", "3", "14"))
+  }
+
+  test("empty and whitespace-only content") {
+    assert(terms(std, "") == Seq())
+    assert(terms(std, "   \n\t  ") == Seq())
+    assert(std.invert("")._2 == 0)
+  }
+}
