@@ -19,6 +19,7 @@ final case class EncodedBlock(
     count: Int,
     firstDocId: Long,
     lastDocId: Long,
+    ttf: Long,
     docsEnc: Array[Byte],
     freqsEnc: Array[Byte],
     normsEnc: Array[Byte],
@@ -97,7 +98,10 @@ object PostingsCodec {
           i += 1
         }
         val pairs = (0 until n).map(i0 => (freqBuf(i0), normBuf(i0)))
-        EncodedBlock(n, first, last, dw.result(), fw.result(), nw, pw.result(), competitiveFrontier(pairs))
+        var ttf = 0L
+        i = 0
+        while (i < n) { ttf += freqBuf(i); i += 1 }
+        EncodedBlock(n, first, last, ttf, dw.result(), fw.result(), nw, pw.result(), competitiveFrontier(pairs))
       }
     }
 

@@ -1,0 +1,219 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.analysis.Analyzer
+import graft.codec.{PostingsCodec, SmallFloat}
+
+/** Index build configuration.
+  *
+  * @param numPartitions   shuffle width for the term-hash repartition (0 = spark default)
+  * @param saltSpan        docId span per salt bucket: postings are shuffled by
+  *                        hash(term, docId / saltSpan) so a skewed term (common
+  *                        code keywords) spreads over ~maxDocId/saltSpan
+  *                        partitions instead of hot-spotting one reducer — the
+  *                        north rule's skew salting. Block docId ranges stay
+  *                        disjoint across buckets because the salt is a range,
+  *                        not a hash.
+  * @param verifySha       enforce the per-row content sha256 invariant when the
+  *                        input carries an expected sha256 column
+  */
+final case class IndexConfig(
+    analyzer: Analyzer = graft.analysis.Analyzers.standard,
+    numPartitions: Int = 0,
+    saltSpan: Long = 1L << 20,
+    verifySha: Boolean = true)
+
+/** An index: typed Datasets over the segment tables. In production these are
+  * Iceberg tables (snapshot = Lucene's `segments_N` commit point, reference:
+  * lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:57-141);
+  * in this sandbox they are parquet dirs + a JSON manifest (no Iceberg jars
+  * are shipped with the container's Spark).
+  */
+final class GraftIndex(
+    val spark: SparkSession,
+    val docs: Dataset[DocRow],
+    val blocks: Dataset[BlockRow],
+    val termStats: Dataset[TermStatsRow],
+    val fieldStats: FieldStatsRow) extends Serializable
+
+object IndexBuilder {
+
+  def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < d.length) { sb.append("%02x".format(d(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Deterministic docId assignment: global rank in the total order of
+    * (repo, path, commit). Range-partition + in-partition sort + zipWithIndex
+    * makes the ids independent of the partition count — the distributed
+    * analog of Lucene's per-segment base rebasing
+    * (reference: lucene/core/src/java/org/apache/lucene/index/DocIDMerger.java:32).
+    * `docBase` offsets ids for incremental segment builds. */
+  def assignDocIds(files: Dataset[CodeFile], numPartitions: Int = 0, docBase: Long = 0L): Dataset[(CodeFile, Long)] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val sorted = files
+      .repartitionByRange(parts, $"repo", $"path", $"commit")
+      .sortWithinPartitions($"repo", $"path", $"commit")
+    sorted.rdd
+      .zipWithIndex()
+      .map { case (f, i) => (f, i + docBase) }
+      .toDS()
+  }
+
+  /** Analysis stage: one pass per document computing sha256 (verifying it
+    * against the source when present), the inverted per-term stats, and the
+    * BM25 norm — Lucene's `DefaultIndexingChain.processDocument/invert`
+    * (reference: lucene/core/src/java/org/apache/lucene/index/DefaultIndexingChain.java:385-898)
+    * as a typed mapPartitions. */
+  def analyze(numbered: Dataset[(CodeFile, Long)], cfg: IndexConfig): Dataset[AnalyzedDoc] = {
+    val spark = numbered.sparkSession
+    import spark.implicits._
+    val analyzer = cfg.analyzer
+    val verify = cfg.verifySha
+    val mismatchAcc = spark.sparkContext.longAccumulator("shaMismatches")
+    numbered.mapPartitions { it =>
+      it.map { case (f, docId) =>
+        val computed = sha256Hex(f.content)
+        if (verify && f.sha256 != null && f.sha256 != computed) {
+          mismatchAcc.add(1)
+          throw new IllegalStateException(
+            s"sha256 mismatch for ${f.repo}/${f.path}@${f.commit}: expected ${f.sha256}, content hashes to $computed")
+        }
+        val (byTerm, len) = analyzer.invert(f.content)
+        val n = byTerm.size
+        val terms = new Array[String](n)
+        val tfs = new Array[Int](n)
+        var flatLen = 0
+        byTerm.foreach { case (_, (tf, _)) => flatLen += tf }
+        val posFlat = new Array[Int](flatLen)
+        var i = 0
+        var off = 0
+        byTerm.foreach { case (term, (tf, poss)) =>
+          terms(i) = term
+          tfs(i) = tf
+          var j = 0
+          while (j < tf) { posFlat(off) = poss(j); off += 1; j += 1 }
+          i += 1
+        }
+        AnalyzedDoc(docId, f.repo, f.path, f.commit, f.lang, computed, len,
+          SmallFloat.intToByte4(len) & 0xFF, terms, tfs, posFlat)
+      }
+    }
+  }
+
+  def docsOf(analyzed: Dataset[AnalyzedDoc]): Dataset[DocRow] = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.map(a => DocRow(a.docId, a.repo, a.path, a.commit, a.lang, a.sha256, a.len, a.norm))
+  }
+
+  def postingsOf(analyzed: Dataset[AnalyzedDoc]): Dataset[PostingRow] = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.flatMap { a =>
+      var off = 0
+      a.terms.indices.iterator.map { i =>
+        val tf = a.tfs(i)
+        val positions = java.util.Arrays.copyOfRange(a.posFlat, off, off + tf)
+        off += tf
+        PostingRow(a.terms(i), a.docId, tf, positions, a.norm)
+      }
+    }
+  }
+
+  /** THE shuffle: repartition postings by hash(term, docId/saltSpan), sort
+    * within partitions by (term, docId), then stream-encode 128-doc blocks.
+    * This replaces Lucene's flush (sort terms + stream through
+    * Lucene84PostingsWriter, reference:
+    * lucene/core/src/java/org/apache/lucene/index/FreqProxTermsWriter.java:69-71). */
+  def encodeBlocks(postings: Dataset[PostingRow], cfg: IndexConfig): Dataset[BlockRow] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val parts = if (cfg.numPartitions > 0) cfg.numPartitions else spark.sparkContext.defaultParallelism
+    val salt = (col("docId") / lit(cfg.saltSpan)).cast("long")
+    val span = cfg.saltSpan
+    postings
+      .repartition(parts, col("term"), salt)
+      .sortWithinPartitions(col("term"), col("docId"))
+      .mapPartitions { it => blockify(it, span) }
+  }
+
+  /** Stream a (term, docId)-sorted posting iterator into BlockRows.
+    *
+    * Runs are keyed by (term, docId/saltSpan): a block never crosses a salt
+    * bucket boundary. This keeps every term's blocks GLOBALLY disjoint in
+    * docId range even though different buckets of the same term are encoded
+    * in different shuffle partitions — the invariant the query-time block
+    * iterators rely on. */
+  def blockify(sorted: Iterator[PostingRow], saltSpan: Long): Iterator[BlockRow] = new Iterator[BlockRow] {
+    private val it = sorted.buffered
+    private var cur: Iterator[BlockRow] = Iterator.empty
+
+    override def hasNext: Boolean = {
+      while (!cur.hasNext && it.hasNext) cur = nextTermBlocks()
+      cur.hasNext
+    }
+    override def next(): BlockRow = { if (!hasNext) throw new NoSuchElementException; cur.next() }
+
+    private def nextTermBlocks(): Iterator[BlockRow] = {
+      val term = it.head.term
+      val bucket = it.head.docId / saltSpan
+      val sub = new Iterator[(Long, Int, Array[Int], Int)] {
+        override def hasNext: Boolean =
+          it.hasNext && it.head.term == term && it.head.docId / saltSpan == bucket
+        override def next(): (Long, Int, Array[Int], Int) = {
+          val p = it.next()
+          (p.docId, p.tf, p.positions, p.norm)
+        }
+      }
+      var bid = -1
+      PostingsCodec.encodeTerm(sub).map { eb =>
+        bid += 1
+        BlockRow(term, bid, eb.count, eb.firstDocId, eb.lastDocId, eb.ttf,
+          eb.docsEnc, eb.freqsEnc, eb.normsEnc, eb.posEnc,
+          eb.impacts.map(_.freq), eb.impacts.map(_.norm))
+      }
+    }
+  }
+
+  /** Per-term stats aggregated over blocks (128x fewer rows than postings;
+    * map-side partials keep the shuffle tiny). */
+  def termStatsOf(blocks: Dataset[BlockRow]): Dataset[TermStatsRow] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.groupBy($"term")
+      .agg(sum($"count").as("docFreq"), sum($"blockTtf").as("totalTermFreq"))
+      .as[TermStatsRow]
+  }
+
+  def fieldStatsOf(docs: Dataset[DocRow]): FieldStatsRow = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.agg(count(lit(1)), coalesce(sum($"len"), lit(0L)), coalesce(max($"docId"), lit(-1L)))
+      .as[(Long, Long, Long)]
+      .collect()(0) match {
+      case (dc, sttf, maxId) => FieldStatsRow(dc, sttf, maxId)
+    }
+  }
+
+  /** Full in-memory build (tests / small scale). The write path for real
+    * scale is [[IndexStore.buildAndWrite]] which checkpoints each stage. */
+  def build(files: Dataset[CodeFile], cfg: IndexConfig = IndexConfig(), docBase: Long = 0L): GraftIndex = {
+    val spark = files.sparkSession
+    val analyzed = analyze(assignDocIds(files, cfg.numPartitions, docBase), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = docsOf(analyzed)
+    val blocks = encodeBlocks(postingsOf(analyzed), cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val termStats = termStatsOf(blocks)
+    val fieldStats = fieldStatsOf(docs)
+    new GraftIndex(spark, docs, blocks, termStats, fieldStats)
+  }
+}

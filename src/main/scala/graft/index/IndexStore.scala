@@ -1,0 +1,137 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Segment catalog entry. */
+final case class SegmentMeta(
+    name: String,
+    docBase: Long,
+    docCount: Long,
+    sumTotalTermFreq: Long,
+    maxDocId: Long)
+
+/** Index manifest = Lucene's `segments_N` generation-numbered commit point
+  * (reference: lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:57-141).
+  * In production this is an Iceberg snapshot; here a JSON file committed via
+  * atomic rename. */
+final case class Manifest(generation: Long, segments: Seq[SegmentMeta]) {
+  def docCount: Long = segments.map(_.docCount).sum
+  def sumTotalTermFreq: Long = segments.map(_.sumTotalTermFreq).sum
+  def maxDocId: Long = if (segments.isEmpty) -1L else segments.map(_.maxDocId).max
+  def fieldStats: FieldStatsRow = FieldStatsRow(docCount, sumTotalTermFreq, maxDocId)
+}
+
+/** Parquet-backed index storage with stage-level checkpointing: every stage
+  * output (docmeta / postings / termstats) is a parquet dir whose `_SUCCESS`
+  * marker makes a restart skip completed work — the north rule's
+  * resumability. The manifest commit is last and atomic. */
+object IndexStore {
+
+  // -------- manifest JSON (hand-rolled: no extra deps) --------
+
+  def writeManifest(dir: String, m: Manifest): Unit = {
+    val segs = m.segments.map { s =>
+      s"""{"name":"${s.name}","docBase":${s.docBase},"docCount":${s.docCount},""" +
+        s""""sumTotalTermFreq":${s.sumTotalTermFreq},"maxDocId":${s.maxDocId}}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"generation":${m.generation},"segments":$segs}"""
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s".manifest.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(dir, "manifest.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val p = Paths.get(dir, "manifest.json")
+    if (!Files.exists(p)) return None
+    val json = Files.readString(p)
+    // minimal parser for the exact shape we write
+    val gen = """"generation":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val segRe = ("""\{"name":"([^"]+)","docBase":(\d+),"docCount":(\d+),""" +
+      """"sumTotalTermFreq":(\d+),"maxDocId":(-?\d+)\}""").r
+    val segs = segRe.findAllMatchIn(json).map { m =>
+      SegmentMeta(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
+    }.toSeq
+    Some(Manifest(gen, segs))
+  }
+
+  private def isComplete(path: String): Boolean =
+    Files.exists(Paths.get(path, "_SUCCESS"))
+
+  /** Build one segment from `files`, checkpointing each stage; skips stages
+    * whose parquet output already exists (restart-safe). Returns its meta. */
+  def buildSegment(
+      files: Dataset[CodeFile],
+      indexDir: String,
+      segName: String,
+      cfg: IndexConfig = IndexConfig(),
+      docBase: Long = 0L): SegmentMeta = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val segDir = s"$indexDir/$segName"
+    val docsPath = s"$segDir/docmeta"
+    val blocksPath = s"$segDir/postings"
+    val statsPath = s"$segDir/termstats"
+
+    if (!isComplete(docsPath) || !isComplete(blocksPath)) {
+      val analyzed = IndexBuilder
+        .analyze(IndexBuilder.assignDocIds(files, cfg.numPartitions, docBase), cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (!isComplete(docsPath))
+        IndexBuilder.docsOf(analyzed).write.mode("overwrite").parquet(docsPath)
+      if (!isComplete(blocksPath))
+        IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg)
+          .write.mode("overwrite").parquet(blocksPath)
+      analyzed.unpersist()
+    }
+    if (!isComplete(statsPath)) {
+      IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])
+        .write.mode("overwrite").parquet(statsPath)
+    }
+    val docs = spark.read.parquet(docsPath).as[DocRow]
+    val fs = IndexBuilder.fieldStatsOf(docs)
+    SegmentMeta(segName, docBase, fs.docCount, fs.sumTotalTermFreq, fs.maxDocId)
+  }
+
+  /** Build + commit a single-segment index (gen 0 or gen+1 append). */
+  def buildAndCommit(
+      files: Dataset[CodeFile],
+      indexDir: String,
+      cfg: IndexConfig = IndexConfig()): Manifest = {
+    val prev = readManifest(indexDir)
+    val gen = prev.map(_.generation + 1).getOrElse(0L)
+    val docBase = prev.map(_.maxDocId + 1).getOrElse(0L)
+    val segName = f"seg-$gen%05d"
+    val done = prev.exists(_.segments.exists(_.name == segName))
+    if (done) return prev.get
+    val meta = buildSegment(files, indexDir, segName, cfg, docBase)
+    val m = Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta)
+    writeManifest(indexDir, m)
+    m
+  }
+
+  /** Open the committed index: union of all live segments. */
+  def open(spark: SparkSession, indexDir: String): GraftIndex = {
+    import spark.implicits._
+    val m = readManifest(indexDir).getOrElse(
+      throw new IllegalStateException(s"no manifest at $indexDir"))
+    require(m.segments.nonEmpty, "empty index")
+    def unionOf[T: org.apache.spark.sql.Encoder](sub: String): Dataset[T] =
+      m.segments.map(s => spark.read.parquet(s"$indexDir/${s.name}/$sub").as[T]).reduce(_ union _)
+    val docs = unionOf[DocRow]("docmeta")
+    val blocks = unionOf[BlockRow]("postings")
+    // term stats must be re-aggregated across segments (same term appears in many)
+    val termStats = m.segments
+      .map(s => spark.read.parquet(s"$indexDir/${s.name}/termstats").as[TermStatsRow])
+      .reduce(_ union _)
+      .groupBy($"term")
+      .agg(org.apache.spark.sql.functions.sum($"docFreq").as("docFreq"),
+        org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
+      .as[TermStatsRow]
+    new GraftIndex(spark, docs, blocks, termStats, m.fieldStats)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.index
+
+/** Input row — the `input_hint` shape: an Iceberg/parquet table of
+  * source-code files. `sha256` is optional (null = compute at ingest);
+  * when present, the builder verifies content sha256 equality against it
+  * (the north rule's per-row invariant, the Spark analog of Lucene's CRC32
+  * file footers, reference: lucene/core/src/java/org/apache/lucene/codecs/CodecUtil.java:370-383). */
+final case class CodeFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    sha256: String = null)
+
+/** Per-document metadata (Lucene: norms + stored-field pointers;
+  * reference norms computation: lucene/core/src/java/org/apache/lucene/index/DefaultIndexingChain.java:758-776).
+  * `norm` is the unsigned byte value (0..255) of SmallFloat.intToByte4(len). */
+final case class DocRow(
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    len: Int,
+    norm: Int)
+
+/** Intermediate analyzed document: doc metadata + its inverted terms.
+  * `posFlat` concatenates per-term position arrays (lengths given by tfs). */
+final case class AnalyzedDoc(
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    len: Int,
+    norm: Int,
+    terms: Array[String],
+    tfs: Array[Int],
+    posFlat: Array[Int])
+
+/** One posting: the unit that flows through THE shuffle (repartition by
+  * hash(term, salt) — the Spark-native equivalent of Lucene's in-RAM
+  * TermsHash -> sorted flush, reference:
+  * lucene/core/src/java/org/apache/lucene/index/TermsHashPerField.java). */
+final case class PostingRow(
+    term: String,
+    docId: Long,
+    tf: Int,
+    positions: Array[Int],
+    norm: Int)
+
+/** One encoded 128-doc posting block — a row of the postings table.
+  * The (term)-keyed, docId-sorted block table IS the term dictionary
+  * (Lucene's FST/BlockTree is replaced by parquet/Iceberg predicate
+  * pushdown on the term column's min/max stats).
+  * `blockTtf` = sum of freqs in the block (lets term stats aggregate over
+  * blocks instead of re-shuffling raw postings). */
+final case class BlockRow(
+    term: String,
+    blockId: Int,
+    count: Int,
+    firstDocId: Long,
+    lastDocId: Long,
+    blockTtf: Long,
+    docsEnc: Array[Byte],
+    freqsEnc: Array[Byte],
+    normsEnc: Array[Byte],
+    posEnc: Array[Byte],
+    impactFreqs: Array[Int],
+    impactNorms: Array[Int])
+
+final case class TermStatsRow(term: String, docFreq: Long, totalTermFreq: Long)
+
+final case class FieldStatsRow(docCount: Long, sumTotalTermFreq: Long, maxDocId: Long)
+
+/** Top-k hit. Ordering discipline everywhere: score desc, docId asc
+  * (reference tie-break: lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-81). */
+final case class ScoreDoc(docId: Long, score: Float)

@@ -1,0 +1,255 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.index._
+
+/** Serializable per-query context shipped to executors: collection stats +
+  * per-term doc freqs (tiny — collected once at plan time, the analog of
+  * `IndexSearcher.termStatistics/collectionStatistics`,
+  * reference: lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:901-914). */
+final case class SearchContext(
+    k1: Float,
+    b: Float,
+    stats: CollectionStats,
+    docFreq: Map[String, Long]) extends Serializable
+
+/** minShouldMatch >= m over a disjunction (`MinShouldMatchSumScorer` analog). */
+final class MinShouldMatchScorer(union: DisjunctionSumScorer, m: Int) extends DocScorer {
+  override def docId: Long = union.docId
+  override def cost: Long = union.cost
+  override def maxScore: Float = union.maxScore
+  override def nextDoc(): Long = advance(union.docId + 1)
+  override def advance(target: Long): Long = {
+    var doc = union.advance(target)
+    while (doc != DocScorer.NO_MORE && union.matchCount < m) doc = union.nextDoc()
+    doc
+  }
+  override def score(): Float = union.score()
+}
+
+/** Builds the per-partition scorer tree from the query AST — the analog of
+  * `Boolean2ScorerSupplier`'s scorer selection
+  * (reference: lucene/core/src/java/org/apache/lucene/search/Boolean2ScorerSupplier.java:60-230). */
+object ScorerBuilder {
+
+  def build(
+      q: Query,
+      boost: Float,
+      termBlocks: Map[String, Array[BlockRow]],
+      ctx: SearchContext,
+      lo: Long,
+      hi: Long): DocScorer = q match {
+
+    case TermQ(t) =>
+      (ctx.docFreq.get(t), termBlocks.get(t)) match {
+        case (Some(df), Some(blocks)) if df > 0 =>
+          new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats), lo, hi)
+        case _ => EmptyScorer
+      }
+
+    case PhraseQ(terms, positions) =>
+      val iters = terms.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
+      if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
+      else {
+        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, terms.map(ctx.docFreq), ctx.stats)
+        // a dummy per-term scorer for iteration bounds (weight unused for final score)
+        val tis = iters.map { case (t, Some(blocks), Some(df)) =>
+          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats), lo, hi)
+        case _ => throw new IllegalStateException
+        }.toArray
+        new PhraseScorer(tis, positions.toArray, scorer)
+      }
+
+    case SynonymQ(terms) =>
+      val present = terms.filter(t => termBlocks.contains(t) && ctx.docFreq.contains(t))
+      if (present.isEmpty) EmptyScorer
+      else {
+        // SynonymQuery stats: docFreq = min(sum of clause dfs, docCount)
+        // (reference: lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:199-218)
+        val df = math.min(present.map(ctx.docFreq).sum, ctx.stats.docCount)
+        val scorer = Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats)
+        val tis = present.map(t => new TermIterator(termBlocks(t),
+          Bm25.scorer(1f, ctx.k1, ctx.b, ctx.docFreq(t), ctx.stats), lo, hi)).toArray
+        new SynonymScorer(tis, scorer)
+      }
+
+    case ConstSetQ(terms) =>
+      val tis = terms.flatMap(t => termBlocks.get(t).map(blocks =>
+        new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b,
+          ctx.docFreq.getOrElse(t, 1L), ctx.stats), lo, hi): DocScorer))
+      if (tis.isEmpty) EmptyScorer
+      else new ConstantScoreScorer(new DisjunctionSumScorer(tis.toArray), boost)
+
+    case BoolQ(must, should, mustNot, msm) =>
+      val reqs = must.map(build(_, boost, termBlocks, ctx, lo, hi))
+      if (must.nonEmpty && reqs.exists(_ eq EmptyScorer)) return EmptyScorer
+      val opts = should.map(build(_, boost, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
+      val base: DocScorer =
+        if (must.nonEmpty) {
+          val req = if (reqs.size == 1) reqs.head else new ConjunctionScorer(reqs.toArray)
+          if (opts.isEmpty) req
+          else new ReqOptSumScorer(req,
+            if (opts.size == 1) opts.head else new DisjunctionSumScorer(opts.toArray))
+        } else {
+          if (opts.isEmpty) return EmptyScorer
+          else if (opts.size == 1 && msm <= 1) opts.head
+          else {
+            val union = new DisjunctionSumScorer(opts.toArray)
+            if (msm > 1) new MinShouldMatchScorer(union, msm) else union
+          }
+        }
+      val negs = mustNot.map(build(_, 0f, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
+      if (negs.isEmpty) base
+      else new ReqExclScorer(base,
+        if (negs.size == 1) negs.head else new DisjunctionSumScorer(negs.toArray))
+
+    case BoostQ(sub, bst) => build(sub, boost * bst, termBlocks, ctx, lo, hi)
+    case MatchAllQ => new MatchAllScorer(lo, hi, boost)
+    case MatchNoneQ => EmptyScorer
+    case _: PrefixQ | _: WildcardQ =>
+      throw new IllegalStateException("expansion queries must be rewritten at plan time")
+  }
+
+  /** Root-level execution: pure-should disjunctions go through the pruned
+    * MaxScore collector; everything else iterates exactly. */
+  def topK(
+      q: Query,
+      termBlocks: Map[String, Array[BlockRow]],
+      ctx: SearchContext,
+      lo: Long,
+      hi: Long,
+      k: Int,
+      after: ScoreDoc): Array[ScoreDoc] = q match {
+    case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty =>
+      val subs = should.map(build(_, 1f, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
+      TopK.disjunction(subs.toArray, k, after)
+    case other =>
+      val root = build(other, 1f, termBlocks, ctx, lo, hi)
+      if (root eq EmptyScorer) Array.empty
+      else TopK.iterate(root, k, after)
+  }
+}
+
+/** Query-side engine over a [[GraftIndex]].
+  *
+  * Distributed execution shape (SURVEY.md §3.2): filter the block table to
+  * the query's terms (parquet min/max pushdown on the sorted term column =
+  * the term-dictionary seek), split the docId space into P aligned ranges
+  * (blocks straddling a boundary are sent to both sides and clipped), run
+  * the pruned top-k per range, then one global
+  * `orderBy(score desc, docId asc).limit(k)` over the tiny k·P union —
+  * exactly Solr's scatter-gather merge (`QueryComponent.mergeIds`).
+  */
+final class GraftSearcher(
+    val index: GraftIndex,
+    val analyzer: Analyzer = graft.analysis.Analyzers.standard,
+    k1: Float = Bm25.DEFAULT_K1,
+    b: Float = Bm25.DEFAULT_B,
+    maxExpansions: Int = 1024) extends Serializable {
+
+  @transient private val spark = index.spark
+  import spark.implicits._
+
+  val parser = new QueryParser(analyzer)
+  lazy val fieldStats: FieldStatsRow = index.fieldStats
+
+  /** Expand prefix/wildcard against the term dictionary + collect df stats. */
+  def plan(q0: Query): (Query, SearchContext) = {
+    val q1 = Query.rewrite(q0)
+    val q2 = if (!Query.hasExpansions(q1)) q1
+    else Query.expand(q1, {
+      case PrefixQ(p) =>
+        index.termStats.filter($"term".startsWith(p))
+          .orderBy($"term").limit(maxExpansions).collect().map(_.term).toSeq
+      case WildcardQ(pat) =>
+        val regex = pat.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+          case c => c.toString
+        }
+        index.termStats.filter($"term".rlike(s"^$regex$$"))
+          .orderBy($"term").limit(maxExpansions).collect().map(_.term).toSeq
+      case _ => Nil
+    })
+    val q = Query.rewrite(q2)
+    val terms = Query.terms(q).toSeq
+    val dfMap: Map[String, Long] =
+      if (terms.isEmpty) Map.empty
+      else index.termStats.filter($"term".isin(terms: _*)).collect()
+        .map(t => t.term -> t.docFreq).toMap
+    val stats = CollectionStats(fieldStats.docCount, fieldStats.sumTotalTermFreq)
+    (q, SearchContext(k1, b, stats, dfMap))
+  }
+
+  def parse(s: String): Query = parser.parse(s)
+
+  /** Distributed top-k. Returns hits best-first (score desc, docId asc). */
+  def search(queryStr: String, k: Int): Array[ScoreDoc] = search(parse(queryStr), k, null)
+
+  def search(q0: Query, k: Int, after: ScoreDoc = null, numPartitions: Int = 0): Array[ScoreDoc] = {
+    searchDS(q0, k, after, numPartitions)
+      .orderBy(desc("score"), asc("docId")).limit(k).collect()
+  }
+
+  /** The per-partition top-k hits as a Dataset (k rows per doc-range). */
+  def searchDS(q0: Query, k: Int, after: ScoreDoc = null, numPartitions: Int = 0): Dataset[ScoreDoc] = {
+    val (q, ctx) = plan(q0)
+    if (q == MatchNoneQ) return spark.emptyDataset[ScoreDoc]
+    val terms = Query.terms(q).toSeq
+    val maxDoc = fieldStats.maxDocId + 1
+    if (maxDoc <= 0) return spark.emptyDataset[ScoreDoc]
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val span = math.max(1L, (maxDoc + p - 1) / p)
+    val nParts = ((maxDoc + span - 1) / span).toInt
+
+    val filtered: Dataset[BlockRow] =
+      if (terms.isEmpty) spark.emptyDataset[BlockRow]
+      else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
+
+    // assign blocks to doc-range partitions; straddlers go to every range
+    // they overlap and are clipped by [lo, hi) inside the scorer
+    val assigned = filtered.flatMap { blk =>
+      (blk.firstDocId / span to blk.lastDocId / span).map(pid => (pid.toInt, blk))
+    }
+
+    val pids = spark.range(0, nParts.toLong).map(_.toInt)
+    val qB = q
+    val ctxB = ctx
+    val afterB = after
+    val kB = k
+    pids.groupByKey(identity).cogroup(assigned.groupByKey(_._1)) {
+      (pid, _, blocksIt) =>
+        val termBlocks: Map[String, Array[BlockRow]] =
+          blocksIt.map(_._2).toArray.groupBy(_.term)
+            .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
+        val lo = pid.toLong * span
+        val hi = math.min(lo + span, maxDoc)
+        ScorerBuilder.topK(qB, termBlocks, ctxB, lo, hi, kB, afterB).iterator
+    }
+  }
+
+  /** DataFrame surface for the driver contract. */
+  def searchDF(queryStr: String, k: Int): DataFrame =
+    spark.createDataset(search(queryStr, k).toSeq).toDF("docId", "score")
+
+  /** Driver-side exhaustive oracle: same scorer tree, zero pruning, one
+    * partition over the whole doc space — the `CheckHits` / TestWANDScorer
+    * differential baseline (reference:
+    * lucene/core/src/test/org/apache/lucene/search/TestWANDScorer.java:209). */
+  def bruteForce(q0: Query, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+    val (q, ctx) = plan(q0)
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.terms(q).toSeq
+    val maxDoc = fieldStats.maxDocId + 1
+    val termBlocks: Map[String, Array[BlockRow]] =
+      if (terms.isEmpty) Map.empty
+      else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
+        .collect().groupBy(_.term).map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
+    val root = ScorerBuilder.build(q, 1f, termBlocks, ctx, 0L, maxDoc)
+    if (root eq EmptyScorer) Array.empty
+    else TopK.iterate(root, k, after)
+  }
+}

@@ -1,0 +1,539 @@
+package graft.search
+
+import graft.codec.{ByteReader, ForDeltaUtil, PForUtil}
+import graft.index.{BlockRow, ScoreDoc}
+
+/** Doc-at-a-time scorer iterator, the analog of Lucene's
+  * `DocIdSetIterator` + `Scorer` pair. `docId` starts at -1; `NO_MORE`
+  * (Long.MaxValue) means exhausted. Docs are always visited in increasing
+  * docId order — the top-k collectors rely on that for score-only pruning
+  * (ties arriving later lose the docId tie-break automatically, mirroring
+  * `TopScoreDocCollector.collect`, reference:
+  * lucene/core/src/java/org/apache/lucene/search/TopScoreDocCollector.java:88-102). */
+trait DocScorer {
+  def docId: Long
+  def nextDoc(): Long
+  def advance(target: Long): Long
+  /** Score at the current doc. */
+  def score(): Float
+  /** Static upper bound over all remaining docs. */
+  def maxScore: Float
+  def cost: Long
+}
+
+object DocScorer {
+  val NO_MORE: Long = Long.MaxValue
+
+  /** Sum clause scores the way Lucene does: accumulate in double, cast to
+    * float at the end (DisjunctionSumScorer / ConjunctionScorer semantics) —
+    * makes the float result insensitive to clause evaluation order. */
+  @inline def sumScores(d: Double): Float = d.toFloat
+}
+
+/** Postings iterator over a term's encoded blocks (sorted by firstDocId,
+  * non-overlapping), clipped to the partition's doc range [lo, hi).
+  * Blocks are decoded lazily — `advance` skips whole non-matching blocks by
+  * metadata only (the skip-list analog), and position payloads are decoded
+  * only if `positionsOfCurrent` is called (two-phase phrase matching). */
+final class TermIterator(
+    blocks: Array[BlockRow],
+    val scorer: Bm25.Scorer,
+    lo: Long,
+    hi: Long) extends DocScorer {
+
+  private var blockIdx = -1
+  private var docs: Array[Long] = null
+  private var freqs: Array[Int] = null
+  private var norms: Array[Int] = null
+  private var positions: Array[Array[Int]] = null // lazy
+  private var pos = -1
+  private var cur: Long = -1L
+
+  override def docId: Long = cur
+  override def cost: Long = blocks.map(_.count.toLong).sum
+
+  override val maxScore: Float = {
+    var m = 0f
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      var j = 0
+      while (j < b.impactFreqs.length) {
+        val s = scorer.score(b.impactFreqs(j).toFloat, b.impactNorms(j))
+        if (s > m) m = s
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Max score of block i (impact frontier), without decoding payloads. */
+  def blockMaxScore(i: Int): Float = {
+    val b = blocks(i)
+    var m = 0f
+    var j = 0
+    while (j < b.impactFreqs.length) {
+      val s = scorer.score(b.impactFreqs(j).toFloat, b.impactNorms(j))
+      if (s > m) m = s
+      j += 1
+    }
+    m
+  }
+
+  /** Upper bound for docs in [target, end-of-current-block] without decoding
+    * (`ImpactsDISI.advanceShallow` + `MaxScoreCache`, reference:
+    * lucene/core/src/java/org/apache/lucene/search/ImpactsDISI.java:75-126). */
+  def shallowMaxScore(target: Long): Float = {
+    var i = math.max(blockIdx, 0)
+    while (i < blocks.length && blocks(i).lastDocId < target) i += 1
+    if (i >= blocks.length || blocks(i).firstDocId >= hi) 0f
+    else blockMaxScore(i)
+  }
+
+  private def decodeBlock(i: Int): Unit = {
+    val b = blocks(i)
+    blockIdx = i
+    docs = new Array[Long](b.count)
+    ForDeltaUtil.decode(new ByteReader(b.docsEnc), b.count, b.firstDocId - 1, docs)
+    freqs = new Array[Int](b.count)
+    PForUtil.decode(new ByteReader(b.freqsEnc), b.count, freqs)
+    norms = new Array[Int](b.count)
+    var j = 0
+    while (j < b.count) { norms(j) = b.normsEnc(j) & 0xFF; j += 1 }
+    positions = null
+  }
+
+  override def nextDoc(): Long = advance(if (cur < 0) lo else cur + 1)
+
+  override def advance(target0: Long): Long = {
+    val target = math.max(target0, lo)
+    if (target >= hi) { cur = DocScorer.NO_MORE; return cur }
+    // find the block containing/following target, by metadata only
+    var i = math.max(blockIdx, 0)
+    while (i < blocks.length && blocks(i).lastDocId < target) i += 1
+    var found = false
+    while (!found) {
+      if (i >= blocks.length || blocks(i).firstDocId >= hi) { cur = DocScorer.NO_MORE; return cur }
+      if (i != blockIdx || docs == null) decodeBlock(i)
+      // binary search first doc >= target
+      var loI = 0
+      var hiI = docs.length
+      while (loI < hiI) {
+        val mid = (loI + hiI) >>> 1
+        if (docs(mid) < target) loI = mid + 1 else hiI = mid
+      }
+      if (loI < docs.length) {
+        pos = loI
+        cur = docs(pos)
+        if (cur >= hi) { cur = DocScorer.NO_MORE; return cur }
+        found = true
+      } else {
+        i += 1
+      }
+    }
+    cur
+  }
+
+  def freq: Int = freqs(pos)
+  def norm: Int = norms(pos)
+
+  override def score(): Float = scorer.score(freqs(pos).toFloat, norms(pos))
+
+  def positionsOfCurrent(): Array[Int] = {
+    if (positions == null) {
+      val b = blocks(blockIdx)
+      positions = graft.codec.PostingsCodec.decodePositions(
+        graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId, b.blockTtf,
+          b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc, Array.empty), freqs)
+    }
+    positions(pos)
+  }
+}
+
+/** Empty scorer (missing term). */
+object EmptyScorer extends DocScorer {
+  override def docId: Long = DocScorer.NO_MORE
+  override def nextDoc(): Long = DocScorer.NO_MORE
+  override def advance(target: Long): Long = DocScorer.NO_MORE
+  override def score(): Float = 0f
+  override def maxScore: Float = 0f
+  override def cost: Long = 0L
+}
+
+/** Matches every doc in [lo, hi) with a constant score. */
+final class MatchAllScorer(lo: Long, hi: Long, value: Float) extends DocScorer {
+  private var cur = -1L
+  override def docId: Long = cur
+  override def nextDoc(): Long = advance(if (cur < 0) lo else cur + 1)
+  override def advance(target: Long): Long = {
+    cur = math.max(target, lo)
+    if (cur >= hi) cur = DocScorer.NO_MORE
+    cur
+  }
+  override def score(): Float = value
+  override def maxScore: Float = value
+  override def cost: Long = hi - lo
+}
+
+/** Leapfrog intersection, cheapest-first (`ConjunctionDISI.intersectIterators`,
+  * reference: lucene/core/src/java/org/apache/lucene/search/ConjunctionDISI.java:61). */
+final class ConjunctionScorer(subsIn: Array[DocScorer]) extends DocScorer {
+  private val subs = subsIn.sortBy(_.cost)
+  private var cur = -1L
+  override def docId: Long = cur
+  override def cost: Long = subs.head.cost
+  override val maxScore: Float = {
+    var d = 0.0; subs.foreach(s => d += s.maxScore); DocScorer.sumScores(d)
+  }
+  override def nextDoc(): Long = advance(cur + 1)
+  override def advance(target: Long): Long = {
+    var doc = subs(0).advance(math.max(target, cur + 1))
+    var agreed = false
+    while (!agreed && doc != DocScorer.NO_MORE) {
+      agreed = true
+      var i = 1
+      while (i < subs.length && agreed) {
+        if (subs(i).docId < doc) subs(i).advance(doc)
+        if (subs(i).docId != doc) {
+          agreed = false
+          doc = if (subs(i).docId == DocScorer.NO_MORE) DocScorer.NO_MORE
+                else subs(0).advance(subs(i).docId)
+        }
+        i += 1
+      }
+    }
+    cur = doc
+    cur
+  }
+  override def score(): Float = {
+    var d = 0.0
+    var i = 0
+    while (i < subs.length) { d += subs(i).score(); i += 1 }
+    DocScorer.sumScores(d)
+  }
+}
+
+/** Doc-ordered union, score = sum of matching clauses
+  * (`DisjunctionSumScorer`, linear scan — query clause counts are small). */
+final class DisjunctionSumScorer(subs: Array[DocScorer]) extends DocScorer {
+  private var cur = -1L
+  override def docId: Long = cur
+  override def cost: Long = subs.map(_.cost).sum
+  override val maxScore: Float = {
+    var d = 0.0; subs.foreach(s => d += s.maxScore); DocScorer.sumScores(d)
+  }
+  override def nextDoc(): Long = advance(cur + 1)
+  override def advance(target: Long): Long = {
+    var min = DocScorer.NO_MORE
+    var i = 0
+    while (i < subs.length) {
+      val d = if (subs(i).docId < target) subs(i).advance(target) else subs(i).docId
+      if (d < min) min = d
+      i += 1
+    }
+    cur = min
+    cur
+  }
+  override def score(): Float = {
+    var d = 0.0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == cur) d += subs(i).score()
+      i += 1
+    }
+    DocScorer.sumScores(d)
+  }
+  /** Number of clauses matching the current doc (for minShouldMatch). */
+  def matchCount: Int = {
+    var c = 0
+    var i = 0
+    while (i < subs.length) { if (subs(i).docId == cur) c += 1; i += 1 }
+    c
+  }
+}
+
+/** Required + excluded (`ReqExclScorer`). */
+final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
+  override def docId: Long = req.docId
+  override def cost: Long = req.cost
+  override def maxScore: Float = req.maxScore
+  override def nextDoc(): Long = advance(req.docId + 1)
+  override def advance(target: Long): Long = {
+    var doc = req.advance(target)
+    var ok = false
+    while (!ok && doc != DocScorer.NO_MORE) {
+      if (excl.docId < doc) excl.advance(doc)
+      if (excl.docId == doc) doc = req.nextDoc() else ok = true
+    }
+    doc
+  }
+  override def score(): Float = req.score()
+}
+
+/** Required + optional: iterate required, add optional scores when aligned
+  * (`ReqOptSumScorer`). */
+final class ReqOptSumScorer(req: DocScorer, opt: DocScorer) extends DocScorer {
+  override def docId: Long = req.docId
+  override def cost: Long = req.cost
+  override val maxScore: Float = DocScorer.sumScores(req.maxScore.toDouble + opt.maxScore.toDouble)
+  override def nextDoc(): Long = req.nextDoc()
+  override def advance(target: Long): Long = req.advance(target)
+  override def score(): Float = {
+    val doc = req.docId
+    if (opt.docId < doc) opt.advance(doc)
+    var d: Double = req.score()
+    if (opt.docId == doc) d += opt.score()
+    DocScorer.sumScores(d)
+  }
+}
+
+/** Constant score over the union of term iterators (MultiTermQuery
+  * CONSTANT_SCORE rewrite). */
+final class ConstantScoreScorer(inner: DocScorer, value: Float) extends DocScorer {
+  override def docId: Long = inner.docId
+  override def cost: Long = inner.cost
+  override def maxScore: Float = value
+  override def nextDoc(): Long = inner.nextDoc()
+  override def advance(target: Long): Long = inner.advance(target)
+  override def score(): Float = value
+}
+
+/** Terms scored as one pseudo-term: freq at a doc = sum of clause tfs
+  * (`SynonymQuery`, reference:
+  * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:199-218). */
+final class SynonymScorer(subs: Array[TermIterator], scorer: Bm25.Scorer) extends DocScorer {
+  private val union = new DisjunctionSumScorer(subs.map(s => s: DocScorer))
+  override def docId: Long = union.docId
+  override def cost: Long = union.cost
+  override val maxScore: Float = scorer.maxScore
+  override def nextDoc(): Long = union.nextDoc()
+  override def advance(target: Long): Long = union.advance(target)
+  override def score(): Float = {
+    var freq = 0L
+    var norm = 0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == union.docId) { freq += subs(i).freq; norm = subs(i).norm }
+      i += 1
+    }
+    scorer.score(freq.toFloat, norm)
+  }
+}
+
+/** Exact phrase: conjunction over term iterators + position verification
+  * (two-phase iteration, `ExactPhraseMatcher`, reference:
+  * lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:36-117).
+  * `offsets(i)` is term i's analyzed position inside the phrase.
+  * phraseFreq = number of phrase occurrences; scored via the multi-term
+  * (summed-idf) scorer at the doc's norm. */
+final class PhraseScorer(
+    terms: Array[TermIterator],
+    offsets: Array[Int],
+    scorer: Bm25.Scorer) extends DocScorer {
+
+  private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
+  private var freqCur = 0
+
+  override def docId: Long = conj.docId
+  override def cost: Long = conj.cost
+  override val maxScore: Float = scorer.maxScore
+
+  override def nextDoc(): Long = advance(conj.docId + 1)
+  override def advance(target: Long): Long = {
+    var doc = conj.advance(target)
+    while (doc != DocScorer.NO_MORE && { freqCur = phraseFreq(); freqCur == 0 })
+      doc = conj.nextDoc()
+    doc
+  }
+
+  private def phraseFreq(): Int = {
+    val lead = terms(0).positionsOfCurrent()
+    var count = 0
+    var i = 0
+    while (i < lead.length) {
+      val base = lead(i) - offsets(0)
+      var ok = true
+      var t = 1
+      while (t < terms.length && ok) {
+        val ps = terms(t).positionsOfCurrent()
+        ok = java.util.Arrays.binarySearch(ps, base + offsets(t)) >= 0
+        t += 1
+      }
+      if (ok) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override def score(): Float = scorer.score(freqCur.toFloat, terms(0).norm)
+}
+
+/** Bounded top-k heap with Lucene's tie discipline: the WORST hit (smallest
+  * score, then LARGEST docId) sits on top
+  * (reference: lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-81). */
+final class HitQueue(k: Int) {
+  private val heapDoc = new Array[Long](k + 1)
+  private val heapScore = new Array[Float](k + 1)
+  private var n = 0
+
+  def size: Int = n
+  def isFull: Boolean = n == k
+  def topScore: Float = heapScore(1)
+  def topDoc: Long = heapDoc(1)
+
+  /** `a` strictly worse than `b`? */
+  @inline private def worse(sa: Float, da: Long, sb: Float, db: Long): Boolean =
+    sa < sb || (sa == sb && da > db)
+
+  def wouldBeCompetitive(doc: Long, score: Float): Boolean =
+    n < k || worse(heapScore(1), heapDoc(1), score, doc)
+
+  def insert(doc: Long, score: Float): Boolean = {
+    if (n < k) {
+      n += 1
+      heapDoc(n) = doc; heapScore(n) = score
+      upHeap(n)
+      true
+    } else if (worse(heapScore(1), heapDoc(1), score, doc)) {
+      heapDoc(1) = doc; heapScore(1) = score
+      downHeap()
+      true
+    } else false
+  }
+
+  private def upHeap(i0: Int): Unit = {
+    var i = i0
+    val d = heapDoc(i); val s = heapScore(i)
+    while (i > 1 && worse(s, d, heapScore(i >> 1), heapDoc(i >> 1))) {
+      heapDoc(i) = heapDoc(i >> 1); heapScore(i) = heapScore(i >> 1)
+      i >>= 1
+    }
+    heapDoc(i) = d; heapScore(i) = s
+  }
+
+  private def downHeap(): Unit = {
+    var i = 1
+    val d = heapDoc(1); val s = heapScore(1)
+    var done = false
+    while (!done) {
+      var child = i << 1
+      if (child > n) done = true
+      else {
+        if (child + 1 <= n && worse(heapScore(child + 1), heapDoc(child + 1), heapScore(child), heapDoc(child)))
+          child += 1
+        if (worse(heapScore(child), heapDoc(child), s, d)) {
+          heapDoc(i) = heapDoc(child); heapScore(i) = heapScore(child)
+          i = child
+        } else done = true
+      }
+    }
+    heapDoc(i) = d; heapScore(i) = s
+  }
+
+  /** Results best-first (score desc, docId asc). */
+  def results(): Array[ScoreDoc] = {
+    val out = (1 to n).map(i => ScoreDoc(heapDoc(i), heapScore(i))).toArray
+    out.sortBy(sd => (-sd.score, sd.docId))
+  }
+}
+
+/** Top-k collectors: the generic exhaustive one, and the dynamically pruned
+  * disjunction one (MaxScore essential/non-essential split + impact-derived
+  * per-term upper bounds — the WAND family, reference:
+  * lucene/core/src/java/org/apache/lucene/search/WANDScorer.java:45-588).
+  * Score-only pruning (`bound <= theta` skips) is sound because docs are
+  * visited in docId order: an equal-score later doc loses the tie-break. */
+object TopK {
+
+  /** searchAfter predicate: hit must sort strictly after the marker. */
+  @inline private def isAfter(after: ScoreDoc, doc: Long, score: Float): Boolean =
+    score < after.score || (score == after.score && doc > after.docId)
+
+  def iterate(root: DocScorer, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+    val pq = new HitQueue(k)
+    var doc = root.nextDoc()
+    while (doc != DocScorer.NO_MORE) {
+      val s = root.score()
+      if (after == null || isAfter(after, doc, s)) pq.insert(doc, s)
+      doc = root.nextDoc()
+    }
+    pq.results()
+  }
+
+  /** Pruned top-k for a pure disjunction of scoring clauses. */
+  def disjunction(subsIn: Array[DocScorer], k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+    val subs = subsIn.filter(_.maxScore > 0f).sortBy(_.maxScore)
+    val n = subs.length
+    if (n == 0) return Array.empty
+    if (n == 1) return iterate(subs(0), k, after)
+    val prefix = new Array[Double](n) // prefix(i) = sum of maxScore of subs[0..i]
+    var acc = 0.0
+    for (i <- 0 until n) { acc += subs(i).maxScore; prefix(i) = acc }
+
+    val pq = new HitQueue(k)
+    var essStart = 0
+
+    def theta: Float = if (pq.isFull) pq.topScore else Float.NegativeInfinity
+
+    def updateEssential(): Unit = {
+      if (!pq.isFull) { essStart = 0; return }
+      var s = 0
+      while (s < n && prefix(s) <= theta) s += 1
+      essStart = s
+    }
+
+    // position all subs at their first doc
+    subs.foreach(_.nextDoc())
+
+    var running = true
+    while (running) {
+      if (essStart >= n) { running = false }
+      else {
+        // candidate = min docId among essential clauses
+        var cand = DocScorer.NO_MORE
+        var i = essStart
+        while (i < n) { if (subs(i).docId < cand) cand = subs(i).docId; i += 1 }
+        if (cand == DocScorer.NO_MORE) running = false
+        else {
+          // sum essential clauses at cand
+          var partial = 0.0
+          i = essStart
+          while (i < n) {
+            if (subs(i).docId == cand) partial += subs(i).score()
+            i += 1
+          }
+          // probe non-essential from the highest max-score down, with
+          // shallow block-max refinement before touching the clause
+          i = essStart - 1
+          var live = true
+          while (i >= 0 && live) {
+            val below = if (i > 0) prefix(i - 1) else 0.0
+            if (DocScorer.sumScores(partial + prefix(i)) <= theta) live = false
+            else {
+              if (subs(i).docId < cand) subs(i).advance(cand)
+              if (subs(i).docId == cand) partial += subs(i).score()
+              i -= 1
+              if (DocScorer.sumScores(partial + below) <= theta && i >= 0) {
+                // cheap re-check handled by loop head next iteration
+              }
+            }
+          }
+          if (live) {
+            val s = DocScorer.sumScores(partial)
+            if (after == null || isAfter(after, cand, s)) {
+              if (pq.insert(cand, s)) updateEssential()
+            }
+          }
+          // advance essential clauses that sit at cand
+          i = essStart
+          while (i < n) {
+            if (subs(i).docId == cand) subs(i).nextDoc()
+            i += 1
+          }
+        }
+      }
+    }
+    pq.results()
+  }
+}

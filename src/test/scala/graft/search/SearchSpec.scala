@@ -1,0 +1,172 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.fixtures.CodeCorpus
+import graft.index._
+import graft.analysis.Analyzers
+
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val files = CodeCorpus.files(500)
+  private lazy val index = IndexBuilder.build(
+    spark.createDataset(files), IndexConfig(numPartitions = 4, saltSpan = 128))
+  private lazy val searcher = new GraftSearcher(index)
+
+  // the FIXTURES.md reference query set shapes
+  private val querySet = Seq(
+    "return",
+    "uniq_tok_17_0",
+    "mergepolicy",
+    "index AND indexwriter",
+    "if AND return AND import",
+    "parsequery OR mergepolicy",
+    "(indexwriter OR mergepolicy) AND return",
+    "\"foo.bar x2y\"",
+    "indexwriter mergepolicy parsequery",
+    "if AND NOT mergepolicy",
+    "indexwriter^2.5 OR parsequery",
+    "uniq_tok_*",
+    "merge*",
+    "inde?writer",
+    "NOT if")
+
+  test("parser produces the expected shapes") {
+    val p = searcher.parser
+    assert(p.parse("return") == TermQ("return"))
+    assert(p.parse("a AND b") == BoolQ(must = Seq(TermQ("a"), TermQ("b"))))
+    assert(p.parse("a OR b") == BoolQ(should = Seq(TermQ("a"), TermQ("b"))))
+    assert(p.parse("a b") == BoolQ(should = Seq(TermQ("a"), TermQ("b"))))
+    assert(p.parse("\"foo bar\"") == PhraseQ(Seq("foo", "bar"), Seq(0, 1)))
+    assert(p.parse("a AND NOT b") == BoolQ(must = Seq(TermQ("a")), mustNot = Seq(TermQ("b"))))
+    assert(p.parse("pre*") == PrefixQ("pre"))
+    assert(p.parse("wi?d") == WildcardQ("wi?d"))
+    assert(p.parse("a^2.0") == BoostQ(TermQ("a"), 2.0f))
+    // nested flatten: (a OR b) OR c -> one should-list
+    assert(p.parse("(a OR b) OR c") == BoolQ(should = Seq(TermQ("a"), TermQ("b"), TermQ("c"))))
+  }
+
+  test("distributed pruned top-k is rank- and score-identical to the exhaustive oracle") {
+    for (q <- querySet) {
+      val ast = searcher.parse(q)
+      val exact = searcher.bruteForce(ast, 10)
+      val dist = searcher.search(ast, 10)
+      assert(dist.toSeq == exact.toSeq, s"query: $q")
+    }
+  }
+
+  test("results ordered by (score desc, docId asc) and scores are finite floats") {
+    val hits = searcher.search("if OR return OR import", 20)
+    assert(hits.nonEmpty)
+    hits.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.score > b.score || (a.score == b.score && a.docId < b.docId))
+      case _ =>
+    }
+    hits.foreach(h => assert(java.lang.Float.isFinite(h.score) && h.score > 0f))
+  }
+
+  test("search results independent of search partition count") {
+    val ast = searcher.parse("if OR indexwriter OR uniq_tok_17_0")
+    val p1 = searcher.search(ast, 10, null, 1)
+    val p7 = searcher.search(ast, 10, null, 7)
+    assert(p1.toSeq == p7.toSeq)
+  }
+
+  test("conjunction really intersects; disjunction really unions") {
+    def docsOf(q: String): Set[Long] = searcher.search(q, 1000).map(_.docId).toSet
+    val a = docsOf("indexwriter")
+    val b = docsOf("mergepolicy")
+    assert(docsOf("indexwriter AND mergepolicy") == (a intersect b))
+    assert(docsOf("indexwriter OR mergepolicy") == (a union b))
+    assert(docsOf("indexwriter AND NOT mergepolicy") == (a diff b))
+  }
+
+  test("phrase query verifies adjacency via positions") {
+    // build a micro corpus where order matters
+    val micro = Seq(
+      CodeFile("r", "a", "c1", "txt", "alpha beta gamma"),
+      CodeFile("r", "b", "c1", "txt", "beta alpha gamma"),
+      CodeFile("r", "c", "c1", "txt", "alpha gamma beta alpha beta"))
+    val idx = IndexBuilder.build(spark.createDataset(micro), IndexConfig(numPartitions = 2))
+    val s = new GraftSearcher(idx)
+    val hits = s.search("\"alpha beta\"", 10)
+    val paths = idx.docs.collect().map(d => d.docId -> d.path).toMap
+    assert(hits.map(h => paths(h.docId)).toSet == Set("a", "c"))
+    assert(s.search("\"beta gamma\"", 10).map(h => paths(h.docId)).toSet == Set("a"))
+    assert(s.search("\"beta alpha\"", 10).map(h => paths(h.docId)).toSet == Set("b", "c"))
+    assert(s.search("\"gamma alpha\"", 10).isEmpty)
+    // differential too
+    assert(s.search("\"alpha beta\"", 10).toSeq == s.bruteForce(s.parse("\"alpha beta\""), 10).toSeq)
+  }
+
+  test("phrase with stop-word gap matches across the gap (position increments)") {
+    val micro = Seq(
+      CodeFile("r", "a", "c1", "txt", "rise of nations"),
+      CodeFile("r", "b", "c1", "txt", "rise nations"))
+    val idx = IndexBuilder.build(spark.createDataset(micro),
+      IndexConfig(analyzer = Analyzers.english, numPartitions = 1))
+    val s = new GraftSearcher(idx, Analyzers.english)
+    val paths = idx.docs.collect().map(d => d.docId -> d.path).toMap
+    // "rise of nations" analyzed -> rise@0, nations@2: only doc a has the gap
+    val hits = s.search("\"rise of nations\"", 10)
+    assert(hits.map(h => paths(h.docId)).toSet == Set("a"))
+  }
+
+  test("searchAfter pagination tiles the full ranking") {
+    val ast = searcher.parse("if OR return OR indexwriter")
+    val all = searcher.search(ast, 30)
+    val page1 = searcher.search(ast, 10)
+    val page2 = searcher.search(ast, 10, after = page1.last)
+    val page3 = searcher.search(ast, 10, after = page2.last)
+    assert((page1 ++ page2 ++ page3).toSeq == all.toSeq)
+    // oracle agrees
+    assert(page2.toSeq == searcher.bruteForce(ast, 10, after = page1.last).toSeq)
+  }
+
+  test("prefix and wildcard expand through the term dictionary (constant score)") {
+    val hits = searcher.search("uniq_tok_17_*", 10)
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.score == 1.0f))
+    val none = searcher.search("zzz_no_such_prefix*", 10)
+    assert(none.isEmpty)
+  }
+
+  test("boost scales ranking contributions") {
+    val base = searcher.search("indexwriter OR parsequery", 1000).map(h => h.docId -> h.score).toMap
+    val boosted = searcher.search("indexwriter^3 OR parsequery", 1000).map(h => h.docId -> h.score).toMap
+    assert(boosted.keySet == base.keySet)
+    assert(boosted.exists { case (d, s) => s > base(d) })
+  }
+
+  test("match-all and pure negation") {
+    // MatchAll over the whole doc space
+    val all = searcher.search(MatchAllQ, 1000, null)
+    assert(all.length == 500 && all.forall(_.score == 1.0f))
+    // pure negation anchors on MatchAll: NOT x = all docs minus x
+    val withIf = searcher.search("if", 1000).map(_.docId).toSet
+    val notIf = searcher.search("NOT if", 1000).map(_.docId).toSet
+    assert(notIf == (0L until 500L).toSet.diff(withIf))
+  }
+
+  test("empty/missing terms behave") {
+    assert(searcher.search("totallyabsenttoken", 10).isEmpty)
+    assert(searcher.search("totallyabsenttoken AND if", 10).isEmpty)
+    val or = searcher.search("totallyabsenttoken OR if", 10)
+    assert(or.toSeq == searcher.search("if", 10).toSeq)
+  }
+
+  test("synonym query scores merged postings as one pseudo-term") {
+    val ast = SynonymQ(Seq("indexwriter", "mergepolicy"))
+    val dist = searcher.search(ast, 10, null)
+    val exact = searcher.bruteForce(ast, 10)
+    assert(dist.toSeq == exact.toSeq)
+    assert(dist.nonEmpty)
+  }
+
+  test("over-255-char token is not searchable but consumed a position") {
+    assert(searcher.search("x" * 300, 10).isEmpty)
+  }
+}
