@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.{Impact, PostingsCodec}
+import graft.index.BlockRow
+
+/** Fulltext-engine queries for the driver contract: every result is produced
+  * by the REAL index/search path (posting blocks, BM25, WAND, phrase
+  * positions) and — where token semantics are SQL-expressible — verified by a
+  * DuckDB oracle that recomputes the same answer from the raw text with
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')`.
+  *
+  * BM25-scored top-k queries ship without an oracle (Float-exact Lucene
+  * scoring is not expressible in DuckDB's double arithmetic); their
+  * correctness is covered by the scalatest differential suite
+  * (pruned WAND vs exhaustive Float oracle, SearchSpec).
+  */
+object FulltextQueries {
+
+  private val TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private def hitsDF(spark: SparkSession, sfDir: String, q: String, k: Int): DataFrame = {
+    val (index, searcher) = DocsIndex.get(spark, sfDir)
+    searcher.searchDS(searcher.parse(q), k).toDF()
+      .join(DocsIndex.docIdMap(index), "docId")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
+  private def matchDF(spark: SparkSession, sfDir: String, q: String): DataFrame = {
+    val (index, searcher) = DocsIndex.get(spark, sfDir)
+    searcher.matchesDS(searcher.parse(q)).toDF("docId")
+      .join(DocsIndex.docIdMap(index), "docId")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- index internals, oracle-verified at the token level ----
+    "ft_postings_tf" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val terms = Seq("spark", "query", "vector")
+      val decoded = index.blocks.filter($"term".isin(terms: _*)).as[BlockRow]
+        .flatMap { b =>
+          val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId,
+            b.blockTtf, b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc,
+            b.impactFreqs.zip(b.impactNorms).map { case (f, n) => Impact(f, n) })
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          docs.indices.iterator.map(i => (b.term, docs(i), freqs(i).toLong))
+        }.toDF("term", "docId", "tf")
+      decoded.join(DocsIndex.docIdMap(index), "docId")
+        .select($"term", $"doc_id", $"tf")
+        .orderBy("term", "doc_id")
+    }),
+    "ft_term_stats" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val terms = Seq("spark", "query", "vector", "customer", "window")
+      index.termStats.filter($"term".isin(terms: _*))
+        .select($"term", $"docFreq".as("doc_freq"), $"totalTermFreq".as("total_term_freq"))
+        .orderBy("term")
+    }),
+    "ft_doc_len" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.docs.toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "ft_top_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats
+        .select($"term", $"docFreq".as("doc_freq"))
+        .orderBy(desc("doc_freq"), asc("term"))
+        .limit(20)
+    }),
+    // ---- boolean / phrase / prefix match sets (exact, oracle-verified) ----
+    "ft_match_and" -> ((spark, sfDir) => matchDF(spark, sfDir, "spark AND vector AND hash")),
+    "ft_match_or" -> ((spark, sfDir) => matchDF(spark, sfDir, "vector OR customer")),
+    "ft_match_not" -> ((spark, sfDir) => matchDF(spark, sfDir, "spark NOT vector")),
+    "ft_match_phrase" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"")),
+    "ft_match_prefix" -> ((spark, sfDir) => matchDF(spark, sfDir, "cust*")),
+    // ---- BM25 top-k through block-max pruning (differential-tested) ----
+    "ft_search_term" -> ((spark, sfDir) => hitsDF(spark, sfDir, "vector", 10)),
+    "ft_search_bool" -> ((spark, sfDir) => hitsDF(spark, sfDir, "(table OR vector) AND batch", 10)),
+    "ft_search_phrase" -> ((spark, sfDir) => hitsDF(spark, sfDir, "\"big table\" OR customer", 10))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ft_postings_tf" ->
+      s"""SELECT * FROM (
+         |  SELECT t.term AS term, d.doc_id AS doc_id,
+         |         len(list_filter($TOKS, x -> x = t.term)) AS tf
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(['spark','query','vector']) AS term) t
+         |) WHERE tf > 0 ORDER BY term, doc_id""".stripMargin,
+    "ft_term_stats" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_term_freq
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |)
+         |WHERE tok IN ('spark','query','vector','customer','window')
+         |GROUP BY tok ORDER BY term""".stripMargin,
+    "ft_doc_len" ->
+      s"SELECT doc_id, len($TOKS) AS n_tokens FROM documents ORDER BY doc_id",
+    "ft_top_terms" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq
+         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |GROUP BY tok ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    "ft_match_and" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'spark') AND list_contains(tk, 'vector') AND list_contains(tk, 'hash')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_or" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_not" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'spark') AND NOT list_contains(tk, 'vector')
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_phrase" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$)')
+        |ORDER BY doc_id""".stripMargin,
+    "ft_match_prefix" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> x LIKE 'cust%')) > 0
+         |ORDER BY doc_id""".stripMargin
+  )
+}

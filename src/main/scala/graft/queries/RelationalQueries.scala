@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / aggregation / dataflow operators over the TPC-H-ish testdata
+  * tables — the Spark-native renderings of the reference's OLAP surface:
+  * Solr JSON facets (SURVEY.md §2.6) and Solr streaming expressions
+  * (SURVEY.md §2.7). Every query has a DuckDB oracle.
+  *
+  * Numeric discipline for exact cross-engine hashing: money is aggregated in
+  * integer cents (`CAST(round(x*100) AS BIGINT)`), quantities are
+  * whole-number doubles (order-independent exact sums), and divisions happen
+  * once, on already-exact operands — identical IEEE results in both engines.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: the RollupStream / StatsComponent analog
+    "q1_agg" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(expr(cents)).as("sum_price_cents"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // facet field: top-N buckets by count (FacetFieldProcessorByHashDV)
+    "q_facet_field" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bucket"))
+        .limit(5)
+    }),
+    // facet range: numeric gap buckets (FacetRange)
+    "q_facet_range" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+    // facet query: counts under predicates (FacetQuery)
+    "q_facet_query" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders").agg(
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("n_big"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"))
+    }),
+    // stats component: min/max/count/distinct per group
+    "q_stats" -> ((spark, sfDir) => {
+      t(spark, sfDir, "part")
+        .groupBy("p_brand")
+        .agg(
+          min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("p_type")).as("n_types"))
+        .orderBy("p_brand")
+    }),
+    // percentile agg (exact interpolated, the PercentileAgg analog)
+    "q_percentile" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+    }),
+    // unique agg (UniqueAgg / HLLAgg exact form)
+    "q_unique" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+    }),
+    // hash join with broadcast dim (HashJoinStream)
+    "q_join_broadcast" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .join(broadcast(t(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_price_cents"))
+        .orderBy("c_mktsegment")
+    }),
+    // star join + group agg (TPC-H Q5 shape; joins ordered small->large)
+    "q_join_star" -> ((spark, sfDir) => {
+      val li = t(spark, sfDir, "lineitem")
+      val o = t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = t(spark, sfDir, "customer")
+      val n = t(spark, sfDir, "nation")
+      val r = t(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("n_name"))
+    }),
+    // left outer join + null-side counting (LeftOuterJoinStream)
+    "q_join_leftouter" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .join(t(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_no_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    // anti join (ComplementStream): customers who never fired a purchase event
+    "q_join_anti" -> ((spark, sfDir) => {
+      val purchases = t(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      t(spark, sfDir, "customer")
+        .join(purchases, col("c_custkey") === col("user_id"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey")
+    }),
+    // semi join (IntersectStream)
+    "q_join_semi" -> ((spark, sfDir) => {
+      t(spark, sfDir, "nation")
+        .join(t(spark, sfDir, "customer"), col("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select("n_name")
+        .orderBy("n_name")
+    }),
+    // rollup over join (pivot-facet / multi-level buckets). Built via the
+    // SQL surface: the Dataset API's ambiguous-self-join heuristic
+    // false-positives on rollup-after-join column reuse.
+    "q_rollup" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer").createOrReplaceTempView("v_customer")
+      t(spark, sfDir, "nation").createOrReplaceTempView("v_nation")
+      t(spark, sfDir, "region").createOrReplaceTempView("v_region")
+      spark.sql(
+        """SELECT r_name, n_name, count(*) AS cnt
+          |FROM v_customer
+          |JOIN v_nation ON c_nationkey = n_nationkey
+          |JOIN v_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+    // expand/collapse: top-2 rows per group via window (CollapsingQParser)
+    "q_window_topk" -> ((spark, sfDir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    // time-series bucketing (TimeSeriesStream)
+    "q_timeseries" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("day")
+    }),
+    // explode / CartesianProductStream (unnest multivalued field)
+    "q_explode" -> ((spark, sfDir) => {
+      t(spark, sfDir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(10)
+    }),
+    // having (post-agg filter, HavingStream)
+    "q_having" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 60)
+        .orderBy("c_nationkey")
+    }),
+    // global top-k by sort (RankStream -> TakeOrderedAndProject)
+    "q_topk_orders" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    }),
+    // distinct (UniqueStream)
+    "q_distinct" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // multi-key groupBy (pivot facets)
+    "q_pivot" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "source")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum($cents) AS BIGINT) AS sum_price_cents,
+         |  sum(l_quantity) / count(*) AS avg_qty
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_facet_field" ->
+      """SELECT o_orderpriority AS bucket, count(*) AS cnt FROM orders
+        |GROUP BY 1 ORDER BY cnt DESC, bucket LIMIT 5""".stripMargin,
+    "q_facet_range" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_facet_query" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+        |FROM orders""".stripMargin,
+    "q_stats" ->
+      """SELECT p_brand, min(p_size) AS min_size, max(p_size) AS max_size,
+        |  count(*) AS cnt, count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_percentile" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem""".stripMargin,
+    "q_unique" ->
+      """SELECT count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n FROM lineitem""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_star" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q_join_leftouter" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_no_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_nationkey, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'purchase')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |ORDER BY n_name""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q_timeseries" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_explode" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, count(*) AS cnt FROM customer
+        |GROUP BY c_nationkey HAVING count(*) > 60 ORDER BY c_nationkey""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
+}

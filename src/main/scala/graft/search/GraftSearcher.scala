@@ -235,6 +235,46 @@ final class GraftSearcher(
   def searchDF(queryStr: String, k: Int): DataFrame =
     spark.createDataset(search(queryStr, k).toSeq).toDF("docId", "score")
 
+  /** All matching docIds, unranked — the boolean match-set surface
+    * (ConstantScore bulk collection). Same distributed shape as [[searchDS]]
+    * but each doc-range partition emits every match instead of a top-k heap. */
+  def matchesDS(q0: Query, numPartitions: Int = 0): Dataset[Long] = {
+    val (q, ctx) = plan(q0)
+    if (q == MatchNoneQ) return spark.emptyDataset[Long]
+    val terms = Query.terms(q).toSeq
+    val maxDoc = fieldStats.maxDocId + 1
+    if (maxDoc <= 0) return spark.emptyDataset[Long]
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val span = math.max(1L, (maxDoc + p - 1) / p)
+    val nParts = ((maxDoc + span - 1) / span).toInt
+
+    val filtered: Dataset[BlockRow] =
+      if (terms.isEmpty) spark.emptyDataset[BlockRow]
+      else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
+
+    val assigned = filtered.flatMap { blk =>
+      (blk.firstDocId / span to blk.lastDocId / span).map(pid => (pid.toInt, blk))
+    }
+    val pids = spark.range(0, nParts.toLong).map(_.toInt)
+    val qB = q
+    val ctxB = ctx
+    pids.groupByKey(identity).cogroup(assigned.groupByKey(_._1)) {
+      (pid, _, blocksIt) =>
+        val termBlocks: Map[String, Array[BlockRow]] =
+          blocksIt.map(_._2).toArray.groupBy(_.term)
+            .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
+        val lo = pid.toLong * span
+        val hi = math.min(lo + span, maxDoc)
+        val root = ScorerBuilder.build(qB, 1f, termBlocks, ctxB, lo, hi)
+        if (root eq EmptyScorer) Iterator.empty[Long]
+        else new Iterator[Long] {
+          private var d = root.nextDoc()
+          override def hasNext: Boolean = d != DocScorer.NO_MORE
+          override def next(): Long = { val r = d; d = root.nextDoc(); r }
+        }
+    }
+  }
+
   /** Driver-side exhaustive oracle: same scorer tree, zero pruning, one
     * partition over the whole doc space — the `CheckHits` / TestWANDScorer
     * differential baseline (reference:
