@@ -15,14 +15,16 @@ import graft.codec.{PostingsCodec, SmallFloat}
   *                        partitions instead of hot-spotting one reducer — the
   *                        north rule's skew salting. Block docId ranges stay
   *                        disjoint across buckets because the salt is a range,
-  *                        not a hash.
+  *                        not a hash. 0 = auto: span sized so the hottest
+  *                        possible term (df = docCount) splits into ~4x the
+  *                        shuffle width ([[IndexBuilder.saltSpanFor]]).
   * @param verifySha       enforce the per-row content sha256 invariant when the
   *                        input carries an expected sha256 column
   */
 final case class IndexConfig(
     analyzer: Analyzer = graft.analysis.Analyzers.standard,
     numPartitions: Int = 0,
-    saltSpan: Long = 1L << 20,
+    saltSpan: Long = 0,
     verifySha: Boolean = true)
 
 /** An index: typed Datasets over the segment tables. In production these are
@@ -40,13 +42,19 @@ final class GraftIndex(
 
 object IndexBuilder {
 
+  private val HEX = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Char](64)
     var i = 0
-    while (i < d.length) { sb.append("%02x".format(d(i) & 0xFF)); i += 1 }
-    sb.toString
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HEX(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Deterministic docId assignment: global rank in the total order of
@@ -129,17 +137,32 @@ object IndexBuilder {
     }
   }
 
+  /** Auto salt span: size buckets so the hottest possible term (df close to
+    * docCount — think `if`/`return` in a code corpus) splits into ~4x the
+    * shuffle width, bounding any single reducer's share of a skewed term at
+    * ~1/(4*parts) of its postings while keeping blocks well-filled. */
+  def saltSpanFor(maxDoc: Long, parts: Int): Long =
+    math.max(1024L, (maxDoc + 4L * parts - 1) / (4L * parts))
+
   /** THE shuffle: repartition postings by hash(term, docId/saltSpan), sort
     * within partitions by (term, docId), then stream-encode 128-doc blocks.
     * This replaces Lucene's flush (sort terms + stream through
     * Lucene84PostingsWriter, reference:
-    * lucene/core/src/java/org/apache/lucene/index/FreqProxTermsWriter.java:69-71). */
-  def encodeBlocks(postings: Dataset[PostingRow], cfg: IndexConfig): Dataset[BlockRow] = {
+    * lucene/core/src/java/org/apache/lucene/index/FreqProxTermsWriter.java:69-71).
+    *
+    * @param maxDoc exclusive docId upper bound, used to size the auto salt
+    *               span; required when `cfg.saltSpan == 0`. */
+  def encodeBlocks(postings: Dataset[PostingRow], cfg: IndexConfig, maxDoc: Long = -1L): Dataset[BlockRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val parts = if (cfg.numPartitions > 0) cfg.numPartitions else spark.sparkContext.defaultParallelism
-    val salt = (col("docId") / lit(cfg.saltSpan)).cast("long")
-    val span = cfg.saltSpan
+    val span =
+      if (cfg.saltSpan > 0) cfg.saltSpan
+      else {
+        require(maxDoc >= 0, "encodeBlocks needs maxDoc when saltSpan is auto")
+        saltSpanFor(maxDoc, parts)
+      }
+    val salt = (col("docId") / lit(span)).cast("long")
     postings
       .repartition(parts, col("term"), salt)
       .sortWithinPartitions(col("term"), col("docId"))
@@ -206,14 +229,22 @@ object IndexBuilder {
 
   /** Full in-memory build (tests / small scale). The write path for real
     * scale is [[IndexStore.buildAndWrite]] which checkpoints each stage. */
+  /** Full in-memory build (tests / small scale).
+    *
+    * Persistence choice: the analyzed intermediate (per-doc term/tf/position
+    * arrays) is deliberately NOT cached — materializing it costs more than
+    * re-running the (codegen'd, shuffle-reusing) analysis pass, measured ~15s
+    * persist vs <1s recompute at 100k docs. Instead the three small
+    * query-side tables (docmeta, blocks, termStats) are cached. */
   def build(files: Dataset[CodeFile], cfg: IndexConfig = IndexConfig(), docBase: Long = 0L): GraftIndex = {
     val spark = files.sparkSession
     val analyzed = analyze(assignDocIds(files, cfg.numPartitions, docBase), cfg)
+    val docs = docsOf(analyzed).persist(StorageLevel.MEMORY_AND_DISK)
+    val fieldStats = fieldStatsOf(docs) // action: materializes docs
+    val blocks = encodeBlocks(postingsOf(analyzed), cfg, fieldStats.maxDocId + 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val docs = docsOf(analyzed)
-    val blocks = encodeBlocks(postingsOf(analyzed), cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val termStats = termStatsOf(blocks)
-    val fieldStats = fieldStatsOf(docs)
+    // persisted: every query plan consults termStats (df lookup)
+    val termStats = termStatsOf(blocks).persist(StorageLevel.MEMORY_AND_DISK)
     new GraftIndex(spark, docs, blocks, termStats, fieldStats)
   }
 }

@@ -78,15 +78,19 @@ object IndexStore {
     val statsPath = s"$segDir/termstats"
 
     if (!isComplete(docsPath) || !isComplete(blocksPath)) {
+      // analyzed intermediate recomputed rather than cached (see
+      // IndexBuilder.build persistence note); shuffle reuse keeps the
+      // second pass cheap.
       val analyzed = IndexBuilder
         .analyze(IndexBuilder.assignDocIds(files, cfg.numPartitions, docBase), cfg)
-        .persist(StorageLevel.MEMORY_AND_DISK)
       if (!isComplete(docsPath))
         IndexBuilder.docsOf(analyzed).write.mode("overwrite").parquet(docsPath)
-      if (!isComplete(blocksPath))
-        IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg)
+      if (!isComplete(blocksPath)) {
+        val maxDoc = IndexBuilder
+          .fieldStatsOf(spark.read.parquet(docsPath).as[DocRow]).maxDocId + 1
+        IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg, maxDoc)
           .write.mode("overwrite").parquet(blocksPath)
-      analyzed.unpersist()
+      }
     }
     if (!isComplete(statsPath)) {
       IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])

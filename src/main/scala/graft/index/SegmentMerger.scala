@@ -67,7 +67,8 @@ object SegmentMerger {
       val allBlocks = toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/postings").as[BlockRow])
         .reduce(_ union _)
       val postings = decodeToPostings(allBlocks)
-      IndexBuilder.encodeBlocks(postings, cfg).write.mode("overwrite").parquet(blocksPath)
+      IndexBuilder.encodeBlocks(postings, cfg, toMerge.map(_.maxDocId).max + 1)
+        .write.mode("overwrite").parquet(blocksPath)
     }
     if (!done(statsPath)) {
       IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])

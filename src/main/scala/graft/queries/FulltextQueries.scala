@@ -85,10 +85,43 @@ object FulltextQueries {
     "ft_match_not" -> ((spark, sfDir) => matchDF(spark, sfDir, "spark NOT vector")),
     "ft_match_phrase" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"")),
     "ft_match_prefix" -> ((spark, sfDir) => matchDF(spark, sfDir, "cust*")),
+    "ft_match_wildcard" -> ((spark, sfDir) => matchDF(spark, sfDir, "w?ndow")),
+    // minShouldMatch >= 2 of 3 (MinShouldMatchSumScorer analog) — AST-built
+    "ft_match_msm" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.BoolQ(
+        should = Seq(graft.search.TermQ("vector"), graft.search.TermQ("customer"),
+          graft.search.TermQ("hash")),
+        minShouldMatch = 2)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // ---- BM25 top-k through block-max pruning (differential-tested) ----
     "ft_search_term" -> ((spark, sfDir) => hitsDF(spark, sfDir, "vector", 10)),
     "ft_search_bool" -> ((spark, sfDir) => hitsDF(spark, sfDir, "(table OR vector) AND batch", 10)),
-    "ft_search_phrase" -> ((spark, sfDir) => hitsDF(spark, sfDir, "\"big table\" OR customer", 10))
+    "ft_search_phrase" -> ((spark, sfDir) => hitsDF(spark, sfDir, "\"big table\" OR customer", 10)),
+    // SynonymQuery: terms scored as one pseudo-term
+    "ft_search_synonym" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SynonymQ(Seq("spark", "query"))
+      searcher.searchDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // searchAfter pagination: page 2 of the 'vector' ranking
+    "ft_search_after" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.parse("vector")
+      val page1 = searcher.search(q, 10)
+      val after = page1.last
+      searcher.searchDS(q, 10, after).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,6 +166,16 @@ object FulltextQueries {
     "ft_match_prefix" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> x LIKE 'cust%')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_wildcard" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> regexp_matches(x, '^w.ndow$$'))) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_msm" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(tk, 'customer') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END) >= 2
          |ORDER BY doc_id""".stripMargin
   )
 }

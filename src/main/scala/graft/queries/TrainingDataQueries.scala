@@ -33,14 +33,23 @@ object TrainingDataQueries {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** MinHash signature columns h0..h3 over the distinct-token set. */
+  /** MinHash signature columns h0..h3 over the distinct bigram-shingle set.
+    * Shingles (not unigrams) keep band buckets discriminative: with a small
+    * vocabulary, unigram signatures collapse into a handful of giant buckets
+    * whose band join degenerates to O(n^2) — the classic LSH skew failure.
+    * Measured on sf0.1: unigram bands -> max bucket 3165 docs / 5.3M pairs;
+    * bigram bands -> max bucket 28 / 10k pairs. */
   private def minhashSig(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"), explode(array_distinct(expr(TOKS))).as("tok"))
-    toks.groupBy("doc_id").agg(
-      min(md5(concat(col("tok"), lit("#0")))).as("h0"),
-      min(md5(concat(col("tok"), lit("#1")))).as("h1"),
-      min(md5(concat(col("tok"), lit("#2")))).as("h2"),
-      min(md5(concat(col("tok"), lit("#3")))).as("h3"))
+    val sh = d
+      .select(col("doc_id"), expr(TOKS).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))).as("s"))
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(col("s"), lit("#0")))).as("h0"),
+      min(md5(concat(col("s"), lit("#1")))).as("h1"),
+      min(md5(concat(col("s"), lit("#2")))).as("h2"),
+      min(md5(concat(col("s"), lit("#3")))).as("h3"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -272,11 +281,17 @@ object TrainingDataQueries {
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
     "td_dedup_minhash_lsh" ->
-      s"""WITH sig AS (
+      s"""WITH sh AS (
          |  SELECT doc_id,
-         |    min(md5(tok || '#0')) AS h0, min(md5(tok || '#1')) AS h1,
-         |    min(md5(tok || '#2')) AS h2, min(md5(tok || '#3')) AS h3
-         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |    list_distinct(list_transform(generate_series(1, len(tk)-1),
+         |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE len(tk) >= 2
+         |), sig AS (
+         |  SELECT doc_id,
+         |    min(md5(s || '#0')) AS h0, min(md5(s || '#1')) AS h1,
+         |    min(md5(s || '#2')) AS h2, min(md5(s || '#3')) AS h3
+         |  FROM (SELECT doc_id, unnest(bg) AS s FROM sh)
          |  GROUP BY doc_id
          |), cand AS (
          |  SELECT DISTINCT a, b FROM (
