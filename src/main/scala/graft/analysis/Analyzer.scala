@@ -218,9 +218,15 @@ final case class Analyzer(
     var length = 0
     analyze(text).foreach { t =>
       length += 1
-      val (tf, poss) = byTerm.getOrElseUpdate(t.term, (0, collection.mutable.ArrayBuffer.empty[Int]))
-      poss += t.position
-      byTerm(t.term) = (tf + 1, poss)
+      byTerm.get(t.term) match {
+        case Some((tf, poss)) =>
+          poss += t.position
+          byTerm.update(t.term, (tf + 1, poss))
+        case None =>
+          val poss = new collection.mutable.ArrayBuffer[Int](4)
+          poss += t.position
+          byTerm.update(t.term, (1, poss))
+      }
     }
     (byTerm, length)
   }

@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.analysis.Analyzer
 import graft.codec.{PostingsCodec, SmallFloat}
 
@@ -44,8 +43,17 @@ object IndexBuilder {
 
   private val HEX = "0123456789abcdef".toCharArray
 
+  // one digest per executor thread: MessageDigest.getInstance walks the
+  // synchronized security-provider registry — measurably contended when 32
+  // task threads hash one document each per row
+  private val MD = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = MD.get()
+    md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = new Array[Char](64)
     var i = 0
@@ -229,22 +237,18 @@ object IndexBuilder {
 
   /** Full in-memory build (tests / small scale). The write path for real
     * scale is [[IndexStore.buildAndWrite]] which checkpoints each stage. */
-  /** Full in-memory build (tests / small scale).
+  /** One-call build: stages a single-segment index under a scratch dir via
+    * [[IndexStore.buildAndCommit]] and opens it.
     *
-    * Persistence choice: the analyzed intermediate (per-doc term/tf/position
-    * arrays) is deliberately NOT cached — materializing it costs more than
-    * re-running the (codegen'd, shuffle-reusing) analysis pass, measured ~15s
-    * persist vs <1s recompute at 100k docs. Instead the three small
-    * query-side tables (docmeta, blocks, termStats) are cached. */
-  def build(files: Dataset[CodeFile], cfg: IndexConfig = IndexConfig(), docBase: Long = 0L): GraftIndex = {
-    val spark = files.sparkSession
-    val analyzed = analyze(assignDocIds(files, cfg.numPartitions, docBase), cfg)
-    val docs = docsOf(analyzed).persist(StorageLevel.MEMORY_AND_DISK)
-    val fieldStats = fieldStatsOf(docs) // action: materializes docs
-    val blocks = encodeBlocks(postingsOf(analyzed), cfg, fieldStats.maxDocId + 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted: every query plan consults termStats (df lookup)
-    val termStats = termStatsOf(blocks).persist(StorageLevel.MEMORY_AND_DISK)
-    new GraftIndex(spark, docs, blocks, termStats, fieldStats)
+    * Storage choice: segment tables are parquet, NOT Dataset cache. The
+    * columnar in-memory cache degrades badly on the block table's
+    * binary/array payload columns (measured at 400k docs: 137s cache write +
+    * 46s per scan vs ~18s parquet write and sub-second selective reads), and
+    * parquet gives the query path term min/max row-group pruning — the term
+    * dictionary seek — for free. */
+  def build(files: Dataset[CodeFile], cfg: IndexConfig = IndexConfig()): GraftIndex = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index-").toString
+    IndexStore.buildAndCommit(files, dir, cfg)
+    IndexStore.open(files.sparkSession, dir)
   }
 }

@@ -128,14 +128,19 @@ object IndexStore {
       m.segments.map(s => spark.read.parquet(s"$indexDir/${s.name}/$sub").as[T]).reduce(_ union _)
     val docs = unionOf[DocRow]("docmeta")
     val blocks = unionOf[BlockRow]("postings")
-    // term stats must be re-aggregated across segments (same term appears in many)
-    val termStats = m.segments
-      .map(s => spark.read.parquet(s"$indexDir/${s.name}/termstats").as[TermStatsRow])
-      .reduce(_ union _)
-      .groupBy($"term")
-      .agg(org.apache.spark.sql.functions.sum($"docFreq").as("docFreq"),
-        org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
-      .as[TermStatsRow]
+    // term stats must be re-aggregated across segments (same term appears in
+    // many); a single segment reads straight through (keeps parquet term
+    // filter pushdown on the plan-time df lookup)
+    val termStats =
+      if (m.segments.size == 1)
+        spark.read.parquet(s"$indexDir/${m.segments.head.name}/termstats").as[TermStatsRow]
+      else m.segments
+        .map(s => spark.read.parquet(s"$indexDir/${s.name}/termstats").as[TermStatsRow])
+        .reduce(_ union _)
+        .groupBy($"term")
+        .agg(org.apache.spark.sql.functions.sum($"docFreq").as("docFreq"),
+          org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
+        .as[TermStatsRow]
     new GraftIndex(spark, docs, blocks, termStats, m.fieldStats)
   }
 }

@@ -1,10 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
 import graft.fixtures.CodeCorpus
 import graft.index._
 
-/** Stage-level profiling of the index build (dev tool). */
+/** Stage-level profiling of the index build (dev tool) — mirrors
+  * IndexBuilder.build stage by stage with no extra caching. */
 object BuildProfile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,18 +31,24 @@ object BuildProfile {
     }
     val cfg = IndexConfig(numPartitions = cpus.toInt)
     timed("0 read+count")(files.count())
-    timed("1 assignDocIds.count")(IndexBuilder.assignDocIds(files, cfg.numPartitions).count())
-    val numbered = IndexBuilder.assignDocIds(files, cfg.numPartitions)
-    timed("2 analyze.count")(IndexBuilder.analyze(numbered, cfg).count())
-    val analyzed = IndexBuilder.analyze(numbered, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    timed("3 analyze.persist.count")(analyzed.count())
-    timed("4 postings.count")(IndexBuilder.postingsOf(analyzed).count())
-    timed("5 encodeBlocks.count")(IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg, n).count())
-    timed("6 full build fresh")({
-      val idx = IndexBuilder.build(files, cfg)
-      idx.blocks.count()
-    })
+
+    // mirror the production path: parquet-backed segment build
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile-idx").toString
+    val analyzed = IndexBuilder.analyze(IndexBuilder.assignDocIds(files, cfg.numPartitions), cfg)
+    timed("A analyze->docmeta.parquet")(
+      IndexBuilder.docsOf(analyzed).write.mode("overwrite").parquet(s"$dir/docmeta"))
+    var fs: FieldStatsRow = null
+    timed("B fieldStats from docmeta") {
+      fs = IndexBuilder.fieldStatsOf(spark.read.parquet(s"$dir/docmeta").as[DocRow])
+    }
+    timed("C analyze->shuffle->encode->postings.parquet")(
+      IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg, fs.maxDocId + 1)
+        .write.mode("overwrite").parquet(s"$dir/postings"))
+    val blocks = spark.read.parquet(s"$dir/postings").as[BlockRow]
+    timed("D termStats.parquet")(
+      IndexBuilder.termStatsOf(blocks).write.mode("overwrite").parquet(s"$dir/termstats"))
+    timed("E query warm: blocks filter one term")(
+      blocks.filter($"term" === "indexwriter").count())
     spark.stop()
   }
 }

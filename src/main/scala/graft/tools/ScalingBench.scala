@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.fixtures.CodeCorpus
+import graft.index.{CodeFile, IndexBuilder, IndexConfig}
+
+/** Scaling-efficiency evidence for the north rule: the same index build on
+  * the same input at two parallelism levels (local[N] vs local[4N] standing
+  * in for N vs 4N executors — no real cluster in this sandbox). Run twice:
+  *
+  *   SPARK_GRAFT_CPUS=8  sbt -batch "runMain graft.tools.ScalingBench"
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.ScalingBench"
+  *
+  * efficiency = (T_8 / T_32) / 4; target >= 0.8 (BASELINE.json).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DOCS", "400000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val path = s"/tmp/graft-bench-corpus-$n"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      CodeCorpus.dataset(spark, n).write.mode("overwrite").parquet(path)
+    val files = spark.read.parquet(path).as[CodeFile]
+
+    // one untimed warm-up pass over a slice (JIT + page cache)
+    IndexBuilder.build(files.limit(20000), IndexConfig(numPartitions = cpus)).blocks.count()
+
+    val t0 = System.nanoTime()
+    val idx = IndexBuilder.build(files, IndexConfig(numPartitions = cpus))
+    val nBlocks = idx.blocks.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"scaling_build_sec","value":$sec%.2f,"unit":"sec","cpus":$cpus%d,"docs":$n%d,"docs_per_sec":${(n / sec).toLong}%d,"blocks":$nBlocks%d}""")
+    spark.stop()
+  }
+}
