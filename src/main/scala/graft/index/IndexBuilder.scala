@@ -66,22 +66,37 @@ object IndexBuilder {
   }
 
   /** Deterministic docId assignment: global rank in the total order of
-    * (repo, path, commit). Range-partition + in-partition sort + zipWithIndex
-    * makes the ids independent of the partition count — the distributed
+    * (repo, path, commit) — independent of partition count, the distributed
     * analog of Lucene's per-segment base rebasing
     * (reference: lucene/core/src/java/org/apache/lucene/index/DocIDMerger.java:32).
-    * `docBase` offsets ids for incremental segment builds. */
+    * `docBase` offsets ids for incremental segment builds.
+    *
+    * Scale shape: only a KEYS projection is range-sorted and rank-numbered
+    * (the zipWithIndex passes touch ~60 B/doc); ids are attached back to the
+    * full rows with a shuffle-hash join so the content column is hashed but
+    * never sorted. Sorting full content rows cost ~120 s/pass at 1M docs.
+    * Requires (repo, path, commit) to be unique per row. */
   def assignDocIds(files: Dataset[CodeFile], numPartitions: Int = 0, docBase: Long = 0L): Dataset[(CodeFile, Long)] = {
     val spark = files.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val sorted = files
+    val keyIds = files
+      .select($"repo", $"path", $"commit")
       .repartitionByRange(parts, $"repo", $"path", $"commit")
       .sortWithinPartitions($"repo", $"path", $"commit")
-    sorted.rdd
-      .zipWithIndex()
-      .map { case (f, i) => (f, i + docBase) }
-      .toDS()
+      .as[(String, String, String)]
+      .rdd.zipWithIndex()
+      .map { case ((r, p, c), i) => (r, p, c, i + docBase) }
+      .toDF("_r", "_p", "_c", "_docId")
+    files
+      .join(keyIds.hint("shuffle_hash"),
+        files("repo") === keyIds("_r") &&
+          files("path") === keyIds("_p") &&
+          files("commit") === keyIds("_c"))
+      .select(
+        struct($"repo", $"path", $"commit", $"lang", $"content", $"sha256").as("_1"),
+        $"_docId".as("_2"))
+      .as[(CodeFile, Long)]
   }
 
   /** Analysis stage: one pass per document computing sha256 (verifying it
@@ -152,18 +167,40 @@ object IndexBuilder {
   def saltSpanFor(maxDoc: Long, parts: Int): Long =
     math.max(1024L, (maxDoc + 4L * parts - 1) / (4L * parts))
 
+  /** Postings-per-reduce-task budget for the encode shuffle. Keeps each
+    * task's sort + codec + parquet-writer footprint modest regardless of
+    * corpus size — at 100 TB this yields tens of thousands of partitions
+    * instead of one-per-core (one-per-core blew up: 1M docs / 8 reducers
+    * put ~3M postings + column buffers per task and GC-thrashed a 16 GB
+    * heap into a 40x cliff). */
+  val POSTINGS_PER_PARTITION: Long = 1500000L
+
+  /** Encode shuffle width: the configured/parallelism floor, scaled up by
+    * data volume (total token count bounds the posting count). */
+  def encodeParts(floorParts: Int, sumTokens: Long): Int = {
+    val byData = (sumTokens + POSTINGS_PER_PARTITION - 1) / POSTINGS_PER_PARTITION
+    math.max(floorParts, math.min(byData, 200000L).toInt)
+  }
+
   /** THE shuffle: repartition postings by hash(term, docId/saltSpan), sort
     * within partitions by (term, docId), then stream-encode 128-doc blocks.
     * This replaces Lucene's flush (sort terms + stream through
     * Lucene84PostingsWriter, reference:
     * lucene/core/src/java/org/apache/lucene/index/FreqProxTermsWriter.java:69-71).
     *
-    * @param maxDoc exclusive docId upper bound, used to size the auto salt
-    *               span; required when `cfg.saltSpan == 0`. */
-  def encodeBlocks(postings: Dataset[PostingRow], cfg: IndexConfig, maxDoc: Long = -1L): Dataset[BlockRow] = {
+    * @param maxDoc    exclusive docId upper bound, used to size the auto salt
+    *                  span; required when `cfg.saltSpan == 0`.
+    * @param sumTokens total token count (Σ field lengths) when known — scales
+    *                  the shuffle width with data volume. */
+  def encodeBlocks(
+      postings: Dataset[PostingRow],
+      cfg: IndexConfig,
+      maxDoc: Long = -1L,
+      sumTokens: Long = 0L): Dataset[BlockRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val parts = if (cfg.numPartitions > 0) cfg.numPartitions else spark.sparkContext.defaultParallelism
+    val floor = if (cfg.numPartitions > 0) cfg.numPartitions else spark.sparkContext.defaultParallelism
+    val parts = encodeParts(floor, sumTokens)
     val span =
       if (cfg.saltSpan > 0) cfg.saltSpan
       else {

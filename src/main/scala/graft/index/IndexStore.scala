@@ -86,9 +86,9 @@ object IndexStore {
       if (!isComplete(docsPath))
         IndexBuilder.docsOf(analyzed).write.mode("overwrite").parquet(docsPath)
       if (!isComplete(blocksPath)) {
-        val maxDoc = IndexBuilder
-          .fieldStatsOf(spark.read.parquet(docsPath).as[DocRow]).maxDocId + 1
-        IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg, maxDoc)
+        val fs = IndexBuilder.fieldStatsOf(spark.read.parquet(docsPath).as[DocRow])
+        IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg,
+            fs.maxDocId + 1, fs.sumTotalTermFreq)
           .write.mode("overwrite").parquet(blocksPath)
       }
     }

@@ -67,7 +67,8 @@ object SegmentMerger {
       val allBlocks = toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/postings").as[BlockRow])
         .reduce(_ union _)
       val postings = decodeToPostings(allBlocks)
-      IndexBuilder.encodeBlocks(postings, cfg, toMerge.map(_.maxDocId).max + 1)
+      IndexBuilder.encodeBlocks(postings, cfg, toMerge.map(_.maxDocId).max + 1,
+          toMerge.map(_.sumTotalTermFreq).sum)
         .write.mode("overwrite").parquet(blocksPath)
     }
     if (!done(statsPath)) {

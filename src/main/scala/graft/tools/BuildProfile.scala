@@ -42,7 +42,7 @@ object BuildProfile {
       fs = IndexBuilder.fieldStatsOf(spark.read.parquet(s"$dir/docmeta").as[DocRow])
     }
     timed("C analyze->shuffle->encode->postings.parquet")(
-      IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg, fs.maxDocId + 1)
+      IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg, fs.maxDocId + 1, fs.sumTotalTermFreq)
         .write.mode("overwrite").parquet(s"$dir/postings"))
     val blocks = spark.read.parquet(s"$dir/postings").as[BlockRow]
     timed("D termStats.parquet")(

@@ -25,6 +25,16 @@ object ScalingBench {
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
+    // stage-level timing: which stage dominates at scale
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for { s <- si.submissionTime; e <- si.completionTime } yield (e - s) / 1000.0
+        if (dur.exists(_ > 5.0))
+          println(f"[stage] id=${si.stageId}%d dur=${dur.get}%.1fs tasks=${si.numTasks}%d ${si.name.take(90)}%s")
+      }
+    })
 
     val path = s"/tmp/graft-bench-corpus-$n"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
