@@ -49,6 +49,13 @@ object Bench {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusPath/_SUCCESS")))
       CodeCorpus.dataset(spark, corpusDocs).write.mode("overwrite").parquet(corpusPath)
     val files = spark.read.parquet(corpusPath).as[graft.index.CodeFile]
+    // one untimed warm-up pass over a slice (JIT compile the analyzer/codec
+    // hot loops + fault the heap's working set — this host faults anonymous
+    // pages ~500x slower than normal, so the first pass pays a one-off
+    // kernel cost that is NOT steady-state engine throughput; mirrors
+    // ScalingBench's warm-up)
+    IndexBuilder.build(files.limit(20000), IndexConfig(numPartitions = cpus.toInt))
+      .blocks.count()
     val index = timed("index_build") {
       val idx = IndexBuilder.build(files, IndexConfig(numPartitions = cpus.toInt))
       idx.blocks.count() // force full materialization

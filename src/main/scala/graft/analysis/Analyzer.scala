@@ -172,6 +172,11 @@ final case class Analyzer(
     }
   }
 
+  /** Runs over an ALREADY-LOWERCASED string (see [[analyze]]): lower-then-
+    * extract matches the DuckDB oracle's `regexp_extract_all(lower(text),
+    * '[a-z0-9]+')` order of operations — characters whose Unicode lowercase
+    * maps into [a-z] (e.g. U+212A KELVIN SIGN -> 'k') are token characters
+    * in both engines. */
   private def simpleTokens(text: String): Iterator[RawToken] = new Iterator[RawToken] {
     private var i = 0
     private val len = text.length
@@ -179,7 +184,7 @@ final case class Analyzer(
     private var e = -1
     findNext()
     @inline private def isTokChar(c: Char): Boolean =
-      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
     private def findNext(): Unit = {
       s = -1
       while (i < len && !isTokChar(text.charAt(i))) i += 1
@@ -191,7 +196,7 @@ final case class Analyzer(
 
   /** Full analysis chain: returns tokens with absolute positions. */
   def analyze(text: String): Iterator[Token] = {
-    val raw = if (simple) simpleTokens(text) else Tokenizer.tokenize(text, maxTokenLength)
+    val raw = if (simple) simpleTokens(lowercase(text)) else Tokenizer.tokenize(text, maxTokenLength)
     var pos = -1
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
     raw.flatMap { rt =>

@@ -23,7 +23,11 @@ object DocsIndex {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   def get(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
-    cache.computeIfAbsent(sfDir, dir => build(spark, dir))
+    // key includes the session: cached Dataset handles are bound to the
+    // SparkSession that built them — a new session in the same JVM must
+    // rebuild rather than receive handles tied to a stopped session
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir", _ => build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) = {
     import spark.implicits._

@@ -98,6 +98,27 @@ object FulltextQueries {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+    // facet over a search match set (Solr FacetModule applies facets to the
+    // query result, not the raw table): lang buckets of the OR match set
+    "ft_facet_lang" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("vector OR customer")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+    // sort-by-field over search hits (TopFieldCollector: rank the match set
+    // by a doc-value column instead of BM25 — longest matching docs first)
+    "ft_sort_field" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("spark AND vector")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("len"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
+    }),
     // ---- BM25 top-k through block-max pruning (differential-tested) ----
     "ft_search_term" -> ((spark, sfDir) => hitsDF(spark, sfDir, "vector", 10)),
     "ft_search_bool" -> ((spark, sfDir) => hitsDF(spark, sfDir, "(table OR vector) AND batch", 10)),
@@ -171,6 +192,16 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> regexp_matches(x, '^w.ndow$$'))) > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_facet_lang" ->
+      s"""SELECT lang, count(*) AS cnt
+         |FROM (SELECT lang, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "ft_sort_field" ->
+      s"""SELECT doc_id, n_tokens FROM
+         |  (SELECT doc_id, $TOKS AS tk, len($TOKS) AS n_tokens FROM documents)
+         |WHERE list_contains(tk, 'spark') AND list_contains(tk, 'vector')
+         |ORDER BY n_tokens DESC, doc_id LIMIT 10""".stripMargin,
     "ft_match_msm" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)

@@ -206,6 +206,79 @@ object RelationalQueries {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "source")
+    }),
+    // stddev / variance / sumsq aggs (StddevAgg / VarianceAgg / SumsqAgg;
+    // l_quantity is whole-number doubles so sumsq is exact in double)
+    "q_stddev" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          sum(col("l_quantity") * col("l_quantity")).cast("long").as("sumsq_qty"))
+        .orderBy("l_returnflag")
+    }),
+    // HLL approx distinct (HLLAgg): the property both engines verify is the
+    // HLL estimate landing within 10% of the exact count — sketches differ
+    // across engines, the accuracy contract is what's portable
+    "q_hll" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_hll"))
+        .select(col("n_exact"),
+          (abs(col("n_hll") - col("n_exact")) * 10 <= col("n_exact"))
+            .cast("int").as("hll_within_10pct"))
+    }),
+    // sorted union (MergeStream: k-way merge of two sorted tuple streams)
+    "q_merge" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "event_type").sortWithinPartitions("ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "event_type").sortWithinPartitions("ts")
+      clicks.unionByName(purchases)
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "event_type")
+    }),
+    // FetchStream: enrich a top-k tuple stream with a batched lookup join
+    // (winners only — Solr's GET_FIELDS stage)
+    "q_fetch" -> ((spark, sfDir) => {
+      val top = t(spark, sfDir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      top.join(broadcast(t(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("price_cents"), col("c_name"))
+        .orderBy("o_orderkey")
+    }),
+    // heatmap facet: 2-D bucketed counts (FacetHeatmap)
+    "q_heatmap" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .groupBy(
+          floor(col("o_totalprice") / 50000).as("price_bucket"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("price_bucket", "prio")
+    }),
+    // CSV source (CsvStream / spark.read.csv): stage the nation dim as CSV
+    // (untimed setup, like a landing zone drop) and aggregate from the CSV
+    // scan — the oracle reads the same rows from parquet
+    "q_csv" -> ((spark, sfDir) => {
+      val csvPath = s"/tmp/graft-csv-nation-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$csvPath/_SUCCESS")))
+        t(spark, sfDir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").option("header", "true").csv(csvPath)
+      spark.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(csvPath)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy("n_regionkey")
     })
   )
 
@@ -300,6 +373,34 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_pivot" ->
       """SELECT lang, source, count(*) AS cnt FROM documents
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_stddev" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sumsq_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |  CAST(CASE WHEN abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 10
+        |            <= count(DISTINCT l_partkey) THEN 1 ELSE 0 END AS INT) AS hll_within_10pct
+        |FROM lineitem""".stripMargin,
+    "q_merge" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  ORDER BY ts, event_id LIMIT 100
+        |)""".stripMargin,
+    "q_fetch" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, c_name
+        |FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_heatmap" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+        |  o_orderpriority AS prio, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY price_bucket, prio""".stripMargin,
+    "q_csv" ->
+      """SELECT n_regionkey, count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   )
 }

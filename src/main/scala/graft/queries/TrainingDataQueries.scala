@@ -249,10 +249,16 @@ object TrainingDataQueries {
             var nA = 0L
             var i = 0
             while (i < bytes.length) { if (bytes(i) == 'a') nA += 1; i += 1 }
-            (id, bytes.length.toLong, nA, if (bytes.nonEmpty) bytes(0) & 0xFF else -1)
+            // first byte reported as 2-char uppercase hex ('' for empty):
+            // byte-based on BOTH sides (DuckDB derives it from the encoded
+            // blob too), so non-ASCII leading chars and empty text agree
+            val firstHex =
+              if (bytes.isEmpty) ""
+              else f"${bytes(0) & 0xFF}%02X"
+            (id, bytes.length.toLong, nA, firstHex)
           }
         }
-        .toDF("doc_id", "n_bytes", "n_a", "first_byte")
+        .toDF("doc_id", "n_bytes", "n_a", "first_byte_hex")
         .orderBy("doc_id")
     })
   )
@@ -326,7 +332,7 @@ object TrainingDataQueries {
     "td_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, len(tk) AS n_toks,
          |  len(list_distinct(tk)) AS n_distinct,
-         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_tok_len,
+         |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_tok_len,
          |  CASE WHEN len(tk) >= 20 AND len(list_distinct(tk)) * 5 >= len(tk)
          |       THEN 'ok' ELSE 'low' END AS quality
          |FROM (SELECT doc_id, text, $TOKS AS tk FROM documents)
@@ -354,7 +360,7 @@ object TrainingDataQueries {
     "td_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  length(text) - length(replace(text, 'a', '')) AS n_a,
-        |  ascii(text) AS first_byte
+        |  substr(hex(encode(text)), 1, 2) AS first_byte_hex
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
