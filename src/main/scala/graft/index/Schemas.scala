@@ -79,3 +79,6 @@ final case class FieldStatsRow(docCount: Long, sumTotalTermFreq: Long, maxDocId:
 /** Top-k hit. Ordering discipline everywhere: score desc, docId asc
   * (reference tie-break: lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-81). */
 final case class ScoreDoc(docId: Long, score: Float)
+
+/** Top-k hit on the double-precision (oracle-facing) scored path. */
+final case class ScoreDocD(docId: Long, score: Double)

@@ -6,23 +6,50 @@ import graft.codec.{Impact, PostingsCodec}
 import graft.index.BlockRow
 
 /** Fulltext-engine queries for the driver contract: every result is produced
-  * by the REAL index/search path (posting blocks, BM25, WAND, phrase
-  * positions) and — where token semantics are SQL-expressible — verified by a
-  * DuckDB oracle that recomputes the same answer from the raw text with
-  * `regexp_extract_all(lower(text), '[a-z0-9]+')`.
+  * by the REAL index/search path (posting blocks, BM25, phrase positions)
+  * and verified by a DuckDB oracle that recomputes the same answer from the
+  * raw text with `regexp_extract_all(lower(text), '[a-z0-9]+')`.
   *
-  * BM25-scored top-k queries ship without an oracle (Float-exact Lucene
-  * scoring is not expressible in DuckDB's double arithmetic); their
-  * correctness is covered by the scalatest differential suite
-  * (pruned WAND vs exhaustive Float oracle, SearchSpec).
+  * The scored-search family (`ft_search_*`) runs the full distributed
+  * engine (block fetch -> doc-range scatter -> per-range top-k -> global
+  * merge) with DOUBLE-precision BM25 over the SmallFloat-QUANTIZED doc
+  * lengths decoded from the norm bytes — so the oracle SQL recomputes every
+  * score bit-for-bit, including the norm quantization (the `dlq` CTE mirrors
+  * `SmallFloat.intToByte4 andThen byte4ToInt`). Scores are rounded to 4
+  * decimals BEFORE ranking on both sides. The production Float-exact path
+  * (Lucene-verbatim score + block-max pruning) is covered by the scalatest
+  * differential suite (pruned vs exhaustive Float oracle, SearchSpec) and
+  * by `SparkEntry.entry`.
   */
 object FulltextQueries {
 
   private val TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
-  private def hitsDF(spark: SparkSession, sfDir: String, q: String, k: Int): DataFrame = {
+  /** Shared oracle prelude: tokens, collection stats, and the
+    * SmallFloat-quantized doc length (exact below 24+8; 4-significant-bit
+    * floor above — `SmallFloat.scala` semantics re-expressed in SQL). */
+  private val PRELUDE =
+    s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+       |dl AS (
+       |  SELECT doc_id, tk,
+       |    CASE WHEN len(tk) < 24 THEN len(tk)
+       |         WHEN len(tk) - 24 < 8 THEN len(tk)
+       |         ELSE 24 + (((len(tk) - 24) >> (length(format('{:b}', len(tk) - 24)) - 4))
+       |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
+       |  FROM toks)""".stripMargin
+
+  private def tfSql(t: String) = s"len(list_filter(tk, x -> x = '$t'))"
+  private def dfSql(t: String) = s"(SELECT count(*) FROM toks WHERE list_contains(tk, '$t'))"
+  private def idfSql(df: String) = s"ln(1 + (st.n - $df + 0.5) / ($df + 0.5))"
+  /** Textbook double BM25, op order in sync with `Bm25.DoubleScorer.score`. */
+  private def bmSql(idf: String, tf: String) =
+    s"CASE WHEN $tf = 0 THEN 0.0 ELSE $idf * ($tf * (1.2 + 1)) " +
+      s"/ ($tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END"
+
+  private def hitsDoubleDF(spark: SparkSession, sfDir: String, q: String, k: Int): DataFrame = {
     val (index, searcher) = DocsIndex.get(spark, sfDir)
-    searcher.searchDS(searcher.parse(q), k).toDF()
+    searcher.searchDoubleDS(searcher.parse(q), k).toDF()
       .join(DocsIndex.docIdMap(index), "docId")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
@@ -119,15 +146,17 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
     }),
-    // ---- BM25 top-k through block-max pruning (differential-tested) ----
-    "ft_search_term" -> ((spark, sfDir) => hitsDF(spark, sfDir, "vector", 10)),
-    "ft_search_bool" -> ((spark, sfDir) => hitsDF(spark, sfDir, "(table OR vector) AND batch", 10)),
-    "ft_search_phrase" -> ((spark, sfDir) => hitsDF(spark, sfDir, "\"big table\" OR customer", 10)),
+    // ---- BM25 top-k, double-scored + oracle-verified (the same engine
+    // path — blocks, norms, scatter/merge — with DuckDB-recomputable math;
+    // the Float-exact + pruning path is differential-tested in SearchSpec) ----
+    "ft_search_term" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "vector", 10)),
+    "ft_search_bool" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "(table OR vector) AND batch", 10)),
+    "ft_search_phrase" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\" OR customer", 10)),
     // SynonymQuery: terms scored as one pseudo-term
     "ft_search_synonym" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
       val q = graft.search.SynonymQ(Seq("spark", "query"))
-      searcher.searchDS(q, 10).toDF()
+      searcher.searchDoubleDS(q, 10).toDF()
         .join(DocsIndex.docIdMap(index), "docId")
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
@@ -136,12 +165,16 @@ object FulltextQueries {
     "ft_search_after" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
       val q = searcher.parse("vector")
-      val page1 = searcher.search(q, 10)
-      val after = page1.last
-      searcher.searchDS(q, 10, after).toDF()
-        .join(DocsIndex.docIdMap(index), "docId")
-        .orderBy(desc("score"), asc("doc_id")).limit(10)
-        .select(col("doc_id"), col("score"))
+      val page1 = searcher.searchDouble(q, 10)
+      if (page1.isEmpty) {
+        // empty first page -> empty second page (don't dereference .last)
+        spark.createDataFrame(Seq.empty[(Long, Double)]).toDF("doc_id", "score")
+      } else {
+        searcher.searchDoubleDS(q, 10, page1.last).toDF()
+          .join(DocsIndex.docIdMap(index), "docId")
+          .orderBy(desc("score"), asc("doc_id")).limit(10)
+          .select(col("doc_id"), col("score"))
+      }
     })
   )
 
@@ -207,6 +240,62 @@ object FulltextQueries {
          |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)
          |    + (CASE WHEN list_contains(tk, 'customer') THEN 1 ELSE 0 END)
          |    + (CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END) >= 2
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "ft_search_term" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_bool" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("table")} AS tf_t, ${tfSql("vector")} AS tf_v, ${tfSql("batch")} AS tf_b,
+         |    (${bmSql(idfSql(dfSql("table")), tfSql("table"))}
+         |     + ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))})
+         |     + ${bmSql(idfSql(dfSql("batch")), tfSql("batch"))} AS s
+         |  FROM dl, st
+         |) WHERE tf_b > 0 AND (tf_t > 0 OR tf_v > 0)
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_phrase" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, pf, tf_c,
+         |    (CASE WHEN pf = 0 THEN 0.0
+         |          ELSE (${idfSql(dfSql("big"))} + ${idfSql(dfSql("table"))})
+         |               * (pf * (1.2 + 1)) / (pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END)
+         |     + ${bmSql(idfSql(dfSql("customer")), "tf_c")} AS s
+         |  FROM (
+         |    SELECT doc_id, tk, dlq,
+         |      len(list_filter(generate_series(1, len(tk) - 1),
+         |                      i -> tk[i] = 'big' AND tk[i+1] = 'table')) AS pf,
+         |      ${tfSql("customer")} AS tf_c
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE pf > 0 OR tf_c > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_synonym" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_syn,
+         |    CASE WHEN tf_syn = 0 THEN 0.0
+         |         ELSE ln(1 + (st.n - df_syn + 0.5) / (df_syn + 0.5))
+         |              * (tf_syn * (1.2 + 1))
+         |              / (tf_syn + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END AS s
+         |  FROM (
+         |    SELECT doc_id, dlq, ${tfSql("spark")} + ${tfSql("query")} AS tf_syn,
+         |      least(${dfSql("spark")} + ${dfSql("query")}, (SELECT count(*) FROM toks)) AS df_syn
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf_syn > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_after" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin
   )
 }

@@ -8,6 +8,8 @@ final case class CollectionStats(docCount: Long, sumTotalTermFreq: Long) extends
   /** avgdl in Lucene: double division, cast to float
     * (reference: lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:79-82). */
   def avgdl: Float = (sumTotalTermFreq / docCount.toDouble).toFloat
+  /** Full-precision avgdl for the double-scored (oracle-facing) path. */
+  def avgdlD: Double = sumTotalTermFreq / docCount.toDouble
 }
 
 /** BM25 scoring, Float-faithful to Lucene's `BM25Similarity`
@@ -75,5 +77,36 @@ object Bm25 {
                   k1: Double = 1.2d, b: Double = 0.75d): Double = {
     val idfD = math.log(1 + (docCount - docFreq + 0.5d) / (docFreq + 0.5d))
     idfD * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+  }
+
+  /** Double-precision idf, the exact value Lucene computes before the float
+    * cast (reference: BM25Similarity.java:69-72). */
+  def idfDouble(docFreq: Long, docCount: Long): Double =
+    math.log(1 + (docCount - docFreq + 0.5d) / (docFreq + 0.5d))
+
+  /** Per-term scorer for the DOUBLE-precision scored-search family
+    * (`ft_search_*`): same postings/norm inputs as the Float path (dl is the
+    * SmallFloat-quantized length decoded from the norm byte — the oracle SQL
+    * reproduces the quantization bit-exactly), but textbook double BM25 so a
+    * DuckDB oracle can recompute every score. Op order here MUST stay in
+    * sync with the oracle SQL in `graft.queries.FulltextQueries`. */
+  final class DoubleScorer(val weightD: Double, k1: Double, b: Double, avgdlD: Double)
+      extends Serializable {
+    def score(freq: Double, normByte: Int): Double = {
+      val dl = LENGTH_TABLE(normByte & 0xFF).toDouble
+      weightD * (freq * (k1 + 1)) / (freq + k1 * (1 - b + b * dl / avgdlD))
+    }
+  }
+
+  def doubleScorer(boost: Double, k1: Double, b: Double, docFreq: Long,
+                   stats: CollectionStats): DoubleScorer =
+    new DoubleScorer(boost * idfDouble(docFreq, stats.docCount), k1, b, stats.avgdlD)
+
+  /** Multi-term double scorer (phrase): idf = sum of per-term idfs. */
+  def multiTermDoubleScorer(boost: Double, k1: Double, b: Double, docFreqs: Seq[Long],
+                            stats: CollectionStats): DoubleScorer = {
+    var idfSum = 0.0d
+    docFreqs.foreach(df => idfSum += idfDouble(df, stats.docCount))
+    new DoubleScorer(boost * idfSum, k1, b, stats.avgdlD)
   }
 }

@@ -13,7 +13,11 @@ final case class SearchContext(
     k1: Float,
     b: Float,
     stats: CollectionStats,
-    docFreq: Map[String, Long]) extends Serializable
+    docFreq: Map[String, Long],
+    /** When set, term/phrase/synonym iterators also carry a
+      * [[Bm25.DoubleScorer]] and top-k runs on round4'd double scores — the
+      * oracle-facing scored-search family (DuckDB recomputes every score). */
+    doubleMode: Boolean = false) extends Serializable
 
 /** minShouldMatch >= m over a disjunction (`MinShouldMatchSumScorer` analog). */
 final class MinShouldMatchScorer(union: DisjunctionSumScorer, m: Int) extends DocScorer {
@@ -45,7 +49,10 @@ object ScorerBuilder {
     case TermQ(t) =>
       (ctx.docFreq.get(t), termBlocks.get(t)) match {
         case (Some(df), Some(blocks)) if df > 0 =>
-          new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats), lo, hi)
+          val dScorer =
+            if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
+            else null
+          new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats), lo, hi, dScorer)
         case _ => EmptyScorer
       }
 
@@ -54,12 +61,16 @@ object ScorerBuilder {
       if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
       else {
         val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, terms.map(ctx.docFreq), ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode)
+            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, terms.map(ctx.docFreq), ctx.stats)
+          else null
         // a dummy per-term scorer for iteration bounds (weight unused for final score)
         val tis = iters.map { case (t, Some(blocks), Some(df)) =>
           new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats), lo, hi)
         case _ => throw new IllegalStateException
         }.toArray
-        new PhraseScorer(tis, positions.toArray, scorer)
+        new PhraseScorer(tis, positions.toArray, scorer, dScorer)
       }
 
     case SynonymQ(terms) =>
@@ -70,9 +81,12 @@ object ScorerBuilder {
         // (reference: lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:199-218)
         val df = math.min(present.map(ctx.docFreq).sum, ctx.stats.docCount)
         val scorer = Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
+          else null
         val tis = present.map(t => new TermIterator(termBlocks(t),
           Bm25.scorer(1f, ctx.k1, ctx.b, ctx.docFreq(t), ctx.stats), lo, hi)).toArray
-        new SynonymScorer(tis, scorer)
+        new SynonymScorer(tis, scorer, dScorer)
       }
 
     case ConstSetQ(terms) =>
@@ -129,6 +143,21 @@ object ScorerBuilder {
       val root = build(other, 1f, termBlocks, ctx, lo, hi)
       if (root eq EmptyScorer) Array.empty
       else TopK.iterate(root, k, after)
+  }
+
+  /** Double-precision top-k (oracle-facing family): exhaustive collector on
+    * round4'd scores — correctness surface, not the pruned production path. */
+  def topKD(
+      q: Query,
+      termBlocks: Map[String, Array[BlockRow]],
+      ctx: SearchContext,
+      lo: Long,
+      hi: Long,
+      k: Int,
+      after: ScoreDocD): Array[ScoreDocD] = {
+    val root = build(q, 1f, termBlocks, ctx, lo, hi)
+    if (root eq EmptyScorer) Array.empty
+    else TopK.iterateD(root, k, after)
   }
 }
 
@@ -194,13 +223,19 @@ final class GraftSearcher(
       .orderBy(desc("score"), asc("docId")).limit(k).collect()
   }
 
-  /** The per-partition top-k hits as a Dataset (k rows per doc-range). */
-  def searchDS(q0: Query, k: Int, after: ScoreDoc = null, numPartitions: Int = 0): Dataset[ScoreDoc] = {
-    val (q, ctx) = plan(q0)
-    if (q == MatchNoneQ) return spark.emptyDataset[ScoreDoc]
+  /** Shared scatter stage: filter the block table to the query's terms
+    * (parquet min/max pushdown = the term-dictionary seek), assign blocks to
+    * P aligned docId ranges (straddlers go to every range they overlap and
+    * are clipped by [lo, hi) inside the scorer), and run `f` once per range.
+    * Every search surface (Float top-k, double top-k, match set) is this
+    * scatter + a different per-range collector. */
+  private def perRange[T: org.apache.spark.sql.Encoder](
+      q: Query,
+      numPartitions: Int)(
+      f: (Query, Map[String, Array[BlockRow]], Long, Long) => Iterator[T]): Dataset[T] = {
     val terms = Query.terms(q).toSeq
     val maxDoc = fieldStats.maxDocId + 1
-    if (maxDoc <= 0) return spark.emptyDataset[ScoreDoc]
+    if (maxDoc <= 0) return spark.emptyDataset[T]
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val span = math.max(1L, (maxDoc + p - 1) / p)
     val nParts = ((maxDoc + span - 1) / span).toInt
@@ -209,17 +244,12 @@ final class GraftSearcher(
       if (terms.isEmpty) spark.emptyDataset[BlockRow]
       else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
 
-    // assign blocks to doc-range partitions; straddlers go to every range
-    // they overlap and are clipped by [lo, hi) inside the scorer
     val assigned = filtered.flatMap { blk =>
       (blk.firstDocId / span to blk.lastDocId / span).map(pid => (pid.toInt, blk))
     }
-
     val pids = spark.range(0, nParts.toLong).map(_.toInt)
     val qB = q
-    val ctxB = ctx
-    val afterB = after
-    val kB = k
+    val fB = f
     pids.groupByKey(identity).cogroup(assigned.groupByKey(_._1)) {
       (pid, _, blocksIt) =>
         val termBlocks: Map[String, Array[BlockRow]] =
@@ -227,8 +257,42 @@ final class GraftSearcher(
             .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
         val lo = pid.toLong * span
         val hi = math.min(lo + span, maxDoc)
-        ScorerBuilder.topK(qB, termBlocks, ctxB, lo, hi, kB, afterB).iterator
+        fB(qB, termBlocks, lo, hi)
     }
+  }
+
+  /** The per-partition top-k hits as a Dataset (k rows per doc-range). */
+  def searchDS(q0: Query, k: Int, after: ScoreDoc = null, numPartitions: Int = 0): Dataset[ScoreDoc] = {
+    val (q, ctx) = plan(q0)
+    if (q == MatchNoneQ) return spark.emptyDataset[ScoreDoc]
+    val ctxB = ctx
+    val afterB = after
+    val kB = k
+    perRange[ScoreDoc](q, numPartitions) { (qq, termBlocks, lo, hi) =>
+      ScorerBuilder.topK(qq, termBlocks, ctxB, lo, hi, kB, afterB).iterator
+    }
+  }
+
+  /** Double-precision per-partition top-k (oracle-facing scored family):
+    * same index, same iterators, textbook double BM25 on the quantized norm
+    * lengths, rounded to 4 decimals BEFORE ranking — every score is exactly
+    * recomputable by the DuckDB oracle. */
+  def searchDoubleDS(q0: Query, k: Int, after: ScoreDocD = null, numPartitions: Int = 0): Dataset[ScoreDocD] = {
+    val (q, ctx0) = plan(q0)
+    if (q == MatchNoneQ) return spark.emptyDataset[ScoreDocD]
+    val ctxB = ctx0.copy(doubleMode = true)
+    val afterB = after
+    val kB = k
+    perRange[ScoreDocD](q, numPartitions) { (qq, termBlocks, lo, hi) =>
+      ScorerBuilder.topKD(qq, termBlocks, ctxB, lo, hi, kB, afterB).iterator
+    }
+  }
+
+  /** Global double-precision top-k, best-first. */
+  def searchDouble(q0: Query, k: Int, after: ScoreDocD = null): Array[ScoreDocD] = {
+    import spark.implicits._
+    searchDoubleDS(q0, k, after)
+      .orderBy(desc("score"), asc("docId")).limit(k).as[ScoreDocD].collect()
   }
 
   /** DataFrame surface for the driver contract. */
@@ -241,37 +305,15 @@ final class GraftSearcher(
   def matchesDS(q0: Query, numPartitions: Int = 0): Dataset[Long] = {
     val (q, ctx) = plan(q0)
     if (q == MatchNoneQ) return spark.emptyDataset[Long]
-    val terms = Query.terms(q).toSeq
-    val maxDoc = fieldStats.maxDocId + 1
-    if (maxDoc <= 0) return spark.emptyDataset[Long]
-    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val span = math.max(1L, (maxDoc + p - 1) / p)
-    val nParts = ((maxDoc + span - 1) / span).toInt
-
-    val filtered: Dataset[BlockRow] =
-      if (terms.isEmpty) spark.emptyDataset[BlockRow]
-      else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
-
-    val assigned = filtered.flatMap { blk =>
-      (blk.firstDocId / span to blk.lastDocId / span).map(pid => (pid.toInt, blk))
-    }
-    val pids = spark.range(0, nParts.toLong).map(_.toInt)
-    val qB = q
     val ctxB = ctx
-    pids.groupByKey(identity).cogroup(assigned.groupByKey(_._1)) {
-      (pid, _, blocksIt) =>
-        val termBlocks: Map[String, Array[BlockRow]] =
-          blocksIt.map(_._2).toArray.groupBy(_.term)
-            .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
-        val lo = pid.toLong * span
-        val hi = math.min(lo + span, maxDoc)
-        val root = ScorerBuilder.build(qB, 1f, termBlocks, ctxB, lo, hi)
-        if (root eq EmptyScorer) Iterator.empty[Long]
-        else new Iterator[Long] {
-          private var d = root.nextDoc()
-          override def hasNext: Boolean = d != DocScorer.NO_MORE
-          override def next(): Long = { val r = d; d = root.nextDoc(); r }
-        }
+    perRange[Long](q, numPartitions) { (qq, termBlocks, lo, hi) =>
+      val root = ScorerBuilder.build(qq, 1f, termBlocks, ctxB, lo, hi)
+      if (root eq EmptyScorer) Iterator.empty[Long]
+      else new Iterator[Long] {
+        private var d = root.nextDoc()
+        override def hasNext: Boolean = d != DocScorer.NO_MORE
+        override def next(): Long = { val r = d; d = root.nextDoc(); r }
+      }
     }
   }
 

@@ -1,7 +1,7 @@
 package graft.search
 
 import graft.codec.{ByteReader, ForDeltaUtil, PForUtil}
-import graft.index.{BlockRow, ScoreDoc}
+import graft.index.{BlockRow, ScoreDoc, ScoreDocD}
 
 /** Doc-at-a-time scorer iterator, the analog of Lucene's
   * `DocIdSetIterator` + `Scorer` pair. `docId` starts at -1; `NO_MORE`
@@ -16,6 +16,12 @@ trait DocScorer {
   def advance(target: Long): Long
   /** Score at the current doc. */
   def score(): Float
+  /** Double-precision score at the current doc — the oracle-facing scored
+    * path (`Bm25.DoubleScorer`); iterators without a double scorer widen
+    * their Float score (exact). Composite scorers sum sub-scores in clause
+    * order (NOT cost order) so the result matches the oracle SQL's fixed
+    * left-to-right addition. */
+  def scoreD(): Double = score().toDouble
   /** Static upper bound over all remaining docs. */
   def maxScore: Float
   def cost: Long
@@ -39,7 +45,8 @@ final class TermIterator(
     blocks: Array[BlockRow],
     val scorer: Bm25.Scorer,
     lo: Long,
-    hi: Long) extends DocScorer {
+    hi: Long,
+    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
 
   private var blockIdx = -1
   private var docs: Array[Long] = null
@@ -139,6 +146,9 @@ final class TermIterator(
   def norm: Int = norms(pos)
 
   override def score(): Float = scorer.score(freqs(pos).toFloat, norms(pos))
+  override def scoreD(): Double =
+    if (dScorer != null) dScorer.score(freqs(pos).toDouble, norms(pos))
+    else score().toDouble
 
   def positionsOfCurrent(): Array[Int] = {
     if (positions == null) {
@@ -212,6 +222,14 @@ final class ConjunctionScorer(subsIn: Array[DocScorer]) extends DocScorer {
     while (i < subs.length) { d += subs(i).score(); i += 1 }
     DocScorer.sumScores(d)
   }
+  override def scoreD(): Double = {
+    // clause order (subsIn), not cost order: double addition is
+    // order-sensitive and the oracle SQL adds left-to-right
+    var d = 0.0
+    var i = 0
+    while (i < subsIn.length) { d += subsIn(i).scoreD(); i += 1 }
+    d
+  }
 }
 
 /** Doc-ordered union, score = sum of matching clauses
@@ -244,6 +262,15 @@ final class DisjunctionSumScorer(subs: Array[DocScorer]) extends DocScorer {
     }
     DocScorer.sumScores(d)
   }
+  override def scoreD(): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == cur) d += subs(i).scoreD()
+      i += 1
+    }
+    d
+  }
   /** Number of clauses matching the current doc (for minShouldMatch). */
   def matchCount: Int = {
     var c = 0
@@ -269,6 +296,7 @@ final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
     doc
   }
   override def score(): Float = req.score()
+  override def scoreD(): Double = req.scoreD()
 }
 
 /** Required + optional: iterate required, add optional scores when aligned
@@ -286,6 +314,13 @@ final class ReqOptSumScorer(req: DocScorer, opt: DocScorer) extends DocScorer {
     if (opt.docId == doc) d += opt.score()
     DocScorer.sumScores(d)
   }
+  override def scoreD(): Double = {
+    val doc = req.docId
+    if (opt.docId < doc) opt.advance(doc)
+    var d: Double = req.scoreD()
+    if (opt.docId == doc) d += opt.scoreD()
+    d
+  }
 }
 
 /** Constant score over the union of term iterators (MultiTermQuery
@@ -297,19 +332,23 @@ final class ConstantScoreScorer(inner: DocScorer, value: Float) extends DocScore
   override def nextDoc(): Long = inner.nextDoc()
   override def advance(target: Long): Long = inner.advance(target)
   override def score(): Float = value
+  override def scoreD(): Double = value.toDouble
 }
 
 /** Terms scored as one pseudo-term: freq at a doc = sum of clause tfs
   * (`SynonymQuery`, reference:
   * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:199-218). */
-final class SynonymScorer(subs: Array[TermIterator], scorer: Bm25.Scorer) extends DocScorer {
+final class SynonymScorer(
+    subs: Array[TermIterator],
+    scorer: Bm25.Scorer,
+    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
   private val union = new DisjunctionSumScorer(subs.map(s => s: DocScorer))
   override def docId: Long = union.docId
   override def cost: Long = union.cost
   override val maxScore: Float = scorer.maxScore
   override def nextDoc(): Long = union.nextDoc()
   override def advance(target: Long): Long = union.advance(target)
-  override def score(): Float = {
+  private def freqNorm: (Long, Int) = {
     var freq = 0L
     var norm = 0
     var i = 0
@@ -317,7 +356,16 @@ final class SynonymScorer(subs: Array[TermIterator], scorer: Bm25.Scorer) extend
       if (subs(i).docId == union.docId) { freq += subs(i).freq; norm = subs(i).norm }
       i += 1
     }
+    (freq, norm)
+  }
+  override def score(): Float = {
+    val (freq, norm) = freqNorm
     scorer.score(freq.toFloat, norm)
+  }
+  override def scoreD(): Double = {
+    if (dScorer == null) return score().toDouble
+    val (freq, norm) = freqNorm
+    dScorer.score(freq.toDouble, norm)
   }
 }
 
@@ -330,7 +378,8 @@ final class SynonymScorer(subs: Array[TermIterator], scorer: Bm25.Scorer) extend
 final class PhraseScorer(
     terms: Array[TermIterator],
     offsets: Array[Int],
-    scorer: Bm25.Scorer) extends DocScorer {
+    scorer: Bm25.Scorer,
+    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
 
   private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
   private var freqCur = 0
@@ -367,29 +416,35 @@ final class PhraseScorer(
   }
 
   override def score(): Float = scorer.score(freqCur.toFloat, terms(0).norm)
+  override def scoreD(): Double =
+    if (dScorer != null) dScorer.score(freqCur.toDouble, terms(0).norm)
+    else score().toDouble
 }
 
 /** Bounded top-k heap with Lucene's tie discipline: the WORST hit (smallest
   * score, then LARGEST docId) sits on top
-  * (reference: lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-81). */
+  * (reference: lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-81).
+  * Scores are stored as Double so one heap serves both the Float engine path
+  * (float→double widening is exact, so order and ties are unchanged) and the
+  * double-precision oracle-facing path. */
 final class HitQueue(k: Int) {
   private val heapDoc = new Array[Long](k + 1)
-  private val heapScore = new Array[Float](k + 1)
+  private val heapScore = new Array[Double](k + 1)
   private var n = 0
 
   def size: Int = n
   def isFull: Boolean = n == k
-  def topScore: Float = heapScore(1)
+  def topScore: Double = heapScore(1)
   def topDoc: Long = heapDoc(1)
 
   /** `a` strictly worse than `b`? */
-  @inline private def worse(sa: Float, da: Long, sb: Float, db: Long): Boolean =
+  @inline private def worse(sa: Double, da: Long, sb: Double, db: Long): Boolean =
     sa < sb || (sa == sb && da > db)
 
-  def wouldBeCompetitive(doc: Long, score: Float): Boolean =
+  def wouldBeCompetitive(doc: Long, score: Double): Boolean =
     n < k || worse(heapScore(1), heapDoc(1), score, doc)
 
-  def insert(doc: Long, score: Float): Boolean = {
+  def insert(doc: Long, score: Double): Boolean = {
     if (n < k) {
       n += 1
       heapDoc(n) = doc; heapScore(n) = score
@@ -431,9 +486,16 @@ final class HitQueue(k: Int) {
     heapDoc(i) = d; heapScore(i) = s
   }
 
-  /** Results best-first (score desc, docId asc). */
+  /** Results best-first (score desc, docId asc). Exact: every stored value
+    * arrived as a Float on this path. */
   def results(): Array[ScoreDoc] = {
-    val out = (1 to n).map(i => ScoreDoc(heapDoc(i), heapScore(i))).toArray
+    val out = (1 to n).map(i => ScoreDoc(heapDoc(i), heapScore(i).toFloat)).toArray
+    out.sortBy(sd => (-sd.score, sd.docId))
+  }
+
+  /** Double-precision results best-first. */
+  def resultsD(): Array[ScoreDocD] = {
+    val out = (1 to n).map(i => ScoreDocD(heapDoc(i), heapScore(i))).toArray
     out.sortBy(sd => (-sd.score, sd.docId))
   }
 }
@@ -450,6 +512,9 @@ object TopK {
   @inline private def isAfter(after: ScoreDoc, doc: Long, score: Float): Boolean =
     score < after.score || (score == after.score && doc > after.docId)
 
+  @inline private def isAfterD(after: ScoreDocD, doc: Long, score: Double): Boolean =
+    score < after.score || (score == after.score && doc > after.docId)
+
   def iterate(root: DocScorer, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
     val pq = new HitQueue(k)
     var doc = root.nextDoc()
@@ -459,6 +524,25 @@ object TopK {
       doc = root.nextDoc()
     }
     pq.results()
+  }
+
+  /** Round-to-4-decimals applied BEFORE ranking on the double-scored path,
+    * so top-k inclusion and tie-breaks are decided on exactly the value the
+    * oracle SQL ranks on (`round(score, 4) DESC, doc_id`). */
+  @inline def round4(x: Double): Double = math.rint(x * 10000d) / 10000d
+
+  /** Exhaustive top-k over double-precision scores, rounded before ranking.
+    * The oracle-facing scored-search family runs through this collector; the
+    * production path stays Float + pruning. */
+  def iterateD(root: DocScorer, k: Int, after: ScoreDocD = null): Array[ScoreDocD] = {
+    val pq = new HitQueue(k)
+    var doc = root.nextDoc()
+    while (doc != DocScorer.NO_MORE) {
+      val s = round4(root.scoreD())
+      if (after == null || isAfterD(after, doc, s)) pq.insert(doc, s)
+      doc = root.nextDoc()
+    }
+    pq.resultsD()
   }
 
   /** Pruned top-k for a pure disjunction of scoring clauses. */
@@ -474,7 +558,7 @@ object TopK {
     val pq = new HitQueue(k)
     var essStart = 0
 
-    def theta: Float = if (pq.isFull) pq.topScore else Float.NegativeInfinity
+    def theta: Double = if (pq.isFull) pq.topScore else Double.NegativeInfinity
 
     def updateEssential(): Unit = {
       if (!pq.isFull) { essStart = 0; return }
