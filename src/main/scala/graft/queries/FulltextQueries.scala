@@ -113,6 +113,14 @@ object FulltextQueries {
     "ft_match_phrase" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"")),
     "ft_match_prefix" -> ((spark, sfDir) => matchDF(spark, sfDir, "cust*")),
     "ft_match_wildcard" -> ((spark, sfDir) => matchDF(spark, sfDir, "w?ndow")),
+    // FuzzyQuery: terms within Levenshtein distance 2 ('sort' also pulls in
+    // 'part'), constant-score rewrite, distributed dictionary walk
+    "ft_match_fuzzy" -> ((spark, sfDir) => matchDF(spark, sfDir, "sort~2")),
+    // TermRangeQuery: lexicographic [row TO sort] — pushes down to parquet
+    // term min/max pruning like a dictionary seek
+    "ft_match_range" -> ((spark, sfDir) => matchDF(spark, sfDir, "[row TO sort]")),
+    // RegexpQuery: anchored regex over the term dictionary
+    "ft_match_regexp" -> ((spark, sfDir) => matchDF(spark, sfDir, "/s(can|ort|low)/")),
     // minShouldMatch >= 2 of 3 (MinShouldMatchSumScorer analog) — AST-built
     "ft_match_msm" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
@@ -224,6 +232,18 @@ object FulltextQueries {
     "ft_match_wildcard" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> regexp_matches(x, '^w.ndow$$'))) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_fuzzy" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> levenshtein(x, 'sort') <= 2)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_range" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> x >= 'row' AND x <= 'sort')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_regexp" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> regexp_matches(x, '^s(can|ort|low)$$'))) > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_facet_lang" ->
       s"""SELECT lang, count(*) AS cnt

@@ -96,6 +96,19 @@ object ScorerBuilder {
       if (tis.isEmpty) EmptyScorer
       else new ConstantScoreScorer(new DisjunctionSumScorer(tis.toArray), boost)
 
+    // multi-term queries expand IN-PARTITION against the terms whose blocks
+    // the block-scan predicate shipped here — distributed, uncapped
+    // (MultiTermQuery CONSTANT_SCORE rewrite; no 1024-term truncation, no
+    // driver-side dictionary collect)
+    case mt: MultiTermQ =>
+      val tis = termBlocks.iterator.collect {
+        case (t, blocks) if mt.matches(t) =>
+          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b,
+            ctx.docFreq.getOrElse(t, 1L), ctx.stats), lo, hi): DocScorer
+      }.toArray
+      if (tis.isEmpty) EmptyScorer
+      else new ConstantScoreScorer(new DisjunctionSumScorer(tis), boost)
+
     case BoolQ(must, should, mustNot, msm) =>
       val reqs = must.map(build(_, boost, termBlocks, ctx, lo, hi))
       if (must.nonEmpty && reqs.exists(_ eq EmptyScorer)) return EmptyScorer
@@ -122,8 +135,6 @@ object ScorerBuilder {
     case BoostQ(sub, bst) => build(sub, boost * bst, termBlocks, ctx, lo, hi)
     case MatchAllQ => new MatchAllScorer(lo, hi, boost)
     case MatchNoneQ => EmptyScorer
-    case _: PrefixQ | _: WildcardQ =>
-      throw new IllegalStateException("expansion queries must be rewritten at plan time")
   }
 
   /** Root-level execution: pure-should disjunctions go through the pruned
@@ -175,8 +186,7 @@ final class GraftSearcher(
     val index: GraftIndex,
     val analyzer: Analyzer = graft.analysis.Analyzers.standard,
     k1: Float = Bm25.DEFAULT_K1,
-    b: Float = Bm25.DEFAULT_B,
-    maxExpansions: Int = 1024) extends Serializable {
+    b: Float = Bm25.DEFAULT_B) extends Serializable {
 
   @transient private val spark = index.spark
   import spark.implicits._
@@ -184,26 +194,13 @@ final class GraftSearcher(
   val parser = new QueryParser(analyzer)
   lazy val fieldStats: FieldStatsRow = index.fieldStats
 
-  /** Expand prefix/wildcard against the term dictionary + collect df stats. */
+  /** Rewrite + collect per-term df stats (the `termStatistics` lookup — a
+    * few rows via parquet term pushdown). Multi-term queries are NOT
+    * expanded here: their dictionary predicate executes distributed inside
+    * the block scan and the doc-range partitions (no driver-side term
+    * collection, no expansion cap). */
   def plan(q0: Query): (Query, SearchContext) = {
-    val q1 = Query.rewrite(q0)
-    val q2 = if (!Query.hasExpansions(q1)) q1
-    else Query.expand(q1, {
-      case PrefixQ(p) =>
-        index.termStats.filter($"term".startsWith(p))
-          .orderBy($"term").limit(maxExpansions).collect().map(_.term).toSeq
-      case WildcardQ(pat) =>
-        val regex = pat.flatMap {
-          case '*' => ".*"
-          case '?' => "."
-          case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-          case c => c.toString
-        }
-        index.termStats.filter($"term".rlike(s"^$regex$$"))
-          .orderBy($"term").limit(maxExpansions).collect().map(_.term).toSeq
-      case _ => Nil
-    })
-    val q = Query.rewrite(q2)
+    val q = Query.rewrite(q0)
     val terms = Query.terms(q).toSeq
     val dfMap: Map[String, Long] =
       if (terms.isEmpty) Map.empty
@@ -233,16 +230,16 @@ final class GraftSearcher(
       q: Query,
       numPartitions: Int)(
       f: (Query, Map[String, Array[BlockRow]], Long, Long) => Iterator[T]): Dataset[T] = {
-    val terms = Query.terms(q).toSeq
     val maxDoc = fieldStats.maxDocId + 1
     if (maxDoc <= 0) return spark.emptyDataset[T]
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val span = math.max(1L, (maxDoc + p - 1) / p)
     val nParts = ((maxDoc + span - 1) / span).toInt
 
-    val filtered: Dataset[BlockRow] =
-      if (terms.isEmpty) spark.emptyDataset[BlockRow]
-      else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
+    val filtered: Dataset[BlockRow] = Query.blockPredicate(q) match {
+      case Some(pred) => index.blocks.filter(pred).as[BlockRow]
+      case None => spark.emptyDataset[BlockRow]
+    }
 
     val assigned = filtered.flatMap { blk =>
       (blk.firstDocId / span to blk.lastDocId / span).map(pid => (pid.toInt, blk))
@@ -324,12 +321,12 @@ final class GraftSearcher(
   def bruteForce(q0: Query, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
     val (q, ctx) = plan(q0)
     if (q == MatchNoneQ) return Array.empty
-    val terms = Query.terms(q).toSeq
     val maxDoc = fieldStats.maxDocId + 1
-    val termBlocks: Map[String, Array[BlockRow]] =
-      if (terms.isEmpty) Map.empty
-      else index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
+    val termBlocks: Map[String, Array[BlockRow]] = Query.blockPredicate(q) match {
+      case None => Map.empty
+      case Some(pred) => index.blocks.filter(pred).as[BlockRow]
         .collect().groupBy(_.term).map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
+    }
     val root = ScorerBuilder.build(q, 1f, termBlocks, ctx, 0L, maxDoc)
     if (root eq EmptyScorer) Array.empty
     else TopK.iterate(root, k, after)

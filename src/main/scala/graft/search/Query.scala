@@ -18,12 +18,64 @@ final case class BoolQ(
     mustNot: Seq[Query] = Nil,
     minShouldMatch: Int = 0) extends Query
 final case class BoostQ(q: Query, boost: Float) extends Query
-/** Multi-term expansion queries rewrite to constant-score sets
-  * (MultiTermQuery CONSTANT_SCORE rewrite, reference:
-  * lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:68,94). */
-final case class PrefixQ(prefix: String) extends Query
-final case class WildcardQ(pattern: String) extends Query
-/** Already-expanded constant-score set of terms (internal rewrite target). */
+/** Multi-term queries: a term-dictionary predicate executed as a
+  * CONSTANT_SCORE union of the matching terms' postings (MultiTermQuery
+  * CONSTANT_SCORE rewrite, reference:
+  * lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:68,94).
+  *
+  * Expansion is DISTRIBUTED and uncapped (Lucene never truncates
+  * CONSTANT_SCORE rewrites): `matches` runs inside each doc-range partition
+  * against the terms shipped there, and the equivalent Column predicate
+  * ([[Query.blockPredicate]]) filters the block scan — prefix/range
+  * predicates reach the parquet reader as min/max row-group pruning (the
+  * term-dictionary seek), regex/fuzzy evaluate in the scan stage. */
+sealed trait MultiTermQ extends Query {
+  def matches(term: String): Boolean
+}
+final case class PrefixQ(prefix: String) extends MultiTermQ {
+  override def matches(term: String): Boolean = term.startsWith(prefix)
+}
+final case class WildcardQ(pattern: String) extends MultiTermQ {
+  @transient private lazy val re =
+    java.util.regex.Pattern.compile(Query.wildcardRegex(pattern))
+  override def matches(term: String): Boolean = re.matcher(term).matches()
+}
+/** Terms within `maxEdits` plain Levenshtein distance (reference:
+  * lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java:243 — the
+  * reference walks a Levenshtein automaton over the dictionary and blends
+  * scores; this engine keeps the match semantics (plain edit distance, so a
+  * SQL oracle can recompute it with `levenshtein()`) and the CONSTANT_SCORE
+  * rewrite). */
+final case class FuzzyQ(term: String, maxEdits: Int = 2) extends MultiTermQ {
+  override def matches(t: String): Boolean =
+    math.abs(t.length - term.length) <= maxEdits &&
+      Query.levenshtein(t, term) <= maxEdits
+}
+/** Anchored regular-expression term query (reference:
+  * lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java — automaton
+  * intersection there, a dictionary regex filter here; keep patterns in the
+  * Java/RE2 common subset). */
+final case class RegexpQ(pattern: String) extends MultiTermQ {
+  @transient private lazy val re = java.util.regex.Pattern.compile(pattern)
+  override def matches(term: String): Boolean = re.matcher(term).matches()
+}
+/** Lexicographic term range (reference:
+  * lucene/core/src/java/org/apache/lucene/search/TermRangeQuery.java).
+  * null bound = open end. */
+final case class TermRangeQ(
+    lower: String,
+    upper: String,
+    includeLower: Boolean = true,
+    includeUpper: Boolean = true) extends MultiTermQ {
+  override def matches(t: String): Boolean = {
+    val loOk = lower == null ||
+      (if (includeLower) t.compareTo(lower) >= 0 else t.compareTo(lower) > 0)
+    val hiOk = upper == null ||
+      (if (includeUpper) t.compareTo(upper) <= 0 else t.compareTo(upper) < 0)
+    loOk && hiOk
+  }
+}
+/** Explicit constant-score set of terms (internal / programmatic target). */
 final case class ConstSetQ(terms: Seq[String]) extends Query
 /** Terms scored as one pseudo-term (reference:
   * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:55-218). */
@@ -85,21 +137,77 @@ object Query {
     case _ => Set.empty
   }
 
-  def hasExpansions(q: Query): Boolean = q match {
-    case _: PrefixQ | _: WildcardQ => true
-    case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(hasExpansions)
-    case BoostQ(sub, _) => hasExpansions(sub)
-    case _ => false
+  /** All multi-term (dictionary-predicate) sub-queries. */
+  def multiTerms(q: Query): Seq[MultiTermQ] = q match {
+    case mt: MultiTermQ => Seq(mt)
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(multiTerms)
+    case BoostQ(sub, _) => multiTerms(sub)
+    case _ => Nil
   }
 
-  /** Replace Prefix/Wildcard with ConstSetQ using the expansion function
-    * (plan-time term-dictionary walk). */
-  def expand(q: Query, expander: Query => Seq[String]): Query = q match {
-    case p: PrefixQ => val ts = expander(p); if (ts.isEmpty) MatchNoneQ else ConstSetQ(ts)
-    case w: WildcardQ => val ts = expander(w); if (ts.isEmpty) MatchNoneQ else ConstSetQ(ts)
-    case BoolQ(m, s, n, msm) => BoolQ(m.map(expand(_, expander)), s.map(expand(_, expander)), n.map(expand(_, expander)), msm)
-    case BoostQ(sub, b) => BoostQ(expand(sub, expander), b)
-    case other => other
+  /** Wildcard pattern -> regex body (unanchored; callers anchor). */
+  def wildcardRegex(pattern: String): String = pattern.flatMap {
+    case '*' => ".*"
+    case '?' => "."
+    case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+    case c => c.toString
+  }
+
+  /** Plain Levenshtein distance — same semantics as Spark's / DuckDB's
+    * `levenshtein()` (no transpositions), so fuzzy matching is
+    * oracle-recomputable. */
+  def levenshtein(a: String, b: String): Int = {
+    if (a == b) return 0
+    val n = b.length
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+
+  /** The Column predicate selecting every block row the (rewritten) query
+    * can touch — the distributed term-dictionary seek. Exact terms and
+    * prefixes/ranges push down to parquet min/max row-group pruning;
+    * wildcard gets its literal prefix extracted as a pushable conjunct;
+    * regex/fuzzy evaluate in the scan stage (still fully distributed — no
+    * driver-side term collection, no expansion cap). None = query touches
+    * no terms (e.g. pure MatchAll). */
+  def blockPredicate(q: Query): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val term = col("term")
+    val parts = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+    val exact = terms(q).toSeq.sorted
+    if (exact.nonEmpty) parts += term.isin(exact: _*)
+    multiTerms(q).foreach {
+      case PrefixQ(p) => parts += term.startsWith(p)
+      case w: WildcardQ =>
+        val re = term.rlike("^" + wildcardRegex(w.pattern) + "$")
+        val litPrefix = w.pattern.takeWhile(c => c != '*' && c != '?')
+        parts += (if (litPrefix.nonEmpty) term.startsWith(litPrefix) && re else re)
+      case f: FuzzyQ =>
+        parts += (abs(length(term) - lit(f.term.length)) <= f.maxEdits &&
+          org.apache.spark.sql.functions.levenshtein(term, lit(f.term)) <= f.maxEdits)
+      case r: RegexpQ => parts += term.rlike("^" + r.pattern + "$")
+      case tr: TermRangeQ =>
+        var c = lit(true)
+        if (tr.lower != null)
+          c = c && (if (tr.includeLower) term >= tr.lower else term > tr.lower)
+        if (tr.upper != null)
+          c = c && (if (tr.includeUpper) term <= tr.upper else term < tr.upper)
+        parts += c
+    }
+    parts.reduceOption(_ || _)
   }
 }
 
@@ -118,6 +226,8 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
   private sealed trait Tok
   private case class Word(s: String) extends Tok
   private case class Phrase(s: String) extends Tok
+  private case class RangeT(body: String, inclLower: Boolean, inclUpper: Boolean) extends Tok
+  private case class RegexT(pattern: String) extends Tok
   private case object LP extends Tok
   private case object RP extends Tok
   private case object AND extends Tok
@@ -138,6 +248,20 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
         val end = if (j < 0) s.length else j
         out += Phrase(s.substring(i + 1, end))
         i = if (j < 0) s.length else j + 1
+      } else if (c == '[' || c == '{') {
+        // term range: [a TO b] inclusive, {a TO b} exclusive (classic syntax)
+        val close = if (c == '[') ']' else '}'
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != ']' && s.charAt(j) != '}') j += 1
+        val inclUpper = j >= s.length || s.charAt(j) == ']'
+        out += RangeT(s.substring(i + 1, math.min(j, s.length)), c == '[',
+          if (j < s.length) s.charAt(j) == ']' else inclUpper)
+        i = if (j < s.length) j + 1 else s.length
+      } else if (c == '/') {
+        val j = s.indexOf('/', i + 1)
+        val end = if (j < 0) s.length else j
+        out += RegexT(s.substring(i + 1, end))
+        i = if (j < 0) s.length else j + 1
       } else if (c == '^') {
         var j = i + 1
         while (j < s.length && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
@@ -145,7 +269,7 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
         i = j
       } else {
         var j = i
-        while (j < s.length && !s.charAt(j).isWhitespace && !"()\"^".contains(s.charAt(j))) j += 1
+        while (j < s.length && !s.charAt(j).isWhitespace && !"()\"^/[{".contains(s.charAt(j))) j += 1
         val w = s.substring(i, j)
         w match {
           case "AND" | "&&" => out += AND
@@ -226,8 +350,24 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
         if (toks.isEmpty) MatchNoneQ
         else if (toks.size == 1) TermQ(toks.head.term)
         else PhraseQ(toks.map(_.term), toks.map(_.position))
+      case RangeT(body, inclL, inclU) =>
+        val parts = body.split("\\s+TO\\s+", 2)
+        val lo0 = if (parts.length > 0) parts(0).trim else ""
+        val hi0 = if (parts.length > 1) parts(1).trim else ""
+        val lo = if (lo0.isEmpty || lo0 == "*") null else analyzer.lowercase(lo0)
+        val hi = if (hi0.isEmpty || hi0 == "*") null else analyzer.lowercase(hi0)
+        TermRangeQ(lo, hi, inclL, inclU)
+      case RegexT(pat) =>
+        RegexpQ(pat)
       case Word(w) =>
-        if (w.endsWith("*") && !w.dropRight(1).contains("*") && !w.contains("?"))
+        val tilde = w.lastIndexOf('~')
+        if (tilde > 0 && !w.contains("*") && !w.contains("?") &&
+            w.substring(tilde + 1).forall(_.isDigit)) {
+          val ed = w.substring(tilde + 1)
+          FuzzyQ(analyzer.lowercase(w.substring(0, tilde)),
+            if (ed.isEmpty) 2 else math.min(ed.toInt, 2))
+        }
+        else if (w.endsWith("*") && !w.dropRight(1).contains("*") && !w.contains("?"))
           PrefixQ(analyzer.lowercase(w.dropRight(1)))
         else if (w.contains("*") || w.contains("?"))
           WildcardQ(analyzer.lowercase(w))
