@@ -17,7 +17,9 @@ final case class SearchContext(
     /** When set, term/phrase/synonym iterators also carry a
       * [[Bm25.DoubleScorer]] and top-k runs on round4'd double scores — the
       * oracle-facing scored-search family (DuckDB recomputes every score). */
-    doubleMode: Boolean = false) extends Serializable
+    doubleMode: Boolean = false,
+    /** Optional block decode/skip accumulators (pruning evidence). */
+    counters: ScorerCounters = null) extends Serializable
 
 /** minShouldMatch >= m over a disjunction (`MinShouldMatchSumScorer` analog). */
 final class MinShouldMatchScorer(union: DisjunctionSumScorer, m: Int) extends DocScorer {
@@ -52,7 +54,8 @@ object ScorerBuilder {
           val dScorer =
             if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
             else null
-          new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats), lo, hi, dScorer)
+          new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats),
+            lo, hi, dScorer, ctx.counters)
         case _ => EmptyScorer
       }
 
@@ -137,8 +140,11 @@ object ScorerBuilder {
     case MatchNoneQ => EmptyScorer
   }
 
-  /** Root-level execution: pure-should disjunctions go through the pruned
-    * MaxScore collector; everything else iterates exactly. */
+  /** Root-level execution, Lucene's scorer selection by shape
+    * (`Boolean2ScorerSupplier`): single terms feed the collector floor into
+    * the iterator's impact skipping; pure-should disjunctions run block-max
+    * WAND; all-term conjunctions run the block-max conjunction; everything
+    * else iterates exactly. */
   def topK(
       q: Query,
       termBlocks: Map[String, Array[BlockRow]],
@@ -149,7 +155,16 @@ object ScorerBuilder {
       after: ScoreDoc): Array[ScoreDoc] = q match {
     case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty =>
       val subs = should.map(build(_, 1f, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
-      TopK.disjunction(subs.toArray, k, after)
+      TopK.disjunction(subs.toArray, k, after, ctx.counters)
+    case BoolQ(must, Nil, Nil, _) if must.nonEmpty && must.forall(_.isInstanceOf[TermQ]) =>
+      val subs = must.map(build(_, 1f, termBlocks, ctx, lo, hi))
+      if (subs.exists(_ eq EmptyScorer)) Array.empty
+      else TopK.conjunction(subs.map(_.asInstanceOf[TermIterator]).toArray, k, after, ctx.counters)
+    case t: TermQ =>
+      build(t, 1f, termBlocks, ctx, lo, hi) match {
+        case ti: TermIterator => TopK.singleTerm(ti, k, after)
+        case _ => Array.empty
+      }
     case other =>
       val root = build(other, 1f, termBlocks, ctx, lo, hi)
       if (root eq EmptyScorer) Array.empty
@@ -194,6 +209,12 @@ final class GraftSearcher(
   val parser = new QueryParser(analyzer)
   lazy val fieldStats: FieldStatsRow = index.fieldStats
 
+  /** Pruning evidence: posting blocks decoded vs skipped whole on impact
+    * metadata, accumulated across every query this searcher runs. */
+  @transient lazy val counters: ScorerCounters = ScorerCounters(
+    spark.sparkContext.longAccumulator("graft.blocksDecoded"),
+    spark.sparkContext.longAccumulator("graft.blocksSkipped"))
+
   /** Rewrite + collect per-term df stats (the `termStatistics` lookup — a
     * few rows via parquet term pushdown). Multi-term queries are NOT
     * expanded here: their dictionary predicate executes distributed inside
@@ -207,7 +228,7 @@ final class GraftSearcher(
       else index.termStats.filter($"term".isin(terms: _*)).collect()
         .map(t => t.term -> t.docFreq).toMap
     val stats = CollectionStats(fieldStats.docCount, fieldStats.sumTotalTermFreq)
-    (q, SearchContext(k1, b, stats, dfMap))
+    (q, SearchContext(k1, b, stats, dfMap, counters = counters))
   }
 
   def parse(s: String): Query = parser.parse(s)

@@ -3,6 +3,13 @@ package graft.search
 import graft.codec.{ByteReader, ForDeltaUtil, PForUtil}
 import graft.index.{BlockRow, ScoreDoc, ScoreDocD}
 
+/** Execution counters (Spark accumulators) proving block-max pruning does
+  * real work at query time: posting blocks decoded vs skipped whole on
+  * impact metadata. Nullable everywhere — absent in oracle/test contexts. */
+final case class ScorerCounters(
+    decoded: org.apache.spark.util.LongAccumulator,
+    skipped: org.apache.spark.util.LongAccumulator) extends Serializable
+
 /** Doc-at-a-time scorer iterator, the analog of Lucene's
   * `DocIdSetIterator` + `Scorer` pair. `docId` starts at -1; `NO_MORE`
   * (Long.MaxValue) means exhausted. Docs are always visited in increasing
@@ -46,7 +53,17 @@ final class TermIterator(
     val scorer: Bm25.Scorer,
     lo: Long,
     hi: Long,
-    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+    dScorer: Bm25.DoubleScorer = null,
+    counters: ScorerCounters = null) extends DocScorer {
+
+  /** Collector-fed score floor (Lucene `setMinCompetitiveScore` pushed into
+    * `ImpactsDISI`): advance() skips — without decoding — any block whose
+    * impact frontier can't beat it. Sound under docId-ordered iteration:
+    * an equal-score later doc loses the docId tie-break. Only the
+    * single-term top-level path sets this; inside conjunctions/disjunctions
+    * the clause's own bound is not the query threshold, so it stays -inf
+    * and the collectors prune with shallowMaxScore instead. */
+  var minCompetitive: Float = Float.NegativeInfinity
 
   private var blockIdx = -1
   private var docs: Array[Long] = null
@@ -98,9 +115,18 @@ final class TermIterator(
     else blockMaxScore(i)
   }
 
+  /** lastDocId of the block containing/following `target` — the furthest
+    * doc the [[shallowMaxScore]] bound covers; metadata only, no decode. */
+  def blockEndFor(target: Long): Long = {
+    var i = math.max(blockIdx, 0)
+    while (i < blocks.length && blocks(i).lastDocId < target) i += 1
+    if (i >= blocks.length) Long.MaxValue - 1 else blocks(i).lastDocId
+  }
+
   private def decodeBlock(i: Int): Unit = {
     val b = blocks(i)
     blockIdx = i
+    if (counters != null) counters.decoded.add(1)
     docs = new Array[Long](b.count)
     ForDeltaUtil.decode(new ByteReader(b.docsEnc), b.count, b.firstDocId - 1, docs)
     freqs = new Array[Int](b.count)
@@ -119,6 +145,16 @@ final class TermIterator(
     // find the block containing/following target, by metadata only
     var i = math.max(blockIdx, 0)
     while (i < blocks.length && blocks(i).lastDocId < target) i += 1
+    // impacts skip: blocks whose frontier can't beat the collector's floor
+    // are never decoded (ImpactsDISI.java:102-126 — the block-max half of
+    // the skip list; the docId half is the metadata scan above)
+    if (minCompetitive > Float.NegativeInfinity) {
+      while (i < blocks.length && blocks(i).firstDocId < hi &&
+          blockMaxScore(i) <= minCompetitive) {
+        if (counters != null) counters.skipped.add(1)
+        i += 1
+      }
+    }
     var found = false
     while (!found) {
       if (i >= blocks.length || blocks(i).firstDocId >= hi) { cur = DocScorer.NO_MORE; return cur }
@@ -545,12 +581,111 @@ object TopK {
     pq.resultsD()
   }
 
-  /** Pruned top-k for a pure disjunction of scoring clauses. */
-  def disjunction(subsIn: Array[DocScorer], k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+  /** Block-refined upper bound of `s` for docs in [target, blockEndOf(s)]:
+    * impact-frontier max for term iterators, static max otherwise. */
+  @inline private def shallowOf(s: DocScorer, target: Long): Float = s match {
+    case t: TermIterator => t.shallowMaxScore(target)
+    case _ => s.maxScore
+  }
+
+  /** Furthest doc the [[shallowOf]] bound covers. */
+  @inline private def blockEndOf(s: DocScorer, target: Long): Long = s match {
+    case t: TermIterator => t.blockEndFor(target)
+    case _ => target
+  }
+
+  /** Single-term top-k with impacts pruning: the collector feeds its floor
+    * into the iterator (`setMinCompetitiveScore` -> `ImpactsDISI`), which
+    * then skips non-competitive blocks without decoding them. */
+  def singleTerm(it: TermIterator, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+    val pq = new HitQueue(k)
+    var doc = it.nextDoc()
+    while (doc != DocScorer.NO_MORE) {
+      val s = it.score()
+      if (after == null || isAfter(after, doc, s)) {
+        if (pq.insert(doc, s) && pq.isFull) it.minCompetitive = pq.topScore.toFloat
+      }
+      doc = it.nextDoc()
+    }
+    pq.results()
+  }
+
+  /** Block-max conjunction (AND of term iterators): before the others are
+    * advanced (= decoded) to the lead's candidate, the summed per-block
+    * impact bounds are checked against the heap floor; a non-competitive
+    * range is jumped whole (reference:
+    * lucene/core/src/java/org/apache/lucene/search/BlockMaxConjunctionScorer.java:30-249). */
+  def conjunction(
+      termsIn: Array[TermIterator],
+      k: Int,
+      after: ScoreDoc = null,
+      counters: ScorerCounters = null): Array[ScoreDoc] = {
+    val subs: Array[TermIterator] = termsIn.sortBy(_.cost)
+    val n = subs.length
+    if (n == 0) return Array.empty
+    val pq = new HitQueue(k)
+    def theta: Double = if (pq.isFull) pq.topScore else Double.NegativeInfinity
+
+    var doc = subs(0).nextDoc()
+    while (doc != DocScorer.NO_MORE) {
+      var next = -1L
+      // block-max check on metadata only, before any other clause decodes
+      if (pq.isFull) {
+        var bound = 0.0
+        var i = 0
+        while (i < n) { bound += shallowOf(subs(i), doc); i += 1 }
+        if (DocScorer.sumScores(bound) <= theta) {
+          var boundary = Long.MaxValue
+          i = 0
+          while (i < n) { boundary = math.min(boundary, blockEndOf(subs(i), doc)); i += 1 }
+          if (counters != null) counters.skipped.add(1)
+          next = subs(0).advance(boundary + 1)
+        }
+      }
+      if (next < 0) {
+        // leapfrog the remaining clauses to doc
+        var agreed = true
+        var i = 1
+        while (i < n && agreed) {
+          if (subs(i).docId < doc) subs(i).advance(doc)
+          if (subs(i).docId != doc) {
+            agreed = false
+            next = if (subs(i).docId == DocScorer.NO_MORE) DocScorer.NO_MORE
+                   else subs(0).advance(subs(i).docId)
+          }
+          i += 1
+        }
+        if (agreed) {
+          var d = 0.0
+          i = 0
+          while (i < n) { d += subs(i).score(); i += 1 }
+          val s = DocScorer.sumScores(d)
+          if (after == null || isAfter(after, doc, s)) pq.insert(doc, s)
+          next = subs(0).nextDoc()
+        }
+      }
+      doc = next
+    }
+    pq.results()
+  }
+
+  /** Pruned top-k for a pure disjunction of scoring clauses: MaxScore
+    * essential/non-essential split on static bounds, refined per candidate
+    * with block-level impact bounds, plus whole-block skips when even the
+    * refined sum can't beat the floor (the block-max WAND family, reference:
+    * lucene/core/src/java/org/apache/lucene/search/WANDScorer.java:265-366). */
+  def disjunction(
+      subsIn: Array[DocScorer],
+      k: Int,
+      after: ScoreDoc = null,
+      counters: ScorerCounters = null): Array[ScoreDoc] = {
     val subs = subsIn.filter(_.maxScore > 0f).sortBy(_.maxScore)
     val n = subs.length
     if (n == 0) return Array.empty
-    if (n == 1) return iterate(subs(0), k, after)
+    if (n == 1) return subs(0) match {
+      case t: TermIterator => singleTerm(t, k, after)
+      case s => iterate(s, k, after)
+    }
     val prefix = new Array[Double](n) // prefix(i) = sum of maxScore of subs[0..i]
     var acc = 0.0
     for (i <- 0 until n) { acc += subs(i).maxScore; prefix(i) = acc }
@@ -580,40 +715,62 @@ object TopK {
         while (i < n) { if (subs(i).docId < cand) cand = subs(i).docId; i += 1 }
         if (cand == DocScorer.NO_MORE) running = false
         else {
-          // sum essential clauses at cand
-          var partial = 0.0
-          i = essStart
-          while (i < n) {
-            if (subs(i).docId == cand) partial += subs(i).score()
-            i += 1
+          // BMW step: refine the essential bound with per-block impacts; if
+          // even that can't beat the floor, jump every essential clause past
+          // the nearest block boundary — the blocks are never decoded
+          var skippedRange = false
+          if (pq.isFull) {
+            var bound = if (essStart > 0) prefix(essStart - 1) else 0.0
+            i = essStart
+            while (i < n) { bound += shallowOf(subs(i), cand); i += 1 }
+            if (DocScorer.sumScores(bound) <= theta) {
+              var boundary = Long.MaxValue
+              i = essStart
+              while (i < n) { boundary = math.min(boundary, blockEndOf(subs(i), cand)); i += 1 }
+              if (counters != null) counters.skipped.add(1)
+              i = essStart
+              while (i < n) {
+                if (subs(i).docId <= boundary) subs(i).advance(boundary + 1)
+                i += 1
+              }
+              skippedRange = true
+            }
           }
-          // probe non-essential from the highest max-score down, with
-          // shallow block-max refinement before touching the clause
-          i = essStart - 1
-          var live = true
-          while (i >= 0 && live) {
-            val below = if (i > 0) prefix(i - 1) else 0.0
-            if (DocScorer.sumScores(partial + prefix(i)) <= theta) live = false
-            else {
-              if (subs(i).docId < cand) subs(i).advance(cand)
+          if (!skippedRange) {
+            // sum essential clauses at cand
+            var partial = 0.0
+            i = essStart
+            while (i < n) {
               if (subs(i).docId == cand) partial += subs(i).score()
-              i -= 1
-              if (DocScorer.sumScores(partial + below) <= theta && i >= 0) {
-                // cheap re-check handled by loop head next iteration
+              i += 1
+            }
+            // probe non-essential from the highest max-score down; each
+            // clause's static cap is refined to its block-level bound at
+            // cand before the clause is advanced (= decoded)
+            i = essStart - 1
+            var live = true
+            while (i >= 0 && live) {
+              val below = if (i > 0) prefix(i - 1) else 0.0
+              if (DocScorer.sumScores(partial + below + shallowOf(subs(i), cand)) <= theta) {
+                live = false
+              } else {
+                if (subs(i).docId < cand) subs(i).advance(cand)
+                if (subs(i).docId == cand) partial += subs(i).score()
+                i -= 1
               }
             }
-          }
-          if (live) {
-            val s = DocScorer.sumScores(partial)
-            if (after == null || isAfter(after, cand, s)) {
-              if (pq.insert(cand, s)) updateEssential()
+            if (live) {
+              val s = DocScorer.sumScores(partial)
+              if (after == null || isAfter(after, cand, s)) {
+                if (pq.insert(cand, s)) updateEssential()
+              }
             }
-          }
-          // advance essential clauses that sit at cand
-          i = essStart
-          while (i < n) {
-            if (subs(i).docId == cand) subs(i).nextDoc()
-            i += 1
+            // advance essential clauses that sit at cand
+            i = essStart
+            while (i < n) {
+              if (subs(i).docId == cand) subs(i).nextDoc()
+              i += 1
+            }
           }
         }
       }
