@@ -37,7 +37,22 @@ final class GraftIndex(
     val docs: Dataset[DocRow],
     val blocks: Dataset[BlockRow],
     val termStats: Dataset[TermStatsRow],
-    val fieldStats: FieldStatsRow) extends Serializable
+    val fieldStats: FieldStatsRow,
+    /** Tombstoned docIds (the `.liv` analog; empty on an append-only index).
+      * Honored by every search surface; purged physically at merge.
+      * Collection stats keep counting deleted docs until merge, exactly like
+      * Lucene (docCount/avgdl shift only when segments rewrite). */
+    val deletes: Dataset[Long],
+    val hasDeletes: Boolean) extends Serializable {
+
+  /** Live (non-tombstoned) doc metadata. */
+  def liveDocsDF: Dataset[DocRow] = {
+    import org.apache.spark.sql.functions.col
+    if (!hasDeletes) docs
+    else docs.join(deletes.toDF("_del"), col("docId") === col("_del"), "left_anti")
+      .as[DocRow](docs.encoder)
+  }
+}
 
 object IndexBuilder {
 

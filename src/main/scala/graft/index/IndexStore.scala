@@ -16,12 +16,17 @@ final case class SegmentMeta(
 /** Index manifest = Lucene's `segments_N` generation-numbered commit point
   * (reference: lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:57-141).
   * In production this is an Iceberg snapshot; here a JSON file committed via
-  * atomic rename. */
-final case class Manifest(generation: Long, segments: Seq[SegmentMeta]) {
+  * atomic rename. `delGen` is the tombstone generation (-1 = no deletes),
+  * pointing at `deletes/del-<gen>` — the `.liv` files analog. */
+final case class Manifest(
+    generation: Long,
+    segments: Seq[SegmentMeta],
+    delGen: Long = -1L) {
   def docCount: Long = segments.map(_.docCount).sum
   def sumTotalTermFreq: Long = segments.map(_.sumTotalTermFreq).sum
   def maxDocId: Long = if (segments.isEmpty) -1L else segments.map(_.maxDocId).max
   def fieldStats: FieldStatsRow = FieldStatsRow(docCount, sumTotalTermFreq, maxDocId)
+  def hasDeletes: Boolean = delGen >= 0
 }
 
 /** Parquet-backed index storage with stage-level checkpointing: every stage
@@ -37,7 +42,7 @@ object IndexStore {
       s"""{"name":"${s.name}","docBase":${s.docBase},"docCount":${s.docCount},""" +
         s""""sumTotalTermFreq":${s.sumTotalTermFreq},"maxDocId":${s.maxDocId}}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"generation":${m.generation},"segments":$segs}"""
+    val json = s"""{"generation":${m.generation},"delGen":${m.delGen},"segments":$segs}"""
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s".manifest.tmp")
     Files.writeString(tmp, json)
@@ -51,12 +56,14 @@ object IndexStore {
     val json = Files.readString(p)
     // minimal parser for the exact shape we write
     val gen = """"generation":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val delGen = """"delGen":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
     val segRe = ("""\{"name":"([^"]+)","docBase":(\d+),"docCount":(\d+),""" +
       """"sumTotalTermFreq":(\d+),"maxDocId":(-?\d+)\}""").r
     val segs = segRe.findAllMatchIn(json).map { m =>
       SegmentMeta(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
     }.toSeq
-    Some(Manifest(gen, segs))
+    Some(Manifest(gen, segs, delGen))
   }
 
   private def isComplete(path: String): Boolean =
@@ -113,9 +120,59 @@ object IndexStore {
     val done = prev.exists(_.segments.exists(_.name == segName))
     if (done) return prev.get
     val meta = buildSegment(files, indexDir, segName, cfg, docBase)
-    val m = Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta)
+    val m = Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta,
+      prev.map(_.delGen).getOrElse(-1L))
     writeManifest(indexDir, m)
     m
+  }
+
+  /** Tombstone docIds in the current delete generation (empty if none). */
+  def readDeletes(spark: SparkSession, indexDir: String, m: Manifest): Dataset[Long] = {
+    import spark.implicits._
+    if (!m.hasDeletes) spark.emptyDataset[Long]
+    else spark.read.parquet(s"$indexDir/deletes/del-${m.delGen}")
+      .select("docId").as[Long]
+  }
+
+  /** Tombstone docIds (IndexWriter.deleteDocuments analog, reference:
+    * lucene/core/src/java/org/apache/lucene/index/PendingDeletes.java):
+    * union with the current tombstones into a new delete generation and
+    * commit. Deleted docs stop matching every query immediately; their
+    * postings are physically purged at the next merge. Idempotent. */
+  def deleteDocs(spark: SparkSession, indexDir: String, docIds: Dataset[Long]): Manifest = {
+    import spark.implicits._
+    val m = readManifest(indexDir).getOrElse(
+      throw new IllegalStateException(s"no manifest at $indexDir"))
+    val newGen = m.delGen + 1
+    val path = s"$indexDir/deletes/del-$newGen"
+    readDeletes(spark, indexDir, m).union(docIds).distinct()
+      .toDF("docId").write.mode("overwrite").parquet(path)
+    val next = m.copy(generation = m.generation + 1, delGen = newGen)
+    writeManifest(indexDir, next)
+    next
+  }
+
+  /** Update = delete-by-key + add (IndexWriter.updateDocument analog): docs
+    * whose (repo, path, commit) key matches an incoming row are tombstoned,
+    * then the new rows are committed as a fresh segment. */
+  def updateDocs(
+      files: Dataset[CodeFile],
+      indexDir: String,
+      cfg: IndexConfig = IndexConfig()): Manifest = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(indexDir).getOrElse(
+      throw new IllegalStateException(s"no manifest at $indexDir"))
+    val existing = open(spark, indexDir)
+    val keys = files.select(
+      col("repo").as("_r"), col("path").as("_p"), col("commit").as("_c"))
+    val toDelete = existing.docs.toDF()
+      .join(keys, col("repo") === col("_r") && col("path") === col("_p") &&
+        col("commit") === col("_c"), "left_semi")
+      .select("docId").as[Long]
+    deleteDocs(spark, indexDir, toDelete)
+    buildAndCommit(files, indexDir, cfg)
   }
 
   /** Open the committed index: union of all live segments. */
@@ -141,6 +198,7 @@ object IndexStore {
         .agg(org.apache.spark.sql.functions.sum($"docFreq").as("docFreq"),
           org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
         .as[TermStatsRow]
-    new GraftIndex(spark, docs, blocks, termStats, m.fieldStats)
+    new GraftIndex(spark, docs, blocks, termStats, m.fieldStats,
+      readDeletes(spark, indexDir, m), m.hasDeletes)
   }
 }

@@ -51,6 +51,7 @@ object SegmentMerger {
       toMerge: Seq[SegmentMeta],
       cfg: IndexConfig): Manifest = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val gen = m.generation + 1
     val segName = f"seg-$gen%05d-merged"
     val segDir = s"$indexDir/$segName"
@@ -59,14 +60,22 @@ object SegmentMerger {
     val statsPath = s"$segDir/termstats"
     def done(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
 
+    // tombstoned docs are physically dropped while rewriting — the merge IS
+    // the delete purge (Lucene: SegmentMerger honors liveDocs)
+    val deletes = IndexStore.readDeletes(spark, indexDir, m).toDF("_del")
+    def purge[T](ds: Dataset[T], idCol: String): Dataset[T] =
+      if (!m.hasDeletes) ds
+      else ds.join(deletes, col(idCol) === col("_del"), "left_anti").as[T](ds.encoder)
+
     if (!done(docsPath)) {
-      toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/docmeta").as[DocRow])
-        .reduce(_ union _).write.mode("overwrite").parquet(docsPath)
+      val docs = toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/docmeta").as[DocRow])
+        .reduce(_ union _)
+      purge(docs, "docId").write.mode("overwrite").parquet(docsPath)
     }
     if (!done(blocksPath)) {
       val allBlocks = toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/postings").as[BlockRow])
         .reduce(_ union _)
-      val postings = decodeToPostings(allBlocks)
+      val postings = purge(decodeToPostings(allBlocks), "docId")
       IndexBuilder.encodeBlocks(postings, cfg, toMerge.map(_.maxDocId).max + 1,
           toMerge.map(_.sumTotalTermFreq).sum)
         .write.mode("overwrite").parquet(blocksPath)
@@ -75,13 +84,19 @@ object SegmentMerger {
       IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])
         .write.mode("overwrite").parquet(statsPath)
     }
+    val mergedDocs = spark.read.parquet(docsPath).as[DocRow]
+    val fs = IndexBuilder.fieldStatsOf(mergedDocs)
     val merged = SegmentMeta(segName,
       toMerge.map(_.docBase).min,
-      toMerge.map(_.docCount).sum,
-      toMerge.map(_.sumTotalTermFreq).sum,
+      fs.docCount,
+      fs.sumTotalTermFreq,
       toMerge.map(_.maxDocId).max)
     val keep = m.segments.filterNot(s => toMerge.exists(_.name == s.name))
-    val newManifest = Manifest(gen, keep :+ merged)
+    // tombstones are fully applied only when every segment was rewritten;
+    // on a partial merge they must survive for the untouched segments (the
+    // purged docs' ids staying in the set is harmless — nothing matches them)
+    val newDelGen = if (keep.isEmpty) -1L else m.delGen
+    val newManifest = Manifest(gen, keep :+ merged, newDelGen)
     IndexStore.writeManifest(indexDir, newManifest)
     newManifest
   }

@@ -29,12 +29,34 @@ object DocsIndex {
     cache.computeIfAbsent(
       s"${System.identityHashCode(spark)}#$sfDir", _ => build(spark, sfDir))
 
-  private def build(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) = {
+  /** Same corpus with every doc_id divisible by 7 tombstoned — the
+    * deletes-honoring index behind the `ft_delete_*` oracle queries (the
+    * oracle recomputes from raw text with `doc_id % 7 <> 0`). Built into its
+    * own index dir so the plain corpus index stays append-only. */
+  def getWithDeletes(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#del", _ => buildWithDeletes(spark, sfDir))
+
+  private def buildWithDeletes(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) = {
     import spark.implicits._
-    // Map the documents table onto the engine's input shape (input_hint):
-    // repo <- source, path <- zero-padded doc_id (so the deterministic docId
-    // assignment order is the doc_id order), content <- text.
-    val files = documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-docsdel-").toString
+    graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
+      IndexConfig(analyzer = Analyzers.simple))
+    val idx0 = graft.index.IndexStore.open(spark, dir)
+    val toDelete = docIdMap(idx0)
+      .filter(col("doc_id") % 7 === 0).select("docId").as[Long]
+    graft.index.IndexStore.deleteDocs(spark, dir, toDelete)
+    val idx = graft.index.IndexStore.open(spark, dir)
+    idx.blocks.count()
+    (idx, new GraftSearcher(idx, Analyzers.simple))
+  }
+
+  /** Map the documents table onto the engine's input shape (input_hint):
+    * repo <- source, path <- zero-padded doc_id (so the deterministic docId
+    * assignment order is the doc_id order), content <- text. */
+  private def files(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    documents(spark, sfDir)
       .select(
         $"source".as("repo"),
         format_string("doc%09d", $"doc_id").as("path"),
@@ -43,7 +65,10 @@ object DocsIndex {
         $"text".as("content"),
         lit(null).cast("string").as("sha256"))
       .as[CodeFile]
-    val index = IndexBuilder.build(files, IndexConfig(analyzer = Analyzers.simple))
+  }
+
+  private def build(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) = {
+    val index = IndexBuilder.build(files(spark, sfDir), IndexConfig(analyzer = Analyzers.simple))
     index.blocks.count() // materialize the persisted postings once
     (index, new GraftSearcher(index, Analyzers.simple))
   }

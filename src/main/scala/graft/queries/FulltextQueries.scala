@@ -154,6 +154,31 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
     }),
+    // ---- deletes: tombstoned docs (doc_id % 7 == 0) stop matching every
+    // query shape immediately — term sets, NOT/MatchAll anchors, and scored
+    // top-k all honor the .liv-analog tombstones ----
+    "ft_delete_match" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithDeletes(spark, sfDir)
+      searcher.matchesDS(searcher.parse("vector OR customer")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "ft_delete_not" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithDeletes(spark, sfDir)
+      searcher.matchesDS(searcher.parse("NOT vector")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "ft_delete_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithDeletes(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // ---- BM25 top-k, double-scored + oracle-verified (the same engine
     // path — blocks, norms, scatter/merge — with DuckDB-recomputable math;
     // the Float-exact + pruning path is differential-tested in SearchSpec) ----
@@ -261,6 +286,25 @@ object FulltextQueries {
          |    + (CASE WHEN list_contains(tk, 'customer') THEN 1 ELSE 0 END)
          |    + (CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END) >= 2
          |ORDER BY doc_id""".stripMargin,
+    "ft_delete_match" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE (list_contains(tk, 'vector') OR list_contains(tk, 'customer'))
+         |  AND doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_delete_not" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE NOT list_contains(tk, 'vector') AND doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    // NOTE: collection stats (n, avgdl, df) intentionally include the
+    // tombstoned docs — deletes shift BM25 stats only at merge, like Lucene
+    "ft_delete_search" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 AND doc_id % 7 <> 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_term" ->
       s"""$PRELUDE
          |SELECT doc_id, round(s, 4) AS score FROM (

@@ -46,7 +46,8 @@ object ScorerBuilder {
       termBlocks: Map[String, Array[BlockRow]],
       ctx: SearchContext,
       lo: Long,
-      hi: Long): DocScorer = q match {
+      hi: Long,
+      live: LiveDocs = null): DocScorer = q match {
 
     case TermQ(t) =>
       (ctx.docFreq.get(t), termBlocks.get(t)) match {
@@ -55,7 +56,7 @@ object ScorerBuilder {
             if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
             else null
           new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats),
-            lo, hi, dScorer, ctx.counters)
+            lo, hi, dScorer, ctx.counters, live)
         case _ => EmptyScorer
       }
 
@@ -70,7 +71,8 @@ object ScorerBuilder {
           else null
         // a dummy per-term scorer for iteration bounds (weight unused for final score)
         val tis = iters.map { case (t, Some(blocks), Some(df)) =>
-          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats), lo, hi)
+          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+            lo, hi, null, ctx.counters, live)
         case _ => throw new IllegalStateException
         }.toArray
         new PhraseScorer(tis, positions.toArray, scorer, dScorer)
@@ -88,14 +90,16 @@ object ScorerBuilder {
           if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
           else null
         val tis = present.map(t => new TermIterator(termBlocks(t),
-          Bm25.scorer(1f, ctx.k1, ctx.b, ctx.docFreq(t), ctx.stats), lo, hi)).toArray
+          Bm25.scorer(1f, ctx.k1, ctx.b, ctx.docFreq(t), ctx.stats),
+          lo, hi, null, ctx.counters, live)).toArray
         new SynonymScorer(tis, scorer, dScorer)
       }
 
     case ConstSetQ(terms) =>
       val tis = terms.flatMap(t => termBlocks.get(t).map(blocks =>
         new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b,
-          ctx.docFreq.getOrElse(t, 1L), ctx.stats), lo, hi): DocScorer))
+          ctx.docFreq.getOrElse(t, 1L), ctx.stats),
+          lo, hi, null, ctx.counters, live): DocScorer))
       if (tis.isEmpty) EmptyScorer
       else new ConstantScoreScorer(new DisjunctionSumScorer(tis.toArray), boost)
 
@@ -107,15 +111,16 @@ object ScorerBuilder {
       val tis = termBlocks.iterator.collect {
         case (t, blocks) if mt.matches(t) =>
           new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b,
-            ctx.docFreq.getOrElse(t, 1L), ctx.stats), lo, hi): DocScorer
+            ctx.docFreq.getOrElse(t, 1L), ctx.stats),
+            lo, hi, null, ctx.counters, live): DocScorer
       }.toArray
       if (tis.isEmpty) EmptyScorer
       else new ConstantScoreScorer(new DisjunctionSumScorer(tis), boost)
 
     case BoolQ(must, should, mustNot, msm) =>
-      val reqs = must.map(build(_, boost, termBlocks, ctx, lo, hi))
+      val reqs = must.map(build(_, boost, termBlocks, ctx, lo, hi, live))
       if (must.nonEmpty && reqs.exists(_ eq EmptyScorer)) return EmptyScorer
-      val opts = should.map(build(_, boost, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
+      val opts = should.map(build(_, boost, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
       val base: DocScorer =
         if (must.nonEmpty) {
           val req = if (reqs.size == 1) reqs.head else new ConjunctionScorer(reqs.toArray)
@@ -130,13 +135,13 @@ object ScorerBuilder {
             if (msm > 1) new MinShouldMatchScorer(union, msm) else union
           }
         }
-      val negs = mustNot.map(build(_, 0f, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
+      val negs = mustNot.map(build(_, 0f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
       if (negs.isEmpty) base
       else new ReqExclScorer(base,
         if (negs.size == 1) negs.head else new DisjunctionSumScorer(negs.toArray))
 
-    case BoostQ(sub, bst) => build(sub, boost * bst, termBlocks, ctx, lo, hi)
-    case MatchAllQ => new MatchAllScorer(lo, hi, boost)
+    case BoostQ(sub, bst) => build(sub, boost * bst, termBlocks, ctx, lo, hi, live)
+    case MatchAllQ => new MatchAllScorer(lo, hi, boost, live)
     case MatchNoneQ => EmptyScorer
   }
 
@@ -152,21 +157,22 @@ object ScorerBuilder {
       lo: Long,
       hi: Long,
       k: Int,
-      after: ScoreDoc): Array[ScoreDoc] = q match {
+      after: ScoreDoc,
+      live: LiveDocs = null): Array[ScoreDoc] = q match {
     case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty =>
-      val subs = should.map(build(_, 1f, termBlocks, ctx, lo, hi)).filterNot(_ eq EmptyScorer)
+      val subs = should.map(build(_, 1f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
       TopK.disjunction(subs.toArray, k, after, ctx.counters)
     case BoolQ(must, Nil, Nil, _) if must.nonEmpty && must.forall(_.isInstanceOf[TermQ]) =>
-      val subs = must.map(build(_, 1f, termBlocks, ctx, lo, hi))
+      val subs = must.map(build(_, 1f, termBlocks, ctx, lo, hi, live))
       if (subs.exists(_ eq EmptyScorer)) Array.empty
       else TopK.conjunction(subs.map(_.asInstanceOf[TermIterator]).toArray, k, after, ctx.counters)
     case t: TermQ =>
-      build(t, 1f, termBlocks, ctx, lo, hi) match {
+      build(t, 1f, termBlocks, ctx, lo, hi, live) match {
         case ti: TermIterator => TopK.singleTerm(ti, k, after)
         case _ => Array.empty
       }
     case other =>
-      val root = build(other, 1f, termBlocks, ctx, lo, hi)
+      val root = build(other, 1f, termBlocks, ctx, lo, hi, live)
       if (root eq EmptyScorer) Array.empty
       else TopK.iterate(root, k, after)
   }
@@ -180,8 +186,9 @@ object ScorerBuilder {
       lo: Long,
       hi: Long,
       k: Int,
-      after: ScoreDocD): Array[ScoreDocD] = {
-    val root = build(q, 1f, termBlocks, ctx, lo, hi)
+      after: ScoreDocD,
+      live: LiveDocs = null): Array[ScoreDocD] = {
+    val root = build(q, 1f, termBlocks, ctx, lo, hi, live)
     if (root eq EmptyScorer) Array.empty
     else TopK.iterateD(root, k, after)
   }
@@ -250,7 +257,7 @@ final class GraftSearcher(
   private def perRange[T: org.apache.spark.sql.Encoder](
       q: Query,
       numPartitions: Int)(
-      f: (Query, Map[String, Array[BlockRow]], Long, Long) => Iterator[T]): Dataset[T] = {
+      f: (Query, Map[String, Array[BlockRow]], Long, Long, LiveDocs) => Iterator[T]): Dataset[T] = {
     val maxDoc = fieldStats.maxDocId + 1
     if (maxDoc <= 0) return spark.emptyDataset[T]
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
@@ -262,20 +269,34 @@ final class GraftSearcher(
       case None => spark.emptyDataset[BlockRow]
     }
 
-    val assigned = filtered.flatMap { blk =>
-      (blk.firstDocId / span to blk.lastDocId / span).map(pid => (pid.toInt, blk))
+    // blocks and tombstones ride the same scatter keyed by doc range
+    // (deletes are shipped only when the manifest has any — zero overhead
+    // on an append-only index)
+    val assigned: Dataset[(Int, BlockRow, Long)] = filtered.flatMap { blk =>
+      (blk.firstDocId / span to blk.lastDocId / span)
+        .map(pid => (pid.toInt, blk, -1L))
     }
+    val payload =
+      if (!index.hasDeletes) assigned
+      else assigned.union(index.deletes.map(d => ((d / span).toInt, null: BlockRow, d)))
     val pids = spark.range(0, nParts.toLong).map(_.toInt)
     val qB = q
     val fB = f
-    pids.groupByKey(identity).cogroup(assigned.groupByKey(_._1)) {
-      (pid, _, blocksIt) =>
+    pids.groupByKey(identity).cogroup(payload.groupByKey(_._1)) {
+      (pid, _, rowsIt) =>
+        val rows = rowsIt.toArray
         val termBlocks: Map[String, Array[BlockRow]] =
-          blocksIt.map(_._2).toArray.groupBy(_.term)
+          rows.collect { case (_, blk, _) if blk != null => blk }
+            .groupBy(_.term)
             .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
+        val deleted = rows.collect { case (_, blk, d) if blk == null && d >= 0 => d }
+        val live = if (deleted.isEmpty) null else {
+          java.util.Arrays.sort(deleted)
+          new LiveDocs(deleted)
+        }
         val lo = pid.toLong * span
         val hi = math.min(lo + span, maxDoc)
-        fB(qB, termBlocks, lo, hi)
+        fB(qB, termBlocks, lo, hi, live)
     }
   }
 
@@ -286,8 +307,8 @@ final class GraftSearcher(
     val ctxB = ctx
     val afterB = after
     val kB = k
-    perRange[ScoreDoc](q, numPartitions) { (qq, termBlocks, lo, hi) =>
-      ScorerBuilder.topK(qq, termBlocks, ctxB, lo, hi, kB, afterB).iterator
+    perRange[ScoreDoc](q, numPartitions) { (qq, termBlocks, lo, hi, live) =>
+      ScorerBuilder.topK(qq, termBlocks, ctxB, lo, hi, kB, afterB, live).iterator
     }
   }
 
@@ -301,8 +322,8 @@ final class GraftSearcher(
     val ctxB = ctx0.copy(doubleMode = true)
     val afterB = after
     val kB = k
-    perRange[ScoreDocD](q, numPartitions) { (qq, termBlocks, lo, hi) =>
-      ScorerBuilder.topKD(qq, termBlocks, ctxB, lo, hi, kB, afterB).iterator
+    perRange[ScoreDocD](q, numPartitions) { (qq, termBlocks, lo, hi, live) =>
+      ScorerBuilder.topKD(qq, termBlocks, ctxB, lo, hi, kB, afterB, live).iterator
     }
   }
 
@@ -324,8 +345,8 @@ final class GraftSearcher(
     val (q, ctx) = plan(q0)
     if (q == MatchNoneQ) return spark.emptyDataset[Long]
     val ctxB = ctx
-    perRange[Long](q, numPartitions) { (qq, termBlocks, lo, hi) =>
-      val root = ScorerBuilder.build(qq, 1f, termBlocks, ctxB, lo, hi)
+    perRange[Long](q, numPartitions) { (qq, termBlocks, lo, hi, live) =>
+      val root = ScorerBuilder.build(qq, 1f, termBlocks, ctxB, lo, hi, live)
       if (root eq EmptyScorer) Iterator.empty[Long]
       else new Iterator[Long] {
         private var d = root.nextDoc()
@@ -348,7 +369,10 @@ final class GraftSearcher(
       case Some(pred) => index.blocks.filter(pred).as[BlockRow]
         .collect().groupBy(_.term).map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
     }
-    val root = ScorerBuilder.build(q, 1f, termBlocks, ctx, 0L, maxDoc)
+    val live =
+      if (!index.hasDeletes) null
+      else new LiveDocs(index.deletes.collect().sorted)
+    val root = ScorerBuilder.build(q, 1f, termBlocks, ctx, 0L, maxDoc, live)
     if (root eq EmptyScorer) Array.empty
     else TopK.iterate(root, k, after)
   }

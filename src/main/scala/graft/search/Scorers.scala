@@ -10,6 +10,18 @@ final case class ScorerCounters(
     decoded: org.apache.spark.util.LongAccumulator,
     skipped: org.apache.spark.util.LongAccumulator) extends Serializable
 
+/** Per-partition live-docs filter — the `.liv` bitset analog (reference:
+  * lucene/core/src/java/org/apache/lucene/index/PendingDeletes.java; applied
+  * at the leaf like `BulkScorer.score(collector, liveDocs)`). Holds the
+  * SORTED deleted docIds that fall into this doc-range partition; iterators
+  * skip them during traversal, so deleted docs never reach a collector,
+  * never occupy a top-k slot, and never satisfy a NOT/MatchAll. */
+final class LiveDocs(deletedSorted: Array[Long]) extends Serializable {
+  @inline def isLive(doc: Long): Boolean =
+    java.util.Arrays.binarySearch(deletedSorted, doc) < 0
+  def numDeleted: Int = deletedSorted.length
+}
+
 /** Doc-at-a-time scorer iterator, the analog of Lucene's
   * `DocIdSetIterator` + `Scorer` pair. `docId` starts at -1; `NO_MORE`
   * (Long.MaxValue) means exhausted. Docs are always visited in increasing
@@ -54,7 +66,8 @@ final class TermIterator(
     lo: Long,
     hi: Long,
     dScorer: Bm25.DoubleScorer = null,
-    counters: ScorerCounters = null) extends DocScorer {
+    counters: ScorerCounters = null,
+    liveDocs: LiveDocs = null) extends DocScorer {
 
   /** Collector-fed score floor (Lucene `setMinCompetitiveScore` pushed into
     * `ImpactsDISI`): advance() skips — without decoding — any block whose
@@ -166,8 +179,12 @@ final class TermIterator(
         val mid = (loI + hiI) >>> 1
         if (docs(mid) < target) loI = mid + 1 else hiI = mid
       }
-      if (loI < docs.length) {
-        pos = loI
+      // step over tombstoned docs (liveDocs filter at the leaf)
+      var p = loI
+      if (liveDocs != null)
+        while (p < docs.length && docs(p) < hi && !liveDocs.isLive(docs(p))) p += 1
+      if (p < docs.length) {
+        pos = p
         cur = docs(pos)
         if (cur >= hi) { cur = DocScorer.NO_MORE; return cur }
         found = true
@@ -207,13 +224,19 @@ object EmptyScorer extends DocScorer {
   override def cost: Long = 0L
 }
 
-/** Matches every doc in [lo, hi) with a constant score. */
-final class MatchAllScorer(lo: Long, hi: Long, value: Float) extends DocScorer {
+/** Matches every LIVE doc in [lo, hi) with a constant score. */
+final class MatchAllScorer(
+    lo: Long,
+    hi: Long,
+    value: Float,
+    liveDocs: LiveDocs = null) extends DocScorer {
   private var cur = -1L
   override def docId: Long = cur
   override def nextDoc(): Long = advance(if (cur < 0) lo else cur + 1)
   override def advance(target: Long): Long = {
     cur = math.max(target, lo)
+    if (liveDocs != null)
+      while (cur < hi && !liveDocs.isLive(cur)) cur += 1
     if (cur >= hi) cur = DocScorer.NO_MORE
     cur
   }
