@@ -113,6 +113,9 @@ object FulltextQueries {
     "ft_match_phrase" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"")),
     "ft_match_prefix" -> ((spark, sfDir) => matchDF(spark, sfDir, "cust*")),
     "ft_match_wildcard" -> ((spark, sfDir) => matchDF(spark, sfDir, "w?ndow")),
+    // sloppy phrase: "big table"~2 — every anchor occurrence of 'big' with a
+    // 'table' within 2 positions of the exact-phrase slot
+    "ft_match_sloppy" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"~2")),
     // FuzzyQuery: terms within Levenshtein distance 2 ('sort' also pulls in
     // 'part'), constant-score rewrite, distributed dictionary walk
     "ft_match_fuzzy" -> ((spark, sfDir) => matchDF(spark, sfDir, "sort~2")),
@@ -185,6 +188,18 @@ object FulltextQueries {
     "ft_search_term" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "vector", 10)),
     "ft_search_bool" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "(table OR vector) AND batch", 10)),
     "ft_search_phrase" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\" OR customer", 10)),
+    // sloppy phrase scored: BM25 over the sloppy phrase frequency
+    "ft_search_sloppy" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\"~2", 10)),
+    // DisjunctionMax: max of per-field/per-term scores + tieBreak * others
+    "ft_search_dismax" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.DisMaxQ(
+        Seq(graft.search.TermQ("vector"), graft.search.TermQ("customer")), 0.5f)
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // SynonymQuery: terms scored as one pseudo-term
     "ft_search_synonym" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
@@ -257,6 +272,13 @@ object FulltextQueries {
     "ft_match_wildcard" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> regexp_matches(x, '^w.ndow$$'))) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_sloppy" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)),
+         |        i -> tk[i] = 'big' AND len(list_filter(
+         |               generate_series(greatest(1, i + 1 - 2), least(len(tk), i + 1 + 2)),
+         |               j -> tk[j] = 'table')) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_match_fuzzy" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
@@ -339,6 +361,36 @@ object FulltextQueries {
          |    FROM dl
          |  ) dl, st
          |) WHERE pf > 0 OR tf_c > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_sloppy" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, pf,
+         |    CASE WHEN pf = 0 THEN 0.0
+         |         ELSE (${idfSql(dfSql("big"))} + ${idfSql(dfSql("table"))})
+         |              * (pf * (1.2 + 1)) / (pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END AS s
+         |  FROM (
+         |    SELECT doc_id, dlq,
+         |      len(list_filter(generate_series(1, len(tk)),
+         |        i -> tk[i] = 'big' AND len(list_filter(
+         |               generate_series(greatest(1, i + 1 - 2), least(len(tk), i + 1 + 2)),
+         |               j -> tk[j] = 'table')) > 0)) AS pf
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE pf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_dismax" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_v, tf_c,
+         |    greatest(${bmSql(idfSql(dfSql("vector")), "tf_v")},
+         |             ${bmSql(idfSql(dfSql("customer")), "tf_c")})
+         |    + 0.5 * least(${bmSql(idfSql(dfSql("vector")), "tf_v")},
+         |                  ${bmSql(idfSql(dfSql("customer")), "tf_c")}) AS s
+         |  FROM (
+         |    SELECT doc_id, dlq, ${tfSql("vector")} AS tf_v, ${tfSql("customer")} AS tf_c
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf_v > 0 OR tf_c > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_synonym" ->
       s"""$PRELUDE

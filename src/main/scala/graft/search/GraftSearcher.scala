@@ -60,7 +60,7 @@ object ScorerBuilder {
         case _ => EmptyScorer
       }
 
-    case PhraseQ(terms, positions) =>
+    case PhraseQ(terms, positions, slop) =>
       val iters = terms.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
       if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
       else {
@@ -75,8 +75,15 @@ object ScorerBuilder {
             lo, hi, null, ctx.counters, live)
         case _ => throw new IllegalStateException
         }.toArray
-        new PhraseScorer(tis, positions.toArray, scorer, dScorer)
+        new PhraseScorer(tis, positions.toArray, scorer, dScorer, slop)
       }
+
+    case DisMaxQ(disjuncts, tieBreak) =>
+      val subs = disjuncts.map(build(_, boost, termBlocks, ctx, lo, hi, live))
+        .filterNot(_ eq EmptyScorer)
+      if (subs.isEmpty) EmptyScorer
+      else if (subs.size == 1) subs.head
+      else new DisMaxScorer(subs.toArray, tieBreak)
 
     case SynonymQ(terms) =>
       val present = terms.filter(t => termBlocks.contains(t) && ctx.docFreq.contains(t))

@@ -10,8 +10,19 @@ sealed trait Query extends Serializable
 
 final case class TermQ(term: String) extends Query
 /** positions = the analyzed position offset of each term inside the phrase
-  * (stop-filtered gaps preserved, like Lucene's QueryParser). */
-final case class PhraseQ(terms: Seq[String], positions: Seq[Int]) extends Query
+  * (stop-filtered gaps preserved, like Lucene's QueryParser). slop = 0 is
+  * the exact phrase; slop > 0 matches when every term has an occurrence
+  * within `slop` positions of the anchor implied by the first term — the
+  * anchored-window re-expression of Lucene's sloppy matching (reference:
+  * lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java;
+  * identical match sets for two-term phrases, where Lucene's edit-distance
+  * reduces to |Δposition - Δoffset| <= slop). */
+final case class PhraseQ(terms: Seq[String], positions: Seq[Int], slop: Int = 0) extends Query
+
+/** Max-of-disjuncts scoring: score = max + tieBreak * Σ(other matching
+  * clauses) (reference:
+  * lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java). */
+final case class DisMaxQ(disjuncts: Seq[Query], tieBreak: Float = 0f) extends Query
 final case class BoolQ(
     must: Seq[Query] = Nil,
     should: Seq[Query] = Nil,
@@ -97,6 +108,11 @@ object Query {
         case BoostQ(s2, b2) => BoostQ(s2, b * b2)
         case s => BoostQ(s, b)
       }
+    case DisMaxQ(ds0, tb) =>
+      val ds = ds0.map(rewrite).filterNot(_ == MatchNoneQ).distinct
+      if (ds.isEmpty) MatchNoneQ
+      else if (ds.size == 1) ds.head
+      else DisMaxQ(ds, tb)
     case BoolQ(must0, should0, mustNot0, msm) =>
       var must = must0.map(rewrite)
       var should = should0.map(rewrite).distinct
@@ -129,10 +145,11 @@ object Query {
   /** All index terms the (rewritten) query touches, pre-expansion. */
   def terms(q: Query): Set[String] = q match {
     case TermQ(t) => Set(t)
-    case PhraseQ(ts, _) => ts.toSet
+    case PhraseQ(ts, _, _) => ts.toSet
     case SynonymQ(ts) => ts.toSet
     case ConstSetQ(ts) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(terms).toSet
+    case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
     case BoostQ(sub, _) => terms(sub)
     case _ => Set.empty
   }
@@ -141,6 +158,7 @@ object Query {
   def multiTerms(q: Query): Seq[MultiTermQ] = q match {
     case mt: MultiTermQ => Seq(mt)
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(multiTerms)
+    case DisMaxQ(ds, _) => ds.flatMap(multiTerms)
     case BoostQ(sub, _) => multiTerms(sub)
     case _ => Nil
   }
@@ -346,10 +364,16 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
         if (peek.contains(RP)) pop()
         q
       case Phrase(text) =>
+        val slop = peek match {
+          case Some(Word(w)) if w.startsWith("~") && w.length > 1 &&
+              w.drop(1).forall(_.isDigit) =>
+            pop(); w.drop(1).toInt
+          case _ => 0
+        }
         val toks = analyzer.analyze(text).toSeq
         if (toks.isEmpty) MatchNoneQ
         else if (toks.size == 1) TermQ(toks.head.term)
-        else PhraseQ(toks.map(_.term), toks.map(_.position))
+        else PhraseQ(toks.map(_.term), toks.map(_.position), slop)
       case RangeT(body, inclL, inclU) =>
         val parts = body.split("\\s+TO\\s+", 2)
         val lo0 = if (parts.length > 0) parts(0).trim else ""

@@ -428,6 +428,51 @@ final class SynonymScorer(
   }
 }
 
+/** Max-of-disjuncts: score = max + tieBreak * Σ(other matching clauses),
+  * float loop verbatim from `DisjunctionMaxScorer.score` (reference:
+  * lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java). */
+final class DisMaxScorer(subs: Array[DocScorer], tieBreak: Float) extends DocScorer {
+  private val union = new DisjunctionSumScorer(subs)
+  override def docId: Long = union.docId
+  override def cost: Long = union.cost
+  override val maxScore: Float = {
+    var mx = 0f
+    var sum = 0.0
+    subs.foreach { s => sum += s.maxScore; mx = math.max(mx, s.maxScore) }
+    (mx + (sum - mx) * tieBreak).toFloat
+  }
+  override def nextDoc(): Long = union.nextDoc()
+  override def advance(target: Long): Long = union.advance(target)
+  override def score(): Float = {
+    var scoreMax = 0f
+    var otherSum = 0.0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == union.docId) {
+        val s = subs(i).score()
+        if (s >= scoreMax) { otherSum += scoreMax; scoreMax = s }
+        else otherSum += s
+      }
+      i += 1
+    }
+    (scoreMax + otherSum * tieBreak).toFloat
+  }
+  override def scoreD(): Double = {
+    var scoreMax = 0.0
+    var otherSum = 0.0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == union.docId) {
+        val s = subs(i).scoreD()
+        if (s >= scoreMax) { otherSum += scoreMax; scoreMax = s }
+        else otherSum += s
+      }
+      i += 1
+    }
+    scoreMax + otherSum * tieBreak.toDouble
+  }
+}
+
 /** Exact phrase: conjunction over term iterators + position verification
   * (two-phase iteration, `ExactPhraseMatcher`, reference:
   * lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:36-117).
@@ -438,7 +483,8 @@ final class PhraseScorer(
     terms: Array[TermIterator],
     offsets: Array[Int],
     scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+    dScorer: Bm25.DoubleScorer = null,
+    slop: Int = 0) extends DocScorer {
 
   private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
   private var freqCur = 0
@@ -465,7 +511,20 @@ final class PhraseScorer(
       var t = 1
       while (t < terms.length && ok) {
         val ps = terms(t).positionsOfCurrent()
-        ok = java.util.Arrays.binarySearch(ps, base + offsets(t)) >= 0
+        ok =
+          if (slop == 0) java.util.Arrays.binarySearch(ps, base + offsets(t)) >= 0
+          else {
+            // sloppy: any occurrence within `slop` of the anchored position
+            // (anchored-window matching; for 2-term phrases this is exactly
+            // Lucene's |Δposition - Δoffset| <= slop match set)
+            val want = base + offsets(t)
+            val ins = java.util.Arrays.binarySearch(ps, want)
+            ins >= 0 || {
+              val ip = -ins - 1
+              (ip < ps.length && ps(ip) - want <= slop) ||
+                (ip > 0 && want - ps(ip - 1) <= slop)
+            }
+          }
         t += 1
       }
       if (ok) count += 1

@@ -169,4 +169,47 @@ class SearchSpec extends AnyFunSuite {
   test("over-255-char token is not searchable but consumed a position") {
     assert(searcher.search("x" * 300, 10).isEmpty)
   }
+
+  test("sloppy phrase matches within the slop window, exact phrase does not") {
+    val micro = Seq(
+      CodeFile("r", "a", "c1", "txt", "alpha beta"),            // exact
+      CodeFile("r", "b", "c1", "txt", "alpha gap beta"),        // slop 1
+      CodeFile("r", "c", "c1", "txt", "alpha gap gap beta"),    // slop 2
+      CodeFile("r", "d", "c1", "txt", "alpha gap gap gap beta"),// slop 3
+      CodeFile("r", "e", "c1", "txt", "beta alpha"))            // reversed: slop 2
+    val idx = IndexBuilder.build(spark.createDataset(micro), IndexConfig(numPartitions = 2))
+    val s = new GraftSearcher(idx)
+    val paths = idx.docs.collect().map(d => d.docId -> d.path).toMap
+    def hits(q: String) = s.search(q, 10).map(h => paths(h.docId)).toSet
+    assert(hits("\"alpha beta\"") == Set("a"))
+    assert(hits("\"alpha beta\"~1") == Set("a", "b"))
+    assert(hits("\"alpha beta\"~2") == Set("a", "b", "c", "e"))
+    assert(hits("\"alpha beta\"~3") == Set("a", "b", "c", "d", "e"))
+    // parser shape + differential
+    assert(s.parse("\"alpha beta\"~2") == PhraseQ(Seq("alpha", "beta"), Seq(0, 1), 2))
+    val ast = s.parse("\"alpha beta\"~2")
+    assert(s.search(ast, 10, null).toSeq == s.bruteForce(ast, 10).toSeq)
+  }
+
+  test("dismax scores max + tieBreak * others and matches the union") {
+    val a = searcher.search("indexwriter", 1000).map(h => h.docId -> h.score).toMap
+    val b = searcher.search("mergepolicy", 1000).map(h => h.docId -> h.score).toMap
+    val q = DisMaxQ(Seq(TermQ("indexwriter"), TermQ("mergepolicy")), 0.5f)
+    val dm = searcher.search(q, 1000, null).map(h => h.docId -> h.score).toMap
+    assert(dm.keySet == a.keySet.union(b.keySet))
+    dm.foreach { case (d, s) =>
+      val sa = a.getOrElse(d, 0f)
+      val sb = b.getOrElse(d, 0f)
+      val expected = (math.max(sa, sb) + 0.5 * math.min(sa, sb)).toFloat
+      assert(math.abs(s - expected) < 1e-6f, s"doc $d: $s vs $expected")
+    }
+    // tieBreak 0 = pure max
+    val dm0 = searcher.search(DisMaxQ(Seq(TermQ("indexwriter"), TermQ("mergepolicy")), 0f),
+      1000, null).map(h => h.docId -> h.score).toMap
+    dm0.foreach { case (d, s) =>
+      assert(s == math.max(a.getOrElse(d, 0f), b.getOrElse(d, 0f)))
+    }
+    // differential
+    assert(searcher.search(q, 10, null).toSeq == searcher.bruteForce(q, 10).toSeq)
+  }
 }
