@@ -52,6 +52,16 @@ object SegmentMerger {
       cfg: IndexConfig): Manifest = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    // INVARIANT: only docId-ADJACENT segments may merge. Global docIds never
+    // renumber (unlike Lucene's per-segment rebasing), so a merged segment
+    // spanning a docId gap owned by another live segment would emit posting
+    // blocks whose docId ranges overlap that segment's blocks — breaking the
+    // iterators' disjoint-sorted-blocks invariant (docs would be skipped).
+    // Merges therefore compact consecutive ranges, LSM-style.
+    val ordered = m.segments.sortBy(_.docBase)
+    val idxs = toMerge.map(s => ordered.indexWhere(_.name == s.name)).sorted
+    require(idxs.head >= 0 && idxs == (idxs.head to idxs.last),
+      s"merge group must be docId-adjacent segments, got ${toMerge.map(_.name)}")
     val gen = m.generation + 1
     val segName = f"seg-$gen%05d-merged"
     val segDir = s"$indexDir/$segName"
@@ -101,11 +111,9 @@ object SegmentMerger {
     newManifest
   }
 
-  /** Tiered compaction: while more than `maxSegments` live segments, merge
-    * the `mergeFactor` smallest into one — the driver-side planning loop
-    * standing in for `TieredMergePolicy.findMerges`
-    * (reference: lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java:312-430;
-    * defaults: <=10 segments/tier, merge <=10 at once, :96-103). */
+  /** Simple count-based compaction: while more than `maxSegments` live
+    * segments, merge the `mergeFactor` smallest into one (the blunt loop;
+    * the size-aware policy below is the production path). */
   def compact(
       spark: SparkSession,
       indexDir: String,
@@ -115,9 +123,128 @@ object SegmentMerger {
     var m = IndexStore.readManifest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
     while (m.segments.size > maxSegments) {
-      val smallest = m.segments.sortBy(_.docCount).take(mergeFactor)
-      m = mergeSegments(spark, indexDir, m, smallest, cfg)
+      // lightest CONSECUTIVE window (adjacency invariant, see mergeSegments)
+      val ordered = m.segments.sortBy(_.docBase)
+      val window = ordered.sliding(math.min(mergeFactor, ordered.size))
+        .minBy(_.map(_.docCount).sum)
+      m = mergeSegments(spark, indexDir, m, window, cfg)
     }
     m
+  }
+
+  /** On-disk byte size of a segment (all stage parquet files). */
+  def segmentSizeBytes(indexDir: String, segName: String): Long = {
+    val root = java.nio.file.Paths.get(indexDir, segName)
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  /** Size-tiered compaction driven by [[TieredPolicy.findMerges]] over the
+    * segments' real on-disk byte sizes: repeatedly plan + execute until the
+    * index fits its tier budget. */
+  def compactTiered(
+      spark: SparkSession,
+      indexDir: String,
+      cfg: IndexConfig = IndexConfig(),
+      policy: TieredPolicy = TieredPolicy()): Manifest = {
+    var m = IndexStore.readManifest(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+    var planned = TieredPolicy.findMerges(
+      m.segments, m.segments.map(s => s.name -> segmentSizeBytes(indexDir, s.name)).toMap, policy)
+    while (planned.nonEmpty) {
+      planned.foreach { group => m = mergeSegments(spark, indexDir, m, group, cfg) }
+      planned = TieredPolicy.findMerges(
+        m.segments, m.segments.map(s => s.name -> segmentSizeBytes(indexDir, s.name)).toMap, policy)
+    }
+    m
+  }
+}
+
+/** Size-tiered merge planning — the driver-side re-expression of Lucene's
+  * `TieredMergePolicy.findMerges` (reference:
+  * lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java:312-430;
+  * defaults :96-103: 10 segments/tier, merge <=10 at once, 2 MB floor,
+  * 5 GB max merged segment). Pure planning over (segment, bytes) pairs so
+  * tier selection is unit-testable without an index. */
+final case class TieredPolicy(
+    segsPerTier: Int = 10,
+    maxMergeAtOnce: Int = 10,
+    floorSegmentBytes: Long = 2L << 20,
+    maxMergedSegmentBytes: Long = 5L << 30)
+
+object TieredPolicy {
+
+  /** Plan the next round of merges (possibly empty). Mirrors the reference
+    * shape: a byte budget of `segsPerTier` segments per exponential size
+    * tier (each tier `maxMergeAtOnce`x the last, floored at
+    * `floorSegmentBytes`); if the index exceeds the budget, candidate
+    * windows are scored by size skew (balanced merges win) and the best
+    * window below `maxMergedSegmentBytes` is chosen. Oversized segments
+    * (> max/2) are never merge candidates, exactly like the reference.
+    *
+    * Deliberate deviation from the reference: candidate windows are
+    * CONSECUTIVE runs in docBase order, not arbitrary size-sorted picks —
+    * this engine's docIds are global and never renumber, so merges must
+    * compact adjacent docId ranges (LSM-style) to keep every term's blocks
+    * globally disjoint. Skew scoring still drives the pick, so equal-size
+    * runs of small segments win over big+small mixes. */
+  def findMerges(
+      segments: Seq[SegmentMeta],
+      sizes: Map[String, Long],
+      pol: TieredPolicy = TieredPolicy()): Seq[Seq[SegmentMeta]] = {
+    val ordered = segments.sortBy(_.docBase)
+      .map(s => s -> math.max(sizes.getOrElse(s.name, 0L), 1L))
+    val eligible = ordered.filter(_._2 <= pol.maxMergedSegmentBytes / 2)
+    if (eligible.size < 2) return Nil
+    val totalBytes = eligible.map(_._2).sum
+    val minSize = math.max(eligible.map(_._2).min, pol.floorSegmentBytes)
+
+    // allowed segment count: segsPerTier per exponential level
+    // (TieredMergePolicy.java:340-366)
+    var allowed = 0.0
+    var bytesLeft = totalBytes.toDouble
+    var levelSize = minSize.toDouble
+    var planning = true
+    while (planning) {
+      val segCountLevel = bytesLeft / levelSize
+      if (segCountLevel < pol.segsPerTier || levelSize >= pol.maxMergedSegmentBytes) {
+        allowed += math.ceil(segCountLevel)
+        planning = false
+      } else {
+        allowed += pol.segsPerTier
+        bytesLeft -= pol.segsPerTier * levelSize
+        levelSize = math.min(levelSize * pol.maxMergeAtOnce, pol.maxMergedSegmentBytes.toDouble)
+      }
+    }
+    if (eligible.size <= allowed) return Nil
+
+    // candidate windows: consecutive eligible runs in docBase order (an
+    // oversized neighbor ends the run), capped by size and maxMergeAtOnce
+    val oversize = ordered.map(_._2 > pol.maxMergedSegmentBytes / 2)
+    var best: (Double, Seq[SegmentMeta]) = null
+    for (start <- ordered.indices if !oversize(start)) {
+      var sum = 0L
+      val cand = collection.mutable.ArrayBuffer.empty[(SegmentMeta, Long)]
+      var i = start
+      var open = true
+      while (open && i < ordered.size && cand.size < pol.maxMergeAtOnce) {
+        if (oversize(i) || sum + ordered(i)._2 > pol.maxMergedSegmentBytes) open = false
+        else {
+          cand += ordered(i)
+          sum += ordered(i)._2
+          i += 1
+        }
+      }
+      if (cand.size > 1) {
+        val floored = cand.map(c => math.max(c._2, pol.floorSegmentBytes))
+        val skew = floored.max.toDouble / floored.sum
+        val score = skew * math.pow(sum.toDouble, 0.05)
+        if (best == null || score < best._1) best = (score, cand.map(_._1).toSeq)
+      }
+    }
+    if (best == null) Nil else Seq(best._2)
   }
 }
