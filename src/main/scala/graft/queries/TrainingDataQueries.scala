@@ -33,23 +33,79 @@ object TrainingDataQueries {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** MinHash signature columns h0..h3 over the distinct bigram-shingle set.
-    * Shingles (not unigrams) keep band buckets discriminative: with a small
-    * vocabulary, unigram signatures collapse into a handful of giant buckets
-    * whose band join degenerates to O(n^2) — the classic LSH skew failure.
-    * Measured on sf0.1: unigram bands -> max bucket 3165 docs / 5.3M pairs;
-    * bigram bands -> max bucket 28 / 10k pairs. */
-  private def minhashSig(d: DataFrame): DataFrame = {
-    val sh = d
-      .select(col("doc_id"), expr(TOKS).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))).as("s"))
-    sh.groupBy("doc_id").agg(
+  /** Deterministic +-1 hyperplanes for the sign-LSH ANN (seeded xorshift —
+    * fixed constants shared verbatim with the DuckDB oracle as a VALUES
+    * literal). 8 planes x 64 dims. */
+  private[queries] val KNN_PLANES: Array[Array[Int]] = Array.tabulate(8, 64) { (p, d) =>
+    var s = 42L ^ (p * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L)
+    s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+    if ((s & 1L) == 0L) 1 else -1
+  }
+
+  /** Sign-LSH bucket of a vector over floor(x*1000)-quantized components:
+    * plane dots are exact integer sums, so the bucket is order-independent
+    * and engine-portable. */
+  private[queries] def knnBucketOf(v: Array[Double]): Int = {
+    var b = 0
+    var p = 0
+    while (p < KNN_PLANES.length) {
+      var dotp = 0L
+      var d = 0
+      while (d < v.length) {
+        dotp += KNN_PLANES(p)(d) * math.floor(v(d) * 1000d).toLong
+        d += 1
+      }
+      if (dotp > 0) b |= (1 << p)
+      p += 1
+    }
+    b
+  }
+
+  /** Distinct bigram shingles per doc. Shingles (not unigrams) keep band
+    * buckets discriminative: with a small vocabulary, unigram signatures
+    * collapse into a handful of giant buckets whose band join degenerates to
+    * O(n^2) — the classic LSH skew failure. Measured on sf0.1: unigram
+    * bands -> max bucket 3165 docs / 5.3M pairs; bigram bands -> max bucket
+    * 28 / 10k pairs. */
+  private def shingles(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), expr(TOKS).as("tk"))
+    .filter(size(col("tk")) >= 2)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))).as("s"))
+
+  /** MinHash signature columns h0..h{n-1}: permutation i is the md5 of the
+    * shingle salted with '#i' (identical hash family in Spark and DuckDB). */
+  private def minhashSig(d: DataFrame, nPerms: Int): DataFrame =
+    shingles(d).groupBy("doc_id").agg(
       min(md5(concat(col("s"), lit("#0")))).as("h0"),
-      min(md5(concat(col("s"), lit("#1")))).as("h1"),
-      min(md5(concat(col("s"), lit("#2")))).as("h2"),
-      min(md5(concat(col("s"), lit("#3")))).as("h3"))
+      (1 until nPerms).map(i =>
+        min(md5(concat(col("s"), lit(s"#$i")))).as(s"h$i")): _*)
+
+  /** Banded-LSH candidate pairs: equi-join per band on the concatenated
+    * row hashes — never an all-pairs product. */
+  private def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    def pairsOf(band: DataFrame): DataFrame =
+      band.as("x").join(band.as("y"), col("x.band") === col("y.band"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      pairsOf(sig.select(col("doc_id"), concat(cols: _*).as("band")))
+    }.reduce(_ union _).distinct()
+  }
+
+  /** Candidate/verify: exact token-set Jaccard >= 0.8 on the LSH candidates. */
+  private def jaccardVerify(d: DataFrame, cands: DataFrame): DataFrame = {
+    val sets = d.select(col("doc_id"), array_distinct(expr(TOKS)).as("tk"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("tk").as("ta")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("tk").as("tb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("na"),
+        size(col("tb")).cast("long").as("nb"))
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4) // jaccard >= 0.8
+      .orderBy("a", "b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -60,28 +116,19 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
         .orderBy("h")
     }),
-    // MinHash -> banded LSH candidates (two equi-joins, the scale path)
-    // -> exact-Jaccard verify at >= 0.8 (candidate/verify pattern)
+    // MinHash -> banded LSH candidates (equi-joins, the scale path)
+    // -> exact-Jaccard verify at >= 0.8 (candidate/verify pattern).
+    // Contract demo config: 4 perms / 2 bands of 2.
     "td_dedup_minhash_lsh" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
-      val sig = minhashSig(d)
-      val bandA = sig.select(col("doc_id"), concat(col("h0"), col("h1")).as("band"))
-      val bandB = sig.select(col("doc_id"), concat(col("h2"), col("h3")).as("band"))
-      def pairsOf(band: DataFrame): DataFrame =
-        band.as("x").join(band.as("y"), col("x.band") === col("y.band"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val cands = pairsOf(bandA).union(pairsOf(bandB)).distinct()
-      val sets = d.select(col("doc_id"), array_distinct(expr(TOKS)).as("tk"))
-      cands
-        .join(sets.select(col("doc_id").as("a"), col("tk").as("ta")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("tk").as("tb")), "b")
-        .select(col("a"), col("b"),
-          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
-          size(col("ta")).cast("long").as("na"),
-          size(col("tb")).cast("long").as("nb"))
-        .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4) // jaccard >= 0.8
-        .orderBy("a", "b")
+      jaccardVerify(d, lshCandidates(minhashSig(d, 4), bands = 2, rowsPerBand = 2))
+    }),
+    // production config: 128 permutations / 16 bands of 8 (the standard
+    // near-dup operating point: ~0.8-Jaccard threshold with high recall);
+    // same md5 hash family, so the DuckDB oracle recomputes it exactly
+    "td_dedup_minhash_prod" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      jaccardVerify(d, lshCandidates(minhashSig(d, 128), bands = 16, rowsPerBand = 8))
     }),
     // blocked brute-force n-gram (token-set) Jaccard near-dup, block = lang
     "td_dedup_jaccard" -> ((spark, sfDir) => {
@@ -111,6 +158,24 @@ object TrainingDataQueries {
         when(col(s"s$d") > 0, lit(1L << (d - 1))).otherwise(lit(0L))
       }.reduce(_ + _)
       s.select(col("doc_id"), bits.as("simhash")).orderBy("doc_id")
+    }),
+    // production-width 64-bit SimHash: planes 0-31 from the high bit of each
+    // md5(tok) hex digit, planes 32-63 from md5(tok || 'b')
+    "td_dedup_simhash64" -> ((spark, sfDir) => {
+      val tf = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr(TOKS)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      def hashCol(d: Int): Column =
+        if (d <= 32) substring(md5(col("tok")), d, 1)
+        else substring(md5(concat(col("tok"), lit("b"))), d - 32, 1)
+      val sums: Seq[Column] = (1 to 64).map { d =>
+        sum(when(hashCol(d) >= "8", col("tf")).otherwise(-col("tf"))).as(s"s$d")
+      }
+      val s = tf.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      val bits: Column = (1 to 64).map { d =>
+        when(col(s"s$d") > 0, lit(1L << (d - 1))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      s.select(col("doc_id"), bits.as("simhash64")).orderBy("doc_id")
     }),
     // ---- text analysis ----
     "td_langid" -> ((spark, sfDir) => {
@@ -169,57 +234,32 @@ object TrainingDataQueries {
         .limit(5)
     }),
     // LSH-bucketed ANN (random-hyperplane sign buckets; probe Hamming<=1):
-    // the 100 TB scale path — bucket equi-filter instead of all-pairs scan
+    // the 100 TB scale path — bucket equi-filter instead of all-pairs scan.
+    // Bucketing runs on floor(x*1000) INTEGER-quantized embeddings so every
+    // plane dot is exact integer arithmetic — order-independent and
+    // bit-identical in the DuckDB oracle (which carries the same +-1 plane
+    // matrix as literals). Cosine verification stays full-precision.
     "td_knn_lsh" -> ((spark, sfDir) => {
       import spark.implicits._
-      val nPlanes = 8
-      val dim = 64
-      // deterministic seeded hyperplanes (xorshift), +-1 components
-      val planes = Array.tabulate(nPlanes, dim) { (p, d) =>
-        var s = 42L ^ (p * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L)
-        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-        if ((s & 1L) == 0L) 1.0 else -1.0
-      }
-      def bucketOf(v: Array[Double]): Int = {
-        var b = 0
-        var p = 0
-        while (p < nPlanes) {
-          var dotp = 0.0
-          var d = 0
-          while (d < dim) { dotp += planes(p)(d) * v(d); d += 1 }
-          if (dotp > 0) b |= (1 << p)
-          p += 1
-        }
-        b
-      }
       val e = emb(spark, sfDir)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val qn = math.sqrt(q.map(x => x * x).sum)
-      val qb = bucketOf(q)
+      val qb = knnBucketOf(q)
       // probe set: query bucket + all Hamming-1 neighbors
-      val probe = (Set(qb) ++ (0 until nPlanes).map(p => qb ^ (1 << p))).toArray
-      val qB = spark.sparkContext.broadcast((q, planes, probe, qn))
+      val probe = (Set(qb) ++ KNN_PLANES.indices.map(p => qb ^ (1 << p))).toArray
+      val qB = spark.sparkContext.broadcast((q, probe, qn))
       e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
-          val (qv, pl, pr, qnorm) = qB.value
+          val (qv, pr, qnorm) = qB.value
           val probeSet = pr.toSet
           it.flatMap { case (id, vf) =>
             val v = new Array[Double](vf.length)
             var i = 0
             while (i < vf.length) { v(i) = vf(i).toDouble; i += 1 }
-            var b = 0
-            var p = 0
-            while (p < pl.length) {
-              var dotp = 0.0
-              var d = 0
-              while (d < v.length) { dotp += pl(p)(d) * v(d); d += 1 }
-              if (dotp > 0) b |= (1 << p)
-              p += 1
-            }
-            if (!probeSet.contains(b)) None
+            if (!probeSet.contains(knnBucketOf(v))) None
             else {
               var dot = 0.0
               var vn = 0.0
@@ -262,6 +302,94 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** 128-perm / 16-band oracle, generated from the same parameters the
+    * Spark query uses (band-key concat equality == per-column equality for
+    * fixed-width md5 hex). */
+  private def minhashProdOracle: String = {
+    val aggs = (0 until 128).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+    val bandJoins = (0 until 16).map { b =>
+      val eqs = (b * 8 until (b + 1) * 8).map(i => s"x.h$i = y.h$i").mkString(" AND ")
+      s"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON $eqs AND x.doc_id < y.doc_id"
+    }.mkString("\n    UNION\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk)-1),
+       |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+       |  WHERE len(tk) >= 2
+       |), sig AS (
+       |  SELECT doc_id, $aggs
+       |  FROM (SELECT doc_id, unnest(bg) AS s FROM sh)
+       |  GROUP BY doc_id
+       |), cand AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    $bandJoins
+       |  )
+       |), sets AS (SELECT doc_id, list_distinct($TOKS) AS tk FROM documents)
+       |SELECT a, b, len(list_intersect(sa.tk, sb.tk)) AS inter,
+       |       len(sa.tk) AS na, len(sb.tk) AS nb
+       |FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
+       |WHERE len(list_intersect(sa.tk, sb.tk)) * 9 >= (len(sa.tk) + len(sb.tk)) * 4
+       |ORDER BY a, b""".stripMargin
+  }
+
+  private def simhash64Oracle: String = {
+    def hashSql(d: Int): String =
+      if (d <= 32) s"substr(md5(tok), $d, 1)"
+      else s"substr(md5(tok || 'b'), ${d - 32}, 1)"
+    val sumExprs = (1 to 64).map { d =>
+      s"sum(CASE WHEN ${hashSql(d)} >= '8' THEN tf ELSE -tf END) AS s$d"
+    }.mkString(",\n    ")
+    val bitExprs = (1 to 64).map { d =>
+      s"(CASE WHEN s$d > 0 THEN ${1L << (d - 1)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+       |  GROUP BY doc_id, tok
+       |), s AS (
+       |  SELECT doc_id,
+       |    $sumExprs
+       |  FROM tf GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($bitExprs AS BIGINT) AS simhash64 FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sign-LSH ANN oracle: the same +-1 plane matrix as a VALUES literal,
+    * buckets from exact integer dots over floor(x*1000) quantization,
+    * Hamming<=1 probe, full-precision cosine on the candidates. */
+  private def knnLshOracle: String = {
+    val planeRows = (for {
+      p <- KNN_PLANES.indices
+      d <- KNN_PLANES(p).indices
+    } yield s"($p,$d,${KNN_PLANES(p)(d)})").mkString(",")
+    s"""WITH planes(p, d, w) AS (VALUES $planeRows),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), qz AS (
+       |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * 1000) AS BIGINT)) AS vq
+       |  FROM e
+       |), dots AS (
+       |  SELECT qz.vec_id, planes.p, sum(planes.w * qz.vq[planes.d + 1]) AS dot
+       |  FROM qz, planes GROUP BY qz.vec_id, planes.p
+       |), buck AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS b
+       |  FROM dots GROUP BY vec_id
+       |), qb AS (SELECT b AS qbb FROM buck WHERE vec_id = 0),
+       |qv AS (SELECT ve AS qe FROM e WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.ve FROM e JOIN buck ON e.vec_id = buck.vec_id, qb
+       |  WHERE e.vec_id <> 0 AND bit_count(CAST(xor(buck.b, qbb) AS BIGINT)) <= 1
+       |)
+       |SELECT vec_id, round(
+       |  list_sum(list_transform(generate_series(1, len(ve)), i -> ve[i] * qe[i])) /
+       |  (sqrt(list_sum(list_transform(ve, x -> x * x))) *
+       |   sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+       |FROM cand, qv ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  }
 
   private def simhashOracle: String = {
     val sumExprs = (1 to 16).map { d =>
@@ -321,7 +449,10 @@ object TrainingDataQueries {
          |FROM sets x JOIN sets y ON x.lang = y.lang AND x.doc_id < y.doc_id
          |WHERE len(list_intersect(x.tk, y.tk)) * 3 >= len(x.tk) + len(y.tk)
          |ORDER BY a, b""".stripMargin,
+    "td_dedup_minhash_prod" -> minhashProdOracle,
     "td_dedup_simhash" -> simhashOracle,
+    "td_dedup_simhash64" -> simhash64Oracle,
+    "td_knn_lsh" -> knnLshOracle,
     "td_langid" ->
       s"""SELECT doc_id, len(tk) AS n_toks,
          |  len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) AS en_hits,
