@@ -286,24 +286,35 @@ final class GraftSearcher(
     val payload =
       if (!index.hasDeletes) assigned
       else assigned.union(index.deletes.map(d => ((d / span).toInt, null: BlockRow, d)))
-    val pids = spark.range(0, nParts.toLong).map(_.toInt)
     val qB = q
     val fB = f
-    pids.groupByKey(identity).cogroup(payload.groupByKey(_._1)) {
-      (pid, _, rowsIt) =>
-        val rows = rowsIt.toArray
-        val termBlocks: Map[String, Array[BlockRow]] =
-          rows.collect { case (_, blk, _) if blk != null => blk }
-            .groupBy(_.term)
-            .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
-        val deleted = rows.collect { case (_, blk, d) if blk == null && d >= 0 => d }
-        val live = if (deleted.isEmpty) null else {
-          java.util.Arrays.sort(deleted)
-          new LiveDocs(deleted)
-        }
-        val lo = pid.toLong * span
-        val hi = math.min(lo + span, maxDoc)
-        fB(qB, termBlocks, lo, hi, live)
+    def runRange(pid: Int, rowsIt: Iterator[(Int, BlockRow, Long)]): Iterator[T] = {
+      val rows = rowsIt.toArray
+      val termBlocks: Map[String, Array[BlockRow]] =
+        rows.collect { case (_, blk, _) if blk != null => blk }
+          .groupBy(_.term)
+          .map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
+      val deleted = rows.collect { case (_, blk, d) if blk == null && d >= 0 => d }
+      val live = if (deleted.isEmpty) null else {
+        java.util.Arrays.sort(deleted)
+        new LiveDocs(deleted)
+      }
+      val lo = pid.toLong * span
+      val hi = math.min(lo + span, maxDoc)
+      fB(qB, termBlocks, lo, hi, live)
+    }
+    if (!Query.containsMatchAll(q)) {
+      // ordinary queries match nothing in a range without posting blocks —
+      // one grouped scatter, no synthetic range driver
+      payload.groupByKey(_._1).flatMapGroups(runRange _)
+    } else {
+      // MatchAll-anchored queries (e.g. NOT) must visit EVERY doc range,
+      // including ranges that received no blocks: cogroup against the full
+      // range list so empty ranges still execute
+      val pids = spark.range(0, nParts.toLong).map(_.toInt)
+      pids.groupByKey(identity).cogroup(payload.groupByKey(_._1)) {
+        (pid, _, rowsIt) => runRange(pid, rowsIt)
+      }
     }
   }
 

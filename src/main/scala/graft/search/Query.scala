@@ -154,6 +154,16 @@ object Query {
     case _ => Set.empty
   }
 
+  /** Does the tree contain MatchAll (e.g. a NOT anchor)? Such queries must
+    * visit every doc range, even ranges holding no posting blocks. */
+  def containsMatchAll(q: Query): Boolean = q match {
+    case MatchAllQ => true
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(containsMatchAll)
+    case DisMaxQ(ds, _) => ds.exists(containsMatchAll)
+    case BoostQ(sub, _) => containsMatchAll(sub)
+    case _ => false
+  }
+
   /** All multi-term (dictionary-predicate) sub-queries. */
   def multiTerms(q: Query): Seq[MultiTermQ] = q match {
     case mt: MultiTermQ => Seq(mt)

@@ -1,0 +1,69 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.fixtures.CodeCorpus
+import graft.index._
+
+/** Physical-plan audits: the properties that make the engine hold at scale
+  * must be visible in the executed plan, not assumed — term predicates
+  * reach the parquet scan (the dictionary seek), projection pruning reaches
+  * ReadSchema, dimension joins broadcast. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val index = IndexBuilder.build(
+    spark.createDataset(CodeCorpus.files(300))(
+      org.apache.spark.sql.Encoders.product[CodeFile]),
+    IndexConfig(numPartitions = 2))
+
+  private def blockScanPlan(q: Query): String = {
+    val pred = Query.blockPredicate(q).get
+    index.blocks.filter(pred).queryExecution.executedPlan.toString
+  }
+
+  test("exact term lookup pushes an In/EqualTo filter to the parquet scan") {
+    val plan = blockScanPlan(TermQ("indexwriter"))
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term"),
+      plan.take(2000))
+  }
+
+  test("prefix queries push StringStartsWith (row-group min/max pruning)") {
+    val plan = blockScanPlan(PrefixQ("merge"))
+    assert(plan.contains("StringStartsWith(term,merge"), plan.take(2000))
+  }
+
+  test("wildcard with a literal prefix pushes that prefix") {
+    val plan = blockScanPlan(WildcardQ("merge*cy"))
+    assert(plan.contains("StringStartsWith(term,merge"), plan.take(2000))
+  }
+
+  test("term ranges push bound filters") {
+    val plan = blockScanPlan(TermRangeQ("if", "import", true, true))
+    assert(plan.contains("GreaterThanOrEqual(term,if"), plan.take(2000))
+    assert(plan.contains("LessThanOrEqual(term,import"), plan.take(2000))
+  }
+
+  test("block scan prunes to the block schema only (no stored fields)") {
+    val plan = blockScanPlan(TermQ("indexwriter"))
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("content"), "block scan must not read doc content")
+  }
+
+  test("star join broadcasts every dimension side") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("q_join_star")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q1 scan prunes lineitem columns to the aggregated subset") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("q1_agg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the shipdate filter must be pushed and unneeded columns dropped
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    assert(!plan.contains("l_comment"), "scan reads columns the query never touches")
+  }
+}
