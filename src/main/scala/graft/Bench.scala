@@ -111,7 +111,11 @@ object Bench {
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":${docsPerSec.toLong}%d,"corpus_docs":$corpusDocs%d,"cpus":$cpus,"sf":"$sfDir"}""")
+    // pruning evidence: posting blocks decoded vs skipped whole on impact
+    // metadata across the search_* benches above (block-max WAND/conjunction)
+    val dec: Long = searcher.counters.decoded.value
+    val skp: Long = searcher.counters.skipped.value
+    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":${docsPerSec.toLong}%d,"corpus_docs":$corpusDocs%d,"cpus":$cpus,"blocks_decoded":$dec%d,"blocks_skipped":$skp%d,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

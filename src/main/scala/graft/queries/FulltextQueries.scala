@@ -223,6 +223,146 @@ object FulltextQueries {
           .orderBy(desc("score"), asc("doc_id")).limit(10)
           .select(col("doc_id"), col("score"))
       }
+    }),
+    // totalHits: exact match count for a query (TotalHits EQUAL_TO surface;
+    // the distributed count never collects the match set to the driver)
+    "ft_count" -> ((spark, sfDir) => {
+      val (_, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("vector OR customer")).toDF("docId")
+        .agg(count(lit(1)).as("total_hits"))
+    }),
+    // grouping module (lucene/grouping TopGroups: top-N docs per group over a
+    // match set) — window row_number per lang bucket, longest docs first
+    "ft_group" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("vector OR table")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang"), col("len")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val w = Window.partitionBy("lang").orderBy(desc("len"), asc("doc_id"))
+      m.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("lang"), col("rnk"), col("doc_id"),
+          col("len").cast("long").as("n_tokens"))
+        .orderBy("lang", "rnk")
+    }),
+    // SignificantTermsStream: terms over-represented in the 'spark' match set
+    // vs the whole corpus (score = ln of the doc-frequency lift). fg counts
+    // come from decoding the REAL posting blocks and semi-joining the match
+    // set; at cluster scale this is the same shape — a postings scan joined
+    // on docId (no all-pairs, no driver collect of postings).
+    "ft_sigterms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("spark")).toDF("docId")
+      val mc = m.count()
+      val nDocs = index.fieldStats.docCount
+      val pairs = index.blocks.as[BlockRow].flatMap { b =>
+        val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId,
+          b.blockTtf, b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc,
+          b.impactFreqs.zip(b.impactNorms).map { case (f, nn) => Impact(f, nn) })
+        PostingsCodec.decodeDocs(eb).iterator.map(d => (b.term, d))
+      }.toDF("term", "docId")
+      pairs.join(broadcast(m), "docId")
+        .groupBy("term").agg(count(lit(1)).as("fg_df"))
+        .join(index.termStats.toDF().select($"term", $"docFreq".as("doc_freq")), "term")
+        .filter($"fg_df" >= 3 && $"doc_freq" >= 3)
+        .withColumn("score", round(
+          log(($"fg_df".cast("double") / lit(mc.toDouble)) /
+            ($"doc_freq".cast("double") / lit(nDocs.toDouble))), 4))
+        .orderBy(desc("score"), asc("term"))
+        .limit(10)
+        .select($"term", $"fg_df", $"doc_freq", $"score")
+    }),
+    // highlighter (lucene/highlighter): first-occurrence token position comes
+    // from the INDEX position postings (unified-highlighter style), snippet
+    // is a +-2-token window re-tokenized from the stored text join-back
+    "ft_highlight" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val firstPos = index.blocks.filter($"term" === "vector").as[BlockRow]
+        .flatMap { b =>
+          val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId,
+            b.blockTtf, b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc,
+            b.impactFreqs.zip(b.impactNorms).map { case (f, nn) => Impact(f, nn) })
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          // index positions are 0-based; expose 1-based to match the oracle's
+          // list_position (also a hard check that stored positions = token order)
+          docs.indices.iterator.map(i => (docs(i), poss(i)(0) + 1L))
+        }.toDF("docId", "pos")
+      firstPos
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(DocsIndex.documents(spark, sfDir).select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .withColumn("s", greatest(lit(1L), col("pos") - 2))
+        .withColumn("e", least(size(col("tk")).cast("long"), col("pos") + 2))
+        .select(col("doc_id"), col("pos"),
+          array_join(
+            slice(col("tk"), col("s").cast("int"), (col("e") - col("s") + 1).cast("int")),
+            " ").as("snippet"))
+        .orderBy("doc_id")
+    }),
+    // spellcheck (lucene/suggest DirectSpellChecker): correction candidates
+    // for a misspelled input straight from the term dictionary — edit
+    // distance <= 2, ranked distance-first then by popularity (docFreq desc)
+    "ft_suggest" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats.toDF()
+        .select($"term", $"docFreq".as("doc_freq"),
+          levenshtein($"term", lit("sorw")).cast("long").as("dist"))
+        .filter($"dist" <= 2)
+        .orderBy(asc("dist"), desc("doc_freq"), asc("term"))
+        .limit(5)
+    }),
+    // autocomplete (lucene/suggest completion): prefix completions ranked by
+    // docFreq — the dictionary scan is a parquet min/max range seek
+    "ft_complete" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats.toDF()
+        .filter($"term".startsWith("s"))
+        .select($"term", $"docFreq".as("doc_freq"))
+        .orderBy(desc("doc_freq"), asc("term"))
+        .limit(5)
+    }),
+    // MoreLikeThis (lucene/queries mlt.MoreLikeThis): re-analyze doc 42's
+    // stored text, pick the top-5 terms by tf*idf (minTermFreq=2,
+    // minDocFreq=5 — the MLT defaults) with df from the real term dictionary,
+    // then run the interesting-terms OR query through the scored engine
+    "ft_mlt" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val srcText = DocsIndex.documents(spark, sfDir)
+        .filter(col("doc_id") === 42).select("text").as[String].collect()
+      lazy val empty = spark.createDataFrame(Seq.empty[(Long, Double)]).toDF("doc_id", "score")
+      if (srcText.isEmpty) empty
+      else {
+        val tf = graft.analysis.Analyzers.simple.analyze(srcText.head)
+          .toSeq.groupBy(_.term).map { case (t, ts) => t -> ts.size }
+        val cand = tf.filter(_._2 >= 2).keys.toSeq.sorted
+        val dfMap =
+          if (cand.isEmpty) Map.empty[String, Long]
+          else index.termStats.filter($"term".isin(cand: _*)).collect()
+            .map(t => t.term -> t.docFreq).toMap
+        val n = index.fieldStats.docCount
+        val top = cand.flatMap { t =>
+          dfMap.get(t).filter(_ >= 5).map { df =>
+            (t, tf(t) * math.log(1 + (n - df + 0.5) / (df + 0.5)))
+          }
+        }.sortBy { case (t, s) => (-s, t) }.take(5).map(_._1)
+        if (top.isEmpty) empty
+        else {
+          val q = graft.search.BoolQ(should = top.map(graft.search.TermQ(_)))
+          searcher.searchDoubleDS(q, 11).toDF()
+            .join(DocsIndex.docIdMap(index), "docId")
+            .filter(col("doc_id") =!= 42)
+            .orderBy(desc("score"), asc("doc_id")).limit(10)
+            .select(col("doc_id"), col("score"))
+        }
+      }
     })
   )
 
@@ -412,6 +552,73 @@ object FulltextQueries {
          |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
-         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+    "ft_count" ->
+      s"""SELECT count(*) AS total_hits
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
+    "ft_group" ->
+      s"""SELECT lang, rnk, doc_id, n_tokens FROM (
+         |  SELECT lang, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM (SELECT lang, doc_id, len(tk) AS n_tokens, tk
+         |        FROM (SELECT lang, doc_id, $TOKS AS tk FROM documents))
+         |  WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')
+         |) WHERE rnk <= 2 ORDER BY lang, rnk""".stripMargin,
+    "ft_sigterms" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |m AS (SELECT doc_id, tk FROM toks WHERE list_contains(tk, 'spark')),
+         |fg AS (SELECT tok AS term, count(*) AS fg_df
+         |       FROM (SELECT unnest(list_distinct(tk)) AS tok FROM m) GROUP BY tok),
+         |bg AS (SELECT tok AS term, count(*) AS doc_freq
+         |       FROM (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks) GROUP BY tok),
+         |st AS (SELECT count(*) AS n FROM toks),
+         |mc AS (SELECT count(*) AS c FROM m)
+         |SELECT term, fg_df, doc_freq,
+         |  round(ln((CAST(fg_df AS DOUBLE) / mc.c) / (CAST(doc_freq AS DOUBLE) / st.n)), 4) AS score
+         |FROM fg JOIN bg USING (term), st, mc
+         |WHERE fg_df >= 3 AND doc_freq >= 3
+         |ORDER BY score DESC, term LIMIT 10""".stripMargin,
+    "ft_highlight" ->
+      s"""SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         |  array_to_string(tk[greatest(1, p - 2):least(len(tk), p + 2)], ' ') AS snippet
+         |FROM (SELECT doc_id, $TOKS AS tk,
+         |             list_position($TOKS, 'vector') AS p FROM documents)
+         |WHERE p IS NOT NULL AND p > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_suggest" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(levenshtein(tok, 'sorw') AS BIGINT) AS dist
+         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |GROUP BY tok
+         |HAVING levenshtein(tok, 'sorw') <= 2
+         |ORDER BY dist, doc_freq DESC, term LIMIT 5""".stripMargin,
+    "ft_complete" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq
+         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |WHERE tok LIKE 's%'
+         |GROUP BY tok
+         |ORDER BY doc_freq DESC, term LIMIT 5""".stripMargin,
+    "ft_mlt" ->
+      s"""$PRELUDE,
+         |bg AS (SELECT tok AS term, count(*) AS df
+         |       FROM (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks) GROUP BY tok),
+         |srctf AS (SELECT tok AS term, count(*) AS tf
+         |          FROM (SELECT unnest(tk) AS tok FROM toks WHERE doc_id = 42) GROUP BY tok),
+         |top5 AS (SELECT s.term FROM srctf s JOIN bg USING (term), st
+         |         WHERE s.tf >= 2 AND bg.df >= 5
+         |         ORDER BY s.tf * ln(1 + (st.n - bg.df + 0.5) / (bg.df + 0.5)) DESC, s.term
+         |         LIMIT 5),
+         |per AS (SELECT dl.doc_id, dl.dlq, t.term, bg.df,
+         |               len(list_filter(dl.tk, x -> x = t.term)) AS tf
+         |        FROM dl CROSS JOIN top5 t JOIN bg ON bg.term = t.term)
+         |SELECT doc_id, round(sum(CASE WHEN tf = 0 THEN 0.0
+         |    ELSE ln(1 + (st.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1))
+         |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END), 4) AS score
+         |FROM per, st
+         |WHERE doc_id <> 42
+         |GROUP BY doc_id
+         |HAVING max(tf) > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

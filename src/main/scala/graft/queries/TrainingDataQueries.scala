@@ -273,6 +273,34 @@ object TrainingDataQueries {
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(5)
     }),
+    // embedding-cosine near-dup: sign-LSH bucket equi-join (the 100 TB scale
+    // shape — candidates come from a single shuffle on the bucket key, never
+    // an all-pairs product), full-precision cosine verification on the
+    // candidate pairs. The synthetic corpus has no planted duplicates, so the
+    // query surfaces the top candidate pairs above a 0.3 floor; a production
+    // near-dup run only changes the threshold.
+    "td_dedup_embed" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir)
+      val withB = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, vf) =>
+          val v = vf.map(_.toDouble)
+          (id, knnBucketOf(v), v)
+        }.toDF("vec_id", "b", "ve")
+      val cand = withB.as("x").join(withB.as("y"),
+        col("x.b") === col("y.b") && col("x.vec_id") < col("y.vec_id"))
+      val dot = aggregate(
+        zip_with(col("x.ve"), col("y.ve"), (p, q) => p * q),
+        lit(0.0), (acc, v) => acc + v)
+      def norm(side: String) = sqrt(aggregate(col(s"$side.ve"), lit(0.0),
+        (acc, x) => acc + x * x))
+      cand
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(dot / (norm("x") * norm("y")), 4).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(desc("cos"), asc("a"), asc("b"))
+        .limit(20)
+    }),
     // ---- multimodal binary pipeline (decode step is a deterministic stub:
     // no image/audio libs in this container; the Spark-side plumbing —
     // binary column, typed batch iterator, schema — is real) ----
@@ -391,6 +419,43 @@ object TrainingDataQueries {
        |FROM cand, qv ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  /** Embedding near-dup oracle: same plane literals and integer-quantized
+    * bucketing as [[knnLshOracle]], pairs from a bucket self-join, cosine
+    * rounded before the threshold/ordering. */
+  private def dedupEmbedOracle: String = {
+    val planeRows = (for {
+      p <- KNN_PLANES.indices
+      d <- KNN_PLANES(p).indices
+    } yield s"($p,$d,${KNN_PLANES(p)(d)})").mkString(",")
+    s"""WITH planes(p, d, w) AS (VALUES $planeRows),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), qz AS (
+       |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * 1000) AS BIGINT)) AS vq
+       |  FROM e
+       |), dots AS (
+       |  SELECT qz.vec_id, planes.p, sum(planes.w * qz.vq[planes.d + 1]) AS dot
+       |  FROM qz, planes GROUP BY qz.vec_id, planes.p
+       |), buck AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS b
+       |  FROM dots GROUP BY vec_id
+       |), cand AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, ex.ve AS va, ey.ve AS vb
+       |  FROM buck x JOIN buck y ON x.b = y.b AND x.vec_id < y.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |)
+       |SELECT a, b, cos FROM (
+       |  SELECT a, b, round(
+       |    list_sum(list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])) /
+       |    (sqrt(list_sum(list_transform(va, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(vb, x -> x * x)))), 4) AS cos
+       |  FROM cand
+       |) WHERE cos >= 0.3 ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
+  }
+
   private def simhashOracle: String = {
     val sumExprs = (1 to 16).map { d =>
       s"sum(CASE WHEN substr(md5(tok), $d, 1) >= '8' THEN tf ELSE -tf END) AS s$d"
@@ -453,6 +518,7 @@ object TrainingDataQueries {
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
     "td_knn_lsh" -> knnLshOracle,
+    "td_dedup_embed" -> dedupEmbedOracle,
     "td_langid" ->
       s"""SELECT doc_id, len(tk) AS n_toks,
          |  len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) AS en_hits,

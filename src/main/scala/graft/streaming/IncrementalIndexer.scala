@@ -45,7 +45,15 @@ object IncrementalIndexer {
       .start()
   }
 
-  /** Commit one micro-batch as one segment (skips if already committed). */
+  /** Commit one micro-batch as one segment (skips if already committed).
+    *
+    * SINGLE-WRITER contract: the manifest read-modify-write here is not
+    * atomic against a concurrent `SegmentMerger.compact` on the same index
+    * dir — exactly Lucene's rule that one `IndexWriter` (holding write.lock)
+    * owns an index at a time (reference:
+    * lucene/core/src/java/org/apache/lucene/index/IndexWriter.java write.lock).
+    * Run compaction from the same single writer (e.g. inside foreachBatch
+    * between commits), never as a parallel job. */
   def commitBatch(
       batch: Dataset[CodeFile],
       batchId: Long,
