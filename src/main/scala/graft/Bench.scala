@@ -31,6 +31,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // host calibration markers, measured FIRST: this sandbox's anonymous
+    // page faults run ~500x slow in bad windows and CPU bursts swing >10x
+    // between runs (BASELINE.md postmortem), so every absolute number below
+    // only means something relative to these two denominators.
+    //  - calib_fault_sec: allocate + touch 512 MB fresh heap (the fault path)
+    //  - calib_cpu_sec:   fixed pure-ALU loop (the CPU-starvation path)
+    // BASELINE.md records good-window values; compare ratios, not absolutes.
+    val calibFault = {
+      val t0 = System.nanoTime()
+      val arr = new Array[Long](64 << 20)
+      var acc = 0L
+      var i = 0
+      while (i < arr.length) { arr(i) = i * 0x9E3779B97F4A7C15L; acc ^= arr(i); i += 1 }
+      if (acc == 42L) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibCpu = {
+      val t0 = System.nanoTime()
+      var h = 0x123456789L
+      var i = 0
+      while (i < (1 << 27)) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      if (h == 42L) print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    //  - calib_disk_sec: buffered 128 MB write to tmp (the segment/shuffle
+    //    write path; this box throttles to ~20 MB/s in bad windows vs
+    //    >500 MB/s in good ones — the single biggest swing dimension)
+    val calibDisk = {
+      val chunk = Array.tabulate[Byte](1 << 20)(_.toByte)
+      val f = java.io.File.createTempFile("graft-calib-", ".bin")
+      val t0 = System.nanoTime()
+      val os = new java.io.FileOutputStream(f)
+      try { var i = 0; while (i < 128) { os.write(chunk); i += 1 } } finally os.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f.delete()
+      sec
+    }
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // this host suffers tens-of-seconds noisy-neighbor CPU-starvation bursts
     // (BASELINE.md postmortem): a single timing can be 5-15x off, so every
@@ -67,7 +105,7 @@ object Bench {
     // ScalingBench's warm-up)
     IndexBuilder.build(files.limit(20000), IndexConfig(numPartitions = cpus.toInt))
       .blocks.count()
-    val index = timedBest("index_build", 2) {
+    val index = timedBest("index_build", 3) {
       val idx = IndexBuilder.build(files, IndexConfig(numPartitions = cpus.toInt))
       idx.blocks.count() // force full materialization
       idx
@@ -115,7 +153,7 @@ object Bench {
     // metadata across the search_* benches above (block-max WAND/conjunction)
     val dec: Long = searcher.counters.decoded.value
     val skp: Long = searcher.counters.skipped.value
-    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":${docsPerSec.toLong}%d,"corpus_docs":$corpusDocs%d,"cpus":$cpus,"blocks_decoded":$dec%d,"blocks_skipped":$skp%d,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":${docsPerSec.toLong}%d,"corpus_docs":$corpusDocs%d,"cpus":$cpus,"blocks_decoded":$dec%d,"blocks_skipped":$skp%d,"calib_fault_sec":$calibFault%.3f,"calib_cpu_sec":$calibCpu%.3f,"calib_disk_sec":$calibDisk%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,7 +80,8 @@ object SegmentMerger {
     if (!done(docsPath)) {
       val docs = toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/docmeta").as[DocRow])
         .reduce(_ union _)
-      purge(docs, "docId").write.mode("overwrite").parquet(docsPath)
+      purge(docs, "docId").write.mode("overwrite")
+        .option("compression", "zstd").parquet(docsPath)
     }
     if (!done(blocksPath)) {
       val allBlocks = toMerge.map(s => spark.read.parquet(s"$indexDir/${s.name}/postings").as[BlockRow])
@@ -88,11 +89,11 @@ object SegmentMerger {
       val postings = purge(decodeToPostings(allBlocks), "docId")
       IndexBuilder.encodeBlocks(postings, cfg, toMerge.map(_.maxDocId).max + 1,
           toMerge.map(_.sumTotalTermFreq).sum)
-        .write.mode("overwrite").parquet(blocksPath)
+        .write.mode("overwrite").option("compression", "zstd").parquet(blocksPath)
     }
     if (!done(statsPath)) {
       IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])
-        .write.mode("overwrite").parquet(statsPath)
+        .write.mode("overwrite").option("compression", "zstd").parquet(statsPath)
     }
     val mergedDocs = spark.read.parquet(docsPath).as[DocRow]
     val fs = IndexBuilder.fieldStatsOf(mergedDocs)

@@ -157,6 +157,19 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
     }),
+    // IndexOrDocValuesQuery composition: term match via the inverted index,
+    // numeric range via the doc-values column (index.docs.len) — Lucene picks
+    // per-segment between postings and docvalues; here Catalyst joins the
+    // match set against the column store
+    "ft_match_docvalues" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .filter(col("len").between(50, 80))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // ---- deletes: tombstoned docs (doc_id % 7 == 0) stop matching every
     // query shape immediately — term sets, NOT/MatchAll anchors, and scored
     // top-k all honor the .liv-analog tombstones ----
@@ -447,6 +460,10 @@ object FulltextQueries {
          |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)
          |    + (CASE WHEN list_contains(tk, 'customer') THEN 1 ELSE 0 END)
          |    + (CASE WHEN list_contains(tk, 'hash') THEN 1 ELSE 0 END) >= 2
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_docvalues" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') AND len(tk) BETWEEN 50 AND 80
          |ORDER BY doc_id""".stripMargin,
     "ft_delete_match" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

@@ -279,6 +279,16 @@ object RelationalQueries {
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
         .orderBy("n_regionkey")
+    }),
+    // RandomStream analog: distributed Bernoulli sample, made deterministic
+    // (and oracle-recomputable) by hashing the key — the reproducible-
+    // sampling trick standard in training-data pipelines. ~1/16 of orders;
+    // map-only, no shuffle, scales to any corpus size.
+    "q_sample" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -401,6 +411,10 @@ object RelationalQueries {
         |FROM orders GROUP BY 1, 2 ORDER BY price_bucket, prio""".stripMargin,
     "q_csv" ->
       """SELECT n_regionkey, count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_sample" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
