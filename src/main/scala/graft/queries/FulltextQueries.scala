@@ -244,6 +244,16 @@ object FulltextQueries {
       searcher.matchesDS(searcher.parse("vector OR customer")).toDF("docId")
         .agg(count(lit(1)).as("total_hits"))
     }),
+    // TotalHits.Relation through the COUNTING collector path: with an
+    // unlimited threshold pruning never engages, so the scored search must
+    // observe exactly the true match count and report EQUAL_TO
+    "ft_total_hits" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (_, searcher) = DocsIndex.get(spark, sfDir)
+      val (_, total, rel) = searcher.searchWithTotal(
+        searcher.parse("vector OR customer"), 5, Long.MaxValue)
+      Seq((total, rel)).toDF("total_hits", "relation")
+    }),
     // grouping module (lucene/grouping TopGroups: top-N docs per group over a
     // match set) — window row_number per lang bucket, longest docs first
     "ft_group" -> ((spark, sfDir) => {
@@ -572,6 +582,10 @@ object FulltextQueries {
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
     "ft_count" ->
       s"""SELECT count(*) AS total_hits
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
+    "ft_total_hits" ->
+      s"""SELECT count(*) AS total_hits, 'EQ' AS relation
          |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
     "ft_group" ->

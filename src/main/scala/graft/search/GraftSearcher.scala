@@ -21,6 +21,11 @@ final case class SearchContext(
     /** Optional block decode/skip accumulators (pruning evidence). */
     counters: ScorerCounters = null) extends Serializable
 
+/** One doc-range's contribution to a counting search: its local top-k, the
+  * number of matches it observed, and whether it crossed the totalHits
+  * threshold (after which its count is only a lower bound). */
+final case class RangeHits(hits: Array[ScoreDoc], seen: Long, pruned: Boolean)
+
 /** minShouldMatch >= m over a disjunction (`MinShouldMatchSumScorer` analog). */
 final class MinShouldMatchScorer(union: DisjunctionSumScorer, m: Int) extends DocScorer {
   override def docId: Long = union.docId
@@ -165,23 +170,25 @@ object ScorerBuilder {
       hi: Long,
       k: Int,
       after: ScoreDoc,
-      live: LiveDocs = null): Array[ScoreDoc] = q match {
+      live: LiveDocs = null,
+      tc: TotalCounter = null): Array[ScoreDoc] = q match {
     case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty =>
       val subs = should.map(build(_, 1f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
-      TopK.disjunction(subs.toArray, k, after, ctx.counters)
+      TopK.disjunction(subs.toArray, k, after, ctx.counters, tc)
     case BoolQ(must, Nil, Nil, _) if must.nonEmpty && must.forall(_.isInstanceOf[TermQ]) =>
       val subs = must.map(build(_, 1f, termBlocks, ctx, lo, hi, live))
       if (subs.exists(_ eq EmptyScorer)) Array.empty
-      else TopK.conjunction(subs.map(_.asInstanceOf[TermIterator]).toArray, k, after, ctx.counters)
+      else TopK.conjunction(subs.map(_.asInstanceOf[TermIterator]).toArray, k, after,
+        ctx.counters, tc)
     case t: TermQ =>
       build(t, 1f, termBlocks, ctx, lo, hi, live) match {
-        case ti: TermIterator => TopK.singleTerm(ti, k, after)
+        case ti: TermIterator => TopK.singleTerm(ti, k, after, tc)
         case _ => Array.empty
       }
     case other =>
       val root = build(other, 1f, termBlocks, ctx, lo, hi, live)
       if (root eq EmptyScorer) Array.empty
-      else TopK.iterate(root, k, after)
+      else TopK.iterate(root, k, after, tc)
   }
 
   /** Double-precision top-k (oracle-facing family): exhaustive collector on
@@ -316,6 +323,35 @@ final class GraftSearcher(
         (pid, _, rowsIt) => runRange(pid, rowsIt)
       }
     }
+  }
+
+  /** Top-k with totalHits + relation (`TopScoreDocCollector` /
+    * `TotalHits.Relation` semantics, reference:
+    * lucene/core/src/java/org/apache/lucene/search/TotalHits.java): each
+    * doc-range partition counts every match it observes and holds pruning
+    * back until it has counted `totalHitsThreshold` matches (Lucene's
+    * TOTAL_HITS_THRESHOLD = 1000, per leaf — same approximation here, per
+    * doc-range). Returns (hits best-first, totalHits, "EQ" | "GTE"): EQ =
+    * no partition crossed its threshold, the count is exact; GTE = the
+    * count is a lower bound because pruning may have skipped matches. */
+  def searchWithTotal(
+      q0: Query,
+      k: Int,
+      totalHitsThreshold: Long = 1000L): (Array[ScoreDoc], Long, String) = {
+    val (q, ctx) = plan(q0)
+    if (q == MatchNoneQ) return (Array.empty, 0L, "EQ")
+    val ctxB = ctx
+    val kB = k
+    val th = totalHitsThreshold
+    val ranges = perRange[RangeHits](q, 0) { (qq, termBlocks, lo, hi, live) =>
+      val tc = new TotalCounter(th)
+      val hits = ScorerBuilder.topK(qq, termBlocks, ctxB, lo, hi, kB, null, live, tc)
+      Iterator.single(RangeHits(hits, tc.seen, tc.countedEnough))
+    }.collect()
+    val total = ranges.map(_.seen).sum
+    val gte = ranges.exists(_.pruned)
+    val hits = ranges.flatMap(_.hits).sortBy(sd => (-sd.score, sd.docId)).take(k)
+    (hits, total, if (gte) "GTE" else "EQ")
   }
 
   /** The per-partition top-k hits as a Dataset (k rows per doc-range). */

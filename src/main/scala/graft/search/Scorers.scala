@@ -624,6 +624,18 @@ final class HitQueue(k: Int) {
   * lucene/core/src/java/org/apache/lucene/search/WANDScorer.java:45-588).
   * Score-only pruning (`bound <= theta` skips) is sound because docs are
   * visited in docId order: an equal-score later doc loses the tie-break. */
+/** Per-partition totalHits counter (`TotalHits` + `TOTAL_HITS_THRESHOLD`,
+  * reference: lucene/core/src/java/org/apache/lucene/search/TotalHits.java,
+  * IndexSearcher.java:105): collectors count every match they observe; once
+  * `seen >= threshold` pruning may engage and the count becomes a
+  * GTE_OR_EQUAL_TO lower bound. A null counter = the production path:
+  * prune immediately, count nothing. */
+final class TotalCounter(val threshold: Long) {
+  var seen: Long = 0L
+  @inline def count(): Unit = seen += 1
+  @inline def countedEnough: Boolean = seen >= threshold
+}
+
 object TopK {
 
   /** searchAfter predicate: hit must sort strictly after the marker. */
@@ -633,10 +645,12 @@ object TopK {
   @inline private def isAfterD(after: ScoreDocD, doc: Long, score: Double): Boolean =
     score < after.score || (score == after.score && doc > after.docId)
 
-  def iterate(root: DocScorer, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+  def iterate(root: DocScorer, k: Int, after: ScoreDoc = null,
+      tc: TotalCounter = null): Array[ScoreDoc] = {
     val pq = new HitQueue(k)
     var doc = root.nextDoc()
     while (doc != DocScorer.NO_MORE) {
+      if (tc != null) tc.count()
       val s = root.score()
       if (after == null || isAfter(after, doc, s)) pq.insert(doc, s)
       doc = root.nextDoc()
@@ -679,13 +693,18 @@ object TopK {
   /** Single-term top-k with impacts pruning: the collector feeds its floor
     * into the iterator (`setMinCompetitiveScore` -> `ImpactsDISI`), which
     * then skips non-competitive blocks without decoding them. */
-  def singleTerm(it: TermIterator, k: Int, after: ScoreDoc = null): Array[ScoreDoc] = {
+  def singleTerm(it: TermIterator, k: Int, after: ScoreDoc = null,
+      tc: TotalCounter = null): Array[ScoreDoc] = {
     val pq = new HitQueue(k)
     var doc = it.nextDoc()
     while (doc != DocScorer.NO_MORE) {
+      if (tc != null) tc.count()
       val s = it.score()
       if (after == null || isAfter(after, doc, s)) {
-        if (pq.insert(doc, s) && pq.isFull) it.minCompetitive = pq.topScore.toFloat
+        // the collector floor only feeds the iterator's impact skipping once
+        // the hit-count threshold is crossed (null counter = immediately)
+        if (pq.insert(doc, s) && pq.isFull && (tc == null || tc.countedEnough))
+          it.minCompetitive = pq.topScore.toFloat
       }
       doc = it.nextDoc()
     }
@@ -701,7 +720,8 @@ object TopK {
       termsIn: Array[TermIterator],
       k: Int,
       after: ScoreDoc = null,
-      counters: ScorerCounters = null): Array[ScoreDoc] = {
+      counters: ScorerCounters = null,
+      tc: TotalCounter = null): Array[ScoreDoc] = {
     val subs: Array[TermIterator] = termsIn.sortBy(_.cost)
     val n = subs.length
     if (n == 0) return Array.empty
@@ -712,7 +732,8 @@ object TopK {
     while (doc != DocScorer.NO_MORE) {
       var next = -1L
       // block-max check on metadata only, before any other clause decodes
-      if (pq.isFull) {
+      // (held back until the totalHits threshold is crossed)
+      if (pq.isFull && (tc == null || tc.countedEnough)) {
         var bound = 0.0
         var i = 0
         while (i < n) { bound += shallowOf(subs(i), doc); i += 1 }
@@ -738,6 +759,7 @@ object TopK {
           i += 1
         }
         if (agreed) {
+          if (tc != null) tc.count()
           var d = 0.0
           i = 0
           while (i < n) { d += subs(i).score(); i += 1 }
@@ -760,13 +782,14 @@ object TopK {
       subsIn: Array[DocScorer],
       k: Int,
       after: ScoreDoc = null,
-      counters: ScorerCounters = null): Array[ScoreDoc] = {
+      counters: ScorerCounters = null,
+      tc: TotalCounter = null): Array[ScoreDoc] = {
     val subs = subsIn.filter(_.maxScore > 0f).sortBy(_.maxScore)
     val n = subs.length
     if (n == 0) return Array.empty
     if (n == 1) return subs(0) match {
-      case t: TermIterator => singleTerm(t, k, after)
-      case s => iterate(s, k, after)
+      case t: TermIterator => singleTerm(t, k, after, tc)
+      case s => iterate(s, k, after, tc)
     }
     val prefix = new Array[Double](n) // prefix(i) = sum of maxScore of subs[0..i]
     var acc = 0.0
@@ -777,8 +800,11 @@ object TopK {
 
     def theta: Double = if (pq.isFull) pq.topScore else Double.NegativeInfinity
 
+    // below the totalHits threshold every clause stays essential, so every
+    // match is observed and counted; shrinking the essential list is the
+    // step that starts skipping (= uncounted) matches
     def updateEssential(): Unit = {
-      if (!pq.isFull) { essStart = 0; return }
+      if (!pq.isFull || (tc != null && !tc.countedEnough)) { essStart = 0; return }
       var s = 0
       while (s < n && prefix(s) <= theta) s += 1
       essStart = s
@@ -801,7 +827,7 @@ object TopK {
           // even that can't beat the floor, jump every essential clause past
           // the nearest block boundary — the blocks are never decoded
           var skippedRange = false
-          if (pq.isFull) {
+          if (pq.isFull && (tc == null || tc.countedEnough)) {
             var bound = if (essStart > 0) prefix(essStart - 1) else 0.0
             i = essStart
             while (i < n) { bound += shallowOf(subs(i), cand); i += 1 }
@@ -819,6 +845,8 @@ object TopK {
             }
           }
           if (!skippedRange) {
+            // cand matches at least one (essential) clause — a real hit
+            if (tc != null) tc.count()
             // sum essential clauses at cand
             var partial = 0.0
             i = essStart
