@@ -213,6 +213,10 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // BoostQuery scored: ^2 multiplies the clause weight BEFORE the idf
+    // product (DoubleScorer.weightD = boost * idf), oracle-recomputed
+    "ft_search_boost" -> ((spark, sfDir) =>
+      hitsDoubleDF(spark, sfDir, "vector^2.0 OR customer", 10)),
     // SynonymQuery: terms scored as one pseudo-term
     "ft_search_synonym" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
@@ -553,6 +557,20 @@ object FulltextQueries {
          |             ${bmSql(idfSql(dfSql("customer")), "tf_c")})
          |    + 0.5 * least(${bmSql(idfSql(dfSql("vector")), "tf_v")},
          |                  ${bmSql(idfSql(dfSql("customer")), "tf_c")}) AS s
+         |  FROM (
+         |    SELECT doc_id, dlq, ${tfSql("vector")} AS tf_v, ${tfSql("customer")} AS tf_c
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf_v > 0 OR tf_c > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_boost" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_v, tf_c,
+         |    (CASE WHEN tf_v = 0 THEN 0.0
+         |          ELSE (2.0 * ${idfSql(dfSql("vector"))}) * (tf_v * (1.2 + 1))
+         |               / (tf_v + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END)
+         |     + ${bmSql(idfSql(dfSql("customer")), "tf_c")} AS s
          |  FROM (
          |    SELECT doc_id, dlq, ${tfSql("vector")} AS tf_v, ${tfSql("customer")} AS tf_c
          |    FROM dl
