@@ -157,6 +157,21 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
     }),
+    // query-time join (lucene/join JoinUtil.createJoinQuery): select every
+    // doc whose join-field value (repo) occurs among the docs matching the
+    // from-query — from-side values are a small distinct set, broadcast to
+    // the to-side scan (Lucene collects fromField terms, then filters)
+    "ft_join" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val fromRepos = searcher.matchesDS(searcher.parse("\"big table\"")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("repo")), "docId")
+        .select("repo").distinct()
+      index.docs.toDF().select(col("docId"), col("repo"))
+        .join(broadcast(fromRepos), "repo")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // IndexOrDocValuesQuery composition: term match via the inverted index,
     // numeric range via the doc-values column (index.docs.len) — Lucene picks
     // per-segment between postings and docvalues; here Catalyst joins the
@@ -479,6 +494,11 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') AND len(tk) BETWEEN 50 AND 80
          |ORDER BY doc_id""".stripMargin,
+    "ft_join" ->
+      """SELECT doc_id FROM documents
+        |WHERE source IN (SELECT source FROM documents
+        |  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$)'))
+        |ORDER BY doc_id""".stripMargin,
     "ft_delete_match" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE (list_contains(tk, 'vector') OR list_contains(tk, 'customer'))
