@@ -55,15 +55,22 @@ object Bench {
       if (h == 42L) print("")
       (System.nanoTime() - t0) / 1e9
     }
-    //  - calib_disk_sec: buffered 128 MB write to tmp (the segment/shuffle
+    //  - calib_disk_sec: 128 MB write + fsync to tmp (the segment/shuffle
     //    write path; this box throttles to ~20 MB/s in bad windows vs
-    //    >500 MB/s in good ones — the single biggest swing dimension)
+    //    >500 MB/s in good ones — the single biggest swing dimension).
+    //    The fsync makes the probe measure the DEVICE: a purely buffered
+    //    write can land in free page cache and read healthy during a real
+    //    write-throttle window. Healthy < ~2s.
     val calibDisk = {
       val chunk = Array.tabulate[Byte](1 << 20)(_.toByte)
       val f = java.io.File.createTempFile("graft-calib-", ".bin")
       val t0 = System.nanoTime()
       val os = new java.io.FileOutputStream(f)
-      try { var i = 0; while (i < 128) { os.write(chunk); i += 1 } } finally os.close()
+      try {
+        var i = 0
+        while (i < 128) { os.write(chunk); i += 1 }
+        os.getFD.sync()
+      } finally os.close()
       val sec = (System.nanoTime() - t0) / 1e9
       f.delete()
       sec

@@ -70,7 +70,17 @@ final case class BlockRow(
     normsEnc: Array[Byte],
     posEnc: Array[Byte],
     impactFreqs: Array[Int],
-    impactNorms: Array[Int])
+    impactNorms: Array[Int]) {
+
+  /** Rebuild the codec-facing block from this stored row — the single
+    * source of truth for the BlockRow <-> EncodedBlock field mapping
+    * (decoders in the scorer, the merger, and the oracle queries all go
+    * through here). */
+  def toEncodedBlock: graft.codec.EncodedBlock =
+    graft.codec.EncodedBlock(count, firstDocId, lastDocId, blockTtf,
+      docsEnc, freqsEnc, normsEnc, posEnc,
+      impactFreqs.zip(impactNorms).map { case (f, n) => graft.codec.Impact(f, n) })
+}
 
 final case class TermStatsRow(term: String, docFreq: Long, totalTermFreq: Long)
 

@@ -24,8 +24,7 @@ object SegmentMerger {
     val spark = blocks.sparkSession
     import spark.implicits._
     blocks.flatMap { b =>
-      val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId, b.blockTtf,
-        b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc, Array.empty)
+      val eb = b.toEncodedBlock
       val d = graft.codec.PostingsCodec.decodeAll(eb)
       (0 until b.count).iterator.map { i =>
         PostingRow(b.term, d.docIds(i), d.freqs(i), d.positions(i), d.norms(i))

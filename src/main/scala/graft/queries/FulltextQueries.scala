@@ -72,9 +72,7 @@ object FulltextQueries {
       val terms = Seq("spark", "query", "vector")
       val decoded = index.blocks.filter($"term".isin(terms: _*)).as[BlockRow]
         .flatMap { b =>
-          val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId,
-            b.blockTtf, b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc,
-            b.impactFreqs.zip(b.impactNorms).map { case (f, n) => Impact(f, n) })
+          val eb = b.toEncodedBlock
           val docs = PostingsCodec.decodeDocs(eb)
           val freqs = PostingsCodec.decodeFreqs(eb)
           docs.indices.iterator.map(i => (b.term, docs(i), freqs(i).toLong))
@@ -300,12 +298,13 @@ object FulltextQueries {
       val mc = m.count()
       val nDocs = index.fieldStats.docCount
       val pairs = index.blocks.as[BlockRow].flatMap { b =>
-        val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId,
-          b.blockTtf, b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc,
-          b.impactFreqs.zip(b.impactNorms).map { case (f, nn) => Impact(f, nn) })
+        val eb = b.toEncodedBlock
         PostingsCodec.decodeDocs(eb).iterator.map(d => (b.term, d))
       }.toDF("term", "docId")
-      pairs.join(broadcast(m), "docId")
+      // plain equi-join (no broadcast hint): the match set of a common term
+      // is unbounded at corpus scale — a shuffle semi-join keeps it
+      // distributed; AQE still broadcasts it when it turns out small
+      pairs.join(m, "docId")
         .groupBy("term").agg(count(lit(1)).as("fg_df"))
         .join(index.termStats.toDF().select($"term", $"docFreq".as("doc_freq")), "term")
         .filter($"fg_df" >= 3 && $"doc_freq" >= 3)
@@ -324,9 +323,7 @@ object FulltextQueries {
       val (index, _) = DocsIndex.get(spark, sfDir)
       val firstPos = index.blocks.filter($"term" === "vector").as[BlockRow]
         .flatMap { b =>
-          val eb = graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId,
-            b.blockTtf, b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc,
-            b.impactFreqs.zip(b.impactNorms).map { case (f, nn) => Impact(f, nn) })
+          val eb = b.toEncodedBlock
           val docs = PostingsCodec.decodeDocs(eb)
           val freqs = PostingsCodec.decodeFreqs(eb)
           val poss = PostingsCodec.decodePositions(eb, freqs)

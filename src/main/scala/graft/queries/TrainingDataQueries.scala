@@ -287,6 +287,9 @@ object TrainingDataQueries {
           val v = vf.map(_.toDouble)
           (id, knnBucketOf(v), v)
         }.toDF("vec_id", "b", "ve")
+      // both join sides are the same plan: at shuffle scale Spark's
+      // ReuseExchange serves the second side from the first's exchange, so
+      // the bucket computation is not paid twice on the scale path
       val cand = withB.as("x").join(withB.as("y"),
         col("x.b") === col("y.b") && col("x.vec_id") < col("y.vec_id"))
       val dot = aggregate(

@@ -206,9 +206,7 @@ final class TermIterator(
   def positionsOfCurrent(): Array[Int] = {
     if (positions == null) {
       val b = blocks(blockIdx)
-      positions = graft.codec.PostingsCodec.decodePositions(
-        graft.codec.EncodedBlock(b.count, b.firstDocId, b.lastDocId, b.blockTtf,
-          b.docsEnc, b.freqsEnc, b.normsEnc, b.posEnc, Array.empty), freqs)
+      positions = graft.codec.PostingsCodec.decodePositions(b.toEncodedBlock, freqs)
     }
     positions(pos)
   }
@@ -784,7 +782,11 @@ object TopK {
       after: ScoreDoc = null,
       counters: ScorerCounters = null,
       tc: TotalCounter = null): Array[ScoreDoc] = {
-    val subs = subsIn.filter(_.maxScore > 0f).sortBy(_.maxScore)
+    // zero-weight clauses can never score but they DO match: when counting
+    // totalHits they must stay in (their matches are hits — Lucene counts
+    // boost-0 matches); on the production path dropping them is pure win
+    val subs = (if (tc == null) subsIn.filter(_.maxScore > 0f) else subsIn)
+      .sortBy(_.maxScore)
     val n = subs.length
     if (n == 0) return Array.empty
     if (n == 1) return subs(0) match {

@@ -63,4 +63,12 @@ class TotalHitsSpec extends AnyFunSuite {
     val (hits, total, rel) = searcher.searchWithTotal(MatchNoneQ, 5)
     assert(hits.isEmpty && total == 0L && rel == "EQ")
   }
+
+  test("zero-boost clauses cannot score but their matches still count (Lucene counts boost-0 hits)") {
+    val q = BoolQ(should = Seq(
+      BoostQ(TermQ("return"), 0f), TermQ("mergepolicy")))
+    val (_, total, rel) = searcher.searchWithTotal(q, 5, Long.MaxValue)
+    assert(rel == "EQ")
+    assert(total == exactCount("return OR mergepolicy"))
+  }
 }
