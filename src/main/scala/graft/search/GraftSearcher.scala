@@ -38,6 +38,7 @@ final class MinShouldMatchScorer(union: DisjunctionSumScorer, m: Int) extends Do
     doc
   }
   override def score(): Float = union.score()
+  override def scoreD(): Double = union.scoreD()
 }
 
 /** Builds the per-partition scorer tree from the query AST — the analog of
@@ -135,10 +136,21 @@ object ScorerBuilder {
       val opts = should.map(build(_, boost, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
       val base: DocScorer =
         if (must.nonEmpty) {
-          val req = if (reqs.size == 1) reqs.head else new ConjunctionScorer(reqs.toArray)
-          if (opts.isEmpty) req
-          else new ReqOptSumScorer(req,
-            if (opts.size == 1) opts.head else new DisjunctionSumScorer(opts.toArray))
+          if (msm > 0 && should.nonEmpty) {
+            // minShouldMatch with MUST clauses present: the opt union becomes
+            // a REQUIRED clause constrained to >= msm matching disjuncts
+            // (Boolean2ScorerSupplier routes msm>0 through req, reference:
+            // lucene/core/src/java/org/apache/lucene/search/Boolean2ScorerSupplier.java:118-137)
+            if (opts.size < msm) return EmptyScorer
+            val msmScorer =
+              new MinShouldMatchScorer(new DisjunctionSumScorer(opts.toArray), msm)
+            new ConjunctionScorer((reqs :+ msmScorer).toArray)
+          } else {
+            val req = if (reqs.size == 1) reqs.head else new ConjunctionScorer(reqs.toArray)
+            if (opts.isEmpty) req
+            else new ReqOptSumScorer(req,
+              if (opts.size == 1) opts.head else new DisjunctionSumScorer(opts.toArray))
+          }
         } else {
           if (opts.isEmpty) return EmptyScorer
           else if (opts.size == 1 && msm <= 1) opts.head
@@ -254,6 +266,36 @@ final class GraftSearcher(
 
   def parse(s: String): Query = parser.parse(s)
 
+  /** Every block row the query can touch — the distributed term-dictionary
+    * seek. Exact/prefix/range predicates filter the block scan directly
+    * (parquet min/max row-group pruning). Fuzzy/regexp/wildcard queries are
+    * DICTIONARY-FIRST: their predicate evaluates against `index.termStats`
+    * (ONE row per term) and the block table is narrowed by a semi-join on
+    * the matching terms — never by running `levenshtein`/regex over every
+    * block row (~128x more rows than the dictionary: one per term per
+    * 128-doc block per salt bucket). Both scans still get the cheap
+    * superset pre-filter ([[Query.blockPredicate]]) pushed down. */
+  private[graft] def filteredBlocks(q: Query): Dataset[BlockRow] = {
+    val pred = Query.blockPredicate(q)
+    if (pred.isEmpty) return spark.emptyDataset[BlockRow]
+    val mts = Query.multiTerms(q)
+    val needsDict = mts.exists {
+      case _: PrefixQ | _: TermRangeQ => false // scanPrefilter is exact
+      case _ => true // wildcard/fuzzy/regexp: prefilter is a superset
+    }
+    val scan = index.blocks.filter(pred.get).as[BlockRow]
+    if (!needsDict) scan
+    else {
+      val exact = Query.terms(q)
+      val mtsB = mts
+      val dict = index.termStats
+        .filter(pred.get) // same pushable pre-filter on the dictionary scan
+        .filter(ts => exact.contains(ts.term) || mtsB.exists(_.matches(ts.term)))
+        .select("term")
+      scan.join(dict, Seq("term"), "left_semi").as[BlockRow]
+    }
+  }
+
   /** Distributed top-k. Returns hits best-first (score desc, docId asc). */
   def search(queryStr: String, k: Int): Array[ScoreDoc] = search(parse(queryStr), k, null)
 
@@ -278,10 +320,7 @@ final class GraftSearcher(
     val span = math.max(1L, (maxDoc + p - 1) / p)
     val nParts = ((maxDoc + span - 1) / span).toInt
 
-    val filtered: Dataset[BlockRow] = Query.blockPredicate(q) match {
-      case Some(pred) => index.blocks.filter(pred).as[BlockRow]
-      case None => spark.emptyDataset[BlockRow]
-    }
+    val filtered: Dataset[BlockRow] = filteredBlocks(q)
 
     // blocks and tombstones ride the same scatter keyed by doc range
     // (deletes are shipped only when the manifest has any — zero overhead
@@ -418,11 +457,9 @@ final class GraftSearcher(
     val (q, ctx) = plan(q0)
     if (q == MatchNoneQ) return Array.empty
     val maxDoc = fieldStats.maxDocId + 1
-    val termBlocks: Map[String, Array[BlockRow]] = Query.blockPredicate(q) match {
-      case None => Map.empty
-      case Some(pred) => index.blocks.filter(pred).as[BlockRow]
-        .collect().groupBy(_.term).map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
-    }
+    val termBlocks: Map[String, Array[BlockRow]] =
+      filteredBlocks(q).collect()
+        .groupBy(_.term).map { case (t, arr) => t -> arr.sortBy(_.firstDocId) }
     val live =
       if (!index.hasDeletes) null
       else new LiveDocs(index.deletes.collect().sorted)

@@ -132,7 +132,10 @@ object Query {
       if (must.isEmpty && should.isEmpty) return MatchNoneQ
       should = should.filterNot(_ == MatchNoneQ)
       if (must.isEmpty && should.isEmpty) return MatchNoneQ
-      if (msm > should.size && must.isEmpty) return MatchNoneQ
+      // minShouldMatch binds the SHOULD clauses regardless of MUST clauses
+      // (BooleanQuery semantics): more required matches than clauses exist
+      // can never be satisfied
+      if (msm > should.size) return MatchNoneQ
       // single-clause unwrap
       if (mustNot.isEmpty && msm <= 1) {
         if (must.size == 1 && should.isEmpty) return must.head
@@ -204,37 +207,74 @@ object Query {
     prev(n)
   }
 
-  /** The Column predicate selecting every block row the (rewritten) query
-    * can touch — the distributed term-dictionary seek. Exact terms and
-    * prefixes/ranges push down to parquet min/max row-group pruning;
-    * wildcard gets its literal prefix extracted as a pushable conjunct;
-    * regex/fuzzy evaluate in the scan stage (still fully distributed — no
-    * driver-side term collection, no expansion cap). None = query touches
-    * no terms (e.g. pure MatchAll). */
-  def blockPredicate(q: Query): Option[org.apache.spark.sql.Column] = {
+  /** Longest literal prefix every match of an anchored regex must start
+    * with: literal chars up to the first metachar; a quantifier makes the
+    * preceding char optional, so it is dropped. Conservative (may return
+    * ""), used only to push a `startsWith` pre-filter into the scan. */
+  private[search] def regexLiteralPrefix(pat: String): String = {
+    val meta = "\\^$.|?*+()[]{}"
+    val sb = new StringBuilder
+    var i = 0
+    var stop = false
+    while (i < pat.length && !stop) {
+      val c = pat.charAt(i)
+      if (meta.indexOf(c) >= 0) {
+        if ((c == '*' || c == '?' || c == '{') && sb.nonEmpty) sb.setLength(sb.length - 1)
+        stop = true
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Cheap parquet-pushable SUPERSET predicate for one multi-term query:
+    * selects candidate rows by the `term` column; the EXACT decision is
+    * always `mt.matches` (the per-partition expansion and the termStats
+    * dictionary filter in `GraftSearcher.filteredBlocks`). Prefix/range are
+    * exact and reach parquet min/max row-group pruning (the dictionary
+    * seek); wildcard/regexp contribute their literal prefix; fuzzy gets a
+    * length window widened for UTF-16 vs codepoint counting (`matches` uses
+    * Java String.length = UTF-16 units, Spark `length()` counts codepoints;
+    * a term of `cp` codepoints has UTF-16 length in [cp, 2cp], so the
+    * window below can never exclude a true match). */
+  def scanPrefilter(mt: MultiTermQ): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val term = col("term")
-    val parts = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
-    val exact = terms(q).toSeq.sorted
-    if (exact.nonEmpty) parts += term.isin(exact: _*)
-    multiTerms(q).foreach {
-      case PrefixQ(p) => parts += term.startsWith(p)
+    mt match {
+      case PrefixQ(p) => term.startsWith(p)
       case w: WildcardQ =>
-        val re = term.rlike("^" + wildcardRegex(w.pattern) + "$")
         val litPrefix = w.pattern.takeWhile(c => c != '*' && c != '?')
-        parts += (if (litPrefix.nonEmpty) term.startsWith(litPrefix) && re else re)
+        if (litPrefix.nonEmpty) term.startsWith(litPrefix) else lit(true)
       case f: FuzzyQ =>
-        parts += (abs(length(term) - lit(f.term.length)) <= f.maxEdits &&
-          org.apache.spark.sql.functions.levenshtein(term, lit(f.term)) <= f.maxEdits)
-      case r: RegexpQ => parts += term.rlike("^" + r.pattern + "$")
+        val q16 = f.term.length
+        (length(term) <= q16 + f.maxEdits) && (length(term) * 2 >= q16 - f.maxEdits)
+      case r: RegexpQ =>
+        val lp = regexLiteralPrefix(r.pattern)
+        if (lp.nonEmpty) term.startsWith(lp) else lit(true)
       case tr: TermRangeQ =>
         var c = lit(true)
         if (tr.lower != null)
           c = c && (if (tr.includeLower) term >= tr.lower else term > tr.lower)
         if (tr.upper != null)
           c = c && (if (tr.includeUpper) term <= tr.upper else term < tr.upper)
-        parts += c
+        c
     }
+  }
+
+  /** The Column predicate selecting every block row the (rewritten) query
+    * can touch — a SUPERSET pre-filter for the scan (exact terms +
+    * [[scanPrefilter]] per multi-term query). Exact terms, prefixes and
+    * ranges push down to parquet min/max row-group pruning. Queries with
+    * fuzzy/regexp/wildcard clauses are narrowed to exactly-matching terms
+    * by the termStats semi-join in `GraftSearcher.filteredBlocks` — the
+    * expensive predicate runs once per DICTIONARY ENTRY, never per block
+    * row. None = query touches no terms (e.g. pure MatchAll). */
+  def blockPredicate(q: Query): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val term = col("term")
+    val parts = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+    val exact = terms(q).toSeq.sorted
+    if (exact.nonEmpty) parts += term.isin(exact: _*)
+    multiTerms(q).foreach(mt => parts += scanPrefilter(mt))
     parts.reduceOption(_ || _)
   }
 }
@@ -263,11 +303,31 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
   private case object NOT extends Tok
   private case class Caret(boost: Float) extends Tok
 
+  /** If a classic range token (`[a TO b]` / `{a TO b}`) starts at `i`,
+    * return the index of its closing bracket; -1 otherwise. A range token
+    * requires a closing bracket AND a ` TO ` separator in the body —
+    * anything else (e.g. the `arr[0` / `foo{bar` shapes common in code
+    * queries) is NOT a range and lexes as part of the surrounding word
+    * (Lucene's classic parser errors on malformed ranges; we fall back to
+    * word characters so code-ish input stays searchable). */
+  private def rangeEnd(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length && s.charAt(j) != ']' && s.charAt(j) != '}') j += 1
+    if (j >= s.length) -1
+    else if (s.substring(i + 1, j).split("\\s+TO\\s+", 2).length == 2) j
+    else -1
+  }
+
   private def lex(s: String): List[Tok] = {
     val out = collection.mutable.ListBuffer.empty[Tok]
     var i = 0
+    // a range token may only START at a term boundary (input start,
+    // whitespace, or an opening paren) — never mid-word
+    var boundary = true
     while (i < s.length) {
       val c = s.charAt(i)
+      val atBoundary = boundary
+      boundary = c.isWhitespace || c == '('
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += LP; i += 1 }
       else if (c == ')') { out += RP; i += 1 }
@@ -276,15 +336,11 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
         val end = if (j < 0) s.length else j
         out += Phrase(s.substring(i + 1, end))
         i = if (j < 0) s.length else j + 1
-      } else if (c == '[' || c == '{') {
+      } else if ((c == '[' || c == '{') && atBoundary && rangeEnd(s, i) >= 0) {
         // term range: [a TO b] inclusive, {a TO b} exclusive (classic syntax)
-        val close = if (c == '[') ']' else '}'
-        var j = i + 1
-        while (j < s.length && s.charAt(j) != ']' && s.charAt(j) != '}') j += 1
-        val inclUpper = j >= s.length || s.charAt(j) == ']'
-        out += RangeT(s.substring(i + 1, math.min(j, s.length)), c == '[',
-          if (j < s.length) s.charAt(j) == ']' else inclUpper)
-        i = if (j < s.length) j + 1 else s.length
+        val j = rangeEnd(s, i)
+        out += RangeT(s.substring(i + 1, j), c == '[', s.charAt(j) == ']')
+        i = j + 1
       } else if (c == '/') {
         val j = s.indexOf('/', i + 1)
         val end = if (j < 0) s.length else j
@@ -296,8 +352,10 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
         out += Caret(s.substring(i + 1, j).toFloat)
         i = j
       } else {
+        // '[' / '{' mid-word never starts a range (see rangeEnd) — they lex
+        // as word characters and the analyzer strips them
         var j = i
-        while (j < s.length && !s.charAt(j).isWhitespace && !"()\"^/[{".contains(s.charAt(j))) j += 1
+        while (j < s.length && !s.charAt(j).isWhitespace && !"()\"^/".contains(s.charAt(j))) j += 1
         val w = s.substring(i, j)
         w match {
           case "AND" | "&&" => out += AND

@@ -658,8 +658,10 @@ object TopK {
 
   /** Round-to-4-decimals applied BEFORE ranking on the double-scored path,
     * so top-k inclusion and tie-breaks are decided on exactly the value the
-    * oracle SQL ranks on (`round(score, 4) DESC, doc_id`). */
-  @inline def round4(x: Double): Double = math.rint(x * 10000d) / 10000d
+    * oracle SQL ranks on (`round(score, 4) DESC, doc_id`). Half-away-from-
+    * zero for the non-negative BM25 scores — the SAME rounding function as
+    * DuckDB's `round(s, 4)` (math.rint would round half-to-even). */
+  @inline def round4(x: Double): Double = math.floor(x * 10000d + 0.5d) / 10000d
 
   /** Exhaustive top-k over double-precision scores, rounded before ranking.
     * The oracle-facing scored-search family runs through this collector; the
@@ -782,11 +784,12 @@ object TopK {
       after: ScoreDoc = null,
       counters: ScorerCounters = null,
       tc: TotalCounter = null): Array[ScoreDoc] = {
-    // zero-weight clauses can never score but they DO match: when counting
-    // totalHits they must stay in (their matches are hits — Lucene counts
-    // boost-0 matches); on the production path dropping them is pure win
-    val subs = (if (tc == null) subsIn.filter(_.maxScore > 0f) else subsIn)
-      .sortBy(_.maxScore)
+    // zero-weight clauses can never score but they DO match: Lucene returns
+    // docs matching only a boost-0 clause (score 0), so they stay in on BOTH
+    // the counting and the production path. Sorted first by maxScore, they
+    // drop out of the essential list as soon as the heap floor is positive —
+    // near-zero overhead once pruning engages.
+    val subs = subsIn.sortBy(_.maxScore)
     val n = subs.length
     if (n == 0) return Array.empty
     if (n == 1) return subs(0) match {

@@ -43,6 +43,53 @@ class MultiTermSpec extends AnyFunSuite {
     assert(p.parse("/s(can|ort)/") == RegexpQ("s(can|ort)"))
   }
 
+  test("malformed ranges lex as words, not open-ended ranges") {
+    val p = searcher.parser
+    // 'arr[0' / 'foo{bar' must NOT become TermRangeQ(...) — a range token
+    // requires a term boundary start, a closing bracket and a TO separator
+    def hasRange(q: Query): Boolean = Query.multiTerms(q).exists(_.isInstanceOf[TermRangeQ])
+    assert(!hasRange(p.parse("arr[0")))
+    assert(!hasRange(p.parse("foo{bar")))
+    assert(!hasRange(p.parse("arr[0] AND foo")))
+    assert(!hasRange(p.parse("[broken")))
+    assert(!hasRange(p.parse("[a b c]")))
+    // well-formed ranges still parse
+    assert(p.parse("[row TO sort]") == TermRangeQ("row", "sort", true, true))
+    assert(p.parse("x AND [row TO sort]") ==
+      BoolQ(must = Seq(TermQ("x"), TermRangeQ("row", "sort", true, true))))
+  }
+
+  test("fuzzy/regexp block narrowing is dictionary-first (termStats semi-join)") {
+    // the expensive predicate must run on the term dictionary (one row per
+    // term), narrowing the blocks scan via a semi-join — never as a
+    // levenshtein/rlike filter over every block row
+    for (q <- Seq[Query](FuzzyQ("segment", 2), RegexpQ("(index|token).*"),
+        WildcardQ("s?gment"))) {
+      val plan = searcher.filteredBlocks(q).queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"), s"$q plan lacks the dictionary semi-join:\n$plan")
+      assert(!plan.toLowerCase.contains("levenshtein"),
+        s"$q plan still runs levenshtein on the scan:\n$plan")
+      assert(!plan.contains("RLIKE"), s"$q plan still runs a regex on the scan:\n$plan")
+    }
+    // exact/prefix/range queries keep the direct pushdown path (no join)
+    for (q <- Seq[Query](TermQ("segment"), PrefixQ("uniq_tok_"),
+        TermRangeQ("if", "import", true, true))) {
+      val plan = searcher.filteredBlocks(q).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Join"), s"$q plan gained a needless join:\n$plan")
+    }
+  }
+
+  test("regexLiteralPrefix is a sound pushdown prefix") {
+    assert(Query.regexLiteralPrefix("s(can|ort|low)") == "s")
+    assert(Query.regexLiteralPrefix("index.*") == "index")
+    assert(Query.regexLiteralPrefix("ab?c") == "a")
+    assert(Query.regexLiteralPrefix("ab*") == "a")
+    assert(Query.regexLiteralPrefix("a{1,2}b") == "")
+    assert(Query.regexLiteralPrefix("(a|b)c") == "")
+    assert(Query.regexLiteralPrefix("plain") == "plain")
+    assert(Query.regexLiteralPrefix("\\d+") == "")
+  }
+
   test("prefix expansion is uncapped (>1024 matching terms, no truncation)") {
     val nUniqTerms = index.termStats.filter($"term".startsWith("uniq_tok_")).count()
     assert(nUniqTerms > 1024, s"fixture must expand past the old cap, got $nUniqTerms")

@@ -40,7 +40,9 @@ def main():
     for name in names:
         if filters and not any(f in name for f in filters):
             continue
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        # sorted: part-00000, part-00001, ... must concatenate in the
+        # engine's global sort order for row-order-sensitive compares
+        files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files \
             else pd.DataFrame()
         if name not in oracles:
