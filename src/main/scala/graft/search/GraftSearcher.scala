@@ -19,7 +19,10 @@ final case class SearchContext(
       * oracle-facing scored-search family (DuckDB recomputes every score). */
     doubleMode: Boolean = false,
     /** Optional block decode/skip accumulators (pruning evidence). */
-    counters: ScorerCounters = null) extends Serializable
+    counters: ScorerCounters = null,
+    /** Non-zero enables the cross-partition [[ScoreFloor]] under this query
+      * id (production Float path only; minted per query on the driver). */
+    floorId: Long = 0L) extends Serializable
 
 /** One doc-range's contribution to a counting search: its local top-k, the
   * number of matches it observed, and whether it crossed the totalHits
@@ -31,6 +34,8 @@ final class MinShouldMatchScorer(union: DisjunctionSumScorer, m: Int) extends Do
   override def docId: Long = union.docId
   override def cost: Long = union.cost
   override def maxScore: Float = union.maxScore
+  override def shallowMax(target: Long): Float = union.shallowMax(target)
+  override def blockEnd(target: Long): Long = union.blockEnd(target)
   override def nextDoc(): Long = advance(union.docId + 1)
   override def advance(target: Long): Long = {
     var doc = union.advance(target)
@@ -171,9 +176,12 @@ object ScorerBuilder {
 
   /** Root-level execution, Lucene's scorer selection by shape
     * (`Boolean2ScorerSupplier`): single terms feed the collector floor into
-    * the iterator's impact skipping; pure-should disjunctions run block-max
-    * WAND; all-term conjunctions run the block-max conjunction; everything
-    * else iterates exactly. */
+    * the iterator's impact skipping; disjunctions run block-max WAND (with
+    * MUST_NOT riding the candidate stream); ANY conjunction-rooted query —
+    * mixed term/phrase/nested children, with or without SHOULD / MUST_NOT /
+    * minShouldMatch — runs the generalized block-max conjunction; phrases
+    * prune through their inner term conjunction; only msm>1 pure-should and
+    * boosted roots iterate exhaustively. */
   def topK(
       q: Query,
       termBlocks: Map[String, Array[BlockRow]],
@@ -184,17 +192,50 @@ object ScorerBuilder {
       after: ScoreDoc,
       live: LiveDocs = null,
       tc: TotalCounter = null): Array[ScoreDoc] = q match {
-    case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty =>
+    case BoolQ(Nil, should, mustNot, msm) if msm <= 1 && should.nonEmpty =>
       val subs = should.map(build(_, 1f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
-      TopK.disjunction(subs.toArray, k, after, ctx.counters, tc)
-    case BoolQ(must, Nil, Nil, _) if must.nonEmpty && must.forall(_.isInstanceOf[TermQ]) =>
-      val subs = must.map(build(_, 1f, termBlocks, ctx, lo, hi, live))
-      if (subs.exists(_ eq EmptyScorer)) Array.empty
-      else TopK.conjunction(subs.map(_.asInstanceOf[TermIterator]).toArray, k, after,
-        ctx.counters, tc)
+      val negs = mustNot.map(build(_, 0f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
+      val excl: DocScorer =
+        if (negs.isEmpty) null
+        else if (negs.size == 1) negs.head
+        else new DisjunctionSumScorer(negs.toArray)
+      TopK.disjunction(subs.toArray, k, after, ctx.counters, tc, excl, ctx.floorId)
+    case BoolQ(must, should, mustNot, msm) if must.nonEmpty =>
+      // mirror build()'s composition EXACTLY (same scorer objects, same
+      // float accumulation as the exhaustive path), with the pruning hooks
+      // installed on the required conjunction
+      val reqs = must.map(build(_, 1f, termBlocks, ctx, lo, hi, live))
+      if (reqs.exists(_ eq EmptyScorer)) return Array.empty
+      val opts = should.map(build(_, 1f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
+      val (base: DocScorer, conj: ConjunctionScorer) =
+        if (msm > 0 && should.nonEmpty) {
+          if (opts.size < msm) return Array.empty
+          val msmScorer =
+            new MinShouldMatchScorer(new DisjunctionSumScorer(opts.toArray), msm)
+          val c = new ConjunctionScorer((reqs :+ msmScorer).toArray)
+          (c, c)
+        } else {
+          val c = new ConjunctionScorer(reqs.toArray)
+          if (opts.isEmpty) (c, c)
+          else (new ReqOptSumScorer(c,
+            if (opts.size == 1) opts.head else new DisjunctionSumScorer(opts.toArray)), c)
+        }
+      val negs = mustNot.map(build(_, 0f, termBlocks, ctx, lo, hi, live)).filterNot(_ eq EmptyScorer)
+      val root: DocScorer =
+        if (negs.isEmpty) base
+        else new ReqExclScorer(base,
+          if (negs.size == 1) negs.head else new DisjunctionSumScorer(negs.toArray))
+      TopK.conjunctionTopK(root, conj, k, after, ctx.counters, tc, ctx.floorId)
     case t: TermQ =>
       build(t, 1f, termBlocks, ctx, lo, hi, live) match {
-        case ti: TermIterator => TopK.singleTerm(ti, k, after, tc)
+        case ti: TermIterator => TopK.singleTerm(ti, k, after, tc, ctx.floorId)
+        case _ => Array.empty
+      }
+    case p: PhraseQ =>
+      build(p, 1f, termBlocks, ctx, lo, hi, live) match {
+        case ps: PhraseScorer =>
+          TopK.conjunctionTopK(ps, ps.innerConjunction, k, after,
+            ctx.counters, tc, ctx.floorId)
         case _ => Array.empty
       }
     case other =>
@@ -300,8 +341,9 @@ final class GraftSearcher(
   def search(queryStr: String, k: Int): Array[ScoreDoc] = search(parse(queryStr), k, null)
 
   def search(q0: Query, k: Int, after: ScoreDoc = null, numPartitions: Int = 0): Array[ScoreDoc] = {
-    searchDS(q0, k, after, numPartitions)
-      .orderBy(desc("score"), asc("docId")).limit(k).collect()
+    val ds = searchDS(q0, k, after, numPartitions)
+    try ds.orderBy(desc("score"), asc("docId")).limit(k).collect()
+    finally ScoreFloor.clear(lastFloorId) // local mode: driver JVM == executor JVM
   }
 
   /** Shared scatter stage: filter the block table to the query's terms
@@ -393,11 +435,25 @@ final class GraftSearcher(
     (hits, total, if (gte) "GTE" else "EQ")
   }
 
-  /** The per-partition top-k hits as a Dataset (k rows per doc-range). */
+  /** Most recent production-path floor id (cleared by [[search]]; entries
+    * not cleared here age out of [[ScoreFloor]]'s FIFO cap). */
+  @transient private var lastFloorId: Long = 0L
+  private[search] def lastFloorIdForTest: Long = lastFloorId
+
+  /** The per-partition top-k hits as a Dataset (k rows per doc-range).
+    * Mints a [[ScoreFloor]] id so doc-range partitions share their k-th
+    * score: partitions full of globally-non-competitive docs skip whole
+    * block ranges instead of each redundantly collecting a local top-k. */
   def searchDS(q0: Query, k: Int, after: ScoreDoc = null, numPartitions: Int = 0): Dataset[ScoreDoc] = {
     val (q, ctx) = plan(q0)
     if (q == MatchNoneQ) return spark.emptyDataset[ScoreDoc]
-    val ctxB = ctx
+    val floorId = {
+      var id = 0L
+      while (id == 0L) id = java.util.concurrent.ThreadLocalRandom.current().nextLong()
+      id
+    }
+    lastFloorId = floorId
+    val ctxB = ctx.copy(floorId = floorId)
     val afterB = after
     val kB = k
     perRange[ScoreDoc](q, numPartitions) { (qq, termBlocks, lo, hi, live) =>

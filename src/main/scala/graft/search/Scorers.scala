@@ -44,6 +44,17 @@ trait DocScorer {
   /** Static upper bound over all remaining docs. */
   def maxScore: Float
   def cost: Long
+
+  /** Upper bound of score() over docs in [target, [[blockEnd]](target)] —
+    * refined with per-block impact metadata where available. Default: the
+    * static [[maxScore]], which is valid for ALL remaining docs (so the
+    * default [[blockEnd]] is unbounded). Composite scorers fold their
+    * children's bounds (the `MaxScoreCache.shallowAdvance` analog,
+    * reference: lucene/core/src/java/org/apache/lucene/search/ImpactsDISI.java:75-126). */
+  def shallowMax(target: Long): Float = maxScore
+
+  /** Furthest docId the [[shallowMax]] bound is valid for. */
+  def blockEnd(target: Long): Long = Long.MaxValue - 1
 }
 
 object DocScorer {
@@ -134,6 +145,27 @@ final class TermIterator(
     var i = math.max(blockIdx, 0)
     while (i < blocks.length && blocks(i).lastDocId < target) i += 1
     if (i >= blocks.length) Long.MaxValue - 1 else blocks(i).lastDocId
+  }
+
+  override def shallowMax(target: Long): Float = shallowMaxScore(target)
+  override def blockEnd(target: Long): Long = blockEndFor(target)
+
+  /** Impact-frontier bound of the block at/after `target`, scored with an
+    * EXTERNAL scorer (a phrase's summed-idf weight over this term's
+    * (freq, norm) frontier) — metadata only, no decode. */
+  def blockImpactBound(target: Long, s: Bm25.Scorer): Float = {
+    var i = math.max(blockIdx, 0)
+    while (i < blocks.length && blocks(i).lastDocId < target) i += 1
+    if (i >= blocks.length || blocks(i).firstDocId >= hi) return 0f
+    val b = blocks(i)
+    var m = 0f
+    var j = 0
+    while (j < b.impactFreqs.length) {
+      val v = s.score(b.impactFreqs(j).toFloat, b.impactNorms(j))
+      if (v > m) m = v
+      j += 1
+    }
+    m
   }
 
   private def decodeBlock(i: Int): Unit = {
@@ -243,21 +275,76 @@ final class MatchAllScorer(
   override def cost: Long = hi - lo
 }
 
+object ConjunctionScorer {
+  /** Collector-fed pruning hooks, installed by `TopK.conjunctionTopK` on the
+    * query's required conjunction: `theta` is the current competitive floor
+    * (-inf disables); `boundAt`/`endAt` are the QUERY-ROOT's compositional
+    * impact bound and its validity horizon (so optional clauses, exclusion
+    * wrappers and phrase semantics are all priced correctly); `skipped()`
+    * bumps the pruning counters. */
+  trait PruneContext {
+    def theta: Double
+    def boundAt(target: Long): Float
+    def endAt(target: Long): Long
+    def skipped(): Unit
+  }
+}
+
 /** Leapfrog intersection, cheapest-first (`ConjunctionDISI.intersectIterators`,
-  * reference: lucene/core/src/java/org/apache/lucene/search/ConjunctionDISI.java:61). */
+  * reference: lucene/core/src/java/org/apache/lucene/search/ConjunctionDISI.java:61).
+  * With a [[ConjunctionScorer.PruneContext]] installed, every lead candidate
+  * is first bound-checked against the collector floor using per-block impact
+  * metadata ONLY — a non-competitive candidate range is jumped whole before
+  * any other clause advances (= decodes) to it: the mixed-shape
+  * generalization of `BlockMaxConjunctionScorer` (reference:
+  * lucene/core/src/java/org/apache/lucene/search/BlockMaxConjunctionScorer.java:30-249). */
 final class ConjunctionScorer(subsIn: Array[DocScorer]) extends DocScorer {
   private val subs = subsIn.sortBy(_.cost)
   private var cur = -1L
+  private var pruneCtx: ConjunctionScorer.PruneContext = null
+  def enablePruning(ctx: ConjunctionScorer.PruneContext): Unit = pruneCtx = ctx
   override def docId: Long = cur
   override def cost: Long = subs.head.cost
   override val maxScore: Float = {
     var d = 0.0; subs.foreach(s => d += s.maxScore); DocScorer.sumScores(d)
   }
+  override def shallowMax(target: Long): Float = {
+    var d = 0.0
+    var i = 0
+    while (i < subs.length) { d += subs(i).shallowMax(target); i += 1 }
+    DocScorer.sumScores(d)
+  }
+  override def blockEnd(target: Long): Long = {
+    var e = Long.MaxValue - 1
+    var i = 0
+    while (i < subs.length) { e = math.min(e, subs(i).blockEnd(target)); i += 1 }
+    e
+  }
   override def nextDoc(): Long = advance(cur + 1)
+
+  /** Jump the lead past every candidate range whose impact bound can't beat
+    * the floor; returns the first potentially-competitive lead doc. Only the
+    * LEAD advances here — the other clauses never decode a pruned range. */
+  private def pruneLead(doc0: Long): Long = {
+    var doc = doc0
+    var live = false
+    while (!live && doc != DocScorer.NO_MORE) {
+      val th = pruneCtx.theta
+      if (th == Double.NegativeInfinity) live = true
+      else if (pruneCtx.boundAt(doc) <= th) {
+        pruneCtx.skipped()
+        doc = subs(0).advance(math.max(doc, pruneCtx.endAt(doc)) + 1)
+      } else live = true
+    }
+    doc
+  }
+
   override def advance(target: Long): Long = {
     var doc = subs(0).advance(math.max(target, cur + 1))
     var agreed = false
     while (!agreed && doc != DocScorer.NO_MORE) {
+      if (pruneCtx != null) doc = pruneLead(doc)
+      if (doc == DocScorer.NO_MORE) return { cur = doc; cur }
       agreed = true
       var i = 1
       while (i < subs.length && agreed) {
@@ -297,6 +384,18 @@ final class DisjunctionSumScorer(subs: Array[DocScorer]) extends DocScorer {
   override def cost: Long = subs.map(_.cost).sum
   override val maxScore: Float = {
     var d = 0.0; subs.foreach(s => d += s.maxScore); DocScorer.sumScores(d)
+  }
+  override def shallowMax(target: Long): Float = {
+    var d = 0.0
+    var i = 0
+    while (i < subs.length) { d += subs(i).shallowMax(target); i += 1 }
+    DocScorer.sumScores(d)
+  }
+  override def blockEnd(target: Long): Long = {
+    var e = Long.MaxValue - 1
+    var i = 0
+    while (i < subs.length) { e = math.min(e, subs(i).blockEnd(target)); i += 1 }
+    e
   }
   override def nextDoc(): Long = advance(cur + 1)
   override def advance(target: Long): Long = {
@@ -342,6 +441,8 @@ final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
   override def docId: Long = req.docId
   override def cost: Long = req.cost
   override def maxScore: Float = req.maxScore
+  override def shallowMax(target: Long): Float = req.shallowMax(target)
+  override def blockEnd(target: Long): Long = req.blockEnd(target)
   override def nextDoc(): Long = advance(req.docId + 1)
   override def advance(target: Long): Long = {
     var doc = req.advance(target)
@@ -362,6 +463,10 @@ final class ReqOptSumScorer(req: DocScorer, opt: DocScorer) extends DocScorer {
   override def docId: Long = req.docId
   override def cost: Long = req.cost
   override val maxScore: Float = DocScorer.sumScores(req.maxScore.toDouble + opt.maxScore.toDouble)
+  override def shallowMax(target: Long): Float =
+    DocScorer.sumScores(req.shallowMax(target).toDouble + opt.shallowMax(target).toDouble)
+  override def blockEnd(target: Long): Long =
+    math.min(req.blockEnd(target), opt.blockEnd(target))
   override def nextDoc(): Long = req.nextDoc()
   override def advance(target: Long): Long = req.advance(target)
   override def score(): Float = {
@@ -386,6 +491,7 @@ final class ConstantScoreScorer(inner: DocScorer, value: Float) extends DocScore
   override def docId: Long = inner.docId
   override def cost: Long = inner.cost
   override def maxScore: Float = value
+  // shallowMax/blockEnd defaults: the constant bound is valid forever
   override def nextDoc(): Long = inner.nextDoc()
   override def advance(target: Long): Long = inner.advance(target)
   override def score(): Float = value
@@ -439,6 +545,24 @@ final class DisMaxScorer(subs: Array[DocScorer], tieBreak: Float) extends DocSco
     subs.foreach { s => sum += s.maxScore; mx = math.max(mx, s.maxScore) }
     (mx + (sum - mx) * tieBreak).toFloat
   }
+  override def shallowMax(target: Long): Float = {
+    var mx = 0f
+    var sum = 0.0
+    var i = 0
+    while (i < subs.length) {
+      val s = subs(i).shallowMax(target)
+      sum += s
+      if (s > mx) mx = s
+      i += 1
+    }
+    (mx + (sum - mx) * tieBreak).toFloat
+  }
+  override def blockEnd(target: Long): Long = {
+    var e = Long.MaxValue - 1
+    var i = 0
+    while (i < subs.length) { e = math.min(e, subs(i).blockEnd(target)); i += 1 }
+    e
+  }
   override def nextDoc(): Long = union.nextDoc()
   override def advance(target: Long): Long = union.advance(target)
   override def score(): Float = {
@@ -487,9 +611,37 @@ final class PhraseScorer(
   private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
   private var freqCur = 0
 
+  /** The phrase's required term conjunction — `TopK.conjunctionTopK`
+    * installs its block-max pruning hooks here so non-competitive candidate
+    * ranges skip the position decode entirely. */
+  def innerConjunction: ConjunctionScorer = conj
+
   override def docId: Long = conj.docId
   override def cost: Long = conj.cost
   override val maxScore: Float = scorer.maxScore
+
+  /** Exact phrases refine per block: phraseFreq <= tf of EVERY term, so the
+    * tightest per-term impact-frontier bound (scored with the phrase's
+    * summed-idf weight) caps the phrase score. Sloppy matching can reuse a
+    * term occurrence across windows (freq is NOT <= every tf), so only the
+    * static bound is sound there. */
+  override def shallowMax(target: Long): Float = {
+    if (slop > 0) return maxScore
+    var m = Float.MaxValue
+    var i = 0
+    while (i < terms.length) {
+      val b = terms(i).blockImpactBound(target, scorer)
+      if (b < m) m = b
+      i += 1
+    }
+    m
+  }
+  override def blockEnd(target: Long): Long = {
+    var e = Long.MaxValue - 1
+    var i = 0
+    while (i < terms.length) { e = math.min(e, terms(i).blockEndFor(target)); i += 1 }
+    e
+  }
 
   override def nextDoc(): Long = advance(conj.docId + 1)
   override def advance(target: Long): Long = {
@@ -634,6 +786,56 @@ final class TotalCounter(val threshold: Long) {
   @inline def countedEnough: Boolean = seen >= threshold
 }
 
+/** Cross-partition minCompetitive floor — the analog of Lucene's
+  * `MaxScoreAccumulator` shared across leaf slices (reference:
+  * lucene/core/src/java/org/apache/lucene/search/MaxScoreAccumulator.java:26;
+  * consumed in TopScoreDocCollector.java:303-318). Each doc-range partition
+  * publishes its local k-th-best score once its heap fills; every partition
+  * in the SAME JVM reads the max published floor and prunes docs scoring
+  * STRICTLY below it (a tie could still win the global docId tie-break, so
+  * consumers compare against `nextDown(floor)`). Scope: one JVM — exactly
+  * what Lucene's accumulator shares between searcher threads; on a
+  * multi-executor cluster each executor shares its own floor and local mode
+  * shares globally. Keyed by a per-query id minted on the driver; entries
+  * are evicted FIFO past 4096 so executor JVMs never accumulate state. */
+object ScoreFloor {
+  private val floors =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+
+  def publish(id: Long, score: Float): Unit = {
+    if (id == 0L || !(score > 0f)) return
+    val bits = java.lang.Float.floatToIntBits(score) // monotonic for score > 0
+    val c = floors.computeIfAbsent(id, k => {
+      order.add(k)
+      while (floors.size > 4096) {
+        val old = order.poll()
+        if (old != null) floors.remove(old)
+      }
+      new java.util.concurrent.atomic.AtomicInteger(-1)
+    })
+    var cur = c.get()
+    while (bits > cur && !c.compareAndSet(cur, bits)) cur = c.get()
+  }
+
+  /** Highest published floor for this query, or -inf. */
+  def get(id: Long): Float = {
+    if (id == 0L) return Float.NegativeInfinity
+    val c = floors.get(id)
+    if (c == null) return Float.NegativeInfinity
+    val bits = c.get()
+    if (bits < 0) Float.NegativeInfinity else java.lang.Float.intBitsToFloat(bits)
+  }
+
+  /** Strict-compare form: `bound <= strictBound(id)` iff `bound < floor`. */
+  def strictBound(id: Long): Double = {
+    val f = get(id)
+    if (f == Float.NegativeInfinity) Double.NegativeInfinity else Math.nextDown(f).toDouble
+  }
+
+  def clear(id: Long): Unit = if (id != 0L) floors.remove(id)
+}
+
 object TopK {
 
   /** searchAfter predicate: hit must sort strictly after the marker. */
@@ -677,25 +879,21 @@ object TopK {
     pq.resultsD()
   }
 
-  /** Block-refined upper bound of `s` for docs in [target, blockEndOf(s)]:
-    * impact-frontier max for term iterators, static max otherwise. */
-  @inline private def shallowOf(s: DocScorer, target: Long): Float = s match {
-    case t: TermIterator => t.shallowMaxScore(target)
-    case _ => s.maxScore
-  }
-
-  /** Furthest doc the [[shallowOf]] bound covers. */
-  @inline private def blockEndOf(s: DocScorer, target: Long): Long = s match {
-    case t: TermIterator => t.blockEndFor(target)
-    case _ => target
-  }
-
   /** Single-term top-k with impacts pruning: the collector feeds its floor
     * into the iterator (`setMinCompetitiveScore` -> `ImpactsDISI`), which
-    * then skips non-competitive blocks without decoding them. */
+    * then skips non-competitive blocks without decoding them. The
+    * cross-partition [[ScoreFloor]] (strict compare via nextDown) folds in
+    * every 128 docs. */
   def singleTerm(it: TermIterator, k: Int, after: ScoreDoc = null,
-      tc: TotalCounter = null): Array[ScoreDoc] = {
+      tc: TotalCounter = null, floorId: Long = 0L): Array[ScoreDoc] = {
     val pq = new HitQueue(k)
+    var n = 0L
+    // seed from any floor another partition already published — a partition
+    // whose blocks are all sub-floor never decodes anything
+    if (floorId != 0L && (tc == null || tc.countedEnough)) {
+      val g = Math.nextDown(ScoreFloor.get(floorId))
+      if (g > it.minCompetitive) it.minCompetitive = g
+    }
     var doc = it.nextDoc()
     while (doc != DocScorer.NO_MORE) {
       if (tc != null) tc.count()
@@ -703,72 +901,63 @@ object TopK {
       if (after == null || isAfter(after, doc, s)) {
         // the collector floor only feeds the iterator's impact skipping once
         // the hit-count threshold is crossed (null counter = immediately)
-        if (pq.insert(doc, s) && pq.isFull && (tc == null || tc.countedEnough))
-          it.minCompetitive = pq.topScore.toFloat
+        if (pq.insert(doc, s) && pq.isFull && (tc == null || tc.countedEnough)) {
+          val kth = pq.topScore.toFloat
+          if (kth > it.minCompetitive) it.minCompetitive = kth
+          ScoreFloor.publish(floorId, kth)
+        }
+      }
+      n += 1
+      if (floorId != 0L && (n & 127L) == 0L && (tc == null || tc.countedEnough)) {
+        val g = Math.nextDown(ScoreFloor.get(floorId))
+        if (g > it.minCompetitive) it.minCompetitive = g
       }
       doc = it.nextDoc()
     }
     pq.results()
   }
 
-  /** Block-max conjunction (AND of term iterators): before the others are
-    * advanced (= decoded) to the lead's candidate, the summed per-block
-    * impact bounds are checked against the heap floor; a non-competitive
-    * range is jumped whole (reference:
+  /** Block-max top-k for any query whose root REQUIRES a conjunction —
+    * arbitrary scorer children (terms, phrases, nested booleans), optional
+    * SHOULD clauses (ReqOpt or msm-required) and MUST_NOT exclusion. `root`
+    * is the exact scorer tree the exhaustive path executes (identical float
+    * composition); `conj` is the root's required conjunction (a phrase's
+    * inner term conjunction for phrase roots), which gets the
+    * candidate-level pruning hooks ([[ConjunctionScorer.PruneContext]])
+    * whose bounds delegate to the ROOT's compositional shallowMax/blockEnd.
+    * Mixed-shape generalization of `BlockMaxConjunctionScorer` (reference:
     * lucene/core/src/java/org/apache/lucene/search/BlockMaxConjunctionScorer.java:30-249). */
-  def conjunction(
-      termsIn: Array[TermIterator],
+  def conjunctionTopK(
+      root: DocScorer,
+      conj: ConjunctionScorer,
       k: Int,
       after: ScoreDoc = null,
       counters: ScorerCounters = null,
-      tc: TotalCounter = null): Array[ScoreDoc] = {
-    val subs: Array[TermIterator] = termsIn.sortBy(_.cost)
-    val n = subs.length
-    if (n == 0) return Array.empty
+      tc: TotalCounter = null,
+      floorId: Long = 0L): Array[ScoreDoc] = {
     val pq = new HitQueue(k)
-    def theta: Double = if (pq.isFull) pq.topScore else Double.NegativeInfinity
-
-    var doc = subs(0).nextDoc()
+    if (conj != null) conj.enablePruning(new ConjunctionScorer.PruneContext {
+      override def theta: Double = {
+        if (tc != null && !tc.countedEnough) return Double.NegativeInfinity
+        val local = if (pq.isFull) pq.topScore else Double.NegativeInfinity
+        math.max(local, ScoreFloor.strictBound(floorId))
+      }
+      // the ROOT's compositional bound prices every shape correctly:
+      // ReqOpt folds in the optional clauses, ReqExcl ignores the excluded
+      // side, PhraseScorer caps by the phrase-frequency semantics
+      override def boundAt(target: Long): Float = root.shallowMax(target)
+      override def endAt(target: Long): Long = root.blockEnd(target)
+      override def skipped(): Unit = if (counters != null) counters.skipped.add(1)
+    })
+    var doc = root.nextDoc()
     while (doc != DocScorer.NO_MORE) {
-      var next = -1L
-      // block-max check on metadata only, before any other clause decodes
-      // (held back until the totalHits threshold is crossed)
-      if (pq.isFull && (tc == null || tc.countedEnough)) {
-        var bound = 0.0
-        var i = 0
-        while (i < n) { bound += shallowOf(subs(i), doc); i += 1 }
-        if (DocScorer.sumScores(bound) <= theta) {
-          var boundary = Long.MaxValue
-          i = 0
-          while (i < n) { boundary = math.min(boundary, blockEndOf(subs(i), doc)); i += 1 }
-          if (counters != null) counters.skipped.add(1)
-          next = subs(0).advance(boundary + 1)
-        }
+      if (tc != null) tc.count()
+      val s = root.score()
+      if (after == null || isAfter(after, doc, s)) {
+        if (pq.insert(doc, s) && pq.isFull && (tc == null || tc.countedEnough))
+          ScoreFloor.publish(floorId, pq.topScore.toFloat)
       }
-      if (next < 0) {
-        // leapfrog the remaining clauses to doc
-        var agreed = true
-        var i = 1
-        while (i < n && agreed) {
-          if (subs(i).docId < doc) subs(i).advance(doc)
-          if (subs(i).docId != doc) {
-            agreed = false
-            next = if (subs(i).docId == DocScorer.NO_MORE) DocScorer.NO_MORE
-                   else subs(0).advance(subs(i).docId)
-          }
-          i += 1
-        }
-        if (agreed) {
-          if (tc != null) tc.count()
-          var d = 0.0
-          i = 0
-          while (i < n) { d += subs(i).score(); i += 1 }
-          val s = DocScorer.sumScores(d)
-          if (after == null || isAfter(after, doc, s)) pq.insert(doc, s)
-          next = subs(0).nextDoc()
-        }
-      }
-      doc = next
+      doc = root.nextDoc()
     }
     pq.results()
   }
@@ -783,7 +972,9 @@ object TopK {
       k: Int,
       after: ScoreDoc = null,
       counters: ScorerCounters = null,
-      tc: TotalCounter = null): Array[ScoreDoc] = {
+      tc: TotalCounter = null,
+      excl: DocScorer = null,
+      floorId: Long = 0L): Array[ScoreDoc] = {
     // zero-weight clauses can never score but they DO match: Lucene returns
     // docs matching only a boost-0 clause (score 0), so they stay in on BOTH
     // the counting and the production path. Sorted first by maxScore, they
@@ -792,8 +983,8 @@ object TopK {
     val subs = subsIn.sortBy(_.maxScore)
     val n = subs.length
     if (n == 0) return Array.empty
-    if (n == 1) return subs(0) match {
-      case t: TermIterator => singleTerm(t, k, after, tc)
+    if (n == 1 && excl == null) return subs(0) match {
+      case t: TermIterator => singleTerm(t, k, after, tc, floorId)
       case s => iterate(s, k, after, tc)
     }
     val prefix = new Array[Double](n) // prefix(i) = sum of maxScore of subs[0..i]
@@ -802,16 +993,27 @@ object TopK {
 
     val pq = new HitQueue(k)
     var essStart = 0
+    // cross-partition floor, refreshed every 128 candidates (strict-compare
+    // form: bound <= gFloor iff bound < published floor)
+    var gFloor: Double = ScoreFloor.strictBound(floorId)
+    var seenCands = 0L
 
-    def theta: Double = if (pq.isFull) pq.topScore else Double.NegativeInfinity
+    // local floor prunes with <= (docId-ordered ties lose the tie-break
+    // INSIDE a partition); the global floor is already strict
+    def theta: Double = {
+      if (tc != null && !tc.countedEnough) return Double.NegativeInfinity
+      val local = if (pq.isFull) pq.topScore else Double.NegativeInfinity
+      math.max(local, gFloor)
+    }
 
     // below the totalHits threshold every clause stays essential, so every
     // match is observed and counted; shrinking the essential list is the
     // step that starts skipping (= uncounted) matches
     def updateEssential(): Unit = {
-      if (!pq.isFull || (tc != null && !tc.countedEnough)) { essStart = 0; return }
+      val th = theta
+      if (th == Double.NegativeInfinity) { essStart = 0; return }
       var s = 0
-      while (s < n && prefix(s) <= theta) s += 1
+      while (s < n && prefix(s) <= th) s += 1
       essStart = s
     }
 
@@ -822,6 +1024,10 @@ object TopK {
     while (running) {
       if (essStart >= n) { running = false }
       else {
+        if (floorId != 0L && { seenCands += 1; (seenCands & 127L) == 0L }) {
+          val g = ScoreFloor.strictBound(floorId)
+          if (g > gFloor) { gFloor = g; updateEssential() }
+        }
         // candidate = min docId among essential clauses
         var cand = DocScorer.NO_MORE
         var i = essStart
@@ -832,14 +1038,15 @@ object TopK {
           // even that can't beat the floor, jump every essential clause past
           // the nearest block boundary — the blocks are never decoded
           var skippedRange = false
-          if (pq.isFull && (tc == null || tc.countedEnough)) {
+          val th = theta
+          if (th != Double.NegativeInfinity) {
             var bound = if (essStart > 0) prefix(essStart - 1) else 0.0
             i = essStart
-            while (i < n) { bound += shallowOf(subs(i), cand); i += 1 }
-            if (DocScorer.sumScores(bound) <= theta) {
+            while (i < n) { bound += subs(i).shallowMax(cand); i += 1 }
+            if (DocScorer.sumScores(bound) <= th) {
               var boundary = Long.MaxValue
               i = essStart
-              while (i < n) { boundary = math.min(boundary, blockEndOf(subs(i), cand)); i += 1 }
+              while (i < n) { boundary = math.min(boundary, subs(i).blockEnd(cand)); i += 1 }
               if (counters != null) counters.skipped.add(1)
               i = essStart
               while (i < n) {
@@ -850,34 +1057,47 @@ object TopK {
             }
           }
           if (!skippedRange) {
-            // cand matches at least one (essential) clause — a real hit
-            if (tc != null) tc.count()
-            // sum essential clauses at cand
-            var partial = 0.0
-            i = essStart
-            while (i < n) {
-              if (subs(i).docId == cand) partial += subs(i).score()
-              i += 1
+            // MUST_NOT exclusion rides the candidate stream: an excluded doc
+            // is not a hit — not counted, not scored
+            var excluded = false
+            if (excl != null) {
+              if (excl.docId < cand) excl.advance(cand)
+              excluded = excl.docId == cand
             }
-            // probe non-essential from the highest max-score down; each
-            // clause's static cap is refined to its block-level bound at
-            // cand before the clause is advanced (= decoded)
-            i = essStart - 1
-            var live = true
-            while (i >= 0 && live) {
-              val below = if (i > 0) prefix(i - 1) else 0.0
-              if (DocScorer.sumScores(partial + below + shallowOf(subs(i), cand)) <= theta) {
-                live = false
-              } else {
-                if (subs(i).docId < cand) subs(i).advance(cand)
+            if (!excluded) {
+              // cand matches at least one (essential) clause — a real hit
+              if (tc != null) tc.count()
+              // sum essential clauses at cand
+              var partial = 0.0
+              i = essStart
+              while (i < n) {
                 if (subs(i).docId == cand) partial += subs(i).score()
-                i -= 1
+                i += 1
               }
-            }
-            if (live) {
-              val s = DocScorer.sumScores(partial)
-              if (after == null || isAfter(after, cand, s)) {
-                if (pq.insert(cand, s)) updateEssential()
+              // probe non-essential from the highest max-score down; each
+              // clause's static cap is refined to its block-level bound at
+              // cand before the clause is advanced (= decoded)
+              i = essStart - 1
+              var live = true
+              while (i >= 0 && live) {
+                val below = if (i > 0) prefix(i - 1) else 0.0
+                if (DocScorer.sumScores(partial + below + subs(i).shallowMax(cand)) <= th) {
+                  live = false
+                } else {
+                  if (subs(i).docId < cand) subs(i).advance(cand)
+                  if (subs(i).docId == cand) partial += subs(i).score()
+                  i -= 1
+                }
+              }
+              if (live) {
+                val s = DocScorer.sumScores(partial)
+                if (after == null || isAfter(after, cand, s)) {
+                  if (pq.insert(cand, s)) {
+                    if (pq.isFull && (tc == null || tc.countedEnough))
+                      ScoreFloor.publish(floorId, pq.topScore.toFloat)
+                    updateEssential()
+                  }
+                }
               }
             }
             // advance essential clauses that sit at cand

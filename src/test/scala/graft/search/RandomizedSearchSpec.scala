@@ -29,7 +29,7 @@ class RandomizedSearchSpec extends AnyFunSuite {
   private def randomQuery(rnd: scala.util.Random, depth: Int): Query = {
     def term() = TermQ(vocab(rnd.nextInt(vocab.length)))
     if (depth == 0) term()
-    else rnd.nextInt(8) match {
+    else rnd.nextInt(10) match {
       case 0 => term()
       case 1 => BoolQ(must = Seq.fill(1 + rnd.nextInt(2))(randomQuery(rnd, depth - 1)))
       case 2 => BoolQ(should = Seq.fill(2 + rnd.nextInt(3))(randomQuery(rnd, depth - 1)))
@@ -44,6 +44,14 @@ class RandomizedSearchSpec extends AnyFunSuite {
       case 7 => BoolQ(
         should = Seq.fill(3)(term()),
         minShouldMatch = 2)
+      case 8 => BoolQ( // ReqOpt: must + should through the block-max path
+        must = Seq.fill(1 + rnd.nextInt(2))(randomQuery(rnd, depth - 1)),
+        should = Seq.fill(1 + rnd.nextInt(2))(randomQuery(rnd, depth - 1)),
+        minShouldMatch = rnd.nextInt(2))
+      case 9 => BoolQ( // full shape: must + should + mustNot
+        must = Seq(randomQuery(rnd, depth - 1)),
+        should = Seq(term(), term()),
+        mustNot = Seq(term()))
     }
   }
 
