@@ -101,9 +101,12 @@ object Bench {
     //    (scan -> sha verify -> analyze -> shuffle -> encode), not the
     //    generator.
     import spark.implicits._
-    val corpusPath = s"/tmp/graft-bench-corpus-$corpusDocs"
+    // fixed 64-part staging: one part file = one row group = one scan task,
+    // so the staging width must exceed every parallelism level benched (see
+    // ScalingBench) — otherwise the scan stages cap below `cpus`
+    val corpusPath = s"/tmp/graft-bench-corpus-$corpusDocs-p64"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusPath/_SUCCESS")))
-      CodeCorpus.dataset(spark, corpusDocs).write.mode("overwrite").parquet(corpusPath)
+      CodeCorpus.dataset(spark, corpusDocs, parts = 64).write.mode("overwrite").parquet(corpusPath)
     val files = spark.read.parquet(corpusPath).as[graft.index.CodeFile]
     // one untimed warm-up pass over a slice (JIT compile the analyzer/codec
     // hot loops + fault the heap's working set — this host faults anonymous

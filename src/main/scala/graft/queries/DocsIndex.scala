@@ -51,6 +51,42 @@ object DocsIndex {
     (idx, new GraftSearcher(idx, Analyzers.simple))
   }
 
+  /** Same corpus indexed with the engine-default UAX#29 analyzer
+    * (`Analyzers.standard`, Analyzer.scala:38-133). The testdata text is
+    * pure `[a-z0-9 ]` (verified by `ft_uax_search`'s oracle agreeing), so
+    * the standard tokenizer provably emits the same tokens as `simple` —
+    * putting the default analyzer path under the hard oracle signal. */
+  def getStandard(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#uax", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.standard))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.standard))
+      })
+
+  /** Corpus committed through the NRT path: two `IncrementalIndexer`
+    * micro-batches (disjoint docId strides) then a full compaction into one
+    * segment — the batch-build/merge-equivalence evidence behind
+    * `ft_incr_search` (its oracle is the same SQL as `ft_search_term`). */
+  def getIncremental(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#incr", _ => {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-docsincr-").toString
+        val cfg = IndexConfig(analyzer = Analyzers.simple)
+        val all = files(spark, sfDir)
+        val half = documents(spark, sfDir).count() / 2
+        val b0 = all.filter($"path" < f"doc$half%09d")
+        val b1 = all.filter($"path" >= f"doc$half%09d")
+        graft.streaming.IncrementalIndexer.commitBatch(b0, 0L, dir, cfg, 1L << 20)
+        graft.streaming.IncrementalIndexer.commitBatch(b1, 1L, dir, cfg, 1L << 20)
+        graft.index.SegmentMerger.compact(spark, dir, cfg, maxSegments = 1, mergeFactor = 2)
+        val idx = graft.index.IndexStore.open(spark, dir)
+        idx.blocks.count()
+        (idx, new GraftSearcher(idx, Analyzers.simple))
+      })
+
   /** Map the documents table onto the engine's input shape (input_hint):
     * repo <- source, path <- zero-padded doc_id (so the deterministic docId
     * assignment order is the doc_id order), content <- text. */

@@ -114,6 +114,10 @@ object FulltextQueries {
     // sloppy phrase: "big table"~2 — every anchor occurrence of 'big' with a
     // 'table' within 2 positions of the exact-phrase slot
     "ft_match_sloppy" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"~2")),
+    // 3-term sloppy phrase through the Lucene window condition (one
+    // occurrence per slot, offset-adjusted span <= slop) — the
+    // smallest-covering-range sweep, not the anchored 2-term fast path
+    "ft_match_sloppy3" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"spark query table\"~3")),
     // FuzzyQuery: terms within Levenshtein distance 2 ('sort' also pulls in
     // 'part'), constant-score rewrite, distributed dictionary walk
     "ft_match_fuzzy" -> ((spark, sfDir) => matchDF(spark, sfDir, "sort~2")),
@@ -254,6 +258,28 @@ object FulltextQueries {
           .select(col("doc_id"), col("score"))
       }
     }),
+    // engine-default UAX#29 analyzer under the oracle: a second index built
+    // with Analyzers.standard (Analyzer.scala:38-133); the corpus is pure
+    // [a-z0-9 ] text, so tokenization — and therefore df/avgdl/norms/tf and
+    // every score — must agree with the SQL-expressible simple analyzer
+    "ft_uax_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getStandard(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // NRT/incremental ingest equivalence: the corpus committed as two
+    // IncrementalIndexer micro-batches then compacted to one segment must
+    // score identically to the single-shot build (same oracle SQL as
+    // ft_search_term)
+    "ft_incr_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getIncremental(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // totalHits: exact match count for a query (TotalHits EQUAL_TO surface;
     // the distributed count never collects the match set to the driver)
     "ft_count" -> ((spark, sfDir) => {
@@ -270,6 +296,22 @@ object FulltextQueries {
       val (_, total, rel) = searcher.searchWithTotal(
         searcher.parse("vector OR customer"), 5, Long.MaxValue)
       Seq((total, rel)).toDF("total_hits", "relation")
+    }),
+    // TotalHits.Relation through the PRUNED counting path: threshold 5 is
+    // far below the true match count, so every doc-range crosses it, pruning
+    // engages, and the collector must report GTE_OR_EQUAL_TO with a count
+    // bounded by [threshold, true count] while the top-k stays exact. The
+    // booleans (not the unstable pruned count itself) are the oracle surface.
+    "ft_total_hits_gte" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (_, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.parse("vector OR customer")
+      val trueCount = searcher.matchesDS(q).toDF("docId").count()
+      val (hits, total, rel) = searcher.searchWithTotal(q, 5, 5L, numPartitions = 8)
+      val exact = searcher.bruteForce(q, 5).map(_.docId)
+      Seq((rel, total >= 5L, total <= trueCount, hits.length.toLong,
+        hits.map(_.docId).sameElements(exact)))
+        .toDF("relation", "ge_threshold", "le_true_count", "n_hits", "topk_exact")
     }),
     // grouping module (lucene/grouping TopGroups: top-N docs per group over a
     // match set) — window row_number per lang bucket, longest docs first
@@ -459,6 +501,18 @@ object FulltextQueries {
          |               generate_series(greatest(1, i + 1 - 2), least(len(tk), i + 1 + 2)),
          |               j -> tk[j] = 'table')) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // window condition on (i, j, k) with offsets (0, 1, 2): span <= slop is
+    // equivalent to ALL pairwise |Δposition − Δoffset| <= slop, so k ranges
+    // over the intersection of the windows around i and j
+    "ft_match_sloppy3" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'spark'
+         |  AND len(list_filter(generate_series(greatest(1, i + 1 - 3), least(len(tk), i + 1 + 3)),
+         |        j -> tk[j] = 'query'
+         |          AND len(list_filter(generate_series(greatest(1, i + 2 - 3, j + 1 - 3),
+         |                                              least(len(tk), i + 2 + 3, j + 1 + 3)),
+         |                k -> tk[k] = 'table')) > 0)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_match_fuzzy" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> levenshtein(x, 'sort') <= 2)) > 0
@@ -615,6 +669,27 @@ object FulltextQueries {
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+    // identical to ft_search_term: the UAX#29 standard analyzer must
+    // tokenize this pure-[a-z0-9 ] corpus exactly like the simple analyzer
+    "ft_uax_search" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // identical to ft_search_term: two-batch incremental commit + compact
+    // must be score-equivalent to the single-shot build
+    "ft_incr_search" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_total_hits_gte" ->
+      """SELECT 'GTE' AS relation, true AS ge_threshold, true AS le_true_count,
+        |  CAST(5 AS BIGINT) AS n_hits, true AS topk_exact""".stripMargin,
     "ft_count" ->
       s"""SELECT count(*) AS total_hits
          |FROM (SELECT doc_id, $TOKS AS tk FROM documents)

@@ -21,6 +21,10 @@ object RelationalQueries {
 
   private val cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 
+  /** Derby databases already staged this JVM (q_jdbc round-trip setup). */
+  private val jdbcStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: the RollupStream / StatsComponent analog
     "q1_agg" -> ((spark, sfDir) => {
@@ -48,6 +52,26 @@ object RelationalQueries {
         .groupBy(floor(col("o_totalprice") / 50000).as("bucket"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")
+    }),
+    // nested sub-facets (Solr JSON facets: per-bucket sub-facets with their
+    // own sort/limit, reference: solr/core/src/java/org/apache/solr/search/
+    // facet/FacetRequest.java:141,368-379): top-2 lang buckets, each with
+    // its own top-2 source sub-buckets. Outer buckets prune FIRST (the
+    // broadcast semi-join), so the sub-facet agg only touches surviving
+    // buckets — the shape that holds when the outer field has millions of
+    // buckets at corpus scale.
+    "q_facet_nested" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val topLangs = docs.groupBy("lang").agg(count(lit(1)).as("lang_cnt"))
+        .orderBy(desc("lang_cnt"), asc("lang")).limit(2)
+      val w = Window.partitionBy("lang").orderBy(desc("src_cnt"), asc("source"))
+      docs.join(broadcast(topLangs), "lang")
+        .groupBy("lang", "lang_cnt", "source").agg(count(lit(1)).as("src_cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("lang"), col("lang_cnt"), col("rnk"), col("source"), col("src_cnt"))
+        .orderBy(desc("lang_cnt"), asc("lang"), asc("rnk"))
     }),
     // facet query: counts under predicates (FacetQuery)
     "q_facet_query" -> ((spark, sfDir) => {
@@ -280,6 +304,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
         .orderBy("n_regionkey")
     }),
+    // JDBC source (JDBCStream, reference: solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/stream/JDBCStream.java): round-trip a projection
+    // through an embedded Derby database (the JDBC endpoint this sandbox can
+    // host — Derby ships with Spark), then aggregate from the JDBC scan.
+    // The oracle reads the same rows from parquet.
+    "q_jdbc" -> ((spark, sfDir) => {
+      val db = s"/tmp/graft-derby-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      if (!jdbcStaged.containsKey(db)) {
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("text_len"))
+          .write.mode("overwrite").jdbc(url, "docs_rt", props)
+        jdbcStaged.put(db, java.lang.Boolean.TRUE)
+      }
+      spark.read.jdbc(url, "docs_rt", props)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("text_len")).as("sum_len"))
+        .orderBy("lang")
+    }),
     // RandomStream analog: distributed Bernoulli sample, made deterministic
     // (and oracle-recomputable) by hashing the key — the reproducible-
     // sampling trick standard in training-data pipelines. ~1/16 of orders;
@@ -364,6 +410,20 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q_facet_nested" ->
+      """WITH lc AS (SELECT lang, count(*) AS lang_cnt FROM documents GROUP BY lang),
+        |top2 AS (SELECT lang, lang_cnt FROM lc ORDER BY lang_cnt DESC, lang LIMIT 2),
+        |sc AS (SELECT d.lang, d.source, count(*) AS src_cnt
+        |       FROM documents d JOIN top2 USING (lang) GROUP BY d.lang, d.source),
+        |rk AS (SELECT lang, source, src_cnt,
+        |         row_number() OVER (PARTITION BY lang ORDER BY src_cnt DESC, source) AS rnk
+        |       FROM sc)
+        |SELECT t.lang, t.lang_cnt, rk.rnk, rk.source, rk.src_cnt
+        |FROM rk JOIN top2 t USING (lang) WHERE rnk <= 2
+        |ORDER BY t.lang_cnt DESC, t.lang, rk.rnk""".stripMargin,
+    "q_jdbc" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_timeseries" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -86,7 +86,8 @@ object ScorerBuilder {
             lo, hi, null, ctx.counters, live)
         case _ => throw new IllegalStateException
         }.toArray
-        new PhraseScorer(tis, positions.toArray, scorer, dScorer, slop)
+        new PhraseScorer(tis, positions.toArray, scorer, dScorer, slop,
+          noRepeats = terms.distinct.size == terms.size)
       }
 
     case DisMaxQ(disjuncts, tieBreak) =>
@@ -418,13 +419,14 @@ final class GraftSearcher(
   def searchWithTotal(
       q0: Query,
       k: Int,
-      totalHitsThreshold: Long = 1000L): (Array[ScoreDoc], Long, String) = {
+      totalHitsThreshold: Long = 1000L,
+      numPartitions: Int = 0): (Array[ScoreDoc], Long, String) = {
     val (q, ctx) = plan(q0)
     if (q == MatchNoneQ) return (Array.empty, 0L, "EQ")
     val ctxB = ctx
     val kB = k
     val th = totalHitsThreshold
-    val ranges = perRange[RangeHits](q, 0) { (qq, termBlocks, lo, hi, live) =>
+    val ranges = perRange[RangeHits](q, numPartitions) { (qq, termBlocks, lo, hi, live) =>
       val tc = new TotalCounter(th)
       val hits = ScorerBuilder.topK(qq, termBlocks, ctxB, lo, hi, kB, null, live, tc)
       Iterator.single(RangeHits(hits, tc.seen, tc.countedEnough))

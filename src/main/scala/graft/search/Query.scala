@@ -11,12 +11,16 @@ sealed trait Query extends Serializable
 final case class TermQ(term: String) extends Query
 /** positions = the analyzed position offset of each term inside the phrase
   * (stop-filtered gaps preserved, like Lucene's QueryParser). slop = 0 is
-  * the exact phrase; slop > 0 matches when every term has an occurrence
-  * within `slop` positions of the anchor implied by the first term — the
-  * anchored-window re-expression of Lucene's sloppy matching (reference:
-  * lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java;
-  * identical match sets for two-term phrases, where Lucene's edit-distance
-  * reduces to |Δposition - Δoffset| <= slop). */
+  * the exact phrase. slop > 0 matches with Lucene's window condition
+  * (reference:
+  * lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java):
+  * one occurrence per slot whose offset-adjusted positions span <= slop.
+  * For 2-term phrases this is the anchored check |Δposition − Δoffset| <=
+  * slop; for >= 3 distinct terms the smallest-covering-range sweep
+  * evaluates the same condition. Documented deviations from Lucene: the
+  * sloppy FREQ counts locally-minimal covering windows (Lucene weights
+  * each match 1/(1+matchLength)), and phrases that repeat a term fall back
+  * to anchored matching. */
 final case class PhraseQ(terms: Seq[String], positions: Seq[Int], slop: Int = 0) extends Query
 
 /** Max-of-disjuncts scoring: score = max + tieBreak * Σ(other matching

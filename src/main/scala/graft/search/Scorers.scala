@@ -606,7 +606,11 @@ final class PhraseScorer(
     offsets: Array[Int],
     scorer: Bm25.Scorer,
     dScorer: Bm25.DoubleScorer = null,
-    slop: Int = 0) extends DocScorer {
+    slop: Int = 0,
+    /** True when no term string repeats across phrase slots (the builder
+      * knows the strings; repeats force the anchored fallback because a
+      * window cover could otherwise bind one occurrence to two slots). */
+    noRepeats: Boolean = true) extends DocScorer {
 
   private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
   private var freqCur = 0
@@ -651,7 +655,58 @@ final class PhraseScorer(
     doc
   }
 
-  private def phraseFreq(): Int = {
+  private def phraseFreq(): Int =
+    if (slop > 0 && terms.length >= 3 && noRepeats) windowFreq()
+    else anchoredFreq()
+
+  /** Lucene-window sloppy matching for >= 3 terms (the edit-distance
+    * condition of `SloppyPhraseMatcher`, reference:
+    * lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java:
+    * a doc matches iff ONE occurrence per slot can be chosen whose
+    * offset-adjusted positions span <= slop — equivalently every pairwise
+    * |Δposition − Δoffset| <= slop). Implemented as the classic
+    * smallest-covering-range pointer sweep over the adjusted position
+    * lists; freq counts the locally-minimal covering windows (deviation
+    * from Lucene's 1/(1+matchLength) weighted freq is documented at the
+    * [[graft.search.PhraseQ]] AST node). */
+  private def windowFreq(): Int = {
+    val n = terms.length
+    val lists = new Array[Array[Int]](n)
+    var t = 0
+    while (t < n) {
+      val ps = terms(t).positionsOfCurrent()
+      val adj = new Array[Int](ps.length)
+      var i = 0
+      while (i < ps.length) { adj(i) = ps(i) - offsets(t); i += 1 }
+      lists(t) = adj // positions ascending; constant shift keeps order
+      t += 1
+    }
+    val ptr = new Array[Int](n)
+    var count = 0
+    var done = false
+    while (!done) {
+      var minV = Int.MaxValue
+      var maxV = Int.MinValue
+      var minT = -1
+      var i = 0
+      while (i < n) {
+        val v = lists(i)(ptr(i))
+        if (v < minV) { minV = v; minT = i }
+        if (v > maxV) maxV = v
+        i += 1
+      }
+      if (maxV - minV <= slop) count += 1
+      ptr(minT) += 1
+      if (ptr(minT) >= lists(minT).length) done = true
+    }
+    count
+  }
+
+  /** Exact (slop=0) and 2-term / repeated-term sloppy matching: every
+    * anchor occurrence of the first term with each other slot within
+    * `slop` of its exact-phrase position. For 2-term phrases this is
+    * EXACTLY Lucene's match set (|Δposition − Δoffset| <= slop). */
+  private def anchoredFreq(): Int = {
     val lead = terms(0).positionsOfCurrent()
     var count = 0
     var i = 0
@@ -664,9 +719,6 @@ final class PhraseScorer(
         ok =
           if (slop == 0) java.util.Arrays.binarySearch(ps, base + offsets(t)) >= 0
           else {
-            // sloppy: any occurrence within `slop` of the anchored position
-            // (anchored-window matching; for 2-term phrases this is exactly
-            // Lucene's |Δposition - Δoffset| <= slop match set)
             val want = base + offsets(t)
             val ins = java.util.Arrays.binarySearch(ps, want)
             ins >= 0 || {

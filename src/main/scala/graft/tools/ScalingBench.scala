@@ -36,9 +36,14 @@ object ScalingBench {
       }
     })
 
-    val path = s"/tmp/graft-bench-corpus-$n"
+    // stage with a FIXED width well above the largest parallelism level:
+    // each part file is one parquet row group (unsplittable), so a corpus
+    // staged at 8 parts caps every scan stage at 8 tasks and silently
+    // rigs the 8 -> 32 comparison against local[32]. At real scale the
+    // input is an Iceberg table with many files — 64 parts mirrors that.
+    val path = s"/tmp/graft-bench-corpus-$n-p64"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
-      CodeCorpus.dataset(spark, n).write.mode("overwrite").parquet(path)
+      CodeCorpus.dataset(spark, n, parts = 64).write.mode("overwrite").parquet(path)
     val files = spark.read.parquet(path).as[CodeFile]
 
     // one untimed warm-up pass over a slice (JIT + page cache)
