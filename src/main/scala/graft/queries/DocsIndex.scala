@@ -65,6 +65,18 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.standard))
       })
 
+  /** Same corpus indexed with the EnglishAnalyzer stop set — the StopFilter
+    * + posIncrement-gap path (Analyzer.scala stop handling) under the hard
+    * oracle signal via `ft_stop_phrase` / `ft_stop_count`. */
+  def getEnglish(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#en", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.english))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.english))
+      })
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -243,6 +243,18 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // TOP_TERMS_SCORING_BOOLEAN_REWRITE: fuzzy expansion as SCORED clauses —
+    // each matching dictionary term boosted by similarity 1 − dist/min(len)
+    // ('sort'→1.0, 'part'→0.5 here), BM25-scored and summed, instead of the
+    // CONSTANT_SCORE union ft_match_fuzzy pins
+    "ft_search_fuzzy_scored" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.scoringRewrite(graft.search.FuzzyQ("sort", 2), 5)
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // searchAfter pagination: page 2 of the 'vector' ranking
     "ft_search_after" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
@@ -257,6 +269,26 @@ object FulltextQueries {
           .orderBy(desc("score"), asc("doc_id")).limit(10)
           .select(col("doc_id"), col("score"))
       }
+    }),
+    // StopFilter + posIncrement gaps under the oracle (EnglishAnalyzer stop
+    // set): query-time analysis of "big the table" drops 'the' but keeps the
+    // position gap (big=0, table=2), so the exact phrase matches docs where
+    // big and table sit TWO raw positions apart with anything between —
+    // 29 docs here vs 24 for the adjacent phrase, so a gap-less
+    // implementation provably fails this row
+    "ft_stop_phrase" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getEnglish(spark, sfDir)
+      searcher.matchesDS(searcher.parse("\"big the table\"")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // stopwords are dropped at BOTH index and query time: 'the' analyzes to
+    // nothing, so "the OR value" degenerates to the 'value' term query
+    "ft_stop_count" -> ((spark, sfDir) => {
+      val (_, searcher) = DocsIndex.getEnglish(spark, sfDir)
+      searcher.matchesDS(searcher.parse("the OR value")).toDF("docId")
+        .agg(count(lit(1)).as("total_hits"))
     }),
     // engine-default UAX#29 analyzer under the oracle: a second index built
     // with Analyzers.standard (Analyzer.scala:38-133); the corpus is pure
@@ -662,6 +694,22 @@ object FulltextQueries {
          |    FROM dl
          |  ) dl, st
          |) WHERE tf_syn > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_fuzzy_scored" ->
+      s"""$PRELUDE,
+         |cand AS (SELECT tok AS term, count(*) AS df,
+         |           1 - CAST(levenshtein(tok, 'sort') AS DOUBLE) / least(len(tok), 4) AS boost
+         |         FROM (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks)
+         |         GROUP BY tok
+         |         HAVING levenshtein(tok, 'sort') <= 2 AND abs(len(tok) - 4) <= 2
+         |         ORDER BY boost DESC, term LIMIT 5)
+         |SELECT doc_id, round(sum(CASE WHEN tf = 0 THEN 0.0 ELSE
+         |    (boost * ln(1 + (st.n - df + 0.5) / (df + 0.5))) * (tf * (1.2 + 1))
+         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END), 4) AS score
+         |FROM (SELECT dl.doc_id, dl.dlq, c.term, c.df, c.boost,
+         |             len(list_filter(dl.tk, x -> x = c.term)) AS tf
+         |      FROM dl CROSS JOIN cand c) per, st
+         |GROUP BY doc_id HAVING max(tf) > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_after" ->
       s"""$PRELUDE
          |SELECT doc_id, round(s, 4) AS score FROM (
@@ -669,6 +717,15 @@ object FulltextQueries {
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+    "ft_stop_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk) - 2),
+         |        i -> tk[i] = 'big' AND tk[i+2] = 'table')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_stop_count" ->
+      s"""SELECT count(*) AS total_hits
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'value')""".stripMargin,
     // identical to ft_search_term: the UAX#29 standard analyzer must
     // tokenize this pure-[a-z0-9 ] corpus exactly like the simple analyzer
     "ft_uax_search" ->

@@ -262,6 +262,19 @@ object ScorerBuilder {
   }
 }
 
+object GraftSearcher {
+  /** Per-term boost for a scoring rewrite: fuzzy similarity for FuzzyQ
+    * (reference: lucene/core/src/java/org/apache/lucene/search/FuzzyTermsEnum.java),
+    * 1 for every other multi-term shape. */
+  def rewriteBoost(mt: MultiTermQ, term: String): Float = mt match {
+    case f: FuzzyQ =>
+      val d = Query.levenshtein(term, f.term)
+      if (d == 0) 1f
+      else 1f - d.toFloat / math.min(term.length, f.term.length).toFloat
+    case _ => 1f
+  }
+}
+
 /** Query-side engine over a [[GraftIndex]].
   *
   * Distributed execution shape (SURVEY.md §3.2): filter the block table to
@@ -289,6 +302,36 @@ final class GraftSearcher(
   @transient lazy val counters: ScorerCounters = ScorerCounters(
     spark.sparkContext.longAccumulator("graft.blocksDecoded"),
     spark.sparkContext.longAccumulator("graft.blocksSkipped"))
+
+  /** Multi-term SCORING rewrites — the `TOP_TERMS_SCORING_BOOLEAN_REWRITE`
+    * family (reference:
+    * lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:114-140;
+    * TopTermsRewrite.java): instead of the CONSTANT_SCORE union, the top-N
+    * matching dictionary terms become SCORED should-clauses. Fuzzy terms are
+    * boosted by similarity `1 − dist / min(|term|, |query|)` (reference:
+    * lucene/core/src/java/org/apache/lucene/search/FuzzyTermsEnum.java boost
+    * computation); other multi-term shapes boost 1. Selection ranks
+    * (boost desc, term asc) — our documented tie order. The dictionary walk
+    * is a distributed termStats scan + TakeOrdered(N), the Spark analog of
+    * Lucene's rewrite-time TermsEnum walk; N bounds the clause count like
+    * `BooleanQuery.maxClauseCount`. */
+  def scoringRewrite(mt: MultiTermQ, topN: Int = 1024): Query = {
+    import spark.implicits._
+    val mtB = mt
+    val matching = index.termStats
+      .filter(Query.scanPrefilter(mt))
+      .filter(ts => mtB.matches(ts.term))
+      .map(ts => (ts.term, GraftSearcher.rewriteBoost(mtB, ts.term)))
+      .toDF("term", "boost")
+      .orderBy(desc("boost"), asc("term"))
+      .limit(topN)
+      .as[(String, Float)]
+      .collect()
+    if (matching.isEmpty) MatchNoneQ
+    else Query.rewrite(BoolQ(should = matching.toSeq.map {
+      case (t, b) => BoostQ(TermQ(t), b)
+    }))
+  }
 
   /** Rewrite + collect per-term df stats (the `termStatistics` lookup — a
     * few rows via parquet term pushdown). Multi-term queries are NOT

@@ -122,6 +122,34 @@ class MultiTermSpec extends AnyFunSuite {
     assert(matchedPaths(q) == expectedPaths(t => t.startsWith("index") || t.startsWith("token")))
   }
 
+  test("scoring rewrite expands to similarity-boosted top terms") {
+    // 'segmant'~2 pulls in 'segment' (dist 1, boost 1 - 1/7); exact-match
+    // input pulls itself at boost 1.0 ranked first
+    val q = searcher.scoringRewrite(FuzzyQ("segmant", 2), 10)
+    q match {
+      case TermQ(_) | BoostQ(TermQ(_), _) => () // single match unwrapped
+      case BoolQ(Nil, should, Nil, 0) =>
+        val boosts = should.map {
+          case BoostQ(TermQ(t), b) => (t, b)
+          case TermQ(t) => (t, 1f)
+          case other => fail(s"unexpected clause $other")
+        }
+        assert(boosts == boosts.sortBy { case (t, b) => (-b, t) },
+          "clauses must rank boost desc, term asc")
+        assert(boosts.exists { case (t, b) =>
+          t == "segment" && math.abs(b - (1f - 1f / 7f)) < 1e-6 })
+      case other => fail(s"unexpected rewrite $other")
+    }
+    assert(searcher.search(q, 10).toSeq == searcher.bruteForce(q, 10).toSeq)
+    // prefix scoring rewrite: constant boost 1, term-ordered top-N
+    val p = searcher.scoringRewrite(PrefixQ("index"), 3)
+    val pTerms = Query.terms(p)
+    assert(pTerms.nonEmpty && pTerms.forall(_.startsWith("index")))
+    assert(searcher.search(p, 10).toSeq == searcher.bruteForce(p, 10).toSeq)
+    // empty expansion
+    assert(searcher.scoringRewrite(PrefixQ("zzzznope"), 5) == MatchNoneQ)
+  }
+
   test("multi-term queries compose inside booleans and score constant") {
     val hits = searcher.search("merge* AND return", 2000)
     val expected = expectedPaths(_.startsWith("merge")) intersect expectedPaths(_ == "return")
