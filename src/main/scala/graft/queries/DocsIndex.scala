@@ -102,7 +102,7 @@ object DocsIndex {
   /** Map the documents table onto the engine's input shape (input_hint):
     * repo <- source, path <- zero-padded doc_id (so the deterministic docId
     * assignment order is the doc_id order), content <- text. */
-  private def files(spark: SparkSession, sfDir: String) = {
+  private[queries] def files(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     documents(spark, sfDir)
       .select(

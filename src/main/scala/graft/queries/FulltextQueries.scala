@@ -270,6 +270,23 @@ object FulltextQueries {
           .select(col("doc_id"), col("score"))
       }
     }),
+    // percolator / lucene-monitor: standing queries evaluated against every
+    // document map-only (no index, no shuffle) — each (doc, query) match is
+    // one event row; the matcher shares the engine's AST semantics
+    "ft_monitor" -> ((spark, sfDir) => {
+      val standing = Seq(
+        "q_bool" -> graft.search.BoolQ(
+          must = Seq(graft.search.TermQ("spark")),
+          mustNot = Seq(graft.search.TermQ("vector"))),
+        "q_phrase" -> graft.search.PhraseQ(Seq("big", "table"), Seq(0, 1)),
+        "q_vector" -> graft.search.TermQ("vector"))
+      graft.streaming.QueryMonitor
+        .matchBatch(DocsIndex.files(spark, sfDir), standing, graft.analysis.Analyzers.simple)
+        .toDF()
+        .withColumn("doc_id", expr("CAST(substring(path, 4) AS BIGINT)"))
+        .select(col("doc_id"), col("queryName").as("query_name"))
+        .orderBy("doc_id", "query_name")
+    }),
     // StopFilter + posIncrement gaps under the oracle (EnglishAnalyzer stop
     // set): query-time analysis of "big the table" drops 'the' but keeps the
     // position gap (big=0, table=2), so the exact phrase matches docs where
@@ -717,6 +734,17 @@ object FulltextQueries {
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+    "ft_monitor" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT doc_id, query_name FROM (
+         |  SELECT doc_id, 'q_vector' AS query_name FROM t WHERE list_contains(tk, 'vector')
+         |  UNION ALL
+         |  SELECT doc_id, 'q_phrase' FROM documents
+         |  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$$)')
+         |  UNION ALL
+         |  SELECT doc_id, 'q_bool' FROM t
+         |  WHERE list_contains(tk, 'spark') AND NOT list_contains(tk, 'vector')
+         |) ORDER BY doc_id, query_name""".stripMargin,
     "ft_stop_phrase" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(generate_series(1, len(tk) - 2),

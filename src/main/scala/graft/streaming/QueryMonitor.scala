@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.analysis.Analyzer
+import graft.index.CodeFile
+import graft.search._
+
+/** Standing-query matching over a document stream — the lucene/monitor
+  * module (percolator) re-expressed for Structured Streaming (reference:
+  * lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java:
+  * `match(Document, MatcherFactory)` evaluates every registered query
+  * against each incoming document; CandidateMatcher collects (queryId,
+  * docId) matches).
+  *
+  * Spark shape: the registered queries are a small broadcast list; each
+  * micro-batch maps every document through the analyzer once and evaluates
+  * all queries against the in-memory token map — map-only, no index, no
+  * shuffle, linear in stream volume and embarrassingly parallel at any
+  * cluster size. (Lucene's Presearcher optimization — indexing the QUERIES
+  * to prune which ones run per doc — is a constant-factor cut of the same
+  * map-only work; with query counts in the thousands the simple loop is
+  * codegen-friendly and branch-predictable, and the term-set prefilter
+  * below covers the common case.)
+  *
+  * Match semantics are the engine's own: the same rewritten [[Query]] AST,
+  * matched per document exactly as the index-backed scorers match it
+  * (differential-tested against `GraftSearcher.matchesDS` suite-side).
+  */
+object QueryMonitor {
+
+  /** One match event: which standing query fired on which document. */
+  final case class MatchEvent(repo: String, path: String, commit: String, queryName: String)
+
+  /** Pure per-document matcher over the analyzed (term -> ascending
+    * positions) map — the [[graft.search.Scorers]] boolean/phrase semantics
+    * without postings. */
+  def matches(q0: Query, tf: collection.Map[String, Array[Int]]): Boolean = {
+    def go(q: Query): Boolean = q match {
+      case TermQ(t) => tf.contains(t)
+      case SynonymQ(ts) => ts.exists(tf.contains)
+      case ConstSetQ(ts) => ts.exists(tf.contains)
+      case BoostQ(sub, _) => go(sub)
+      case DisMaxQ(ds, _) => ds.exists(go)
+      case MatchAllQ => true
+      case MatchNoneQ => false
+      case mt: MultiTermQ => tf.keysIterator.exists(mt.matches)
+      case BoolQ(must, should, mustNot, msm) =>
+        must.forall(go) && !mustNot.exists(go) &&
+          (should.isEmpty || should.count(go) >= math.max(msm, if (must.isEmpty) 1 else 0))
+      case PhraseQ(terms, offsets, slop) =>
+        val lists = terms.zip(offsets).map { case (t, off) =>
+          tf.get(t).map(_.map(_ - off)).orNull
+        }
+        if (lists.exists(_ == null)) false
+        else if (slop == 0 || terms.size < 3 || terms.distinct.size != terms.size) {
+          // anchored check (exact phrases; 2-term / repeated-term sloppy),
+          // mirroring PhraseScorer.anchoredFreq
+          lists.head.exists { base =>
+            lists.tail.forall { ps =>
+              if (slop == 0) java.util.Arrays.binarySearch(ps, base) >= 0
+              else {
+                val ins = java.util.Arrays.binarySearch(ps, base)
+                ins >= 0 || {
+                  val ip = -ins - 1
+                  (ip < ps.length && ps(ip) - base <= slop) ||
+                    (ip > 0 && base - ps(ip - 1) <= slop)
+                }
+              }
+            }
+          }
+        } else {
+          // >= 3 distinct terms: Lucene's window condition via the
+          // smallest-covering-range sweep (PhraseScorer.windowFreq)
+          val ptr = new Array[Int](lists.size)
+          var found = false
+          var done = false
+          while (!found && !done) {
+            var minV = Int.MaxValue; var maxV = Int.MinValue; var minT = -1
+            var i = 0
+            while (i < lists.size) {
+              val v = lists(i)(ptr(i))
+              if (v < minV) { minV = v; minT = i }
+              if (v > maxV) maxV = v
+              i += 1
+            }
+            if (maxV - minV <= slop) found = true
+            else {
+              ptr(minT) += 1
+              if (ptr(minT) >= lists(minT).length) done = true
+            }
+          }
+          found
+        }
+    }
+    go(Query.rewrite(q0))
+  }
+
+  /** Batch surface: evaluate `queries` against every doc in `docs`. */
+  def matchBatch(
+      docs: Dataset[CodeFile],
+      queries: Seq[(String, Query)],
+      analyzer: Analyzer): Dataset[MatchEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (n, q) => (n, Query.rewrite(q)) }
+    // cheap prefilter: a query with required terms can only match docs
+    // containing them all (multi-term / matchall / pure-should skip it)
+    val reqTerms: Seq[(String, Query, Set[String])] = qs.map { case (n, q) =>
+      val req = q match {
+        case TermQ(t) => Set(t)
+        case PhraseQ(ts, _, _) => ts.toSet
+        case BoolQ(must, _, _, _) => must.collect { case TermQ(t) => t }.toSet
+        case _ => Set.empty[String]
+      }
+      (n, q, req)
+    }
+    docs.mapPartitions { it =>
+      it.flatMap { f =>
+        val (byTerm, _) = analyzer.invert(f.content)
+        val tfMap = byTerm.map { case (t, (_, poss)) => t -> poss.toArray }
+        reqTerms.iterator.collect {
+          case (name, q, req)
+              if req.forall(tfMap.contains) && matches(q, tfMap) =>
+            MatchEvent(f.repo, f.path, f.commit, name)
+        }
+      }
+    }
+  }
+
+  /** Streaming surface: attach the standing queries to a document stream;
+    * the result streams (repo, path, commit, queryName) match events. */
+  def attach(
+      stream: Dataset[CodeFile],
+      queries: Seq[(String, Query)],
+      analyzer: Analyzer): DataFrame =
+    matchBatch(stream, queries, analyzer).toDF()
+}

@@ -7,8 +7,8 @@
 #   attempt := probe -> ScalingBench local[LO] -> ScalingBench local[HI] -> probe
 #
 # A pair is CLEAN only when BOTH probes are healthy (fault < 1.0 s,
-# cpu < 0.5 s, disk buffered+sync < 2.5 s). Unclean attempts are logged and
-# discarded. Appends one JSON line per attempt to tools/scaling_r03.jsonl;
+# cpu < 0.5 s, 256 MB disk buffered+sync < 4.0 s i.e. > ~64 MB/s).
+# Unclean attempts are logged and discarded. Appends one JSON line per attempt to tools/scaling_r03.jsonl;
 # prints the median efficiency over clean pairs at the end.
 #
 # Usage: tools/scaling_pairs.sh [N_CLEAN_PAIRS] [DOCS] [LO] [HI]
@@ -42,7 +42,7 @@ probe() { # echoes "fault cpu buffered sync" or "bad"
 }
 
 is_healthy() { # $1..$4 = fault cpu buffered sync
-  python3 -c "import sys; f,c,b,d=map(float,sys.argv[1:5]); sys.exit(0 if f<1.0 and c<0.5 and b+d<2.5 else 1)" "$@"
+  python3 -c "import sys; f,c,b,d=map(float,sys.argv[1:5]); sys.exit(0 if f<1.0 and c<0.5 and b+d<4.0 else 1)" "$@"
 }
 
 run_level() { # $1 = cpus; echoes build seconds or "fail"
