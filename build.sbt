@@ -33,7 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pages instead of wandering across a huge lazily-grown heap. Deliberately
   // NO AlwaysPreTouch (it front-loads the slow faults: 14 min startup at
   // 48 GB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default (was 16g): at local[32] a 16 GB heap is GC-bound — the
+  // 400k-doc build measured 96.5s @16g vs 29.6s @48g (BASELINE.md round 3).
+  // Executor memory must scale with executor cores; Xms==Xmx still avoids
+  // lazy heap growth, and G1 only faults pages actually used, so small
+  // test runs don't pay for the larger reservation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseTransparentHugePages",
 )
