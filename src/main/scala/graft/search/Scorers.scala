@@ -858,14 +858,27 @@ object ScoreFloor {
   def publish(id: Long, score: Float): Unit = {
     if (id == 0L || !(score > 0f)) return
     val bits = java.lang.Float.floatToIntBits(score) // monotonic for score > 0
-    val c = floors.computeIfAbsent(id, k => {
-      order.add(k)
+    val boxed = java.lang.Long.valueOf(id)
+    val created = new Array[Boolean](1)
+    val c = floors.computeIfAbsent(boxed, _ => {
+      created(0) = true // side effect on a local only — the mapping function
+      new java.util.concurrent.atomic.AtomicInteger(-1) // must not touch the map
+    })
+    if (created(0)) {
+      // FIFO eviction OUTSIDE the mapping function — ConcurrentHashMap
+      // forbids mutating the map from inside computeIfAbsent
+      order.add(boxed)
       while (floors.size > 4096) {
         val old = order.poll()
-        if (old != null) floors.remove(old)
+        if (old == null) return publishBits(c, bits)
+        if (old != boxed) floors.remove(old)
       }
-      new java.util.concurrent.atomic.AtomicInteger(-1)
-    })
+    }
+    publishBits(c, bits)
+  }
+
+  @inline private def publishBits(
+      c: java.util.concurrent.atomic.AtomicInteger, bits: Int): Unit = {
     var cur = c.get()
     while (bits > cur && !c.compareAndSet(cur, bits)) cur = c.get()
   }
