@@ -311,6 +311,7 @@ object RelationalQueries {
     // The oracle reads the same rows from parquet.
     "q_jdbc" -> ((spark, sfDir) => {
       val db = s"/tmp/graft-derby-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
       val url = s"jdbc:derby:$db;create=true"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
