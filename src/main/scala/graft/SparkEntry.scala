@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DocsIndex, FulltextQueries, RelationalQueries, TrainingDataQueries}
+import graft.queries.{DocsIndex, FulltextQueries, GraphQueries, RelationalQueries, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,8 +31,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FulltextQueries.queries ++ RelationalQueries.queries ++ TrainingDataQueries.queries
+    FulltextQueries.queries ++ RelationalQueries.queries ++ TrainingDataQueries.queries ++
+      GraphQueries.queries
 
   def oracleSql: Map[String, String] =
-    FulltextQueries.oracleSql ++ RelationalQueries.oracleSql ++ TrainingDataQueries.oracleSql
+    FulltextQueries.oracleSql ++ RelationalQueries.oracleSql ++ TrainingDataQueries.oracleSql ++
+      GraphQueries.oracleSql
 }

@@ -145,7 +145,8 @@ object Tokenizer {
 final case class Analyzer(
     stopWords: Set[String] = Set.empty,
     maxTokenLength: Int = 255,
-    simple: Boolean = false) extends Serializable {
+    simple: Boolean = false,
+    minimalStem: Boolean = false) extends Serializable {
 
   /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
@@ -207,7 +208,8 @@ final case class Analyzer(
       } else {
         pos += rt.posIncr + pendingGap
         pendingGap = 0
-        Iterator.single(Token(term, pos, rt.startOffset, rt.endOffset))
+        val out = if (minimalStem) Analyzer.minimalStemEn(term) else term
+        Iterator.single(Token(out, pos, rt.startOffset, rt.endOffset))
       }
     }
   }
@@ -237,6 +239,29 @@ final case class Analyzer(
   }
 }
 
+object Analyzer {
+  /** Harman's S-stemmer, char-for-char the reference's switch — including
+    * the intentional `case 'e'` fallthrough to "drop the final s"
+    * (reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishMinimalStemmer.java:30-46).
+    * Re-expressible in SQL as a CASE over suffixes, which is what the
+    * `ft_stem_*` DuckDB oracles do. */
+  def minimalStemEn(s: String): String = {
+    val len = s.length
+    if (len < 3 || s.charAt(len - 1) != 's') s
+    else s.charAt(len - 2) match {
+      case 'u' | 's' => s
+      case 'e' =>
+        if (len > 3 && s.charAt(len - 3) == 'i' &&
+            s.charAt(len - 4) != 'a' && s.charAt(len - 4) != 'e')
+          s.substring(0, len - 3) + "y"
+        else if (s.charAt(len - 3) == 'i' || s.charAt(len - 3) == 'a' ||
+                 s.charAt(len - 3) == 'o' || s.charAt(len - 3) == 'e') s
+        else s.substring(0, len - 1) // the reference's fallthrough arm
+      case _ => s.substring(0, len - 1)
+    }
+  }
+}
+
 object Analyzers {
   /** StandardAnalyzer default: EMPTY stop set
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:50-53). */
@@ -255,4 +280,8 @@ object Analyzers {
 
   /** SQL-expressible analyzer for DuckDB-oracle-facing queries. */
   val simple: Analyzer = Analyzer(simple = true)
+
+  /** `EnglishMinimalStemFilter` chain over the SQL-expressible tokenizer —
+    * the stemming path under the hard oracle (`ft_stem_*`). */
+  val minimalStem: Analyzer = Analyzer(simple = true, minimalStem = true)
 }

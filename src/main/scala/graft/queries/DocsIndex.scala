@@ -65,6 +65,41 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.standard))
       })
 
+  /** Same corpus indexed through the EnglishMinimalStemFilter chain
+    * (Harman S-stemmer; `Analyzer.minimalStemEn`) — query terms stem through
+    * the same analyzer in `parse`, so 'tables' searches the 'table' posting
+    * list. Oracle side re-applies the stemmer as a SQL CASE per token. */
+  def getStemmed(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#stem", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        // The synthetic corpus has no plural forms, so both engines apply
+        // the SAME deterministic pluralization before analysis ('tables'
+        // exercises drop-s, 'queries' the ies->y arm, 'values' the keep-e
+        // fallthrough, 'hashes' the non-vowel fallthrough). The oracle SQL
+        // uses the identical patterns with DuckDB's 'g' flag.
+        val pluralized = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |  text, '\\btable\\b', 'tables'),
+              |  '\\bquery\\b', 'queries'),
+              |  '\\bvalue\\b', 'values'),
+              |  '\\bhash\\b', 'hashes')""".stripMargin))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(pluralized,
+          IndexConfig(analyzer = Analyzers.minimalStem))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.minimalStem))
+      })
+
   /** Same corpus indexed with the EnglishAnalyzer stop set — the StopFilter
     * + posIncrement-gap path (Analyzer.scala stop handling) under the hard
     * oracle signal via `ft_stop_phrase` / `ft_stop_count`. */
@@ -100,15 +135,20 @@ object DocsIndex {
       })
 
   /** Map the documents table onto the engine's input shape (input_hint):
-    * repo <- source, path <- zero-padded doc_id (so the deterministic docId
-    * assignment order is the doc_id order), content <- text. */
+    * one logical repo, path <- zero-padded doc_id, commit <- source,
+    * content <- text. repo must be CONSTANT: the engine ranks docs by
+    * (repo, path, commit), and only a constant repo makes internal docId
+    * order equal doc_id order — which the scored oracles rely on for
+    * tie-breaks at top-k boundaries (equal round4'd scores resolve by
+    * doc_id on both sides). The source label rides in `commit` for the
+    * query-time-join field (ft_join). */
   private[queries] def files(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     documents(spark, sfDir)
       .select(
-        $"source".as("repo"),
+        lit("corpus").as("repo"),
         format_string("doc%09d", $"doc_id").as("path"),
-        lit("c0").as("commit"),
+        $"source".as("commit"),
         $"lang",
         $"text".as("content"),
         lit(null).cast("string").as("sha256"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.codec.{Impact, PostingsCodec}
 import graft.index.BlockRow
@@ -39,6 +39,38 @@ object FulltextQueries {
        |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
        |  FROM toks)""".stripMargin
 
+  /** The deterministic pluralization applied before the stemmed index is
+    * built (`DocsIndex.getStemmed`) — same patterns, DuckDB 'g' flag. */
+  private val STEM_TXT =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "text, '\\btable\\b', 'tables', 'g'), '\\bquery\\b', 'queries', 'g'), " +
+      "'\\bvalue\\b', 'values', 'g'), '\\bhash\\b', 'hashes', 'g')"
+
+  /** `Analyzer.minimalStemEn` as a SQL CASE (EnglishMinimalStemmer.java:30-46,
+    * including the case-'e' fallthrough to drop-final-s). */
+  private val STEM_CASE =
+    "CASE WHEN len(t) < 3 OR NOT (t LIKE '%s') THEN t " +
+      "WHEN t LIKE '%us' OR t LIKE '%ss' THEN t " +
+      "WHEN len(t) > 3 AND t LIKE '%ies' AND substr(t, len(t)-3, 1) NOT IN ('a','e') " +
+      "THEN substr(t, 1, len(t)-3) || 'y' " +
+      "WHEN t LIKE '%ies' OR t LIKE '%aes' OR t LIKE '%oes' OR t LIKE '%ees' THEN t " +
+      "ELSE substr(t, 1, len(t)-1) END"
+
+  private val STEM_TOKS =
+    s"list_transform(regexp_extract_all(lower($STEM_TXT), '[a-z0-9]+'), t -> $STEM_CASE)"
+
+  /** PRELUDE twin over the pluralized + stemmed token stream. */
+  private val STEM_PRELUDE =
+    s"""WITH toks AS (SELECT doc_id, $STEM_TOKS AS tk FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+       |dl AS (
+       |  SELECT doc_id, tk,
+       |    CASE WHEN len(tk) < 24 THEN len(tk)
+       |         WHEN len(tk) - 24 < 8 THEN len(tk)
+       |         ELSE 24 + (((len(tk) - 24) >> (length(format('{:b}', len(tk) - 24)) - 4))
+       |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
+       |  FROM toks)""".stripMargin
+
   private def tfSql(t: String) = s"len(list_filter(tk, x -> x = '$t'))"
   private def dfSql(t: String) = s"(SELECT count(*) FROM toks WHERE list_contains(tk, '$t'))"
   private def idfSql(df: String) = s"ln(1 + (st.n - $df + 0.5) / ($df + 0.5))"
@@ -63,6 +95,20 @@ object FulltextQueries {
       .select(col("doc_id"))
       .orderBy("doc_id")
   }
+
+  /** Column analog of `TopK.round4` (floor(x·1e4 + 0.5)/1e4) — identical
+    * to DuckDB's `round(x, 4)` for the non-negative scores it's applied
+    * to. floor() keeps the composed rescore/boost arithmetic exactly
+    * recomputable by the oracle. */
+  private def round4Col(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
+
+  /** `roundTo5Digits` (RelatednessAgg.java:495-497): Math.round(v·1e5)/1e5
+    * = floor(v·1e5 + 0.5)/1e5. Spelled as floor on BOTH sides because
+    * relatedness can be negative, where Math.round (half-UP) and DuckDB's
+    * round (half-away-from-zero) disagree. */
+  private def round5Col(c: Column): Column =
+    floor(c * lit(100000.0) + lit(0.5)).cast("double") / lit(100000.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- index internals, oracle-verified at the token level ----
@@ -160,16 +206,17 @@ object FulltextQueries {
         .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
     }),
     // query-time join (lucene/join JoinUtil.createJoinQuery): select every
-    // doc whose join-field value (repo) occurs among the docs matching the
-    // from-query — from-side values are a small distinct set, broadcast to
-    // the to-side scan (Lucene collects fromField terms, then filters)
+    // doc whose join-field value (the source label, stored in `commit`)
+    // occurs among the docs matching the from-query — from-side values are a
+    // small distinct set, broadcast to the to-side scan (Lucene collects
+    // fromField terms, then filters)
     "ft_join" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
       val fromRepos = searcher.matchesDS(searcher.parse("\"big table\"")).toDF("docId")
-        .join(index.docs.toDF().select(col("docId"), col("repo")), "docId")
-        .select("repo").distinct()
-      index.docs.toDF().select(col("docId"), col("repo"))
-        .join(broadcast(fromRepos), "repo")
+        .join(index.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .select("commit").distinct()
+      index.docs.toDF().select(col("docId"), col("commit"))
+        .join(broadcast(fromRepos), "commit")
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id"))
         .orderBy("doc_id")
@@ -317,6 +364,24 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
+    }),
+    // EnglishMinimalStemFilter (Harman S-stemmer) under the hard oracle:
+    // index + query analysis both stem, so searching the plural 'tables'
+    // reads the 'table' posting list; BM25 stats (df/tf) are post-stem
+    "ft_stem_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getStemmed(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("tables"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // the ies->y stemmer arm on both sides: 'queries' -> 'query' at query
+    // time, and every pluralized 'queries' token in the corpus stems back
+    "ft_stem_match" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getStemmed(spark, sfDir)
+      searcher.matchesDS(searcher.parse("queries")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
     }),
     // NRT/incremental ingest equivalence: the corpus committed as two
     // IncrementalIndexer micro-batches then compacted to one segment must
@@ -493,6 +558,105 @@ object FulltextQueries {
             .select(col("doc_id"), col("score"))
         }
       }
+    }),
+    // SpanNearQuery ordered (spans/NearSpansOrdered): 'query' then 'table'
+    // with a total gap of at most 4 positions, ANY offsets — unlike a
+    // sloppy phrase there is no expected-position template
+    "ft_span_near" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SpanNearQ(Seq("query", "table"), 4, inOrder = true)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // 3-clause ordered span chain: spark < data < table, gap budget 6
+    "ft_span_near3" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SpanNearQ(Seq("spark", "data", "table"), 6, inOrder = true)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // unordered span near (NearSpansUnordered): 'customer' and 'vector'
+    // within a 5-position gap in either order
+    "ft_span_unordered" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SpanNearQ(Seq("customer", "vector"), 5, inOrder = false)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // SpanFirstQuery: 'spark' somewhere in the first 10 positions (span end
+    // <= 10); 0-based engine position p qualifies iff p + 1 <= 10, which is
+    // 1-based list index <= 10 on the oracle side
+    "ft_span_first" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(graft.search.SpanFirstQ("spark", 10)).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // QueryRescorer (lucene/core/.../search/QueryRescorer.java:54-107):
+    // first pass = top-50 BM25 for 'vector'; second pass advances 'customer'
+    // over ONLY those 50 docs (broadcast leapfrog in scoreAllDoubleDS);
+    // combined = first + 2.0 * second (the rescore(...) convenience combine)
+    "ft_rescore" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val first = searcher.searchDouble(searcher.parse("vector"), 50)
+      val ids = first.map(_.docId)
+      val firstDF = spark.createDataFrame(first.toSeq.map(h => (h.docId, h.score)))
+        .toDF("docId", "s1")
+      val second = searcher.scoreAllDoubleDS(searcher.parse("customer"), ids)
+        .toDF("docId", "s2")
+      firstDF.join(second, Seq("docId"), "left")
+        .withColumn("score", round4Col(col("s1") + lit(2.0) * coalesce(col("s2"), lit(0.0))))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // FunctionScoreQuery (lucene/queries/.../function/FunctionScoreQuery.java
+    // boostByValue): score = BM25 * (1 + len/1000) — the multiplier is a
+    // doc-value source, applied to EVERY match before top-k selection
+    "ft_func_boost" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val all = searcher.scoreAllDoubleDS(searcher.parse("vector OR batch"))
+        .toDF("docId", "s")
+      all.join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("score",
+          round4Col(col("s") * (lit(1.0) + col("len").cast("double") / lit(1000.0))))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // relatedness() aggregation over facet buckets (semantic knowledge
+    // graph; reference: solr/core/.../search/facet/RelatednessAgg.java:
+    // 473-503): foreground = the 'vector OR table' match set, background =
+    // the whole collection, buckets = lang; z-scored foreground lift
+    // squashed through the reference's 5-sigmoid blend, rounded to 5 digits
+    "q_relatedness" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val docs = index.docs.toDF().select(col("docId"), col("lang"))
+      val fg = searcher.matchesDS(searcher.parse("vector OR table")).toDF("docId")
+      val bgBuckets = docs.groupBy("lang").agg(count(lit(1)).as("bg_count"))
+      val fgBuckets = docs.join(fg, "docId").groupBy("lang").agg(count(lit(1)).as("fg_count"))
+      val sizes = docs.agg(count(lit(1)).as("bg_size"))
+        .crossJoin(fg.agg(count(lit(1)).as("fg_size")))
+      val base = bgBuckets.join(fgBuckets, Seq("lang"), "left")
+        .na.fill(0L, Seq("fg_count"))
+        .crossJoin(broadcast(sizes))
+      // computeRelatedness, op-for-op (RelatednessAgg.java:473-488)
+      val bgProb = col("bg_count") / col("bg_size").cast("double")
+      val num = col("fg_count") - col("fg_size").cast("double") * bgProb
+      val denomRaw = sqrt(col("fg_size").cast("double") * bgProb * (lit(1.0) - bgProb))
+      val z = num / when(denomRaw === 0.0, lit(1e-10)).otherwise(denomRaw)
+      def sig(off: Double, scale: Double) =
+        (z + lit(off)) / (lit(scale) + abs(z + lit(off)))
+      val rel = lit(0.2) * sig(-80, 50) + lit(0.2) * sig(-30, 30) +
+        lit(0.2) * sig(0, 30) + lit(0.2) * sig(30, 30) + lit(0.2) * sig(80, 50)
+      base.select(col("lang"), col("fg_count"), col("bg_count"),
+          round5Col(col("fg_count").cast("double") / col("bg_size")).as("fg_pop"),
+          round5Col(col("bg_count").cast("double") / col("bg_size")).as("bg_pop"),
+          round5Col(rel).as("relatedness"))
+        .orderBy(desc("relatedness"), asc("lang"))
     })
   )
 
@@ -763,6 +927,20 @@ object FulltextQueries {
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // stemmed-index BM25: the query term 'tables' drops its plural s on the
+    // query side; df/tf/norms recomputed over the stemmed token stream
+    "ft_stem_search" ->
+      s"""$STEM_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    ${bmSql(idfSql(dfSql("table")), tfSql("table"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // 'queries' -> 'query' (the ies->y arm) on both index and query side
+    "ft_stem_match" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $STEM_TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'query')
+         |ORDER BY doc_id""".stripMargin,
     // identical to ft_search_term: two-batch incremental commit + compact
     // must be score-equivalent to the single-shot build
     "ft_incr_search" ->
@@ -845,6 +1023,101 @@ object FulltextQueries {
          |WHERE doc_id <> 42
          |GROUP BY doc_id
          |HAVING max(tf) > 0
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // ordered 2-term span: j strictly after i, gap j - i - 1 <= 4
+    "ft_span_near" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'query'
+         |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 5)),
+         |        j -> tk[j] = 'table')) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // ordered 3-term chain i < j < k with total gap k - i - 2 <= 6
+    "ft_span_near3" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'spark'
+         |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 7)),
+         |        j -> tk[j] = 'data'
+         |          AND len(list_filter(generate_series(j + 1, least(len(tk), i + 8)),
+         |                k -> tk[k] = 'table')) > 0)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // unordered 2-term: |i - j| - 1 <= 5 in either direction
+    "ft_span_unordered" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'customer'
+         |  AND len(list_filter(
+         |        generate_series(greatest(1, i - 6), least(len(tk), i + 6)),
+         |        j -> tk[j] = 'vector')) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // span-first: the term within the first 10 1-based list positions
+    "ft_span_first" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, least(len(tk), 10)),
+         |        i -> tk[i] = 'spark')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // two-pass rescore: top-50 by round4'd BM25('vector'), combined =
+    // round4(s1 + 2.0 * s2) where s2 is BM25('customer') on those docs only
+    "ft_rescore" ->
+      s"""$PRELUDE,
+         |first AS (
+         |  SELECT doc_id, s1 FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s1
+         |    FROM dl, st)
+         |  WHERE tf > 0 ORDER BY s1 DESC, doc_id LIMIT 50),
+         |second AS (
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("customer")), tfSql("customer"))}, 4) AS s2
+         |  FROM dl, st WHERE ${tfSql("customer")} > 0)
+         |SELECT f.doc_id, round(f.s1 + 2.0 * coalesce(s.s2, 0.0), 4) AS score
+         |FROM first f LEFT JOIN second s ON f.doc_id = s.doc_id
+         |ORDER BY score DESC, f.doc_id LIMIT 10""".stripMargin,
+    // FunctionScoreQuery: every match's round4'd BM25 sum, multiplied by
+    // the doc-value source (1 + len/1000), re-rounded, THEN top-10
+    "ft_func_boost" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4) * (1 + len(tk) / 1000.0), 4) AS score
+         |FROM (
+         |  SELECT dl.doc_id, dl.tk,
+         |    ${tfSql("vector")} AS tf_v, ${tfSql("batch")} AS tf_b,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}
+         |      + ${bmSql(idfSql(dfSql("batch")), tfSql("batch"))} AS s
+         |  FROM dl, st
+         |) WHERE tf_v > 0 OR tf_b > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // relatedness() per lang bucket (RelatednessAgg.java:473-503), fg =
+    // 'vector OR table' matches, bg = collection; floor-form rounding
+    // mirrors Math.round for the possibly-negative relatedness
+    "q_relatedness" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOKS AS tk FROM documents),
+         |fg AS (SELECT doc_id, lang FROM toks
+         |       WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')),
+         |sz AS (SELECT (SELECT count(*) FROM toks) AS bg_size,
+         |              (SELECT count(*) FROM fg) AS fg_size),
+         |b AS (SELECT t.lang, count(*) AS bg_count,
+         |             coalesce((SELECT count(*) FROM fg WHERE fg.lang = t.lang), 0) AS fg_count
+         |      FROM toks t GROUP BY t.lang),
+         |z AS (SELECT lang, fg_count, bg_count, bg_size, fg_size,
+         |        (fg_count - CAST(fg_size AS DOUBLE)
+         |           * (bg_count / CAST(bg_size AS DOUBLE)))
+         |        / (CASE WHEN sqrt(CAST(fg_size AS DOUBLE)
+         |                   * (bg_count / CAST(bg_size AS DOUBLE))
+         |                   * (1 - bg_count / CAST(bg_size AS DOUBLE))) = 0
+         |                THEN 1e-10
+         |                ELSE sqrt(CAST(fg_size AS DOUBLE)
+         |                   * (bg_count / CAST(bg_size AS DOUBLE))
+         |                   * (1 - bg_count / CAST(bg_size AS DOUBLE))) END) AS zv
+         |      FROM b, sz)
+         |SELECT lang, fg_count, bg_count,
+         |  floor(CAST(fg_count AS DOUBLE) / bg_size * 100000.0 + 0.5) / 100000.0 AS fg_pop,
+         |  floor(CAST(bg_count AS DOUBLE) / bg_size * 100000.0 + 0.5) / 100000.0 AS bg_pop,
+         |  floor((0.2 * ((zv + -80.0) / (50.0 + abs(zv + -80.0)))
+         |       + 0.2 * ((zv + -30.0) / (30.0 + abs(zv + -30.0)))
+         |       + 0.2 * ((zv + 0.0) / (30.0 + abs(zv + 0.0)))
+         |       + 0.2 * ((zv + 30.0) / (30.0 + abs(zv + 30.0)))
+         |       + 0.2 * ((zv + 80.0) / (50.0 + abs(zv + 80.0)))) * 100000.0 + 0.5)
+         |    / 100000.0 AS relatedness
+         |FROM z
+         |ORDER BY relatedness DESC, lang""".stripMargin
   )
 }

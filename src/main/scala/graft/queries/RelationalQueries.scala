@@ -336,8 +336,60 @@ object RelationalQueries {
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .orderBy("o_orderkey")
+    }),
+    // bbox filter (solr/core/.../search/SpatialFilterQParser.java bbox):
+    // customers inside a lat/lon rectangle. The testdata has no
+    // coordinates, so both engines derive them deterministically from
+    // c_custkey with the SAME integer arithmetic — no trig, bit-exact.
+    // A rectangle filter is map-only and pushes down to the scan.
+    "q_geo_bbox" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
+        .filter(col("lat").between(40.0, 60.0) && col("lon").between(-10.0, 20.0))
+        .select("c_custkey", "lat", "lon")
+        .orderBy("c_custkey")
+    }),
+    // geodist() (solr/core/.../search/function/distance/HaversineConstFunction.java;
+    // DistanceUtils.distHaversineRAD, earth mean radius 6371.0087714 km):
+    // 10 nearest customers to (48.85, 2.35). The formula text is shared
+    // verbatim with the oracle; results round to 10 m so the engines'
+    // libm-vs-Java trig ulp differences cannot flip a comparison.
+    "q_geodist" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
+        .withColumn("dist_km",
+          expr(s"floor(${havSql("lat", "lon", "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE)"))
+        .select("c_custkey", "dist_km")
+        .orderBy(asc("dist_km"), asc("c_custkey"))
+        .limit(10)
     })
   )
+
+  /** Deterministic synthetic coordinates from the customer key — integer
+    * modulo then exact double arithmetic, identical in Spark and DuckDB. */
+  private val latSql =
+    "CAST((c_custkey * 7919) % 17000 AS DOUBLE) / 100.0 - 85.0"
+  private val lonSql =
+    "CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0"
+
+  /** Haversine in the reference's op order (DistanceUtils.distHaversineRAD:
+    * h = sin²(Δy/2) + cos(y1)·cos(y2)·sin²(Δx/2);
+    * d = 2·atan2(√h, √(1−h))·R) — one SQL text evaluated by BOTH engines. */
+  private def havSql(latC0: String, lonC0: String, lat00: String, lon00: String): String = {
+    // wrap every operand once: callers pass arbitrary sub-expressions
+    val latC = s"($latC0)"; val lonC = s"($lonC0)"
+    val lat0 = s"($lat00)"; val lon0 = s"($lon00)"
+    // CAST keeps both engines in double arithmetic: Spark and DuckDB each
+    // parse a bare `3.14...` literal as DECIMAL, whose division/multiply
+    // rules differ (DuckDB even overflows at DECIMAL(18))
+    val rad = "CAST(3.141592653589793 AS DOUBLE) / 180.0"
+    val dy = s"(($latC - $lat0) * $rad)"
+    val dx = s"(($lonC - $lon0) * $rad)"
+    val y0 = s"($lat0 * $rad)"
+    val y1 = s"($latC * $rad)"
+    val h = s"(sin($dy * 0.5) * sin($dy * 0.5) + cos($y0) * cos($y1) * sin($dx * 0.5) * sin($dx * 0.5))"
+    s"(2 * atan2(sqrt($h), sqrt(1 - $h)) * 6371.0087714)"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -476,6 +528,16 @@ object RelationalQueries {
     "q_sample" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_geo_bbox" ->
+      s"""SELECT c_custkey, $latSql AS lat, $lonSql AS lon
+         |FROM customer
+         |WHERE $latSql BETWEEN 40.0 AND 60.0 AND $lonSql BETWEEN -10.0 AND 20.0
+         |ORDER BY c_custkey""".stripMargin,
+    "q_geodist" ->
+      s"""SELECT c_custkey,
+         |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km
+         |FROM customer
+         |ORDER BY dist_km, c_custkey LIMIT 10""".stripMargin
   )
 }

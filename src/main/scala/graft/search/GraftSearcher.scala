@@ -90,6 +90,39 @@ object ScorerBuilder {
           noRepeats = terms.distinct.size == terms.size)
       }
 
+    case SpanNearQ(ts, slop, inOrder) =>
+      val iters = ts.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
+      if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
+      else {
+        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode)
+            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+          else null
+        val tis = iters.map { case (t, Some(blocks), Some(df)) =>
+          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+            lo, hi, null, ctx.counters, live)
+        case _ => throw new IllegalStateException
+        }.toArray
+        // repeated terms force the ordered path: the unordered window sweep
+        // could bind one occurrence to two slots (SpanNearQ scaladoc)
+        new SpanNearScorer(tis, slop, inOrder || ts.distinct.size != ts.size, scorer, dScorer)
+      }
+
+    case SpanFirstQ(t, end) =>
+      (ctx.docFreq.get(t), termBlocks.get(t)) match {
+        case (Some(df), Some(blocks)) if df > 0 =>
+          val scorer = Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats)
+          val dScorer =
+            if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
+            else null
+          new SpanFirstScorer(
+            new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+              lo, hi, null, ctx.counters, live),
+            end, scorer, dScorer)
+        case _ => EmptyScorer
+      }
+
     case DisMaxQ(disjuncts, tieBreak) =>
       val subs = disjuncts.map(build(_, boost, termBlocks, ctx, lo, hi, live))
         .filterNot(_ eq EmptyScorer)
@@ -546,6 +579,57 @@ final class GraftSearcher(
         private var d = root.nextDoc()
         override def hasNext: Boolean = d != DocScorer.NO_MORE
         override def next(): Long = { val r = d; d = root.nextDoc(); r }
+      }
+    }
+  }
+
+  /** Every match with its double-precision score, round4'd like
+    * [[searchDoubleDS]] — the value surface behind rescoring and
+    * function-score composition. `docFilter` (sorted docIds), when non-null,
+    * restricts evaluation to those docs: Lucene's QueryRescorer advances the
+    * second-pass query only over the first pass's topN (reference:
+    * lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java:54-107)
+    * — here the topN ships as a broadcast and each doc-range partition
+    * leapfrogs the scorer across its slice of it, so the second query's full
+    * match set is never materialized. */
+  def scoreAllDoubleDS(q0: Query, docFilter: Array[Long] = null): Dataset[ScoreDocD] = {
+    val (q, ctx0) = plan(q0)
+    if (q == MatchNoneQ) return spark.emptyDataset[ScoreDocD]
+    val ctxB = ctx0.copy(doubleMode = true)
+    val bc =
+      if (docFilter == null) null
+      else spark.sparkContext.broadcast(docFilter.sorted)
+    perRange[ScoreDocD](q, 0) { (qq, termBlocks, lo, hi, live) =>
+      val root = ScorerBuilder.build(qq, 1f, termBlocks, ctxB, lo, hi, live)
+      if (root eq EmptyScorer) Iterator.empty[ScoreDocD]
+      else if (bc == null) new Iterator[ScoreDocD] {
+        private var d = root.nextDoc()
+        override def hasNext: Boolean = d != DocScorer.NO_MORE
+        override def next(): ScoreDocD = {
+          val r = ScoreDocD(d, TopK.round4(root.scoreD()))
+          d = root.nextDoc()
+          r
+        }
+      } else {
+        // leapfrog: advance the scorer to each filter doc in this range
+        val ids = bc.value
+        var from = java.util.Arrays.binarySearch(ids, lo)
+        if (from < 0) from = -from - 1
+        new Iterator[ScoreDocD] {
+          private var i = from
+          private var nextHit: ScoreDocD = fetch()
+          private def fetch(): ScoreDocD = {
+            while (i < ids.length && ids(i) < hi) {
+              val target = ids(i)
+              i += 1
+              val d = if (root.docId >= target) root.docId else root.advance(target)
+              if (d == target) return ScoreDocD(d, TopK.round4(root.scoreD()))
+            }
+            null
+          }
+          override def hasNext: Boolean = nextHit != null
+          override def next(): ScoreDocD = { val r = nextHit; nextHit = fetch(); r }
+        }
       }
     }
   }

@@ -23,6 +23,32 @@ final case class TermQ(term: String) extends Query
   * to anchored matching. */
 final case class PhraseQ(terms: Seq[String], positions: Seq[Int], slop: Int = 0) extends Query
 
+/** Span-near proximity over single-term spans (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanNearQuery.java;
+  * ordered matching: NearSpansOrdered.java:34-61, unordered:
+  * NearSpansUnordered.java). For single-term subspans each span has width
+  * 1, so the ordered condition reduces to a strictly increasing occurrence
+  * chain p_1 < p_2 < ... < p_n with total gap p_n - p_1 - (n-1) <= slop,
+  * and the unordered condition to a one-occurrence-per-slot covering
+  * window of width max - min - (n-1) <= slop. Unlike [[PhraseQ]] the terms
+  * carry no fixed offsets — any in-order (or any-order) placement within
+  * the gap budget matches. freq counts anchor occurrences of the first /
+  * leftmost slot that begin a valid chain (Lucene weights matches by
+  * sloppyFreq — documented deviation; the MATCH SET is identical for
+  * distinct terms). Repeated terms are matched on distinct positions by
+  * construction on the ordered path; the unordered path requires distinct
+  * terms (the builder falls back to ordered when terms repeat). */
+final case class SpanNearQ(spanTerms: Seq[String], slop: Int, inOrder: Boolean = true)
+  extends Query
+
+/** SpanFirstQuery (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java;
+  * SpanPositionRangeQuery.java `acceptPosition`: spans ending past `end`
+  * are rejected): the wrapped single-term span must END within the first
+  * `end` positions — a width-1 span at position p has end p+1, so the
+  * condition is p + 1 <= end. freq counts qualifying occurrences. */
+final case class SpanFirstQ(term: String, end: Int) extends Query
+
 /** Max-of-disjuncts scoring: score = max + tieBreak * Σ(other matching
   * clauses) (reference:
   * lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java). */
@@ -153,6 +179,8 @@ object Query {
   def terms(q: Query): Set[String] = q match {
     case TermQ(t) => Set(t)
     case PhraseQ(ts, _, _) => ts.toSet
+    case SpanNearQ(ts, _, _) => ts.toSet
+    case SpanFirstQ(t, _) => Set(t)
     case SynonymQ(ts) => ts.toSet
     case ConstSetQ(ts) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(terms).toSet

@@ -741,6 +741,167 @@ final class PhraseScorer(
     else score().toDouble
 }
 
+/** Span-near matcher over single-term spans (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/NearSpansOrdered.java:34-61;
+  * NearSpansUnordered.java:34-50). Two-phase like [[PhraseScorer]]: the term
+  * conjunction drives iteration, positions decode only on candidate docs.
+  *
+  * Ordered: for each anchor occurrence of slot 0, greedily extend with the
+  * SMALLEST next-slot position strictly after the previous slot's choice —
+  * greedy minimizes the chain end, hence the width, so an anchor matches
+  * iff its greedy chain has gap (end − start − (n−1)) <= slop. Strictly
+  * increasing positions make repeated terms bind distinct occurrences.
+  *
+  * Unordered: the smallest-covering-window sweep (one occurrence per slot,
+  * window width − (n−1) <= slop) — for width-1 spans this is exactly
+  * NearSpansUnordered's (maxEnd − minStart) − totalSpanLength <= slop.
+  * freq counts matching anchors (ordered) / locally-minimal windows
+  * (unordered); Lucene's sloppyFreq weighting is a documented deviation
+  * ([[graft.search.SpanNearQ]]) — the match set is identical. */
+final class SpanNearScorer(
+    terms: Array[TermIterator],
+    slop: Int,
+    inOrder: Boolean,
+    scorer: Bm25.Scorer,
+    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+
+  private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
+  private var freqCur = 0
+
+  /** Pruning hook parity with [[PhraseScorer.innerConjunction]]. */
+  def innerConjunction: ConjunctionScorer = conj
+
+  override def docId: Long = conj.docId
+  override def cost: Long = conj.cost
+  override val maxScore: Float = scorer.maxScore
+  // spans can reuse term occurrences across matches: only the static bound
+  // is sound (same reasoning as the sloppy-phrase case in PhraseScorer)
+  override def shallowMax(target: Long): Float = maxScore
+  override def blockEnd(target: Long): Long = {
+    var e = Long.MaxValue - 1
+    var i = 0
+    while (i < terms.length) { e = math.min(e, terms(i).blockEndFor(target)); i += 1 }
+    e
+  }
+
+  override def nextDoc(): Long = advance(conj.docId + 1)
+  override def advance(target: Long): Long = {
+    var doc = conj.advance(target)
+    while (doc != DocScorer.NO_MORE && { freqCur = spanFreq(); freqCur == 0 })
+      doc = conj.nextDoc()
+    doc
+  }
+
+  private def spanFreq(): Int = {
+    val n = terms.length
+    val lists = new Array[Array[Int]](n)
+    var t = 0
+    while (t < n) { lists(t) = terms(t).positionsOfCurrent(); t += 1 }
+    if (inOrder) SpanMatch.orderedFreq(lists, slop) else SpanMatch.unorderedFreq(lists, slop)
+  }
+
+  override def score(): Float = scorer.score(freqCur.toFloat, terms(0).norm)
+  override def scoreD(): Double =
+    if (dScorer != null) dScorer.score(freqCur.toDouble, terms(0).norm)
+    else score().toDouble
+}
+
+/** Pure span-near matching over per-slot ascending position lists — shared
+  * by [[SpanNearScorer]] (postings path) and the percolator's per-document
+  * evaluator ([[graft.streaming.QueryMonitor]]). Semantics documented on
+  * [[graft.search.SpanNearQ]]. */
+object SpanMatch {
+  def orderedFreq(lists: Array[Array[Int]], slop: Int): Int = {
+    val n = lists.length
+    var count = 0
+    val anchors = lists(0)
+    var i = 0
+    while (i < anchors.length) {
+      val start = anchors(i)
+      var prev = start
+      var ok = true
+      var t = 1
+      while (t < n && ok) {
+        val ps = lists(t)
+        val ins = java.util.Arrays.binarySearch(ps, prev + 1)
+        val ip = if (ins >= 0) ins else -ins - 1
+        if (ip >= ps.length) ok = false else prev = ps(ip)
+        t += 1
+      }
+      if (ok && prev - start - (n - 1) <= slop) count += 1
+      i += 1
+    }
+    count
+  }
+
+  def unorderedFreq(lists: Array[Array[Int]], slop: Int): Int = {
+    val n = lists.length
+    val ptr = new Array[Int](n)
+    var count = 0
+    var done = false
+    while (!done) {
+      var minV = Int.MaxValue
+      var maxV = Int.MinValue
+      var minT = -1
+      var i = 0
+      while (i < n) {
+        val v = lists(i)(ptr(i))
+        if (v < minV) { minV = v; minT = i }
+        if (v > maxV) maxV = v
+        i += 1
+      }
+      if (maxV - minV - (n - 1) <= slop) count += 1
+      ptr(minT) += 1
+      if (ptr(minT) >= lists(minT).length) done = true
+    }
+    count
+  }
+}
+
+/** SpanFirst matcher: a single-term span accepted only when it ends within
+  * the first `end` positions (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java;
+  * SpanPositionRangeQuery.java acceptPosition). Two-phase: the term
+  * iterator drives, positions decode per candidate; freq = qualifying
+  * occurrences (p + 1 <= end). */
+final class SpanFirstScorer(
+    term: TermIterator,
+    end: Int,
+    scorer: Bm25.Scorer,
+    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+
+  private var freqCur = 0
+
+  override def docId: Long = term.docId
+  override def cost: Long = term.cost
+  override val maxScore: Float = scorer.maxScore
+  // positional filtering only shrinks freq: the term bound stays sound but
+  // per-block impacts can't be refined (tf there counts ALL positions)
+  override def shallowMax(target: Long): Float = maxScore
+  override def blockEnd(target: Long): Long = term.blockEndFor(target)
+
+  override def nextDoc(): Long = advance(term.docId + 1)
+  override def advance(target: Long): Long = {
+    var doc = term.advance(target)
+    while (doc != DocScorer.NO_MORE && { freqCur = firstFreq(); freqCur == 0 })
+      doc = term.nextDoc()
+    doc
+  }
+
+  private def firstFreq(): Int = {
+    val ps = term.positionsOfCurrent()
+    var c = 0
+    var i = 0
+    while (i < ps.length && ps(i) + 1 <= end) { c += 1; i += 1 }
+    c
+  }
+
+  override def score(): Float = scorer.score(freqCur.toFloat, term.norm)
+  override def scoreD(): Double =
+    if (dScorer != null) dScorer.score(freqCur.toDouble, term.norm)
+    else score().toDouble
+}
+
 /** Bounded top-k heap with Lucene's tie discipline: the WORST hit (smallest
   * score, then LARGEST docId) sits on top
   * (reference: lucene/core/src/java/org/apache/lucene/search/HitQueue.java:76-81).

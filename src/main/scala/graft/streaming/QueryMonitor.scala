@@ -91,6 +91,14 @@ object QueryMonitor {
           }
           found
         }
+      case SpanFirstQ(t, end) =>
+        tf.get(t).exists(ps => ps.nonEmpty && ps(0) + 1 <= end)
+      case SpanNearQ(ts, slop, inOrder) =>
+        val lists = ts.map(t => tf.get(t).orNull).toArray
+        if (lists.exists(_ == null)) false
+        else if (inOrder || ts.distinct.size != ts.size)
+          graft.search.SpanMatch.orderedFreq(lists, slop) > 0
+        else graft.search.SpanMatch.unorderedFreq(lists, slop) > 0
     }
     go(Query.rewrite(q0))
   }

@@ -79,4 +79,33 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(terms(std, "   \n\t  ") == Seq())
     assert(std.invert("")._2 == 0)
   }
+
+  test("minimal S-stemmer matches the reference arm-for-arm") {
+    // every arm of EnglishMinimalStemmer.java:30-46, incl. the fallthrough
+    val cases = Seq(
+      "tables" -> "table",   // default: drop final s
+      "queries" -> "query",  // ies -> y
+      "ties" -> "ty",        // ies -> y fires even for 4-letter words
+      "ies" -> "ies",        // len == 3: s[len-3] == 'i' keeps the word
+      "values" -> "value",   // case 'e', s[len-3]='u': fallthrough drop-s
+      "hashes" -> "hashe",   // case 'e', consonant: fallthrough drop-s
+      "goes" -> "goes",      // s[len-3] == 'o': unchanged
+      "mass" -> "mass",      // -ss unchanged
+      "bus" -> "bus",        // -us unchanged
+      "is" -> "is",          // too short
+      "gas" -> "ga",         // default arm
+      "a1s" -> "a1",         // digits take the default arm too
+      "table" -> "table")    // no trailing s
+    for ((in, out) <- cases)
+      assert(Analyzer.minimalStemEn(in) == out, s"stem($in)")
+  }
+
+  test("minimalStem analyzer stems tokens after stop filtering") {
+    val a = Analyzers.minimalStem
+    assert(terms(a, "tables queries hashes") == Seq("table", "query", "hashe"))
+    // stop words are checked pre-stem; positions keep their gaps
+    val b = Analyzer(stopWords = Set("the"), simple = true, minimalStem = true)
+    val toks = b.analyze("the tables").toSeq
+    assert(toks.map(t => (t.term, t.position)) == Seq(("table", 1)))
+  }
 }

@@ -35,7 +35,10 @@ class QueryMonitorSpec extends AnyFunSuite {
     "fuzzy" -> FuzzyQ("segmant", 1),
     "range" -> TermRangeQ("if", "import", true, true),
     "dismax" -> DisMaxQ(Seq(TermQ("codec"), TermQ("weight")), 0.3f),
-    "synonym" -> SynonymQ(Seq("codec", "weight")))
+    "synonym" -> SynonymQ(Seq("codec", "weight")),
+    "span_near" -> SpanNearQ(Seq("if", "return"), 4, inOrder = true),
+    "span_unordered" -> SpanNearQ(Seq("segment", "buffer"), 5, inOrder = false),
+    "span_first" -> SpanFirstQ("import", 8))
 
   test("standing-query matcher agrees with the index-backed engine") {
     val events = QueryMonitor.matchBatch(docs, queries, Analyzers.standard)
