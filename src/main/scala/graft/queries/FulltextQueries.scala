@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.codec.{Impact, PostingsCodec}
 import graft.index.BlockRow
+import graft.search.TopK
 
 /** Fulltext-engine queries for the driver contract: every result is produced
   * by the REAL index/search path (posting blocks, BM25, phrase positions)
@@ -586,6 +587,27 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // SpanOr clauses under SpanNear: (key|hash) then (table|value) within a
+    // gap of 3, ordered — each slot's positions are the or-merge of its
+    // member terms (SpanOrQuery.java under SpanNearQuery.java)
+    "ft_span_or" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SpanOrNearQ(
+        Seq(Seq("key", "hash"), Seq("table", "value")), 3, inOrder = true)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // SpanNotQuery: ordered 'key'..'table' chains (gap <= 4) REJECTED when
+    // a 'hash' occurrence falls inside the greedy chain's span
+    "ft_span_not" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SpanNotQ(
+        graft.search.SpanNearQ(Seq("key", "table"), 4, inOrder = true), "hash")
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // SpanFirstQuery: 'spark' somewhere in the first 10 positions (span end
     // <= 10); 0-based engine position p qualifies iff p + 1 <= 10, which is
     // 1-based list index <= 10 on the oracle side
@@ -594,6 +616,77 @@ object FulltextQueries {
       searcher.matchesDS(graft.search.SpanFirstQ("spark", 10)).toDF("docId")
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // term vector reconstruction (IndexReader.getTermVector; reference:
+    // lucene/core/src/java/org/apache/lucene/index/TermVectorsReader.java
+    // semantics): one doc's (term, tf, positions) triples decoded from the
+    // inverted index — block fetch prunes on the (firstDocId, lastDocId)
+    // parquet min/max, so only the target doc's ~per-term blocks decode
+    "ft_term_vector" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val target = DocsIndex.docIdMap(index).filter(col("doc_id") === 42)
+        .select("docId").as[Long].head()
+      index.blocks
+        .filter($"firstDocId" <= target && $"lastDocId" >= target)
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val i = java.util.Arrays.binarySearch(docs, target)
+          if (i < 0) Iterator.empty
+          else {
+            val freqs = PostingsCodec.decodeFreqs(eb)
+            val poss = PostingsCodec.decodePositions(eb, freqs)
+            Iterator.single((b.term, freqs(i).toLong, poss(i).mkString(",")))
+          }
+        }.toDF("term", "tf", "positions")
+        .orderBy("term")
+    }),
+    // Explanation (IndexSearcher.explain; reference:
+    // lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:256-279
+    // explainScore): the BM25 component breakdown — idf, tfNorm on the
+    // QUANTIZED doc length (decoded back from the stored norm byte), and
+    // their product — every component recomputable by the oracle
+    "ft_explain" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val term = "vector"
+      val target = DocsIndex.docIdMap(index).filter(col("doc_id") === 42)
+        .select("docId").as[Long].head()
+      val doc = index.docs.filter($"docId" === target).head()
+      val df = index.termStats.filter($"term" === term).head().docFreq
+      val n = index.fieldStats.docCount
+      val avgdl = index.fieldStats.sumTotalTermFreq / n.toDouble
+      val tf = index.blocks
+        .filter($"term" === term && $"firstDocId" <= target && $"lastDocId" >= target)
+        .collect().iterator.map { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val i = java.util.Arrays.binarySearch(docs, target)
+          if (i < 0) 0L else PostingsCodec.decodeFreqs(eb)(i).toLong
+        }.sum
+      val dlq = graft.codec.SmallFloat.byte4ToInt(doc.norm.toByte).toDouble
+      val idf = math.log(1d + (n - df + 0.5d) / (df + 0.5d))
+      val tfNorm = tf * (1.2d + 1d) / (tf + 1.2d * (1d - 0.75d + 0.75d * dlq / avgdl))
+      Seq((42L, term, df, tf, TopK.round4(idf), TopK.round4(tfNorm),
+        TopK.round4(idf * tfNorm)))
+        .toDF("doc_id", "term", "doc_freq", "term_freq", "idf", "tf_norm", "score")
+    }),
+    // ToParentBlockJoinQuery, ScoreMode.Max (reference:
+    // lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java;
+    // BlockJoinScorer aggregates child scores per parent): children = docs,
+    // parents = their source group (carried in `commit`); parent score =
+    // max child BM25, plus the matched-children count
+    "ft_block_join" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val childScores = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s")
+      childScores
+        .join(index.docs.toDF().select(col("docId"), col("commit").as("parent")), "docId")
+        .groupBy("parent")
+        .agg(max("s").as("score"), count(lit(1)).as("child_hits"))
+        .orderBy(desc("score"), asc("parent"))
+        .limit(5)
+        .select(col("parent"), col("child_hits"), col("score"))
     }),
     // QueryRescorer (lucene/core/.../search/QueryRescorer.java:54-107):
     // first pass = top-50 BM25 for 'vector'; second pass advances 'customer'
@@ -1048,12 +1141,74 @@ object FulltextQueries {
          |        generate_series(greatest(1, i - 6), least(len(tk), i + 6)),
          |        j -> tk[j] = 'vector')) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // ordered or-slot span: an (key|hash) occurrence followed by a
+    // (table|value) occurrence with gap j - i - 1 <= 3
+    "ft_span_or" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)),
+         |        i -> tk[i] IN ('key', 'hash')
+         |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
+         |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // span-not: greedy chain = FIRST 'table' after the 'key' anchor; the
+    // chain must meet the gap budget and contain no 'hash' in [i, j0]
+    "ft_span_not" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'key'
+         |  AND len(list_filter(generate_series(i + 1, len(tk)), j -> tk[j] = 'table')) > 0
+         |  AND list_filter(generate_series(i + 1, len(tk)), j -> tk[j] = 'table')[1] - i - 1 <= 4
+         |  AND len(list_filter(
+         |        generate_series(i, list_filter(generate_series(i + 1, len(tk)),
+         |                                       j -> tk[j] = 'table')[1]),
+         |        k -> tk[k] = 'hash')) = 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
     // span-first: the term within the first 10 1-based list positions
     "ft_span_first" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(generate_series(1, least(len(tk), 10)),
          |        i -> tk[i] = 'spark')) > 0
          |ORDER BY doc_id""".stripMargin,
+    // one doc's term vector: tf + 0-based positions per distinct token
+    "ft_term_vector" ->
+      s"""WITH d AS (SELECT $TOKS AS tk FROM documents WHERE doc_id = 42)
+         |SELECT term,
+         |  CAST(len(list_filter(generate_series(1, len(tk)), i -> tk[i] = term)) AS BIGINT) AS tf,
+         |  array_to_string(list_transform(
+         |    list_filter(generate_series(1, len(tk)), i -> tk[i] = term), x -> x - 1), ',') AS positions
+         |FROM (SELECT DISTINCT unnest(tk) AS term, tk FROM d)
+         |ORDER BY term""".stripMargin,
+    // BM25 explain breakdown for (term='vector', doc 42): idf and tfNorm
+    // on the quantized doc length, every component round4'd
+    "ft_explain" ->
+      s"""$PRELUDE
+         |SELECT CAST(42 AS BIGINT) AS doc_id, 'vector' AS term,
+         |  ${dfSql("vector")} AS doc_freq,
+         |  CAST(${tfSql("vector")} AS BIGINT) AS term_freq,
+         |  round(${idfSql(dfSql("vector"))}, 4) AS idf,
+         |  round((${tfSql("vector")} * (1.2 + 1))
+         |      / (${tfSql("vector")} + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)), 4) AS tf_norm,
+         |  round(${idfSql(dfSql("vector"))} * (${tfSql("vector")} * (1.2 + 1))
+         |      / (${tfSql("vector")} + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)), 4) AS score
+         |FROM dl, st WHERE doc_id = 42""".stripMargin,
+    // block join to parent, ScoreMode.Max: parent = source group, score =
+    // max round4'd child BM25, child_hits = matching children
+    "ft_block_join" ->
+      s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dl AS (
+         |  SELECT doc_id, source, tk,
+         |    CASE WHEN len(tk) < 24 THEN len(tk)
+         |         WHEN len(tk) - 24 < 8 THEN len(tk)
+         |         ELSE 24 + (((len(tk) - 24) >> (length(format('{:b}', len(tk) - 24)) - 4))
+         |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
+         |  FROM toks),
+         |ch AS (
+         |  SELECT dl.source AS parent,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("vector")} > 0)
+         |SELECT parent, CAST(count(*) AS BIGINT) AS child_hits, max(s) AS score
+         |FROM ch GROUP BY parent
+         |ORDER BY score DESC, parent LIMIT 5""".stripMargin,
     // two-pass rescore: top-50 by round4'd BM25('vector'), combined =
     // round4(s1 + 2.0 * s2) where s2 is BM25('customer') on those docs only
     "ft_rescore" ->

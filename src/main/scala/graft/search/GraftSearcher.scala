@@ -109,6 +109,56 @@ object ScorerBuilder {
         new SpanNearScorer(tis, slop, inOrder || ts.distinct.size != ts.size, scorer, dScorer)
       }
 
+    case SpanNotQ(inc, excl) =>
+      val ts = inc.spanTerms
+      val iters = ts.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
+      if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
+      else {
+        // exclude-term stats absent -> nothing to exclude: plain span-near
+        val exclIter = (termBlocks.get(excl), ctx.docFreq.get(excl)) match {
+          case (Some(blocks), Some(df)) if df > 0 =>
+            new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+              lo, hi, null, ctx.counters, live)
+          case _ => null
+        }
+        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode)
+            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+          else null
+        val tis = iters.map { case (t, Some(blocks), Some(df)) =>
+          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+            lo, hi, null, ctx.counters, live)
+        case _ => throw new IllegalStateException
+        }.toArray
+        new SpanNearScorer(tis, inc.slop, inc.inOrder || ts.distinct.size != ts.size,
+          scorer, dScorer, exclIter)
+      }
+
+    case SpanOrNearQ(slots, slop, inOrder) =>
+      // a term absent from the index just drops out of its slot; a slot
+      // with no surviving term can never match (SpanOrQuery of nothing)
+      val slotIters = slots.map(_.flatMap { t =>
+        (termBlocks.get(t), ctx.docFreq.get(t)) match {
+          case (Some(blocks), Some(df)) if df > 0 =>
+            Some(new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+              lo, hi, null, ctx.counters, live))
+          case _ => None
+        }
+      })
+      if (slotIters.exists(_.isEmpty)) EmptyScorer
+      else {
+        val present = slots.flatten.filter(ctx.docFreq.contains)
+        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, present.map(ctx.docFreq), ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode)
+            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, present.map(ctx.docFreq), ctx.stats)
+          else null
+        val flat = slots.flatten
+        new SpanOrNearScorer(slotIters.map(_.toArray).toArray, slop,
+          inOrder || flat.distinct.size != flat.size, scorer, dScorer)
+      }
+
     case SpanFirstQ(t, end) =>
       (ctx.docFreq.get(t), termBlocks.get(t)) match {
         case (Some(df), Some(blocks)) if df > 0 =>

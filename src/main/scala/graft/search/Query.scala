@@ -41,6 +41,28 @@ final case class PhraseQ(terms: Seq[String], positions: Seq[Int], slop: Int = 0)
 final case class SpanNearQ(spanTerms: Seq[String], slop: Int, inOrder: Boolean = true)
   extends Query
 
+/** SpanNearQuery over SpanOrQuery clauses (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanOrQuery.java —
+  * the or-merge of sub-span position streams — composed under
+  * SpanNearQuery.java). Each slot matches ANY of its terms; slot position
+  * lists are the sorted union of member term positions, then the
+  * [[SpanNearQ]] ordered/unordered window conditions apply unchanged.
+  * A term repeated across slots forces the ordered path (same
+  * distinct-binding reasoning as [[SpanNearQ]]). */
+final case class SpanOrNearQ(slots: Seq[Seq[String]], slop: Int, inOrder: Boolean = true)
+  extends Query
+
+/** SpanNotQuery (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanNotQuery.java:
+  * include spans are rejected when an exclude span overlaps them; for a
+  * width-1 exclude term at position q and an include chain spanning
+  * [start, last], overlap means start <= q <= last). The include side is a
+  * [[SpanNearQ]]; each anchor's GREEDY minimal-width chain (the same chain
+  * [[SpanNearQ]] matching evaluates) is the span tested for overlap — the
+  * oracle recomputes the identical greedy choice. Docs where the exclude
+  * term is absent reduce to plain span-near. */
+final case class SpanNotQ(include: SpanNearQ, exclude: String) extends Query
+
 /** SpanFirstQuery (reference:
   * lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java;
   * SpanPositionRangeQuery.java `acceptPosition`: spans ending past `end`
@@ -180,6 +202,8 @@ object Query {
     case TermQ(t) => Set(t)
     case PhraseQ(ts, _, _) => ts.toSet
     case SpanNearQ(ts, _, _) => ts.toSet
+    case SpanOrNearQ(slots, _, _) => slots.flatten.toSet
+    case SpanNotQ(inc, excl) => inc.spanTerms.toSet + excl
     case SpanFirstQ(t, _) => Set(t)
     case SynonymQ(ts) => ts.toSet
     case ConstSetQ(ts) => ts.toSet

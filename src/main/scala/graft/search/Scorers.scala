@@ -763,7 +763,10 @@ final class SpanNearScorer(
     slop: Int,
     inOrder: Boolean,
     scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+    dScorer: Bm25.DoubleScorer = null,
+    /** SpanNotQuery exclusion: a chain overlapped by an occurrence of this
+      * term is rejected (SpanNotQuery.java). null = no exclusion. */
+    exclude: TermIterator = null) extends DocScorer {
 
   private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
   private var freqCur = 0
@@ -797,7 +800,15 @@ final class SpanNearScorer(
     val lists = new Array[Array[Int]](n)
     var t = 0
     while (t < n) { lists(t) = terms(t).positionsOfCurrent(); t += 1 }
-    if (inOrder) SpanMatch.orderedFreq(lists, slop) else SpanMatch.unorderedFreq(lists, slop)
+    val excl: Array[Int] =
+      if (exclude == null) SpanMatch.NO_EXCLUSIONS
+      else {
+        val doc = conj.docId
+        val d = if (exclude.docId >= doc) exclude.docId else exclude.advance(doc)
+        if (d == doc) exclude.positionsOfCurrent() else SpanMatch.NO_EXCLUSIONS
+      }
+    if (inOrder) SpanMatch.orderedFreq(lists, slop, excl)
+    else SpanMatch.unorderedFreq(lists, slop, excl)
   }
 
   override def score(): Float = scorer.score(freqCur.toFloat, terms(0).norm)
@@ -811,7 +822,19 @@ final class SpanNearScorer(
   * evaluator ([[graft.streaming.QueryMonitor]]). Semantics documented on
   * [[graft.search.SpanNearQ]]. */
 object SpanMatch {
-  def orderedFreq(lists: Array[Array[Int]], slop: Int): Int = {
+  /** Shared empty exclusion list (SpanNot with no exclude hit on the doc). */
+  val NO_EXCLUSIONS: Array[Int] = Array.emptyIntArray
+
+  /** True iff `excl` (ascending) has an element in [lo, hi]. */
+  @inline private def overlaps(excl: Array[Int], lo: Int, hi: Int): Boolean = {
+    if (excl.length == 0) return false
+    val ins = java.util.Arrays.binarySearch(excl, lo)
+    val ip = if (ins >= 0) ins else -ins - 1
+    ip < excl.length && excl(ip) <= hi
+  }
+
+  def orderedFreq(lists: Array[Array[Int]], slop: Int,
+      excl: Array[Int] = NO_EXCLUSIONS): Int = {
     val n = lists.length
     var count = 0
     val anchors = lists(0)
@@ -828,13 +851,14 @@ object SpanMatch {
         if (ip >= ps.length) ok = false else prev = ps(ip)
         t += 1
       }
-      if (ok && prev - start - (n - 1) <= slop) count += 1
+      if (ok && prev - start - (n - 1) <= slop && !overlaps(excl, start, prev)) count += 1
       i += 1
     }
     count
   }
 
-  def unorderedFreq(lists: Array[Array[Int]], slop: Int): Int = {
+  def unorderedFreq(lists: Array[Array[Int]], slop: Int,
+      excl: Array[Int] = NO_EXCLUSIONS): Int = {
     val n = lists.length
     val ptr = new Array[Int](n)
     var count = 0
@@ -850,12 +874,122 @@ object SpanMatch {
         if (v > maxV) maxV = v
         i += 1
       }
-      if (maxV - minV - (n - 1) <= slop) count += 1
+      if (maxV - minV - (n - 1) <= slop && !overlaps(excl, minV, maxV)) count += 1
       ptr(minT) += 1
       if (ptr(minT) >= lists(minT).length) done = true
     }
     count
   }
+}
+
+/** SpanNear over or-slots (SpanOrQuery clauses under SpanNearQuery): each
+  * slot is a disjunction of terms; doc iteration is a leapfrog conjunction
+  * of slot-level disjunctions, and per-doc matching merges each slot's
+  * member positions into one sorted list before the [[SpanMatch]] window
+  * conditions (reference: SpanOrQuery.java's SpanPositionQueue or-merge,
+  * NearSpans{Ordered,Unordered}.java). */
+final class SpanOrNearScorer(
+    slots: Array[Array[TermIterator]],
+    slop: Int,
+    inOrder: Boolean,
+    scorer: Bm25.Scorer,
+    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+
+  private var cur: Long = -1L
+  private var freqCur = 0
+
+  override def docId: Long = cur
+  // conjunction cost = cheapest slot; a slot's cost = sum of its members
+  override val cost: Long = slots.map(_.map(_.cost).sum).min
+  override val maxScore: Float = scorer.maxScore
+  override def shallowMax(target: Long): Float = maxScore
+  override def blockEnd(target: Long): Long = {
+    var e = Long.MaxValue - 1
+    var s = 0
+    while (s < slots.length) {
+      var i = 0
+      while (i < slots(s).length) {
+        e = math.min(e, slots(s)(i).blockEndFor(target)); i += 1
+      }
+      s += 1
+    }
+    e
+  }
+
+  /** Smallest member docId >= target within one slot. */
+  private def slotDoc(s: Array[TermIterator], target: Long): Long = {
+    var min = DocScorer.NO_MORE
+    var i = 0
+    while (i < s.length) {
+      var d = s(i).docId
+      if (d < target) d = s(i).advance(target)
+      if (d < min) min = d
+      i += 1
+    }
+    min
+  }
+
+  override def nextDoc(): Long = advance(cur + 1)
+  override def advance(target0: Long): Long = {
+    var doc = slotDoc(slots(0), target0)
+    var s = 1
+    while (doc != DocScorer.NO_MORE) {
+      if (s == slots.length) { // all slots aligned on doc: two-phase check
+        freqCur = spanFreq(doc)
+        if (freqCur > 0) { cur = doc; return cur }
+        doc = slotDoc(slots(0), doc + 1); s = 1
+      } else {
+        val d = slotDoc(slots(s), doc)
+        if (d == doc) s += 1
+        else if (d == DocScorer.NO_MORE) doc = DocScorer.NO_MORE
+        else { doc = slotDoc(slots(0), d); s = 1 } // leapfrog restart
+      }
+    }
+    cur = DocScorer.NO_MORE
+    cur
+  }
+
+  private def spanFreq(doc: Long): Int = {
+    val lists = new Array[Array[Int]](slots.length)
+    var s = 0
+    while (s < slots.length) {
+      var single: Array[Int] = null
+      var multi: scala.collection.mutable.ArrayBuffer[Array[Int]] = null
+      var i = 0
+      while (i < slots(s).length) {
+        val t = slots(s)(i)
+        if (t.docId == doc) {
+          val ps = t.positionsOfCurrent()
+          if (single == null && multi == null) single = ps
+          else {
+            if (multi == null) { multi = scala.collection.mutable.ArrayBuffer(single); single = null }
+            multi += ps
+          }
+        }
+        i += 1
+      }
+      val merged =
+        if (multi == null) single
+        else { val a = multi.toArray.flatten; java.util.Arrays.sort(a); a }
+      lists(s) = merged
+      s += 1
+    }
+    if (inOrder) SpanMatch.orderedFreq(lists, slop) else SpanMatch.unorderedFreq(lists, slop)
+  }
+
+  private def curNorm: Int = {
+    var i = 0
+    while (i < slots(0).length) {
+      if (slots(0)(i).docId == cur) return slots(0)(i).norm
+      i += 1
+    }
+    0
+  }
+
+  override def score(): Float = scorer.score(freqCur.toFloat, curNorm)
+  override def scoreD(): Double =
+    if (dScorer != null) dScorer.score(freqCur.toDouble, curNorm)
+    else score().toDouble
 }
 
 /** SpanFirst matcher: a single-term span accepted only when it ends within

@@ -93,6 +93,29 @@ object QueryMonitor {
         }
       case SpanFirstQ(t, end) =>
         tf.get(t).exists(ps => ps.nonEmpty && ps(0) + 1 <= end)
+      case SpanNotQ(inc, excl) =>
+        val lists = inc.spanTerms.map(t => tf.get(t).orNull).toArray
+        if (lists.exists(_ == null)) false
+        else {
+          val ex = tf.getOrElse(excl, graft.search.SpanMatch.NO_EXCLUSIONS)
+          if (inc.inOrder || inc.spanTerms.distinct.size != inc.spanTerms.size)
+            graft.search.SpanMatch.orderedFreq(lists, inc.slop, ex) > 0
+          else graft.search.SpanMatch.unorderedFreq(lists, inc.slop, ex) > 0
+        }
+      case SpanOrNearQ(slots, slop, inOrder) =>
+        val lists = slots.map { ts =>
+          val arrs = ts.flatMap(tf.get)
+          if (arrs.isEmpty) null
+          else if (arrs.size == 1) arrs.head
+          else { val a = arrs.toArray.flatten; java.util.Arrays.sort(a); a }
+        }.toArray
+        if (lists.exists(_ == null)) false
+        else {
+          val flat = slots.flatten
+          if (inOrder || flat.distinct.size != flat.size)
+            graft.search.SpanMatch.orderedFreq(lists, slop) > 0
+          else graft.search.SpanMatch.unorderedFreq(lists, slop) > 0
+        }
       case SpanNearQ(ts, slop, inOrder) =>
         val lists = ts.map(t => tf.get(t).orNull).toArray
         if (lists.exists(_ == null)) false

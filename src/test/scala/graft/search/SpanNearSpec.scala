@@ -95,6 +95,47 @@ class SpanNearSpec extends AnyFunSuite {
     }
   }
 
+  private def bruteOrSlots(slots: Seq[Seq[String]], slop: Int, inOrder: Boolean): Set[String] =
+    files.filter { f =>
+      val toks = Analyzers.standard.analyze(f.content).toArray
+      val os = slots.map(ts => toks.filter(t => ts.contains(t.term)).map(_.position).sorted)
+      os.forall(_.nonEmpty) && {
+        if (inOrder) {
+          def rec(slot: Int, prev: Int, start: Int): Boolean =
+            if (slot == slots.size) prev - start - (slots.size - 1) <= slop
+            else os(slot).exists(p => p > prev && rec(slot + 1, p, start))
+          os.head.exists(p0 => rec(1, p0, p0))
+        } else {
+          def rec(slot: Int, chosen: List[Int]): Boolean =
+            if (slot == slots.size) chosen.max - chosen.min - (slots.size - 1) <= slop
+            else os(slot).exists(p => rec(slot + 1, p :: chosen))
+          rec(0, Nil)
+        }
+      }
+    }.map(_.path).toSet
+
+  test("or-slot span-near matches the brute-force oracle, both orders") {
+    for {
+      slots <- Seq(Seq(Seq("ant", "bee"), Seq("cat", "dog")),
+        Seq(Seq("elk"), Seq("ant", "cat"), Seq("bee", "dog")))
+      slop <- 0 to 3
+      ord <- Seq(true, false)
+    } {
+      val got = enginePaths(SpanOrNearQ(slots, slop, inOrder = ord))
+      val expect = bruteOrSlots(slots, slop, ord)
+      assert(got == expect, s"or-slots=$slots slop=$slop ordered=$ord " +
+        s"engine=${got.size} oracle=${expect.size}")
+    }
+  }
+
+  test("single-term slots degenerate to plain span-near") {
+    for (slop <- 0 to 3) {
+      val a = enginePaths(SpanOrNearQ(Seq(Seq("ant"), Seq("bee")), slop, inOrder = true))
+      val b = enginePaths(SpanNearQ(Seq("ant", "bee"), slop, inOrder = true))
+      assert(a == b, s"degenerate slop=$slop")
+    }
+  }
+
   test("span-first matches the brute-force position filter") {
     for {
       term <- Seq("ant", "cat")
