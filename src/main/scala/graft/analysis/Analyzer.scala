@@ -146,7 +146,14 @@ final case class Analyzer(
     stopWords: Set[String] = Set.empty,
     maxTokenLength: Int = 255,
     simple: Boolean = false,
-    minimalStem: Boolean = false) extends Serializable {
+    minimalStem: Boolean = false,
+    /** > 1 composes word n-grams after the filter chain — Lucene
+      * `ShingleFilter` with outputUnigrams=false, '_' separator (reference:
+      * lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java:
+      * TOKEN_SEPARATOR :77, position = first member's position). A doc with
+      * fewer than `shingleSize` tokens emits nothing
+      * (outputUnigramsIfNoShingles=false default, :121-124). */
+    shingleSize: Int = 0) extends Serializable {
 
   /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
@@ -200,7 +207,7 @@ final case class Analyzer(
     val raw = if (simple) simpleTokens(lowercase(text)) else Tokenizer.tokenize(text, maxTokenLength)
     var pos = -1
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
-    raw.flatMap { rt =>
+    val base = raw.flatMap { rt =>
       val term = lowercase(rt.term)
       if (stopWords.contains(term)) {
         pendingGap += rt.posIncr
@@ -211,6 +218,11 @@ final case class Analyzer(
         val out = if (minimalStem) Analyzer.minimalStemEn(term) else term
         Iterator.single(Token(out, pos, rt.startOffset, rt.endOffset))
       }
+    }
+    if (shingleSize <= 1) base
+    else base.sliding(shingleSize).withPartial(false).map { w =>
+      Token(w.iterator.map(_.term).mkString("_"),
+        w.head.position, w.head.startOffset, w.last.endOffset)
     }
   }
 
@@ -284,4 +296,9 @@ object Analyzers {
   /** `EnglishMinimalStemFilter` chain over the SQL-expressible tokenizer —
     * the stemming path under the hard oracle (`ft_stem_*`). */
   val minimalStem: Analyzer = Analyzer(simple = true, minimalStem = true)
+
+  /** `ShingleFilter` word bigrams (outputUnigrams=false) over the
+    * SQL-expressible tokenizer — the shingled index behind
+    * `ft_shingle_search`. */
+  val shingle2: Analyzer = Analyzer(simple = true, shingleSize = 2)
 }

@@ -112,6 +112,19 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.english))
       })
 
+  /** Same corpus indexed through the ShingleFilter bigram chain
+    * (`Analyzers.shingle2`): every posting term is `w1_w2`, doc length =
+    * token count − 1, and BM25 norms/stats are computed over the shingle
+    * stream — the oracle recomputes all of it from consecutive token pairs. */
+  def getShingled(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#sh2", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.shingle2))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.shingle2))
+      })
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -195,6 +195,38 @@ object FulltextQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang")
     }),
+    // hierarchical taxonomy facet over a match set (lucene/facet
+    // FacetField("origin", lang, source): counts at the root's children and
+    // at each lang's children, like TaxonomyFacetCounts.getTopChildren on
+    // both levels; reference: lucene/facet/src/java/org/apache/lucene/facet/
+    // taxonomy/TaxonomyFacetCounts.java, FacetField.java)
+    "ft_facet_path" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("table")).toDF("docId")
+        .join(index.docs.toDF()
+          .select(col("docId"), col("lang"), col("commit").as("source")), "docId")
+      val lvl1 = m.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .select(col("lang").as("path"), col("cnt"))
+      val lvl2 = m.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+        .select(concat(col("lang"), lit("/"), col("source")).as("path"), col("cnt"))
+      lvl1.unionAll(lvl2).orderBy(desc("cnt"), asc("path")).limit(20)
+    }),
+    // DrillSideways (lucene/facet DrillSideways.java: for each dimension,
+    // facet counts computed with the drill-down constraints of every OTHER
+    // dimension applied): base query + drill lang='en', source='src3'
+    "ft_drill_sideways" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+        .join(index.docs.toDF()
+          .select(col("docId"), col("lang"), col("commit").as("source")), "docId")
+      val langSide = m.filter(col("source") === "src3")
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .select(lit("lang").as("dim"), col("lang").as("value"), col("cnt"))
+      val srcSide = m.filter(col("lang") === "en")
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(lit("source").as("dim"), col("source").as("value"), col("cnt"))
+      langSide.unionAll(srcSide).orderBy(asc("dim"), desc("cnt"), asc("value"))
+    }),
     // sort-by-field over search hits (TopFieldCollector: rank the match set
     // by a doc-value column instead of BM25 — longest matching docs first)
     "ft_sort_field" -> ((spark, sfDir) => {
@@ -264,6 +296,108 @@ object FulltextQueries {
     // path — blocks, norms, scatter/merge — with DuckDB-recomputable math;
     // the Float-exact + pruning path is differential-tested in SearchSpec) ----
     "ft_search_term" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "vector", 10)),
+    // ClassicSimilarity (practical TF-IDF) top-10 through the pluggable
+    // Similarity (IndexSearcher.setSimilarity analog; reference:
+    // lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java:
+    // tf = sqrt(freq), idf = ln((docCount+1)/(df+1)) + 1, norm = 1/sqrt(dl))
+    // — same postings/norm-byte inputs as BM25, quantized dl in the oracle
+    "ft_search_tfidf" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.ClassicSim)
+      s.searchDoubleDS(s.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // LMDirichletSimilarity top-10 (reference: LMDirichletSimilarity.java:74-88,
+    // mu = 2000; p(w|C) = (ttf+1)/(sumTotalTermFreq+1), LMSimilarity.java:55)
+    // — exercises the totalTermFreq stats the dictionary carries per term
+    "ft_search_lmd" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.LMDirichletSim())
+      s.searchDoubleDS(s.parse("table"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // LMJelinekMercer (λ=0.1) top-10 (reference: LMJelinekMercerSimilarity.java:63-68)
+    "ft_search_lmjm" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.LMJelinekMercerSim())
+      s.searchDoubleDS(s.parse("batch"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // DFI (standardized) top-10 (reference: DFISimilarity.java:55-65,
+    // IndependenceStandardized.java:28-30)
+    "ft_search_dfi" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.DFISim())
+      s.searchDoubleDS(s.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // BooleanSimilarity: score = Σ boosts of matched SHOULD clauses
+    // (reference: BooleanSimilarity.java:59-61); exercises boost-passthrough
+    // and the disjunction's clause-order sum under a non-default Similarity
+    "ft_search_boolsim" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.BooleanSim)
+      s.searchDoubleDS(s.parse("vector^1.5 OR batch"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // QueryElevationComponent (solr/core/.../QueryElevationComponent.java:
+    // 630-673 priority = size..1 in config order, :514-527 exclusions as
+    // mustNot, :529-555 sort = priority desc then score): elevated docs are
+    // pinned on top in config order (with their real score when they match,
+    // 0 otherwise), excluded docs never returned, rest ranked by BM25
+    "ft_elevate" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val elevate = Seq(11L, 3L, 7L) // priority order, first = highest
+      val exclude = Seq(1L)
+      val k = 10
+      val idMap = DocsIndex.docIdMap(index)
+      val q = searcher.parse("vector")
+      // top k + |elevate| + |exclude| candidates cover every displacement
+      val scored = searcher.searchDoubleDS(q, k + elevate.size + exclude.size).toDF()
+        .join(idMap, "docId").select(col("doc_id"), col("score"))
+      // real scores for the elevated set (leapfrog over just those docIds)
+      val elevInternal = idMap.filter(col("doc_id").isin(elevate: _*))
+        .select("docId").as[Long].collect()
+      val elevScores = searcher.scoreAllDoubleDS(q, elevInternal).toDF()
+        .join(idMap, "docId").select(col("doc_id"), col("score"))
+      val prioRows = elevate.zip(elevate.size to 1 by -1).toDF("doc_id", "prio")
+      val elevated = prioRows.join(elevScores, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(1).as("elevated"),
+          coalesce(col("score"), lit(0.0)).as("score"), col("prio"))
+      val rest = scored
+        .filter(!col("doc_id").isin((elevate ++ exclude): _*))
+        .select(col("doc_id"), lit(0).as("elevated"), col("score"), lit(0).as("prio"))
+      elevated.unionAll(rest)
+        .orderBy(desc("prio"), desc("score"), asc("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("elevated"), col("score"))
+    }),
+    // BM25 top-10 over the ShingleFilter bigram index: the posting term is
+    // 'big_table', doc length/norms/avgdl are all over the shingle stream
+    "ft_shingle_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getShingled(spark, sfDir)
+      searcher.searchDoubleDS(graft.search.TermQ("big_table"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     "ft_search_bool" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "(table OR vector) AND batch", 10)),
     "ft_search_phrase" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\" OR customer", 10)),
     // sloppy phrase scored: BM25 over the sloppy phrase frequency
@@ -836,6 +970,30 @@ object FulltextQueries {
          |FROM (SELECT lang, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "ft_facet_path" ->
+      s"""WITH m AS (
+         |  SELECT t.doc_id, d.lang, d.source
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents) t
+         |  JOIN documents d ON t.doc_id = d.doc_id
+         |  WHERE list_contains(t.tk, 'table'))
+         |SELECT path, cnt FROM (
+         |  SELECT lang AS path, count(*) AS cnt FROM m GROUP BY lang
+         |  UNION ALL
+         |  SELECT lang || '/' || source, count(*) FROM m GROUP BY lang, source
+         |) ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
+    "ft_drill_sideways" ->
+      s"""WITH m AS (
+         |  SELECT t.doc_id, d.lang, d.source
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents) t
+         |  JOIN documents d ON t.doc_id = d.doc_id
+         |  WHERE list_contains(t.tk, 'vector'))
+         |SELECT dim, value, cnt FROM (
+         |  SELECT 'lang' AS dim, lang AS value, count(*) AS cnt FROM m
+         |  WHERE source = 'src3' GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'source', source, count(*) FROM m
+         |  WHERE lang = 'en' GROUP BY source
+         |) ORDER BY dim, cnt DESC, value""".stripMargin,
     "ft_sort_field" ->
       s"""SELECT doc_id, n_tokens FROM
          |  (SELECT doc_id, $TOKS AS tk, len($TOKS) AS n_tokens FROM documents)
@@ -880,6 +1038,109 @@ object FulltextQueries {
          |SELECT doc_id, round(s, 4) AS score FROM (
          |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // ClassicSimilarity: (ln((n+1)/(df+1)) + 1) * sqrt(tf) / sqrt(dlq) —
+    // op order mirrors ClassicSim.DblScorer exactly
+    "ft_search_tfidf" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    (ln((st.n + 1) / (${dfSql("vector")} + 1.0)) + 1)
+         |      * sqrt(${tfSql("vector")}) / sqrt(dlq) AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // LMDirichlet, mu=2000: ln(1 + tf/(mu*p)) + ln(mu/(dlq+mu)) clamped at
+    // 0, p = (ttf+1)/(sumTotalTermFreq+1) — grouping mirrors LMDirichletSim
+    "ft_search_lmd" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(len(tk)) AS sttf,
+         |              sum(${tfSql("table")}) AS ttf FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    (SELECT CASE WHEN s0 > 0 THEN s0 ELSE 0 END FROM (
+         |       SELECT ln(1 + ${tfSql("table")}
+         |                    / (2000.0 * ((lm.ttf + 1) / (lm.sttf + 1)))) +
+         |              ln(2000.0 / (dlq + 2000.0)) AS s0 FROM lm)) AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // LMJelinekMercer λ=0.1: ln(1 + (0.9·tf/dlq) / (0.1·p)),
+    // p = (ttf+1)/(sttf+1) — grouping mirrors LMJelinekMercerSim.DblScorer
+    "ft_search_lmjm" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(len(tk)) AS sttf,
+         |              sum(${tfSql("batch")}) AS ttf FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("batch")} AS tf,
+         |    (SELECT ln(1 + ((1 - 0.1) * ${tfSql("batch")} / dlq)
+         |                   / (0.1 * ((lm.ttf + 1) / (lm.sttf + 1)))) FROM lm) AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // DFI standardized: expected = (ttf+1)·dlq/(sttf+1); freq <= expected
+    // -> 0 else log2((tf-e)/sqrt(e) + 1) — mirrors DFISim.raw
+    "ft_search_dfi" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(len(tk)) AS sttf,
+         |              sum(${tfSql("vector")}) AS ttf FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    (SELECT CASE WHEN ${tfSql("vector")} <= e THEN 0
+         |            ELSE log2((${tfSql("vector")} - e) / sqrt(e) + 1) END
+         |     FROM (SELECT (lm.ttf + 1) * dlq / (lm.sttf + 1) AS e FROM lm)) AS s
+         |  FROM dl
+         |) WHERE tf > 0 AND s > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // BooleanSimilarity: per-clause score = boost; SHOULD sums matched clauses
+    "ft_search_boolsim" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("vector")} + ${tfSql("batch")} AS tf,
+         |    CASE WHEN ${tfSql("vector")} > 0 THEN 1.5 ELSE 0 END
+         |      + CASE WHEN ${tfSql("batch")} > 0 THEN 1.0 ELSE 0 END AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // elevation: scores = the ft_search_term BM25 family; elevated docs
+    // (priority 3/2/1) pinned first with coalesce(score, 0), doc 1 excluded
+    "ft_elevate" ->
+      s"""$PRELUDE,
+         |scores AS (
+         |  SELECT doc_id, round(s, 4) AS score FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st) WHERE tf > 0),
+         |elev(doc_id, prio) AS (VALUES (11, 3), (3, 2), (7, 1))
+         |SELECT doc_id, elevated, score FROM (
+         |  SELECT e.doc_id, 1 AS elevated, coalesce(s.score, 0.0) AS score,
+         |         e.prio
+         |  FROM elev e LEFT JOIN scores s ON e.doc_id = s.doc_id
+         |  UNION ALL
+         |  SELECT s.doc_id, 0, s.score, 0 FROM scores s
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM elev) AND s.doc_id <> 1
+         |) ORDER BY prio DESC, score DESC, doc_id LIMIT 10""".stripMargin,
+    // BM25 over the bigram shingle stream: dlen = len-1, tf = consecutive
+    // ('big','table') pairs, same SmallFloat quantization of dlen
+    "ft_shingle_search" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS dlen,
+         |    len(list_filter(range(1, len(tk)),
+         |        i -> tk[i] = 'big' AND tk[i+1] = 'table')) AS tf
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)),
+         |st AS (SELECT count(*) AS n,
+         |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl,
+         |              (SELECT count(*) FROM sh WHERE tf > 0) AS df FROM sh),
+         |dl AS (
+         |  SELECT doc_id, tf,
+         |    CASE WHEN dlen < 24 THEN dlen
+         |         WHEN dlen - 24 < 8 THEN dlen
+         |         ELSE 24 + (((dlen - 24) >> (length(format('{:b}', dlen - 24)) - 4))
+         |                    << (length(format('{:b}', dlen - 24)) - 4)) END AS dlq
+         |  FROM sh)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, dl.tf,
+         |    ln(1 + (st.n - st.df + 0.5) / (st.df + 0.5))
+         |      * (dl.tf * (1.2 + 1))
+         |      / (dl.tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_bool" ->

@@ -42,7 +42,7 @@ object Bm25 {
   def encodeNorm(fieldLength: Int): Byte = SmallFloat.intToByte4(fieldLength)
 
   /** The per-term scorer (Lucene `BM25Scorer`). */
-  final class Scorer(val weight: Float, cache: Array[Float]) extends Serializable {
+  final class Scorer(val weight: Float, cache: Array[Float]) extends SimScorer {
     /** reference: BM25Similarity.java:222-235 */
     def score(freq: Float, normByte: Int): Float = {
       val normInverse = cache(normByte & 0xFF)
@@ -91,7 +91,7 @@ object Bm25 {
     * DuckDB oracle can recompute every score. Op order here MUST stay in
     * sync with the oracle SQL in `graft.queries.FulltextQueries`. */
   final class DoubleScorer(val weightD: Double, k1: Double, b: Double, avgdlD: Double)
-      extends Serializable {
+      extends DoubleSimScorer {
     def score(freq: Double, normByte: Int): Double = {
       val dl = LENGTH_TABLE(normByte & 0xFF).toDouble
       weightD * (freq * (k1 + 1)) / (freq + k1 * (1 - b + b * dl / avgdlD))

@@ -22,7 +22,22 @@ final case class SearchContext(
     counters: ScorerCounters = null,
     /** Non-zero enables the cross-partition [[ScoreFloor]] under this query
       * id (production Float path only; minted per query on the driver). */
-    floorId: Long = 0L) extends Serializable
+    floorId: Long = 0L,
+    /** Per-term collection frequencies (totalTermFreq), collected alongside
+      * docFreq; language-model similarities need them
+      * (LMSimilarity.computeProbability). Empty for BM25/Classic queries
+      * planned before the stats collect carried ttf. */
+    ttf: Map[String, Long] = Map.empty,
+    /** Scoring model override — `IndexSearcher.setSimilarity` analog. null
+      * = Lucene's default, BM25(k1, b). */
+    simOverride: Similarity = null) extends Serializable {
+  /** The active [[Similarity]]. */
+  lazy val sim: Similarity = if (simOverride != null) simOverride else Bm25Sim(k1, b)
+  /** ttf lookup with a safe floor (ttf >= df always holds in a real index). */
+  def ttfOf(t: String): Long = ttf.getOrElse(t, docFreq.getOrElse(t, 1L))
+  /** (docFreq, totalTermFreq) for multi-term scorer factories. */
+  def freqsOf(t: String): (Long, Long) = (docFreq(t), ttfOf(t))
+}
 
 /** One doc-range's contribution to a counting search: its local top-k, the
   * number of matches it observed, and whether it crossed the totalHits
@@ -64,9 +79,9 @@ object ScorerBuilder {
       (ctx.docFreq.get(t), termBlocks.get(t)) match {
         case (Some(df), Some(blocks)) if df > 0 =>
           val dScorer =
-            if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
+            if (ctx.doubleMode) ctx.sim.doubleScorer(boost.toDouble, df, ctx.ttfOf(t), ctx.stats)
             else null
-          new TermIterator(blocks, Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats),
+          new TermIterator(blocks, ctx.sim.scorer(boost, df, ctx.ttfOf(t), ctx.stats),
             lo, hi, dScorer, ctx.counters, live)
         case _ => EmptyScorer
       }
@@ -75,14 +90,14 @@ object ScorerBuilder {
       val iters = terms.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
       if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
       else {
-        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, terms.map(ctx.docFreq), ctx.stats)
+        val scorer = ctx.sim.multiTermScorer(boost, terms.map(ctx.freqsOf), ctx.stats)
         val dScorer =
           if (ctx.doubleMode)
-            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, terms.map(ctx.docFreq), ctx.stats)
+            ctx.sim.multiTermDoubleScorer(boost.toDouble, terms.map(ctx.freqsOf), ctx.stats)
           else null
         // a dummy per-term scorer for iteration bounds (weight unused for final score)
         val tis = iters.map { case (t, Some(blocks), Some(df)) =>
-          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+          new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
             lo, hi, null, ctx.counters, live)
         case _ => throw new IllegalStateException
         }.toArray
@@ -94,13 +109,13 @@ object ScorerBuilder {
       val iters = ts.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
       if (iters.exists(x => x._2.isEmpty || x._3.isEmpty)) EmptyScorer
       else {
-        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+        val scorer = ctx.sim.multiTermScorer(boost, ts.map(ctx.freqsOf), ctx.stats)
         val dScorer =
           if (ctx.doubleMode)
-            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+            ctx.sim.multiTermDoubleScorer(boost.toDouble, ts.map(ctx.freqsOf), ctx.stats)
           else null
         val tis = iters.map { case (t, Some(blocks), Some(df)) =>
-          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+          new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
             lo, hi, null, ctx.counters, live)
         case _ => throw new IllegalStateException
         }.toArray
@@ -117,17 +132,17 @@ object ScorerBuilder {
         // exclude-term stats absent -> nothing to exclude: plain span-near
         val exclIter = (termBlocks.get(excl), ctx.docFreq.get(excl)) match {
           case (Some(blocks), Some(df)) if df > 0 =>
-            new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+            new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(excl), ctx.stats),
               lo, hi, null, ctx.counters, live)
           case _ => null
         }
-        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+        val scorer = ctx.sim.multiTermScorer(boost, ts.map(ctx.freqsOf), ctx.stats)
         val dScorer =
           if (ctx.doubleMode)
-            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, ts.map(ctx.docFreq), ctx.stats)
+            ctx.sim.multiTermDoubleScorer(boost.toDouble, ts.map(ctx.freqsOf), ctx.stats)
           else null
         val tis = iters.map { case (t, Some(blocks), Some(df)) =>
-          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+          new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
             lo, hi, null, ctx.counters, live)
         case _ => throw new IllegalStateException
         }.toArray
@@ -141,7 +156,7 @@ object ScorerBuilder {
       val slotIters = slots.map(_.flatMap { t =>
         (termBlocks.get(t), ctx.docFreq.get(t)) match {
           case (Some(blocks), Some(df)) if df > 0 =>
-            Some(new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+            Some(new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
               lo, hi, null, ctx.counters, live))
           case _ => None
         }
@@ -149,10 +164,10 @@ object ScorerBuilder {
       if (slotIters.exists(_.isEmpty)) EmptyScorer
       else {
         val present = slots.flatten.filter(ctx.docFreq.contains)
-        val scorer = Bm25.multiTermScorer(boost, ctx.k1, ctx.b, present.map(ctx.docFreq), ctx.stats)
+        val scorer = ctx.sim.multiTermScorer(boost, present.map(ctx.freqsOf), ctx.stats)
         val dScorer =
           if (ctx.doubleMode)
-            Bm25.multiTermDoubleScorer(boost.toDouble, ctx.k1, ctx.b, present.map(ctx.docFreq), ctx.stats)
+            ctx.sim.multiTermDoubleScorer(boost.toDouble, present.map(ctx.freqsOf), ctx.stats)
           else null
         val flat = slots.flatten
         new SpanOrNearScorer(slotIters.map(_.toArray).toArray, slop,
@@ -162,12 +177,12 @@ object ScorerBuilder {
     case SpanFirstQ(t, end) =>
       (ctx.docFreq.get(t), termBlocks.get(t)) match {
         case (Some(df), Some(blocks)) if df > 0 =>
-          val scorer = Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats)
+          val scorer = ctx.sim.scorer(boost, df, ctx.ttfOf(t), ctx.stats)
           val dScorer =
-            if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
+            if (ctx.doubleMode) ctx.sim.doubleScorer(boost.toDouble, df, ctx.ttfOf(t), ctx.stats)
             else null
           new SpanFirstScorer(
-            new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b, df, ctx.stats),
+            new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
               lo, hi, null, ctx.counters, live),
             end, scorer, dScorer)
         case _ => EmptyScorer
@@ -187,20 +202,20 @@ object ScorerBuilder {
         // SynonymQuery stats: docFreq = min(sum of clause dfs, docCount)
         // (reference: lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:199-218)
         val df = math.min(present.map(ctx.docFreq).sum, ctx.stats.docCount)
-        val scorer = Bm25.scorer(boost, ctx.k1, ctx.b, df, ctx.stats)
+        val ttf = present.map(ctx.ttfOf).sum // summed collection freq, same blending
+        val scorer = ctx.sim.scorer(boost, df, ttf, ctx.stats)
         val dScorer =
-          if (ctx.doubleMode) Bm25.doubleScorer(boost.toDouble, ctx.k1, ctx.b, df, ctx.stats)
+          if (ctx.doubleMode) ctx.sim.doubleScorer(boost.toDouble, df, ttf, ctx.stats)
           else null
         val tis = present.map(t => new TermIterator(termBlocks(t),
-          Bm25.scorer(1f, ctx.k1, ctx.b, ctx.docFreq(t), ctx.stats),
+          ctx.sim.scorer(1f, ctx.docFreq(t), ctx.ttfOf(t), ctx.stats),
           lo, hi, null, ctx.counters, live)).toArray
         new SynonymScorer(tis, scorer, dScorer)
       }
 
     case ConstSetQ(terms) =>
       val tis = terms.flatMap(t => termBlocks.get(t).map(blocks =>
-        new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b,
-          ctx.docFreq.getOrElse(t, 1L), ctx.stats),
+        new TermIterator(blocks, ctx.sim.scorer(1f, ctx.docFreq.getOrElse(t, 1L), ctx.ttfOf(t), ctx.stats),
           lo, hi, null, ctx.counters, live): DocScorer))
       if (tis.isEmpty) EmptyScorer
       else new ConstantScoreScorer(new DisjunctionSumScorer(tis.toArray), boost)
@@ -212,8 +227,7 @@ object ScorerBuilder {
     case mt: MultiTermQ =>
       val tis = termBlocks.iterator.collect {
         case (t, blocks) if mt.matches(t) =>
-          new TermIterator(blocks, Bm25.scorer(1f, ctx.k1, ctx.b,
-            ctx.docFreq.getOrElse(t, 1L), ctx.stats),
+          new TermIterator(blocks, ctx.sim.scorer(1f, ctx.docFreq.getOrElse(t, 1L), ctx.ttfOf(t), ctx.stats),
             lo, hi, null, ctx.counters, live): DocScorer
       }.toArray
       if (tis.isEmpty) EmptyScorer
@@ -372,7 +386,14 @@ final class GraftSearcher(
     val index: GraftIndex,
     val analyzer: Analyzer = graft.analysis.Analyzers.standard,
     k1: Float = Bm25.DEFAULT_K1,
-    b: Float = Bm25.DEFAULT_B) extends Serializable {
+    b: Float = Bm25.DEFAULT_B,
+    /** Scoring model (`IndexSearcher.setSimilarity` analog); null = BM25(k1, b). */
+    sim: Similarity = null) extends Serializable {
+
+  /** A searcher over the same index scoring with `s` — cheap (shares the
+    * cached index tables; only the per-query SearchContext changes). */
+  def withSimilarity(s: Similarity): GraftSearcher =
+    new GraftSearcher(index, analyzer, k1, b, s)
 
   @transient private val spark = index.spark
   import spark.implicits._
@@ -424,12 +445,14 @@ final class GraftSearcher(
   def plan(q0: Query): (Query, SearchContext) = {
     val q = Query.rewrite(q0)
     val terms = Query.terms(q).toSeq
-    val dfMap: Map[String, Long] =
-      if (terms.isEmpty) Map.empty
+    val rows =
+      if (terms.isEmpty) Array.empty[TermStatsRow]
       else index.termStats.filter($"term".isin(terms: _*)).collect()
-        .map(t => t.term -> t.docFreq).toMap
+    val dfMap: Map[String, Long] = rows.map(t => t.term -> t.docFreq).toMap
+    val ttfMap: Map[String, Long] = rows.map(t => t.term -> t.totalTermFreq).toMap
     val stats = CollectionStats(fieldStats.docCount, fieldStats.sumTotalTermFreq)
-    (q, SearchContext(k1, b, stats, dfMap, counters = counters))
+    (q, SearchContext(k1, b, stats, dfMap, counters = counters,
+      ttf = ttfMap, simOverride = sim))
   }
 
   def parse(s: String): Query = parser.parse(s)

@@ -36,7 +36,7 @@ trait DocScorer {
   /** Score at the current doc. */
   def score(): Float
   /** Double-precision score at the current doc — the oracle-facing scored
-    * path (`Bm25.DoubleScorer`); iterators without a double scorer widen
+    * path (`DoubleSimScorer`); iterators without a double scorer widen
     * their Float score (exact). Composite scorers sum sub-scores in clause
     * order (NOT cost order) so the result matches the oracle SQL's fixed
     * left-to-right addition. */
@@ -73,10 +73,10 @@ object DocScorer {
   * only if `positionsOfCurrent` is called (two-phase phrase matching). */
 final class TermIterator(
     blocks: Array[BlockRow],
-    val scorer: Bm25.Scorer,
+    val scorer: SimScorer,
     lo: Long,
     hi: Long,
-    dScorer: Bm25.DoubleScorer = null,
+    dScorer: DoubleSimScorer = null,
     counters: ScorerCounters = null,
     liveDocs: LiveDocs = null) extends DocScorer {
 
@@ -153,7 +153,7 @@ final class TermIterator(
   /** Impact-frontier bound of the block at/after `target`, scored with an
     * EXTERNAL scorer (a phrase's summed-idf weight over this term's
     * (freq, norm) frontier) — metadata only, no decode. */
-  def blockImpactBound(target: Long, s: Bm25.Scorer): Float = {
+  def blockImpactBound(target: Long, s: SimScorer): Float = {
     var i = math.max(blockIdx, 0)
     while (i < blocks.length && blocks(i).lastDocId < target) i += 1
     if (i >= blocks.length || blocks(i).firstDocId >= hi) return 0f
@@ -503,8 +503,8 @@ final class ConstantScoreScorer(inner: DocScorer, value: Float) extends DocScore
   * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:199-218). */
 final class SynonymScorer(
     subs: Array[TermIterator],
-    scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+    scorer: SimScorer,
+    dScorer: DoubleSimScorer = null) extends DocScorer {
   private val union = new DisjunctionSumScorer(subs.map(s => s: DocScorer))
   override def docId: Long = union.docId
   override def cost: Long = union.cost
@@ -604,8 +604,8 @@ final class DisMaxScorer(subs: Array[DocScorer], tieBreak: Float) extends DocSco
 final class PhraseScorer(
     terms: Array[TermIterator],
     offsets: Array[Int],
-    scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null,
+    scorer: SimScorer,
+    dScorer: DoubleSimScorer = null,
     slop: Int = 0,
     /** True when no term string repeats across phrase slots (the builder
       * knows the strings; repeats force the anchored fallback because a
@@ -762,8 +762,8 @@ final class SpanNearScorer(
     terms: Array[TermIterator],
     slop: Int,
     inOrder: Boolean,
-    scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null,
+    scorer: SimScorer,
+    dScorer: DoubleSimScorer = null,
     /** SpanNotQuery exclusion: a chain overlapped by an occurrence of this
       * term is rejected (SpanNotQuery.java). null = no exclusion. */
     exclude: TermIterator = null) extends DocScorer {
@@ -892,8 +892,8 @@ final class SpanOrNearScorer(
     slots: Array[Array[TermIterator]],
     slop: Int,
     inOrder: Boolean,
-    scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+    scorer: SimScorer,
+    dScorer: DoubleSimScorer = null) extends DocScorer {
 
   private var cur: Long = -1L
   private var freqCur = 0
@@ -1001,8 +1001,8 @@ final class SpanOrNearScorer(
 final class SpanFirstScorer(
     term: TermIterator,
     end: Int,
-    scorer: Bm25.Scorer,
-    dScorer: Bm25.DoubleScorer = null) extends DocScorer {
+    scorer: SimScorer,
+    dScorer: DoubleSimScorer = null) extends DocScorer {
 
   private var freqCur = 0
 

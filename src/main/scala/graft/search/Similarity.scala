@@ -1,0 +1,222 @@
+package graft.search
+
+/** Per-term scorer interface — the analog of Lucene's
+  * `Similarity.SimScorer` (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/Similarity.java:228-268):
+  * score from (term frequency, norm byte), plus the upper bound used by
+  * block-max pruning. Implementations MUST be monotone increasing in `freq`
+  * and non-increasing in decoded doc length — the competitive-impacts
+  * frontier stored per posting block assumes exactly that ordering, so any
+  * conforming similarity can reuse impact-based skipping unchanged. */
+trait SimScorer extends Serializable {
+  def score(freq: Float, normByte: Int): Float
+  /** Upper bound over all (freq, norm); `Float.PositiveInfinity` disables
+    * global WAND pruning (per-block impact bounds still apply). */
+  def maxScore: Float
+}
+
+/** Double-precision twin for the oracle-facing scored family (DuckDB
+  * recomputes every score; op order must match the oracle SQL verbatim). */
+trait DoubleSimScorer extends Serializable {
+  def score(freq: Double, normByte: Int): Double
+}
+
+/** Pluggable scoring model — the analog of Lucene's `Similarity`
+  * (reference: lucene/core/src/java/org/apache/lucene/search/similarities/
+  * Similarity.java; IndexSearcher.setSimilarity). Factories receive the
+  * term's docFreq AND totalTermFreq (LM models need the collection
+  * frequency, reference: LMSimilarity.java:50-57 computeProbability).
+  * Multi-term (phrase/synonym) stats follow each model's own combination
+  * rule. The norm byte encoding is shared across similarities (SmallFloat
+  * quantized length), exactly as in Lucene 7+ where norms are
+  * similarity-independent length encodings. */
+trait Similarity extends Serializable {
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer
+  /** Multi-term construct (phrase / synonym): per-term (df, ttf) pairs. */
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer
+}
+
+/** Lucene's default: BM25 (reference: BM25Similarity.java). Delegates to
+  * the Float-faithful [[Bm25]] implementations; `ttf` is unused (BM25 is a
+  * docFreq model). */
+final case class Bm25Sim(k1: Float, b: Float) extends Similarity {
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    Bm25.scorer(boost, k1, b, df, stats)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    Bm25.doubleScorer(boost, k1, b, df, stats)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    Bm25.multiTermScorer(boost, k1, b, freqs.map(_._1), stats)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    Bm25.multiTermDoubleScorer(boost, k1, b, freqs.map(_._1), stats)
+}
+
+/** ClassicSimilarity — the pre-BM25 practical TF-IDF (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java:
+  * tf = sqrt(freq) :58-61, idf = log((docCount+1)/(docFreq+1)) + 1 :70-73,
+  * lengthNorm = 1/sqrt(length) :45-48; TFIDFSimilarity.TFIDFScorer.score
+  * :539-545 = queryWeight * tf * normValue, queryWeight = boost * idf).
+  * Scores are unbounded in freq, so `maxScore` is +inf: global WAND floors
+  * never fire, but per-block impact bounds (computed through this scorer on
+  * the stored (freq, norm) frontier) still prune — mirroring how Lucene's
+  * TFIDF impacts work. */
+object ClassicSim extends Similarity {
+  private def idf(df: Long, n: Long): Double =
+    math.log((n + 1).toDouble / (df + 1).toDouble) + 1.0d
+
+  private final class FloatScorer(w: Float) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF)
+      (w * math.sqrt(freq.toDouble).toFloat) * (1d / math.sqrt(dl.toDouble)).toFloat
+    }
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(w: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      w * math.sqrt(freq) / math.sqrt(dl)
+    }
+  }
+
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer((boost * idf(df, stats.docCount)).toFloat)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost * idf(df, stats.docCount))
+  /** Phrase idf = sum of member idfs (TFIDFSimilarity.idfExplain for
+    * multiple TermStatistics, reference: TFIDFSimilarity.java:435-446). */
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer((boost * freqs.map(f => idf(f._1, stats.docCount)).sum).toFloat)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost * freqs.map(f => idf(f._1, stats.docCount)).sum)
+}
+
+/** LMDirichletSimilarity — Bayesian smoothing language model (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java:74-88:
+  * score = boost * (log(1 + freq/(mu*p)) + log(mu/(docLen+mu))), clamped at
+  * 0; p = collection probability = (totalTermFreq+1)/(sumTotalTermFreq+1),
+  * LMSimilarity.java:55 computeProbability; default mu = 2000 :62).
+  * Multi-term combination sums member collection frequencies (df capped at
+  * docCount), documented deviation: Lucene's PhraseWeight feeds blended
+  * pseudo-stats instead. */
+/** LMJelinekMercerSimilarity — linear-interpolation smoothing (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/LMJelinekMercerSimilarity.java:63-68:
+  * score = boost * log(1 + ((1-λ)·freq/docLen) / (λ·p)); λ ∈ (0, 1],
+  * p = (totalTermFreq+1)/(sumTotalTermFreq+1) as in LMSimilarity.java:55.
+  * Always > 0 (no clamp — log1p of a positive). Multi-term combination sums
+  * member collection frequencies, same documented deviation as
+  * [[LMDirichletSim]]. */
+final case class LMJelinekMercerSim(lambda: Double = 0.1d) extends Similarity {
+  require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+  private final class FloatScorer(boost: Float, p: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      (boost * math.log(1 + ((1 - lambda) * freq / dl) / (lambda * p))).toFloat
+    }
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(boost: Double, p: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      boost * math.log(1 + ((1 - lambda) * freq / dl) / (lambda * p))
+    }
+  }
+  private def prob(ttf: Long, stats: CollectionStats): Double =
+    (ttf + 1).toDouble / (stats.sumTotalTermFreq + 1).toDouble
+
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, prob(ttf, stats))
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, prob(ttf, stats))
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, prob(freqs.map(_._2).sum, stats))
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, prob(freqs.map(_._2).sum, stats))
+}
+
+/** DFISimilarity — divergence from independence (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/DFISimilarity.java:55-65:
+  * expected = (ttf+1)·docLen/(sumTotalTermFreq+1); freq <= expected → 0;
+  * else boost · log2(independence(freq, expected) + 1)). The standardized
+  * measure (freq − expected)/sqrt(expected) is Lucene's
+  * `IndependenceStandardized.java:28-30`. */
+final case class DFISim() extends Similarity {
+  private def raw(freq: Double, normByte: Int, ttf: Long, stats: CollectionStats): Double = {
+    val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+    val expected = (ttf + 1).toDouble * dl / (stats.sumTotalTermFreq + 1).toDouble
+    if (freq <= expected) 0d
+    else {
+      val measure = (freq - expected) / math.sqrt(expected)
+      math.log(measure + 1) / math.log(2d)
+    }
+  }
+  private final class FloatScorer(boost: Float, ttf: Long, stats: CollectionStats) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float =
+      (boost * raw(freq.toDouble, normByte, ttf, stats)).toFloat
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(boost: Double, ttf: Long, stats: CollectionStats) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost * raw(freq, normByte, ttf, stats)
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, ttf, stats)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, ttf, stats)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, freqs.map(_._2).sum, stats)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, freqs.map(_._2).sum, stats)
+}
+
+/** BooleanSimilarity — score == query boost, freq/norm ignored (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/BooleanSimilarity.java:59-61).
+  * Under a SHOULD disjunction the engine sums clause scores, so a doc's
+  * score is the sum of the boosts of the clauses it matches — exactly
+  * Lucene's behavior with this similarity. maxScore = boost keeps WAND
+  * floors live. */
+object BooleanSim extends Similarity {
+  private final class FloatScorer(boost: Float) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = boost
+    def maxScore: Float = boost
+  }
+  private final class DblScorer(boost: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost)
+}
+
+final case class LMDirichletSim(mu: Double = 2000d) extends Similarity {
+  private final class FloatScorer(boost: Float, p: Double, mu: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      val s = math.log(1 + freq / (mu * p)) + math.log(mu / (dl + mu))
+      if (s > 0) (boost * s).toFloat else 0f
+    }
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(boost: Double, p: Double, mu: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      val s = math.log(1 + freq / (mu * p)) + math.log(mu / (dl + mu))
+      if (s > 0) boost * s else 0d
+    }
+  }
+  private def prob(ttf: Long, stats: CollectionStats): Double =
+    (ttf + 1).toDouble / (stats.sumTotalTermFreq + 1).toDouble
+
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, prob(ttf, stats), mu)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, prob(ttf, stats), mu)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, prob(freqs.map(_._2).sum, stats), mu)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, prob(freqs.map(_._2).sum, stats), mu)
+}

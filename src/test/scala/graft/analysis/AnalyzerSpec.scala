@@ -108,4 +108,20 @@ class AnalyzerSpec extends AnyFunSuite {
     val toks = b.analyze("the tables").toSeq
     assert(toks.map(t => (t.term, t.position)) == Seq(("table", 1)))
   }
+
+  test("shingle2 emits word bigrams with the first member's position (ShingleFilter)") {
+    val a = Analyzers.shingle2
+    assert(termPos(a, "Big Table scan") == Seq(("big_table", 0), ("table_scan", 1)))
+    // fewer tokens than the shingle size -> nothing (outputUnigramsIfNoShingles=false)
+    assert(terms(a, "lonely") == Seq.empty)
+    assert(terms(a, "") == Seq.empty)
+    // invert: field length counts emitted shingles, not source words
+    val (byTerm, len) = a.invert("a b a b")
+    assert(len == 3)
+    assert(byTerm("a_b") == ((2, collection.mutable.ArrayBuffer(0, 2))))
+    assert(byTerm("b_a")._1 == 1)
+    // offsets span both members
+    val t = a.analyze("foo bar").next()
+    assert(t.startOffset == 0 && t.endOffset == 7)
+  }
 }

@@ -1,0 +1,122 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.fixtures.CodeCorpus
+import graft.index._
+
+/** Pluggable Similarity (IndexSearcher.setSimilarity analog): formula
+  * goldens per model + differential (pruned distributed top-k vs exhaustive
+  * brute force) under each non-default similarity. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val files = CodeCorpus.files(400)
+  private lazy val index = IndexBuilder.build(
+    spark.createDataset(files), IndexConfig(numPartitions = 4, saltSpan = 128))
+  private lazy val base = new GraftSearcher(index)
+
+  private val stats = CollectionStats(docCount = 1000, sumTotalTermFreq = 50000)
+
+  test("ClassicSim formula: idf = ln((n+1)/(df+1)) + 1, tf = sqrt(freq), norm = 1/sqrt(dl)") {
+    // norm byte for dl=16 decodes back to 16 (exact below 24)
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val s = ClassicSim.doubleScorer(1.0, df = 9, ttf = 20, stats)
+    val expected = (math.log(1001.0 / 10.0) + 1) * math.sqrt(4.0) / math.sqrt(16.0)
+    assert(math.abs(s.score(4.0, nb) - expected) < 1e-12)
+    // float path agrees with double within float tolerance
+    val f = ClassicSim.scorer(1f, 9, 20, stats)
+    assert(math.abs(f.score(4f, nb) - expected) < 1e-6)
+    assert(f.maxScore == Float.PositiveInfinity) // unbounded in freq
+  }
+
+  test("LMDirichlet formula: ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), clamped at 0") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val sim = LMDirichletSim() // mu = 2000
+    val p = 21.0 / 50001.0
+    val s = sim.doubleScorer(1.0, df = 9, ttf = 20, stats)
+    val expected = math.log(1 + 4.0 / (2000.0 * p)) + math.log(2000.0 / 2016.0)
+    assert(math.abs(s.score(4.0, nb) - expected) < 1e-12)
+    // low tf in a long doc goes negative -> clamp to 0 (LMDirichletSimilarity.java:86-88)
+    val nbLong = Bm25.encodeNorm(5000) & 0xFF
+    val rare = sim.doubleScorer(1.0, df = 1, ttf = 40000, stats) // common word
+    assert(rare.score(1.0, nbLong) == 0.0)
+    assert(sim.scorer(1f, 1, 40000, stats).score(1f, nbLong) == 0f)
+  }
+
+  test("LMJelinekMercer formula: ln(1 + ((1-lambda)*tf/dl) / (lambda*p))") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val sim = LMJelinekMercerSim(0.1)
+    val p = 21.0 / 50001.0
+    val expected = math.log(1 + (0.9 * 4.0 / 16.0) / (0.1 * p))
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(4.0, nb) - expected) < 1e-12)
+    assert(sim.doubleScorer(1.0, 9, 20, stats).score(1.0, nb) > 0.0) // never clamps
+    intercept[IllegalArgumentException](LMJelinekMercerSim(0.0))
+    intercept[IllegalArgumentException](LMJelinekMercerSim(1.5))
+  }
+
+  test("DFISim: zero at/below expected freq, log2 standardized divergence above") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val sim = DFISim()
+    val s = sim.doubleScorer(1.0, df = 9, ttf = 20, stats)
+    val expected = 21.0 * 16.0 / 50001.0 // (ttf+1)*dl/(sttf+1) ~ 0.00672
+    assert(s.score(0.001, nb) >= 0.0 && sim.doubleScorer(1.0, 9, 20000000, stats).score(1.0, nb) == 0.0)
+    val want = math.log((4.0 - expected) / math.sqrt(expected) + 1) / math.log(2.0)
+    assert(math.abs(s.score(4.0, nb) - want) < 1e-12)
+  }
+
+  test("BooleanSim: score == boost, freq/norm ignored; maxScore bounded") {
+    val s = BooleanSim.scorer(2.5f, 9, 20, stats)
+    assert(s.score(1f, 0) == 2.5f && s.score(100f, 200) == 2.5f)
+    assert(s.maxScore == 2.5f)
+    assert(BooleanSim.doubleScorer(2.5, 9, 20, stats).score(7.0, 3) == 2.5)
+  }
+
+  test("Bm25Sim delegates exactly to the Float-faithful Bm25 scorer") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val a = Bm25Sim(Bm25.DEFAULT_K1, Bm25.DEFAULT_B).scorer(1.5f, 9, 20, stats)
+    val b = Bm25.scorer(1.5f, Bm25.DEFAULT_K1, Bm25.DEFAULT_B, 9, stats)
+    assert(a.score(4f, nb) == b.score(4f, nb))
+    assert(a.maxScore == b.maxScore)
+  }
+
+  private val queries = Seq(
+    "return",
+    "indexwriter",
+    "index AND indexwriter",
+    "parsequery OR mergepolicy",
+    "\"foo.bar x2y\"",
+    "indexwriter^2.5 OR parsequery",
+    "merge*")
+
+  test("distributed top-k under each similarity is identical to brute force") {
+    for (sim <- Seq[Similarity](ClassicSim, LMDirichletSim(), LMJelinekMercerSim(),
+                                DFISim(), BooleanSim);
+         q <- queries) {
+      val s = base.withSimilarity(sim)
+      val ast = s.parse(q)
+      assert(s.search(ast, 10, null).toSeq == s.bruteForce(ast, 10).toSeq,
+        s"sim=$sim query=$q")
+    }
+  }
+
+  test("different similarities actually rank differently on a tf/length-contrast corpus") {
+    // docA: term once in a short doc; docB: term 5x in a long doc.
+    // Classic (sqrt tf / sqrt len) and BM25 disagree with Boolean (tie).
+    val micro = Seq(
+      CodeFile("r", "a", "c1", "txt", "needle alpha"),
+      CodeFile("r", "b", "c1", "txt",
+        ("needle " * 5) + ("filler " * 60)))
+    val idx = IndexBuilder.build(spark.createDataset(micro), IndexConfig(numPartitions = 1))
+    val paths = idx.docs.collect().map(d => d.docId -> d.path).toMap
+    def top(sim: Similarity): Seq[String] =
+      new GraftSearcher(idx, sim = sim).search("needle", 2).map(h => paths(h.docId)).toSeq
+    assert(top(BooleanSim).toSet == Set("a", "b")) // tie, both returned
+    // LM models: tf=5 at len 65 beats tf=1 at len 2? Dirichlet: dominated by
+    // the length prior at tiny mu-relative lengths -> short doc wins.
+    assert(top(LMDirichletSim()).head == "a")
+    // Classic: sqrt(1)/sqrt(2) = 0.707 vs sqrt(5)/sqrt(65) = 0.277 -> a wins
+    assert(top(ClassicSim).head == "a")
+  }
+}
