@@ -153,7 +153,16 @@ final case class Analyzer(
       * TOKEN_SEPARATOR :77, position = first member's position). A doc with
       * fewer than `shingleSize` tokens emits nothing
       * (outputUnigramsIfNoShingles=false default, :121-124). */
-    shingleSize: Int = 0) extends Serializable {
+    shingleSize: Int = 0,
+    /** `WordDelimiterGraphFilter` subset for code identifiers (reference:
+      * lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java):
+      * GENERATE_WORD_PARTS + SPLIT_ON_CASE_CHANGE + PRESERVE_ORIGINAL, with
+      * SPLIT_ON_NUMERICS off. A camelCase token `sparkQuery` emits the
+      * original (lowercased, at its own position), the first part at the
+      * SAME position (posIncrement 0 — a stacked/overlap token, WDGF's graph
+      * semantics flattened the way FlattenGraphFilter does for indexing),
+      * and each later part one position on. Unsplit tokens pass through. */
+    wordDelimiter: Boolean = false) extends Serializable {
 
   /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
@@ -202,9 +211,70 @@ final case class Analyzer(
     override def next(): RawToken = { val t = RawToken(text.substring(s, e), 1, s, e); findNext(); t }
   }
 
+  /** Case-preserving `[A-Za-z0-9]+` runs — the tokenizer feeding the
+    * word-delimiter chain (case information must survive to the splitter;
+    * lowercasing happens per-term afterwards, same net effect on this
+    * ASCII-alnum charset as the lower-then-extract order `simple` uses). */
+  private def caseTokens(text: String): Iterator[RawToken] = new Iterator[RawToken] {
+    private var i = 0
+    private val len = text.length
+    private var s = -1
+    private var e = -1
+    findNext()
+    @inline private def isTokChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+    private def findNext(): Unit = {
+      s = -1
+      while (i < len && !isTokChar(text.charAt(i))) i += 1
+      if (i < len) { s = i; while (i < len && isTokChar(text.charAt(i))) i += 1; e = i }
+    }
+    override def hasNext: Boolean = s >= 0
+    override def next(): RawToken = { val t = RawToken(text.substring(s, e), 1, s, e); findNext(); t }
+  }
+
+  /** WordDelimiterGraphFilter expansion of one raw token: split on
+    * lower/digit→UPPER case transitions (SPLIT_ON_CASE_CHANGE); when a split
+    * happens, emit the preserved original first (inheriting the token's
+    * posIncrement), then the first part as a stacked token (posIncrement 0)
+    * and each later part with posIncrement 1 — so part positions coincide
+    * with the positions the parts would have had as standalone words, and
+    * phrase queries over parts keep working (reference:
+    * WordDelimiterGraphFilter.java sortedness + FlattenGraphFilter). */
+  private def wdExpand(rt: RawToken): Iterator[RawToken] = {
+    val t = rt.term
+    var hasSplit = false
+    var k = 1
+    while (k < t.length && !hasSplit) {
+      if (t.charAt(k) >= 'A' && t.charAt(k) <= 'Z' &&
+          !(t.charAt(k - 1) >= 'A' && t.charAt(k - 1) <= 'Z')) hasSplit = true
+      k += 1
+    }
+    if (!hasSplit) Iterator.single(rt)
+    else {
+      val parts = collection.mutable.ArrayBuffer.empty[RawToken]
+      var start = 0
+      var j = 1
+      while (j <= t.length) {
+        val boundary = j == t.length ||
+          (t.charAt(j) >= 'A' && t.charAt(j) <= 'Z' &&
+            !(t.charAt(j - 1) >= 'A' && t.charAt(j - 1) <= 'Z'))
+        if (boundary) {
+          parts += RawToken(t.substring(start, j), if (start == 0) 0 else 1,
+            rt.startOffset + start, rt.startOffset + j)
+          start = j
+        }
+        j += 1
+      }
+      Iterator.single(rt) ++ parts.iterator
+    }
+  }
+
   /** Full analysis chain: returns tokens with absolute positions. */
   def analyze(text: String): Iterator[Token] = {
-    val raw = if (simple) simpleTokens(lowercase(text)) else Tokenizer.tokenize(text, maxTokenLength)
+    val raw =
+      if (wordDelimiter) caseTokens(text).flatMap(wdExpand)
+      else if (simple) simpleTokens(lowercase(text))
+      else Tokenizer.tokenize(text, maxTokenLength)
     var pos = -1
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
     val base = raw.flatMap { rt =>
@@ -227,16 +297,21 @@ final case class Analyzer(
   }
 
   /** Per-(term) stats for one document: (term -> (tf, positions)) plus the
-    * field length = number of emitted tokens (discountOverlaps semantics:
-    * Lucene counts `state.length - state.numOverlap`; our chain produces no
-    * overlaps, so length == emitted token count.
-    * Reference: lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:116-126).
+    * field length with discountOverlaps semantics: Lucene counts
+    * `state.length - state.numOverlap`, where an overlap is a token whose
+    * posIncrement is 0 — i.e. one stacked at the previous token's position
+    * (the word-delimiter chain produces these; every other chain's positions
+    * strictly increase, so length == emitted token count there.
+    * Reference: lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:116-126,
+    * FieldInvertState.java numOverlap accounting).
     */
   def invert(text: String): (collection.mutable.LinkedHashMap[String, (Int, collection.mutable.ArrayBuffer[Int])], Int) = {
     val byTerm = collection.mutable.LinkedHashMap.empty[String, (Int, collection.mutable.ArrayBuffer[Int])]
     var length = 0
+    var prevPos = -1
     analyze(text).foreach { t =>
-      length += 1
+      if (t.position != prevPos) length += 1
+      prevPos = t.position
       byTerm.get(t.term) match {
         case Some((tf, poss)) =>
           poss += t.position
@@ -301,4 +376,9 @@ object Analyzers {
     * SQL-expressible tokenizer — the shingled index behind
     * `ft_shingle_search`. */
   val shingle2: Analyzer = Analyzer(simple = true, shingleSize = 2)
+
+  /** `WordDelimiterGraphFilter` chain for code identifiers (camelCase /
+    * case-transition splitting with the original preserved as a stacked
+    * token) — the code-payload analyzer behind `ft_wd_search`/`ft_wd_phrase`. */
+  val wordDelim: Analyzer = Analyzer(wordDelimiter = true)
 }

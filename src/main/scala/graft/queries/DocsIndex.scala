@@ -125,6 +125,55 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.shingle2))
       })
 
+  /** Same corpus rewritten into camelCase compound identifiers (adjacent
+    * token pairs joined as `t1` + capitalize(`t2`); an odd trailing token
+    * stays bare) and indexed through the WordDelimiterGraphFilter chain
+    * (`Analyzers.wordDelim`): each compound emits the preserved original
+    * plus its case-split parts, parts landing at the positions the words had
+    * in the RAW text — so the DuckDB oracle recomputes everything (part
+    * tf/df/positions, compound tf at odd 1-indexed pair boundaries, and the
+    * discountOverlaps doc length = raw token count) from the raw text alone. */
+  def getWordDelim(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#wd", _ => {
+        import spark.implicits._
+        val camel = files(spark, sfDir).map(cf => cf.copy(content = camelize(cf.content)))
+        val index = IndexBuilder.build(camel, IndexConfig(analyzer = Analyzers.wordDelim))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.wordDelim))
+      })
+
+  /** Deterministic camelCase compounding of a lowercase-alnum text: pair up
+    * consecutive `[a-z0-9]+` tokens 0-indexed as (0,1),(2,3),…, join each
+    * pair as `t1` + `T2` (first letter of the second word uppercased). */
+  private[queries] def camelize(text: String): String = {
+    val toks = collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isAlnum(text.charAt(i))) i += 1
+      if (i < n) {
+        val s = i
+        while (i < n && isAlnum(text.charAt(i))) i += 1
+        toks += text.substring(s, i)
+      }
+    }
+    val sb = new java.lang.StringBuilder(text.length)
+    var k = 0
+    while (k < toks.length) {
+      if (sb.length > 0) sb.append(' ')
+      if (k + 1 < toks.length) {
+        val t2 = toks(k + 1)
+        sb.append(toks(k)).append(Character.toUpperCase(t2.charAt(0))).append(t2, 1, t2.length)
+        k += 2
+      } else { sb.append(toks(k)); k += 1 }
+    }
+    sb.toString
+  }
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -72,6 +72,37 @@ object FulltextQueries {
        |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
        |  FROM toks)""".stripMargin
 
+  /** Full BM25 oracle over the WordDelimiter compound index: term tf = raw
+    * occurrences (every raw token surfaces once, as a split part or bare
+    * trailing token) + compounds whose lowercased concat equals the term
+    * (pair boundaries = odd 1-indexed list positions); doc length = raw
+    * token count (the preserved original stacks on its first part —
+    * discountOverlaps). Same SmallFloat dlq + BM25 shape as PRELUDE. */
+  private def wdBmSql(t: String): String =
+    s"""WITH wd AS (
+       |  SELECT doc_id, len(tk) AS dlen,
+       |    len(list_filter(tk, x -> x = '$t'))
+       |      + len(list_filter(range(1, len(tk), 2),
+       |            i -> tk[i] || tk[i+1] = '$t')) AS tf
+       |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)),
+       |st AS (SELECT count(*) AS n,
+       |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl,
+       |              (SELECT count(*) FROM wd WHERE tf > 0) AS df FROM wd),
+       |dl AS (
+       |  SELECT doc_id, tf,
+       |    CASE WHEN dlen < 24 THEN dlen
+       |         WHEN dlen - 24 < 8 THEN dlen
+       |         ELSE 24 + (((dlen - 24) >> (length(format('{:b}', dlen - 24)) - 4))
+       |                    << (length(format('{:b}', dlen - 24)) - 4)) END AS dlq
+       |  FROM wd)
+       |SELECT doc_id, round(s, 4) AS score FROM (
+       |  SELECT dl.doc_id, dl.tf,
+       |    ln(1 + (st.n - st.df + 0.5) / (st.df + 0.5))
+       |      * (dl.tf * (1.2 + 1))
+       |      / (dl.tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
+       |  FROM dl, st
+       |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   private def tfSql(t: String) = s"len(list_filter(tk, x -> x = '$t'))"
   private def dfSql(t: String) = s"(SELECT count(*) FROM toks WHERE list_contains(tk, '$t'))"
   private def idfSql(df: String) = s"ln(1 + (st.n - $df + 0.5) / ($df + 0.5))"
@@ -397,6 +428,41 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("score"))
+    }),
+    // ---- WordDelimiterGraphFilter (code-identifier) index: the corpus
+    // camelCase-compounded deterministically (DocsIndex.camelize), each
+    // compound indexed as preserved-original + case-split parts, parts at
+    // the positions the words had in the raw text (Analyzer.wdExpand) ----
+    // BM25 for a PART term: tf('vector') = raw occurrences (each raw token
+    // surfaces exactly once, as a part or bare) + any compound whose concat
+    // equals the term; dl = discountOverlaps length = raw token count
+    "ft_wd_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWordDelim(spark, sfDir)
+      searcher.searchDoubleDS(graft.search.TermQ("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // BM25 for the PRESERVED ORIGINAL: 'fasthash' matches only where the
+    // raw pair ('fast','hash') landed on a pair boundary (odd 1-indexed i)
+    "ft_wd_compound" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWordDelim(spark, sfDir)
+      searcher.searchDoubleDS(graft.search.TermQ("fasthash"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // exact phrase over PARTS: wd part positions equal raw-text positions,
+    // so "fast hash" matches every raw adjacency — inside one compound
+    // (fastHash) AND across two compounds (…Fast hash…) alike
+    "ft_wd_phrase" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWordDelim(spark, sfDir)
+      searcher.matchesDS(graft.search.PhraseQ(Seq("fast", "hash"), Seq(0, 1))).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }),
     "ft_search_bool" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "(table OR vector) AND batch", 10)),
     "ft_search_phrase" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\" OR customer", 10)),
@@ -1143,6 +1209,18 @@ object FulltextQueries {
          |      / (dl.tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // WD index BM25: tf = raw-token occurrences + pair-boundary compound
+    // concats (odd 1-indexed i — DocsIndex.camelize pairs (1,2),(3,4),…);
+    // dl = raw token count (discountOverlaps: the stacked original and its
+    // first part share a position). Corpus is verified letter-only, so every
+    // camelCase compound case-splits.
+    "ft_wd_search" -> wdBmSql("vector"),
+    "ft_wd_compound" -> wdBmSql("fasthash"),
+    "ft_wd_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(range(1, len(tk)),
+         |      i -> tk[i] = 'fast' AND tk[i+1] = 'hash')) > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_search_bool" ->
       s"""$PRELUDE
          |SELECT doc_id, round(s, 4) AS score FROM (
