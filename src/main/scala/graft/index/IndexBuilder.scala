@@ -19,12 +19,21 @@ import graft.codec.{PostingsCodec, SmallFloat}
   *                        shuffle width ([[IndexBuilder.saltSpanFor]]).
   * @param verifySha       enforce the per-row content sha256 invariant when the
   *                        input carries an expected sha256 column
+  * @param sortFields      index sort (`IndexWriterConfig.setIndexSort` analog,
+  *                        reference: lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java:447-469):
+  *                        metadata column names (e.g. `Seq("lang")`) prepended
+  *                        to the (repo, path, commit) docId ranking key, so
+  *                        docId order within a sorted run EQUALS the sort
+  *                        order — queries sorted congruently early-terminate
+  *                        after k hits per run instead of scoring every match
+  *                        ([[graft.search.GraftSearcher.searchByIndexOrder]]).
   */
 final case class IndexConfig(
     analyzer: Analyzer = graft.analysis.Analyzers.standard,
     numPartitions: Int = 0,
     saltSpan: Long = 0,
-    verifySha: Boolean = true)
+    verifySha: Boolean = true,
+    sortFields: Seq[String] = Nil)
 
 /** An index: typed Datasets over the segment tables. In production these are
   * Iceberg tables (snapshot = Lucene's `segments_N` commit point, reference:
@@ -43,7 +52,16 @@ final class GraftIndex(
       * Collection stats keep counting deleted docs until merge, exactly like
       * Lucene (docCount/avgdl shift only when segments rewrite). */
     val deletes: Dataset[Long],
-    val hasDeletes: Boolean) extends Serializable {
+    val hasDeletes: Boolean,
+    /** Index sort the docIds were ranked under (empty = the default
+      * (repo, path, commit) order, no congruent-sort early termination). */
+    val indexSort: Seq[String] = Nil,
+    /** docId bases of the SORTED RUNS: within [base_i, base_i+1) docId order
+      * equals the index sort. Each `buildAndCommit` append starts a new run;
+      * merges concatenate runs without re-sorting, so run boundaries persist
+      * in the manifest across merges (Lucene re-sorts at merge instead —
+      * `MergeState` sort maps — but our docIds are immutable by design). */
+    val sortRunBases: Seq[Long] = Seq(0L)) extends Serializable {
 
   /** Live (non-tombstoned) doc metadata. */
   def liveDocsDF: Dataset[DocRow] = {
@@ -90,18 +108,31 @@ object IndexBuilder {
     * (the zipWithIndex passes touch ~60 B/doc); ids are attached back to the
     * full rows with a shuffle-hash join so the content column is hashed but
     * never sorted. Sorting full content rows cost ~120 s/pass at 1M docs.
-    * Requires (repo, path, commit) to be unique per row. */
-  def assignDocIds(files: Dataset[CodeFile], numPartitions: Int = 0, docBase: Long = 0L): Dataset[(CodeFile, Long)] = {
+    * Requires (repo, path, commit) to be unique per row.
+    *
+    * `sortFields` prepends index-sort columns to the ranking key
+    * (IndexWriterConfig.setIndexSort): docId order then equals
+    * (sortFields…, repo, path, commit) order. */
+  def assignDocIds(
+      files: Dataset[CodeFile],
+      numPartitions: Int = 0,
+      docBase: Long = 0L,
+      sortFields: Seq[String] = Nil): Dataset[(CodeFile, Long)] = {
     val spark = files.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val keyCols = (sortFields ++ Seq("repo", "path", "commit")).distinct
+    val ri = keyCols.indexOf("repo")
+    val pi = keyCols.indexOf("path")
+    val ci = keyCols.indexOf("commit")
     val keyIds = files
-      .select($"repo", $"path", $"commit")
-      .repartitionByRange(parts, $"repo", $"path", $"commit")
-      .sortWithinPartitions($"repo", $"path", $"commit")
-      .as[(String, String, String)]
+      .select(keyCols.map(col): _*)
+      .repartitionByRange(parts, keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
       .rdd.zipWithIndex()
-      .map { case ((r, p, c), i) => (r, p, c, i + docBase) }
+      .map { case (row, i) =>
+        (row.getString(ri), row.getString(pi), row.getString(ci), i + docBase)
+      }
       .toDF("_r", "_p", "_c", "_docId")
     files
       .join(keyIds.hint("shuffle_hash"),

@@ -21,12 +21,20 @@ final case class SegmentMeta(
 final case class Manifest(
     generation: Long,
     segments: Seq[SegmentMeta],
-    delGen: Long = -1L) {
+    delGen: Long = -1L,
+    /** Index sort the docIds were ranked under (IndexWriterConfig.setIndexSort
+      * analog); empty = default (repo, path, commit) ranking. */
+    indexSort: Seq[String] = Nil,
+    /** docId bases of sorted runs (one per `buildAndCommit` append). Runs
+      * survive merges unchanged — merges concatenate docId ranges without
+      * re-ranking — so this list only ever grows. */
+    sortRuns: Seq[Long] = Nil) {
   def docCount: Long = segments.map(_.docCount).sum
   def sumTotalTermFreq: Long = segments.map(_.sumTotalTermFreq).sum
   def maxDocId: Long = if (segments.isEmpty) -1L else segments.map(_.maxDocId).max
   def fieldStats: FieldStatsRow = FieldStatsRow(docCount, sumTotalTermFreq, maxDocId)
   def hasDeletes: Boolean = delGen >= 0
+  def sortRunBases: Seq[Long] = if (sortRuns.nonEmpty) sortRuns.sorted else Seq(0L)
 }
 
 /** Parquet-backed index storage with stage-level checkpointing: every stage
@@ -42,7 +50,10 @@ object IndexStore {
       s"""{"name":"${s.name}","docBase":${s.docBase},"docCount":${s.docCount},""" +
         s""""sumTotalTermFreq":${s.sumTotalTermFreq},"maxDocId":${s.maxDocId}}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"generation":${m.generation},"delGen":${m.delGen},"segments":$segs}"""
+    val sort = m.indexSort.map(f => s""""$f"""").mkString("[", ",", "]")
+    val runs = m.sortRuns.mkString("[", ",", "]")
+    val json = s"""{"generation":${m.generation},"delGen":${m.delGen},""" +
+      s""""indexSort":$sort,"sortRuns":$runs,"segments":$segs}"""
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s".manifest.tmp")
     Files.writeString(tmp, json)
@@ -63,7 +74,13 @@ object IndexStore {
     val segs = segRe.findAllMatchIn(json).map { m =>
       SegmentMeta(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
     }.toSeq
-    Some(Manifest(gen, segs, delGen))
+    val indexSort = """"indexSort":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))).getOrElse(Nil)
+    val sortRuns = """"sortRuns":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Nil)
+    Some(Manifest(gen, segs, delGen, indexSort, sortRuns))
   }
 
   private def isComplete(path: String): Boolean =
@@ -89,7 +106,7 @@ object IndexStore {
       // IndexBuilder.build persistence note); shuffle reuse keeps the
       // second pass cheap.
       val analyzed = IndexBuilder
-        .analyze(IndexBuilder.assignDocIds(files, cfg.numPartitions, docBase), cfg)
+        .analyze(IndexBuilder.assignDocIds(files, cfg.numPartitions, docBase, cfg.sortFields), cfg)
       // zstd over snappy for segment tables: measured 21% smaller postings
       // and 37% smaller docmeta — at cluster scale that is a quarter less
       // segment I/O + storage for abundant-CPU decode, and merges/scans are
@@ -124,9 +141,13 @@ object IndexStore {
     val segName = f"seg-$gen%05d"
     val done = prev.exists(_.segments.exists(_.name == segName))
     if (done) return prev.get
+    prev.foreach(p => require(p.indexSort == cfg.sortFields,
+      s"index sort mismatch: committed ${p.indexSort}, appending ${cfg.sortFields}"))
     val meta = buildSegment(files, indexDir, segName, cfg, docBase)
     val m = Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta,
-      prev.map(_.delGen).getOrElse(-1L))
+      prev.map(_.delGen).getOrElse(-1L),
+      cfg.sortFields,
+      prev.map(_.sortRuns).getOrElse(Nil) :+ docBase)
     writeManifest(indexDir, m)
     m
   }
@@ -204,6 +225,6 @@ object IndexStore {
           org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
         .as[TermStatsRow]
     new GraftIndex(spark, docs, blocks, termStats, m.fieldStats,
-      readDeletes(spark, indexDir, m), m.hasDeletes)
+      readDeletes(spark, indexDir, m), m.hasDeletes, m.indexSort, m.sortRunBases)
   }
 }

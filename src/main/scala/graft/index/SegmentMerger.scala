@@ -106,7 +106,9 @@ object SegmentMerger {
     // on a partial merge they must survive for the untouched segments (the
     // purged docs' ids staying in the set is harmless — nothing matches them)
     val newDelGen = if (keep.isEmpty) -1L else m.delGen
-    val newManifest = Manifest(gen, keep :+ merged, newDelGen)
+    // index sort + sorted-run boundaries survive the rewrite: docIds never
+    // renumber, so the concatenated runs stay sorted exactly as committed
+    val newManifest = Manifest(gen, keep :+ merged, newDelGen, m.indexSort, m.sortRuns)
     IndexStore.writeManifest(indexDir, newManifest)
     newManifest
   }

@@ -174,6 +174,21 @@ object DocsIndex {
   @inline private def isAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
+  /** Same corpus built with an index sort on `lang`
+    * (`IndexConfig.sortFields = Seq("lang")` — the
+    * `IndexWriterConfig.setIndexSort` analog): docIds rank by
+    * (lang, repo, path, commit) = (lang, doc_id) since repo is constant and
+    * path zero-pads doc_id. Queries sorted by (lang, doc_id) early-terminate
+    * per doc range ([[GraftSearcher.searchByIndexOrder]]). */
+  def getSorted(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#srt", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.simple, sortFields = Seq("lang")))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.simple))
+      })
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -269,6 +269,19 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("len").cast("long").as("n_tokens"))
     }),
+    // index sorting + early termination (IndexWriterConfig.setIndexSort +
+    // TopFieldCollector.canEarlyTerminate): the lang-sorted index makes
+    // docId order = (lang, doc_id) order, so each doc-range partition stops
+    // after its first 10 matches instead of scoring every match
+    "ft_index_sort" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getSorted(spark, sfDir)
+      searcher.searchByIndexOrder(graft.search.TermQ("vector"), 10).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(asc("lang"), asc("doc_id"))
+        .limit(10)
+        .select(col("lang"), col("doc_id"))
+    }),
     // query-time join (lucene/join JoinUtil.createJoinQuery): select every
     // doc whose join-field value (the source label, stored in `commit`)
     // occurs among the docs matching the from-query — from-side values are a
@@ -1065,6 +1078,10 @@ object FulltextQueries {
          |  (SELECT doc_id, $TOKS AS tk, len($TOKS) AS n_tokens FROM documents)
          |WHERE list_contains(tk, 'spark') AND list_contains(tk, 'vector')
          |ORDER BY n_tokens DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_index_sort" ->
+      s"""SELECT lang, doc_id FROM (SELECT lang, doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector')
+         |ORDER BY lang, doc_id LIMIT 10""".stripMargin,
     "ft_match_msm" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)

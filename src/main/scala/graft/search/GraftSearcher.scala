@@ -638,6 +638,43 @@ final class GraftSearcher(
   def searchDF(queryStr: String, k: Int): DataFrame =
     spark.createDataset(search(queryStr, k).toSeq).toDF("docId", "score")
 
+  /** Index-sorted top-k with EARLY TERMINATION — Lucene's
+    * `TopFieldCollector` over a congruent index sort (reference:
+    * lucene/core/src/java/org/apache/lucene/search/TopFieldCollector.java:212-227
+    * `canEarlyTerminate`; sorted collection stops a leaf after k competitive
+    * hits). DocIds inside a sorted run are ranked by the index sort, so each
+    * doc-range partition collects only its FIRST k matches per run and stops
+    * iterating — later posting blocks in the range are never decoded. The
+    * global answer is the k sort-smallest of the ≤ k·(runs·ranges)
+    * candidates (caller joins sort-field values and orders). At 100 TB this
+    * bounds per-partition work by k instead of the match count. */
+  def searchByIndexOrder(q0: Query, k: Int, numPartitions: Int = 0): Dataset[Long] = {
+    require(index.indexSort.nonEmpty,
+      "searchByIndexOrder needs an index built with IndexConfig.sortFields")
+    val (q, ctx) = plan(q0)
+    if (q == MatchNoneQ) return spark.emptyDataset[Long]
+    val ctxB = ctx
+    val kB = k
+    val bases = index.sortRunBases.toArray.sorted
+    perRange[Long](q, numPartitions) { (qq, termBlocks, lo, hi, live) =>
+      // split [lo, hi) at sorted-run boundaries: docId order equals the index
+      // sort only WITHIN a run (appends/merges concatenate runs unsorted)
+      val cuts = (lo +: bases.filter(b => b > lo && b < hi).toSeq :+ hi).distinct.sorted
+      cuts.sliding(2).flatMap {
+        case Seq(l, h) =>
+          val root = ScorerBuilder.build(qq, 1f, termBlocks, ctxB, l, h, live)
+          if (root eq EmptyScorer) Iterator.empty[Long]
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[Long](kB)
+            var d = root.nextDoc()
+            while (d != DocScorer.NO_MORE && out.size < kB) { out += d; d = root.nextDoc() }
+            out.iterator // stopped WITHOUT exhausting the run — the ET
+          }
+        case _ => Iterator.empty[Long]
+      }
+    }
+  }
+
   /** All matching docIds, unranked — the boolean match-set surface
     * (ConstantScore bulk collection). Same distributed shape as [[searchDS]]
     * but each doc-range partition emits every match instead of a top-k heap. */

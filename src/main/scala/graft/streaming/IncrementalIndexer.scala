@@ -68,6 +68,9 @@ object IncrementalIndexer {
       batch, indexDir, segName, cfg, docBase = batchId * docBaseStride)
     val gen = prev.map(_.generation + 1).getOrElse(0L)
     IndexStore.writeManifest(indexDir,
-      graft.index.Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta))
+      graft.index.Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta,
+        prev.map(_.delGen).getOrElse(-1L),
+        cfg.sortFields,
+        prev.map(_.sortRuns).getOrElse(Nil) :+ batchId * docBaseStride))
   }
 }
