@@ -61,7 +61,10 @@ final class GraftIndex(
       * merges concatenate runs without re-sorting, so run boundaries persist
       * in the manifest across merges (Lucene re-sorts at merge instead —
       * `MergeState` sort maps — but our docIds are immutable by design). */
-    val sortRunBases: Seq[Long] = Seq(0L)) extends Serializable {
+    val sortRunBases: Seq[Long] = Seq(0L),
+    /** Current numeric docvalues generation (null = none committed) —
+      * updatable per-doc numeric fields ([[IndexStore.updateNumericDocValues]]). */
+    val docValues: Dataset[DocValueRow] = null) extends Serializable {
 
   /** Live (non-tombstoned) doc metadata. */
   def liveDocsDF: Dataset[DocRow] = {

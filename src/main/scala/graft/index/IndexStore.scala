@@ -28,7 +28,11 @@ final case class Manifest(
     /** docId bases of sorted runs (one per `buildAndCommit` append). Runs
       * survive merges unchanged — merges concatenate docId ranges without
       * re-ranking — so this list only ever grows. */
-    sortRuns: Seq[Long] = Nil) {
+    sortRuns: Seq[Long] = Nil,
+    /** Numeric docvalues generation (-1 = none), pointing at
+      * `docvalues/dv-<gen>` — the gen-suffixed `.dvd` stack analog
+      * (Lucene SegmentCommitInfo.docValuesGen). */
+    dvGen: Long = -1L) {
   def docCount: Long = segments.map(_.docCount).sum
   def sumTotalTermFreq: Long = segments.map(_.sumTotalTermFreq).sum
   def maxDocId: Long = if (segments.isEmpty) -1L else segments.map(_.maxDocId).max
@@ -52,7 +56,7 @@ object IndexStore {
     }.mkString("[", ",", "]")
     val sort = m.indexSort.map(f => s""""$f"""").mkString("[", ",", "]")
     val runs = m.sortRuns.mkString("[", ",", "]")
-    val json = s"""{"generation":${m.generation},"delGen":${m.delGen},""" +
+    val json = s"""{"generation":${m.generation},"delGen":${m.delGen},"dvGen":${m.dvGen},""" +
       s""""indexSort":$sort,"sortRuns":$runs,"segments":$segs}"""
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s".manifest.tmp")
@@ -80,7 +84,9 @@ object IndexStore {
     val sortRuns = """"sortRuns":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Nil)
-    Some(Manifest(gen, segs, delGen, indexSort, sortRuns))
+    val dvGen = """"dvGen":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    Some(Manifest(gen, segs, delGen, indexSort, sortRuns, dvGen))
   }
 
   private def isComplete(path: String): Boolean =
@@ -147,7 +153,8 @@ object IndexStore {
     val m = Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta,
       prev.map(_.delGen).getOrElse(-1L),
       cfg.sortFields,
-      prev.map(_.sortRuns).getOrElse(Nil) :+ docBase)
+      prev.map(_.sortRuns).getOrElse(Nil) :+ docBase,
+      prev.map(_.dvGen).getOrElse(-1L))
     writeManifest(indexDir, m)
     m
   }
@@ -174,6 +181,46 @@ object IndexStore {
     readDeletes(spark, indexDir, m).union(docIds).distinct()
       .toDF("docId").write.mode("overwrite").option("compression", "zstd").parquet(path)
     val next = m.copy(generation = m.generation + 1, delGen = newGen)
+    writeManifest(indexDir, next)
+    next
+  }
+
+  /** Current numeric docvalues (empty if none committed). */
+  def readDocValues(spark: SparkSession, indexDir: String, m: Manifest): Dataset[DocValueRow] = {
+    import spark.implicits._
+    if (m.dvGen < 0) spark.emptyDataset[DocValueRow]
+    else spark.read.parquet(s"$indexDir/docvalues/dv-${m.dvGen}").as[DocValueRow]
+  }
+
+  /** Update numeric docvalues WITHOUT reindexing
+    * (`IndexWriter.updateNumericDocValue` analog, reference:
+    * lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1803-1834;
+    * gen-stacked `.dvd` files via SegmentCommitInfo.docValuesGen): incoming
+    * (docId, field, value) cells override the current generation's cells for
+    * the same (docId, field) key; untouched cells carry forward. Commits
+    * `docvalues/dv-<gen+1>` plus a new manifest generation — readers opened
+    * on the old manifest keep the old values (point-in-time, like Lucene's
+    * segment readers). The override is a left-anti + union, both keyed joins
+    * — no full-table rewrite beyond the dv table itself (tiny next to
+    * postings), the same cost shape as Lucene rewriting one .dvd file. */
+  def updateNumericDocValues(
+      spark: SparkSession,
+      indexDir: String,
+      updates: Dataset[DocValueRow]): Manifest = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(indexDir).getOrElse(
+      throw new IllegalStateException(s"no manifest at $indexDir"))
+    val newGen = m.dvGen + 1
+    val cur = readDocValues(spark, indexDir, m)
+    val keys = updates.select(col("docId").as("_d"), col("field").as("_f"))
+    val kept = cur.join(keys,
+      col("docId") === col("_d") && col("field") === col("_f"), "left_anti")
+      .as[DocValueRow]
+    kept.union(updates)
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/docvalues/dv-$newGen")
+    val next = m.copy(generation = m.generation + 1, dvGen = newGen)
     writeManifest(indexDir, next)
     next
   }
@@ -225,6 +272,7 @@ object IndexStore {
           org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
         .as[TermStatsRow]
     new GraftIndex(spark, docs, blocks, termStats, m.fieldStats,
-      readDeletes(spark, indexDir, m), m.hasDeletes, m.indexSort, m.sortRunBases)
+      readDeletes(spark, indexDir, m), m.hasDeletes, m.indexSort, m.sortRunBases,
+      readDocValues(spark, indexDir, m))
   }
 }

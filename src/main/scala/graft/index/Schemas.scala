@@ -84,6 +84,13 @@ final case class BlockRow(
 
 final case class TermStatsRow(term: String, docFreq: Long, totalTermFreq: Long)
 
+/** One numeric docvalues cell. Updatable without reindexing
+  * (`IndexWriter.updateNumericDocValue` analog, reference:
+  * lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1803-1834):
+  * each update commits a new docvalues generation, like Lucene's
+  * gen-suffixed `.dvd` stacks (`docValuesGen` in SegmentCommitInfo). */
+final case class DocValueRow(docId: Long, field: String, value: Long)
+
 final case class FieldStatsRow(docCount: Long, sumTotalTermFreq: Long, maxDocId: Long)
 
 /** Top-k hit. Ordering discipline everywhere: score desc, docId asc

@@ -108,7 +108,7 @@ object SegmentMerger {
     val newDelGen = if (keep.isEmpty) -1L else m.delGen
     // index sort + sorted-run boundaries survive the rewrite: docIds never
     // renumber, so the concatenated runs stay sorted exactly as committed
-    val newManifest = Manifest(gen, keep :+ merged, newDelGen, m.indexSort, m.sortRuns)
+    val newManifest = Manifest(gen, keep :+ merged, newDelGen, m.indexSort, m.sortRuns, m.dvGen)
     IndexStore.writeManifest(indexDir, newManifest)
     newManifest
   }

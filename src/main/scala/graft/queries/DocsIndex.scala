@@ -189,6 +189,38 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.simple))
       })
 
+  /** Corpus with an updatable numeric docvalues field `popularity`
+    * (`IndexWriter.updateNumericDocValue`): base generation = token count,
+    * then TWO stacked update generations — doc_id%5==0 -> 777, then
+    * doc_id%10==0 -> 1000000+doc_id (the second overrides the first on the
+    * overlap, proving latest-generation-wins under the oracle). */
+  def getWithDocValues(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#dv", _ => {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-docsdv-").toString
+        graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
+          IndexConfig(analyzer = Analyzers.simple))
+        val idx0 = graft.index.IndexStore.open(spark, dir)
+        val base = idx0.docs.toDF()
+          .select($"docId", lit("popularity").as("field"), $"len".cast("long").as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, base)
+        val ids = docIdMap(idx0)
+        val u1 = ids.filter($"doc_id" % 5 === 0)
+          .select($"docId", lit("popularity").as("field"), lit(777L).as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, u1)
+        val u2 = ids.filter($"doc_id" % 10 === 0)
+          .select($"docId", lit("popularity").as("field"),
+            ($"doc_id" + 1000000L).cast("long").as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, u2)
+        val idx = graft.index.IndexStore.open(spark, dir)
+        idx.blocks.count()
+        (idx, new GraftSearcher(idx, Analyzers.simple))
+      })
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -282,6 +282,20 @@ object FulltextQueries {
         .limit(10)
         .select(col("lang"), col("doc_id"))
     }),
+    // numeric docvalues updates (IndexWriter.updateNumericDocValue): the
+    // 'popularity' field starts as the token count, then two stacked update
+    // generations rewrite slices of it WITHOUT reindexing; sort-by-docvalue
+    // over a match set reads the latest generation
+    "ft_dv_update" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithDocValues(spark, sfDir)
+      searcher.matchesDS(graft.search.TermQ("vector")).toDF("docId")
+        .join(index.docValues.toDF().filter(col("field") === "popularity")
+          .select(col("docId"), col("value").as("popularity")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("popularity"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("popularity"))
+    }),
     // query-time join (lucene/join JoinUtil.createJoinQuery): select every
     // doc whose join-field value (the source label, stored in `commit`)
     // occurs among the docs matching the from-query — from-side values are a
@@ -1082,6 +1096,16 @@ object FulltextQueries {
       s"""SELECT lang, doc_id FROM (SELECT lang, doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector')
          |ORDER BY lang, doc_id LIMIT 10""".stripMargin,
+    // docvalues stack: base len(tk), gen1 %5 -> 777, gen2 %10 -> 1000000+id
+    // (gen2 overrides gen1 where both touched a doc — latest wins)
+    "ft_dv_update" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0 THEN 1000000 + doc_id
+         |       WHEN doc_id % 5 = 0 THEN 777
+         |       ELSE len(tk) END AS popularity
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector')
+         |ORDER BY popularity DESC, doc_id LIMIT 10""".stripMargin,
     "ft_match_msm" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)

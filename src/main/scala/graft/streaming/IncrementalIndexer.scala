@@ -71,6 +71,7 @@ object IncrementalIndexer {
       graft.index.Manifest(gen, prev.map(_.segments).getOrElse(Nil) :+ meta,
         prev.map(_.delGen).getOrElse(-1L),
         cfg.sortFields,
-        prev.map(_.sortRuns).getOrElse(Nil) :+ batchId * docBaseStride))
+        prev.map(_.sortRuns).getOrElse(Nil) :+ batchId * docBaseStride,
+        prev.map(_.dvGen).getOrElse(-1L)))
   }
 }
