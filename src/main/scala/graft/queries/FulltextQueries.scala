@@ -933,6 +933,40 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // LTR linear-model re-ranking (Solr learning-to-rank: LTRScoringQuery +
+    // LinearModel, reference: solr/contrib/ltr/src/java/org/apache/solr/ltr/
+    // model/LinearModel.java:60-76 score = sum(w_i * f_i); features are
+    // OriginalScoreFeature, FieldValueFeature(len/avgdl), and a SolrFeature
+    // lang:en flag — extracted over the first-pass top-50 only, exactly the
+    // reRankDocs window)
+    "ft_ltr" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val first = searcher.searchDouble(searcher.parse("vector"), 50)
+      val firstDF = spark.createDataFrame(first.toSeq.map(h => (h.docId, h.score)))
+        .toDF("docId", "s1")
+      val avgdl = index.fieldStats.sumTotalTermFreq.toDouble / index.fieldStats.docCount
+      firstDF
+        .join(index.docs.toDF().select(col("docId"), col("len"), col("lang")), "docId")
+        .withColumn("model", round4Col(
+          lit(0.7) * col("s1")
+            - lit(0.2) * (col("len").cast("double") / lit(avgdl))
+            + lit(0.5) * when(col("lang") === "en", 1.0).otherwise(0.0)))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("model"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("model"))
+    }),
+    // export stream (Solr /export handler, reference: solr/core/src/java/org/
+    // apache/solr/handler/export/ExportWriter.java): the FULL sorted result
+    // set, not a top-k — Spark's distributed range sort IS the export sort
+    "ft_export" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(graft.search.TermQ("table")).toDF("docId")
+        .join(index.docs.toDF()
+          .select(col("docId"), col("lang"), col("len").cast("long").as("n_tokens")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(asc("lang"), desc("n_tokens"), asc("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
     // FunctionScoreQuery (lucene/queries/.../function/FunctionScoreQuery.java
     // boostByValue): score = BM25 * (1 + len/1000) — the multiplier is a
     // doc-value source, applied to EVERY match before top-k selection
@@ -1606,6 +1640,31 @@ object FulltextQueries {
          |SELECT f.doc_id, round(f.s1 + 2.0 * coalesce(s.s2, 0.0), 4) AS score
          |FROM first f LEFT JOIN second s ON f.doc_id = s.doc_id
          |ORDER BY score DESC, f.doc_id LIMIT 10""".stripMargin,
+    // LTR linear model over the first-pass top-50: identical feature
+    // expression tree (0.7*s1 - 0.2*(dlen/avgdl) + 0.5*langflag) so the
+    // IEEE double arithmetic matches the engine bit-for-bit before round4
+    "ft_ltr" ->
+      s"""$PRELUDE,
+         |first AS (
+         |  SELECT doc_id, s1 FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s1
+         |    FROM dl, st)
+         |  WHERE tf > 0 ORDER BY s1 DESC, doc_id LIMIT 50),
+         |feats AS (
+         |  SELECT f.doc_id, f.s1, len(t.tk) AS dlen, d.lang
+         |  FROM first f JOIN toks t ON f.doc_id = t.doc_id
+         |  JOIN documents d ON f.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  round(0.7 * s1 - 0.2 * (dlen / st.avgdl)
+         |        + 0.5 * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS model
+         |FROM feats, st
+         |ORDER BY model DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_export" ->
+      s"""SELECT doc_id, lang, len(tk) AS n_tokens
+         |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'table')
+         |ORDER BY lang, n_tokens DESC, doc_id""".stripMargin,
     // FunctionScoreQuery: every match's round4'd BM25 sum, multiplied by
     // the doc-value source (1 + len/1000), re-rounded, THEN top-10
     "ft_func_boost" ->

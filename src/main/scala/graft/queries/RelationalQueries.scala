@@ -53,6 +53,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")
     }),
+    // interval facets (Solr IntervalFacets, reference: solr/core/src/java/
+    // org/apache/solr/request/IntervalFacets.java): EXPLICIT intervals with
+    // per-bound inclusivity, allowed to overlap (unlike range facets) — one
+    // conditional-sum pass, then stack to (interval, count) rows
+    "q_facet_interval" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .agg(
+          sum(when(col("o_totalprice") >= 0 && col("o_totalprice") < 150000, 1L)
+            .otherwise(0L)).as("n1"),
+          sum(when(col("o_totalprice") >= 100000 && col("o_totalprice") <= 250000, 1L)
+            .otherwise(0L)).as("n2"),
+          sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n3"))
+        .selectExpr(
+          "stack(3, '[0,150000)', n1, '[100000,250000]', n2, '(200000,*]', n3) AS (ival, cnt)")
+        .orderBy("ival")
+    }),
     // nested sub-facets (Solr JSON facets: per-bucket sub-facets with their
     // own sort/limit, reference: solr/core/src/java/org/apache/solr/search/
     // facet/FacetRequest.java:141,368-379): top-2 lang buckets, each with
@@ -405,6 +421,17 @@ object RelationalQueries {
     "q_facet_range" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_facet_interval" ->
+      """SELECT * FROM (
+        |  SELECT '[0,150000)' AS ival,
+        |    count(*) FILTER (o_totalprice >= 0 AND o_totalprice < 150000) AS cnt FROM orders
+        |  UNION ALL
+        |  SELECT '[100000,250000]',
+        |    count(*) FILTER (o_totalprice >= 100000 AND o_totalprice <= 250000) FROM orders
+        |  UNION ALL
+        |  SELECT '(200000,*]',
+        |    count(*) FILTER (o_totalprice > 200000) FROM orders
+        |) ORDER BY ival""".stripMargin,
     "q_facet_query" ->
       """SELECT
         |  CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,

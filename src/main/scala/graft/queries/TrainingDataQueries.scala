@@ -239,6 +239,50 @@ object TrainingDataQueries {
     // plane dot is exact integer arithmetic — order-independent and
     // bit-identical in the DuckDB oracle (which carries the same +-1 plane
     // matrix as literals). Cosine verification stays full-precision.
+    // k-means clustering (Solr streaming-expressions ML `kmeans`, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // KmeansEvaluator.java): deterministic variant — embeddings quantized to
+    // integers (floor(x*1000), so every cross-row sum is EXACT and
+    // order-independent), centroids seeded from vec_id 0..3, one full Lloyd
+    // iteration (integer-distance assign -> exact-mean update -> double-
+    // distance re-assign). Scale shape: assignment is a map over rows
+    // against a k×dims broadcast, the update one groupBy — no all-pairs.
+    "td_kmeans" -> ((spark, sfDir) => {
+      val quant = transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long"))
+      val e = emb(spark, sfDir).select(col("vec_id"), quant.as("v"))
+      val c0: Array[Array[Long]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Long](0).toArray)
+      // argmin over k centroids: struct (dist, cid) array-sorted takes the
+      // lexicographic minimum — ties resolve to the lowest cluster id
+      def assignL(cs: Array[Array[Long]]): Column =
+        element_at(array_sort(array(cs.zipWithIndex.map { case (c, j) =>
+          struct(
+            aggregate(zip_with(col("v"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, d) => acc + d).as("d"),
+            lit(j.toLong).as("c"))
+        }: _*)), 1).getField("c")
+      def assignD(cs: Array[Array[Double]]): Column =
+        element_at(array_sort(array(cs.zipWithIndex.map { case (c, j) =>
+          struct(
+            aggregate(zip_with(col("v"), typedLit(c.toSeq),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+              lit(0.0), (acc, d) => acc + d).as("d"),
+            lit(j.toLong).as("c"))
+        }: _*)), 1).getField("c")
+      val a1 = e.withColumn("cl", assignL(c0))
+      // exact integer per-dim sums -> means as one IEEE division each
+      val meanRows = a1.select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cl", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val means: Array[Array[Double]] = (0 until 4).map { j =>
+        meanRows.filter(_.getLong(0) == j).sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble).toArray
+      }.toArray
+      a1.drop("cl").withColumn("cl", assignD(means))
+        .groupBy(col("cl").as("cluster")).agg(count(lit(1)).as("cnt"))
+        .orderBy("cluster")
+    }),
     "td_knn_lsh" -> ((spark, sfDir) => {
       import spark.implicits._
       val e = emb(spark, sfDir)
@@ -520,6 +564,39 @@ object TrainingDataQueries {
     "td_dedup_minhash_prod" -> minhashProdOracle,
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
+    // same quantization, seeding, and fold shapes as the engine: pass-1
+    // distances are exact BIGINTs, means are single IEEE divisions of exact
+    // sums, pass-2 distances are sequential double folds
+    "td_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT e.vec_id, e.v, c0.cid AS cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)),
+        |          i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) ASC, c0.cid ASC) AS rn
+        |    FROM e CROSS JOIN c0)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT cl, i, CAST(sum(v[i]) AS DOUBLE) / count(*) AS mu
+        |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT len(v) FROM e LIMIT 1))) AS i) gs
+        |  GROUP BY cl, i),
+        |c1 AS (SELECT cl AS cid, list(mu ORDER BY i) AS c FROM m GROUP BY cl),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT e.vec_id, c1.cid AS cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)),
+        |          i -> (CAST(e.v[i] AS DOUBLE) - c1.c[i])
+        |             * (CAST(e.v[i] AS DOUBLE) - c1.c[i]))) ASC, c1.cid ASC) AS rn
+        |    FROM e CROSS JOIN c1)
+        |  WHERE rn = 1)
+        |SELECT cl AS cluster, count(*) AS cnt FROM a2 GROUP BY cl ORDER BY cluster""".stripMargin,
     "td_knn_lsh" -> knnLshOracle,
     "td_dedup_embed" -> dedupEmbedOracle,
     "td_langid" ->
