@@ -933,6 +933,27 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // MultiPhraseQuery (per-position term SETS, union postings per slot +
+    // exact adjacency — Query.multiPhrase scaladoc): ("big"|"slow") "table"
+    "ft_multiphrase" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.Query.multiPhrase(Seq(Seq("big", "slow"), Seq("table")))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // CommonTermsQuery (GraftSearcher.commonTermsQuery): 'dup' (df ~5%)
+    // stays MUST; 'batch'/'table' (df ~80% > 0.3 cutoff) demote to SHOULD —
+    // they boost the score but cannot gate the match
+    "ft_common_terms" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.commonTermsQuery(Seq("dup", "batch", "table"), 0.3)
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // LTR linear-model re-ranking (Solr learning-to-rank: LTRScoringQuery +
     // LinearModel, reference: solr/contrib/ltr/src/java/org/apache/solr/ltr/
     // model/LinearModel.java:60-76 score = sum(w_i * f_i); features are
@@ -1640,6 +1661,25 @@ object FulltextQueries {
          |SELECT f.doc_id, round(f.s1 + 2.0 * coalesce(s.s2, 0.0), 4) AS score
          |FROM first f LEFT JOIN second s ON f.doc_id = s.doc_id
          |ORDER BY score DESC, f.doc_id LIMIT 10""".stripMargin,
+    "ft_multiphrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(range(1, len(tk)),
+         |      i -> tk[i] IN ('big', 'slow') AND tk[i+1] = 'table')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // CommonTermsQuery: match gated by the low-freq MUST term only; score =
+    // must + (should-sum), parenthesized exactly like ReqOptSumScorer.scoreD
+    // over DisjunctionSumScorer (req + (0 + batch + table)). The low/high
+    // split (dup low, batch/table high at cutoff 0.3) is stable: the
+    // generator holds dup at ~5% df and the head terms at ~80%.
+    "ft_common_terms" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("dup")} AS tf,
+         |    ${bmSql(idfSql(dfSql("dup")), tfSql("dup"))}
+         |      + (${bmSql(idfSql(dfSql("batch")), tfSql("batch"))}
+         |         + ${bmSql(idfSql(dfSql("table")), tfSql("table"))}) AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // LTR linear model over the first-pass top-50: identical feature
     // expression tree (0.7*s1 - 0.2*(dlen/avgdl) + 0.5*langflag) so the
     // IEEE double arithmetic matches the engine bit-for-bit before round4

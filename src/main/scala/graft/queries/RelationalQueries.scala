@@ -53,6 +53,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")
     }),
+    // OLS regression + prediction (Solr streaming-expressions `regress` /
+    // `predict`, reference: solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/RegressionEvaluator.java): slope/intercept from the
+    // normal equations over EXACT integer sums (quantity is whole, money in
+    // cents), so the only float ops are the final divisions — one
+    // distributed agg pass, no collect of rows
+    "q_regress" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"), expr(cents).as("y"))
+        .agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+            / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")), 4)
+            .as("slope"),
+          round((col("sy").cast("double")
+            - ((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+               / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+              * col("sx").cast("double")) / col("n").cast("double"), 4)
+            .as("intercept"))
+    }),
     // interval facets (Solr IntervalFacets, reference: solr/core/src/java/
     // org/apache/solr/request/IntervalFacets.java): EXPLICIT intervals with
     // per-bound inclusivity, allowed to overlap (unlike range facets) — one
@@ -421,6 +443,21 @@ object RelationalQueries {
     "q_facet_range" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // same normal-equation expression tree over the same exact integer sums
+    "q_regress" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem))
+        |SELECT
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |        - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept
+        |FROM s""".stripMargin,
     "q_facet_interval" ->
       """SELECT * FROM (
         |  SELECT '[0,150000)' AS ival,

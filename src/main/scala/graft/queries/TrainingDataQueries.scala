@@ -239,6 +239,20 @@ object TrainingDataQueries {
     // plane dot is exact integer arithmetic — order-independent and
     // bit-identical in the DuckDB oracle (which carries the same +-1 plane
     // matrix as literals). Cosine verification stays full-precision.
+    // stratified sampling: per-language sampling rates via a deterministic
+    // integer hash (Knuth multiplicative, exact in both engines) — the
+    // training-pipeline rebalancing step (downsample dominant languages,
+    // keep rare ones). Map-only: no shuffle except the final order
+    "td_stratified" -> ((spark, sfDir) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      val quota = when(col("lang") === "en", 300L)
+        .when(col("lang") === "de", 500L)
+        .otherwise(1000L) // rare languages kept whole
+      docs.filter(h < quota)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // k-means clustering (Solr streaming-expressions ML `kmeans`, reference:
     // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // KmeansEvaluator.java): deterministic variant — embeddings quantized to
@@ -564,6 +578,11 @@ object TrainingDataQueries {
     "td_dedup_minhash_prod" -> minhashProdOracle,
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
+    "td_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 300 WHEN lang = 'de' THEN 500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
     // same quantization, seeding, and fold shapes as the engine: pass-1
     // distances are exact BIGINTs, means are single IEEE divisions of exact
     // sums, pass-2 distances are sequential double folds

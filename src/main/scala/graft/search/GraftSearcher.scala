@@ -437,6 +437,24 @@ final class GraftSearcher(
     }))
   }
 
+  /** CommonTermsQuery (reference:
+    * lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:123-180
+    * `buildQuery`): terms whose docFreq exceeds `maxTermFrequency * docCount`
+    * are demoted to SHOULD (they refine the score but cannot gate the match);
+    * the rest are MUST. The df lookup is the same plan-time termStats seek
+    * every query does — one tiny parquet-pushdown scan. Terms absent from the
+    * dictionary stay MUST (they make the query match nothing, like Lucene). */
+  def commonTermsQuery(terms: Seq[String], maxTermFrequency: Double = 0.3): Query = {
+    import spark.implicits._
+    val rows = index.termStats.filter($"term".isin(terms: _*)).collect()
+    val df = rows.map(t => t.term -> t.docFreq).toMap
+    val cutoff = maxTermFrequency * fieldStats.docCount
+    val (high, low) = terms.partition(t => df.getOrElse(t, 0L) > cutoff)
+    Query.rewrite(BoolQ(
+      must = low.map(TermQ.apply),
+      should = high.map(TermQ.apply)))
+  }
+
   /** Rewrite + collect per-term df stats (the `termStatistics` lookup — a
     * few rows via parquet term pushdown). Multi-term queries are NOT
     * expanded here: their dictionary predicate executes distributed inside

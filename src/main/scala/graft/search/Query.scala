@@ -148,6 +148,17 @@ case object MatchNoneQ extends Query
 
 object Query {
 
+  /** MultiPhraseQuery (reference:
+    * lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java:41-74):
+    * a phrase whose positions each accept a SET of terms (the shape synonym
+    * expansion produces). Lucene matches it with a union-postings iterator
+    * per position feeding the exact phrase matcher
+    * (`UnionPostingsEnum`, MultiPhraseQuery.java:521-586) — exactly the
+    * or-merged slot position streams [[SpanOrNearQ]] builds, with slop 0 and
+    * in-order adjacency = consecutive positions. */
+  def multiPhrase(slots: Seq[Seq[String]]): Query =
+    SpanOrNearQ(slots, 0, inOrder = true)
+
   /** Normalization pass mirroring `BooleanQuery.rewrite`
     * (reference: lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java:194-520):
     * single-clause unwrap, nested flatten, SHOULD dedup, MatchNone
