@@ -933,6 +933,37 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // FreeTextSuggester (reference: lucene/suggest/src/java/org/apache/
+    // lucene/search/suggest/analyzing/FreeTextSuggester.java:77-117 — an
+    // ngram LM built from a ShingleFilter stream): next-word prediction for
+    // the context 'big', ranked by bigram frequency. The shingled index IS
+    // the ngram store; the dictionary walk is a parquet prefix range seek.
+    "ft_freetext" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getShingled(spark, sfDir)
+      index.termStats.toDF()
+        .filter($"term".startsWith("big_"))
+        .select(expr("substring(term, 5)").as("suggestion"),
+          $"totalTermFreq".as("freq"))
+        .orderBy(desc("freq"), asc("suggestion"))
+        .limit(5)
+    }),
+    // ToParentBlockJoinQuery ScoreMode.Total (reference: lucene/join/src/
+    // java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java:239-247
+    // sum over child scores): child round4'd scores scaled to exact integer
+    // ten-thousandths before the cross-row sum, so the per-parent total is
+    // order-independent (float sums across rows are not)
+    "ft_block_join_total" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s")
+        .join(index.docs.toDF().select(col("docId"), col("commit").as("parent")), "docId")
+        .groupBy("parent")
+        .agg((sum(round(col("s") * 10000).cast("long")).cast("double") / 10000)
+          .as("score"), count(lit(1)).as("child_hits"))
+        .orderBy(desc("score"), asc("parent"))
+        .limit(5)
+        .select(col("parent"), col("child_hits"), col("score"))
+    }),
     // MultiPhraseQuery (per-position term SETS, union postings per slot +
     // exact adjacency — Query.multiPhrase scaladoc): ("big"|"slow") "table"
     "ft_multiphrase" -> ((spark, sfDir) => {
@@ -1661,6 +1692,33 @@ object FulltextQueries {
          |SELECT f.doc_id, round(f.s1 + 2.0 * coalesce(s.s2, 0.0), 4) AS score
          |FROM first f LEFT JOIN second s ON f.doc_id = s.doc_id
          |ORDER BY score DESC, f.doc_id LIMIT 10""".stripMargin,
+    // bigram LM: continuations of 'big' counted over adjacent token pairs
+    "ft_freetext" ->
+      s"""SELECT s AS suggestion, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(list_transform(
+         |    list_filter(range(1, len(tk)), i -> tk[i] = 'big'), i -> tk[i+1])) AS s
+         |  FROM (SELECT $TOKS AS tk FROM documents))
+         |GROUP BY s ORDER BY freq DESC, suggestion LIMIT 5""".stripMargin,
+    // ScoreMode.Total: per-parent sum of child scores over exact integer
+    // ten-thousandths (matches the engine's order-independent sum)
+    "ft_block_join_total" ->
+      s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dl AS (
+         |  SELECT doc_id, source, tk,
+         |    CASE WHEN len(tk) < 24 THEN len(tk)
+         |         WHEN len(tk) - 24 < 8 THEN len(tk)
+         |         ELSE 24 + (((len(tk) - 24) >> (length(format('{:b}', len(tk) - 24)) - 4))
+         |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
+         |  FROM toks),
+         |ch AS (
+         |  SELECT dl.source AS parent,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("vector")} > 0)
+         |SELECT parent, CAST(count(*) AS BIGINT) AS child_hits,
+         |  CAST(sum(CAST(round(s * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS score
+         |FROM ch GROUP BY parent
+         |ORDER BY score DESC, parent LIMIT 5""".stripMargin,
     "ft_multiphrase" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(range(1, len(tk)),

@@ -230,6 +230,18 @@ object RelationalQueries {
           sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
         .orderBy("day")
     }),
+    // REAL Structured Streaming surfaces (StreamAggregates scaladoc): the
+    // same events flow through readStream -> watermark/window or keyed state
+    // -> sink; AvailableNow bounds the run so the oracle can recompute it
+    "q_stream_window" -> ((spark, sfDir) =>
+      graft.streaming.StreamAggregates.windowedCounts(spark, s"$sfDir/events.parquet")
+        .orderBy("day", "event_type")),
+    "q_sessionize" -> ((spark, sfDir) =>
+      graft.streaming.StreamAggregates.sessionize(spark, s"$sfDir/events.parquet")
+        // one emission per key per micro-batch; the running total is
+        // monotone, so max = the final count whatever the batch split
+        .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+        .orderBy("user_id")),
     // explode / CartesianProductStream (unnest multivalued field)
     "q_explode" -> ((spark, sfDir) => {
       t(spark, sfDir, "part")
@@ -545,6 +557,21 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // gaps-and-islands: a session opens when the previous event of the same
+    // user is more than 30 minutes (in exact microseconds) in the past
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_explode" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming analytics over the events stream — the Solr
+  * streaming-expressions `daemon`/`topic` + TimeSeriesStream combination
+  * (reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+  * DaemonStream.java, TimeSeriesStream.java) re-expressed as real
+  * `readStream` pipelines: file source -> event-time watermark -> windowed
+  * aggregation / keyed state -> sink. The verify surface runs them with
+  * `Trigger.AvailableNow` into a memory sink so the result is a bounded,
+  * deterministic table; a production deployment points the same plan at a
+  * Kafka/file source and a parquet/Kafka sink and lets it run continuously.
+  */
+object StreamAggregates {
+
+  /** The file stream source wants a DIRECTORY to watch (real deployments
+    * stream from landing dirs); a bare parquet FILE is staged into a temp
+    * dir once per JVM. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamableDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else staged.computeIfAbsent(path, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+      dir.toString
+    })
+  }
+
+  private def runToMemory(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-day event-time windows per event_type: counts + exact cent
+    * sums. The watermark bounds aggregation state at scale (windows older
+    * than max-event-time − 1 day are finalized and evictable); COMPLETE
+    * output mode emits every window so the bounded verify run returns the
+    * full history. */
+  def windowedCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val agg = spark.readStream
+      .schema(schema)
+      .parquet(streamableDir(eventsPath))
+      // parquet infers TIMESTAMP_NTZ; watermarks need an instant type.
+      // Session tz is pinned UTC, so the cast is wall-clock identity.
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("cnt"), col("sum_cents"))
+    runToMemory(spark, agg, OutputMode.Complete())
+  }
+
+  /** Per-user session state: last event time (micros) + closed-session
+    * count. Bounded: two longs per key, regardless of stream length. */
+  final case class SessionState(lastMicros: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long)
+
+  /** Sessionization via `flatMapGroupsWithState` — the
+    * `KeyValueGroupedDataset` keyed-state surface: a session closes after
+    * 30 minutes of inactivity. Events inside one micro-batch are sorted per
+    * key before folding; across batches the fold assumes the source delivers
+    * batches in event-time order (the standard Spark sessionization contract
+    * — out-of-order arrivals within the watermark would use an event-time
+    * timeout instead). Emits each key's running total per batch (Update
+    * mode); with AvailableNow over a bounded source the last emission per
+    * key is the full count. */
+  def sessionize(spark: SparkSession, eventsPath: String, gapMicros: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val events = spark.readStream
+      .schema(schema)
+      .parquet(streamableDir(eventsPath))
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("micros"))
+      .as[(Long, Long)]
+    val sessions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var (last, n) =
+            state.getOption.map(s => (s.lastMicros, s.sessions)).getOrElse((Long.MinValue, 0L))
+          ts.foreach { t =>
+            if (last == Long.MinValue || t - last > gapMicros) n += 1
+            last = t
+          }
+          state.update(SessionState(last, n))
+          Iterator.single(UserSessions(user, n))
+      }
+    runToMemory(spark, sessions.toDF(), OutputMode.Update())
+  }
+}
