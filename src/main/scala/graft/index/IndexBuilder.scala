@@ -124,19 +124,29 @@ object IndexBuilder {
     val spark = files.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val keyCols = (sortFields ++ Seq("repo", "path", "commit")).distinct
-    val ri = keyCols.indexOf("repo")
-    val pi = keyCols.indexOf("path")
-    val ci = keyCols.indexOf("commit")
-    val keyIds = files
-      .select(keyCols.map(col): _*)
-      .repartitionByRange(parts, keyCols.map(col): _*)
-      .sortWithinPartitions(keyCols.map(col): _*)
-      .rdd.zipWithIndex()
-      .map { case (row, i) =>
-        (row.getString(ri), row.getString(pi), row.getString(ci), i + docBase)
-      }
-      .toDF("_r", "_p", "_c", "_docId")
+    val keyIds = (if (sortFields.isEmpty) {
+      // default ranking: typed tuple path (no Row boxing in the hot rank)
+      files
+        .select($"repo", $"path", $"commit")
+        .repartitionByRange(parts, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+        .as[(String, String, String)]
+        .rdd.zipWithIndex()
+        .map { case ((r, p, c), i) => (r, p, c, i + docBase) }
+    } else {
+      val keyCols = (sortFields ++ Seq("repo", "path", "commit")).distinct
+      val ri = keyCols.indexOf("repo")
+      val pi = keyCols.indexOf("path")
+      val ci = keyCols.indexOf("commit")
+      files
+        .select(keyCols.map(col): _*)
+        .repartitionByRange(parts, keyCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
+        .rdd.zipWithIndex()
+        .map { case (row, i) =>
+          (row.getString(ri), row.getString(pi), row.getString(ci), i + docBase)
+        }
+    }).toDF("_r", "_p", "_c", "_docId")
     files
       .join(keyIds.hint("shuffle_hash"),
         files("repo") === keyIds("_r") &&

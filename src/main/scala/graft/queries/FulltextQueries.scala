@@ -825,6 +825,17 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // SpanContainingQuery: ordered 'key'..'table' chains (gap <= 4) KEPT
+    // only when a 'value' occurrence falls INSIDE the greedy chain's span —
+    // the exact dual of ft_span_not's overlap rejection
+    "ft_span_containing" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SpanContainingQ(
+        graft.search.SpanNearQ(Seq("key", "table"), 4, inOrder = true), "value")
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // SpanNotQuery: ordered 'key'..'table' chains (gap <= 4) REJECTED when
     // a 'hash' occurrence falls inside the greedy chain's span
     "ft_span_not" -> ((spark, sfDir) => {
@@ -1615,6 +1626,17 @@ object FulltextQueries {
          |        i -> tk[i] IN ('key', 'hash')
          |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
          |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // span-containing: same greedy chain, but a 'value' must fall in [i, j0]
+    "ft_span_containing" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'key'
+         |  AND len(list_filter(generate_series(i + 1, len(tk)), j -> tk[j] = 'table')) > 0
+         |  AND list_filter(generate_series(i + 1, len(tk)), j -> tk[j] = 'table')[1] - i - 1 <= 4
+         |  AND len(list_filter(
+         |        generate_series(i, list_filter(generate_series(i + 1, len(tk)),
+         |                                       j -> tk[j] = 'table')[1]),
+         |        k -> tk[k] = 'value')) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
     // span-not: greedy chain = FIRST 'table' after the 'key' anchor; the
     // chain must meet the gap budget and contain no 'hash' in [i, j0]

@@ -239,6 +239,31 @@ object TrainingDataQueries {
     // plane dot is exact integer arithmetic — order-independent and
     // bit-identical in the DuckDB oracle (which carries the same +-1 plane
     // matrix as literals). Cosine verification stays full-precision.
+    // kNN classification (reference: lucene/classification/src/java/org/
+    // apache/lucene/classification/KNearestNeighborClassifier.java:160-190
+    // assignClass = majority vote over the top-k neighbors): top-5 cosine
+    // neighbors of vec 0 vote with their labels; ties resolve to the lowest
+    // label (our documented tie order). Reuses the exact-kNN scan shape.
+    "td_knn_classify" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val qcol = typedLit(q)
+      val dot = aggregate(
+        zip_with(col("embedding"), qcol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      val vn = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(dot / (vn * lit(qn)), 4).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
+        .groupBy("label").agg(count(lit(1)).as("votes"))
+        .orderBy(desc("votes"), asc("label"))
+        .limit(1)
+    }),
     // stratified sampling: per-language sampling rates via a deterministic
     // integer hash (Knuth multiplicative, exact in both engines) — the
     // training-pipeline rebalancing step (downsample dominant languages,
@@ -578,6 +603,21 @@ object TrainingDataQueries {
     "td_dedup_minhash_prod" -> minhashProdOracle,
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
+    "td_knn_classify" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id = 0
+        |), e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE vec_id <> 0
+        |), top5 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, round(
+        |    list_sum(list_transform(generate_series(1, len(ve)), i -> ve[i] * qe[i])) /
+        |    (sqrt(list_sum(list_transform(ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+        |  FROM e, q ORDER BY cos DESC, vec_id LIMIT 5)
+        |SELECT label, count(*) AS votes FROM top5
+        |GROUP BY label ORDER BY votes DESC, label LIMIT 1""".stripMargin,
     "td_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 <

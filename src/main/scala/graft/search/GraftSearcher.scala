@@ -150,6 +150,30 @@ object ScorerBuilder {
           scorer, dScorer, exclIter)
       }
 
+    case SpanContainingQ(big, little) =>
+      val ts = big.spanTerms
+      val iters = ts.map(t => (t, termBlocks.get(t), ctx.docFreq.get(t)))
+      // the little term absent from the index -> nothing can be contained
+      if (iters.exists(x => x._2.isEmpty || x._3.isEmpty) ||
+        !termBlocks.contains(little) || !ctx.docFreq.contains(little)) EmptyScorer
+      else {
+        val contIter = new TermIterator(termBlocks(little),
+          ctx.sim.scorer(1f, ctx.docFreq(little), ctx.ttfOf(little), ctx.stats),
+          lo, hi, null, ctx.counters, live)
+        val scorer = ctx.sim.multiTermScorer(boost, ts.map(ctx.freqsOf), ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode)
+            ctx.sim.multiTermDoubleScorer(boost.toDouble, ts.map(ctx.freqsOf), ctx.stats)
+          else null
+        val tis = iters.map { case (t, Some(blocks), Some(df)) =>
+          new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
+            lo, hi, null, ctx.counters, live)
+        case _ => throw new IllegalStateException
+        }.toArray
+        new SpanNearScorer(tis, big.slop, big.inOrder || ts.distinct.size != ts.size,
+          scorer, dScorer, null, contIter)
+      }
+
     case SpanOrNearQ(slots, slop, inOrder) =>
       // a term absent from the index just drops out of its slot; a slot
       // with no surviving term can never match (SpanOrQuery of nothing)

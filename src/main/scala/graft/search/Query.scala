@@ -63,6 +63,17 @@ final case class SpanOrNearQ(slots: Seq[Seq[String]], slop: Int, inOrder: Boolea
   * term is absent reduce to plain span-near. */
 final case class SpanNotQ(include: SpanNearQ, exclude: String) extends Query
 
+/** SpanContainingQuery (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanContainingQuery.java:
+  * big spans are kept only when they CONTAIN a little span) — the exact dual
+  * of [[SpanNotQ]]'s overlap rejection: the same greedy chain is ACCEPTED
+  * only when an occurrence of `little` falls inside [start, last]. The
+  * little side is a single term, the same honest subset SpanNotQ declares
+  * for its exclude side. `SpanWithinQuery` (little-in-big) matches the same
+  * DOCUMENT set — only the emitted span differs — so the match surface
+  * covers both. */
+final case class SpanContainingQ(big: SpanNearQ, little: String) extends Query
+
 /** SpanFirstQuery (reference:
   * lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java;
   * SpanPositionRangeQuery.java `acceptPosition`: spans ending past `end`
@@ -215,6 +226,7 @@ object Query {
     case SpanNearQ(ts, _, _) => ts.toSet
     case SpanOrNearQ(slots, _, _) => slots.flatten.toSet
     case SpanNotQ(inc, excl) => inc.spanTerms.toSet + excl
+    case SpanContainingQ(big, little) => big.spanTerms.toSet + little
     case SpanFirstQ(t, _) => Set(t)
     case SynonymQ(ts) => ts.toSet
     case ConstSetQ(ts) => ts.toSet

@@ -766,7 +766,10 @@ final class SpanNearScorer(
     dScorer: DoubleSimScorer = null,
     /** SpanNotQuery exclusion: a chain overlapped by an occurrence of this
       * term is rejected (SpanNotQuery.java). null = no exclusion. */
-    exclude: TermIterator = null) extends DocScorer {
+    exclude: TermIterator = null,
+    /** SpanContainingQuery requirement: a chain is kept only when an
+      * occurrence of this term falls inside it. null = no requirement. */
+    containing: TermIterator = null) extends DocScorer {
 
   private val conj = new ConjunctionScorer(terms.map(t => t: DocScorer))
   private var freqCur = 0
@@ -807,8 +810,16 @@ final class SpanNearScorer(
         val d = if (exclude.docId >= doc) exclude.docId else exclude.advance(doc)
         if (d == doc) exclude.positionsOfCurrent() else SpanMatch.NO_EXCLUSIONS
       }
-    if (inOrder) SpanMatch.orderedFreq(lists, slop, excl)
-    else SpanMatch.unorderedFreq(lists, slop, excl)
+    val cont: Array[Int] =
+      if (containing == null) null
+      else {
+        val doc = conj.docId
+        val d = if (containing.docId >= doc) containing.docId else containing.advance(doc)
+        // empty (non-null) = requirement unmeetable on this doc: reject all
+        if (d == doc) containing.positionsOfCurrent() else SpanMatch.NO_EXCLUSIONS
+      }
+    if (inOrder) SpanMatch.orderedFreq(lists, slop, excl, cont)
+    else SpanMatch.unorderedFreq(lists, slop, excl, cont)
   }
 
   override def score(): Float = scorer.score(freqCur.toFloat, terms(0).norm)
@@ -834,7 +845,11 @@ object SpanMatch {
   }
 
   def orderedFreq(lists: Array[Array[Int]], slop: Int,
-      excl: Array[Int] = NO_EXCLUSIONS): Int = {
+      excl: Array[Int] = NO_EXCLUSIONS,
+      /** SpanContaining requirement: when non-null, a chain is kept only if
+        * one of these (ascending) positions falls inside it — the dual of
+        * `excl` (SpanContainingQuery.java). */
+      contain: Array[Int] = null): Int = {
     val n = lists.length
     var count = 0
     val anchors = lists(0)
@@ -851,14 +866,16 @@ object SpanMatch {
         if (ip >= ps.length) ok = false else prev = ps(ip)
         t += 1
       }
-      if (ok && prev - start - (n - 1) <= slop && !overlaps(excl, start, prev)) count += 1
+      if (ok && prev - start - (n - 1) <= slop && !overlaps(excl, start, prev) &&
+        (contain == null || overlaps(contain, start, prev))) count += 1
       i += 1
     }
     count
   }
 
   def unorderedFreq(lists: Array[Array[Int]], slop: Int,
-      excl: Array[Int] = NO_EXCLUSIONS): Int = {
+      excl: Array[Int] = NO_EXCLUSIONS,
+      contain: Array[Int] = null): Int = {
     val n = lists.length
     val ptr = new Array[Int](n)
     var count = 0
@@ -874,7 +891,8 @@ object SpanMatch {
         if (v > maxV) maxV = v
         i += 1
       }
-      if (maxV - minV - (n - 1) <= slop && !overlaps(excl, minV, maxV)) count += 1
+      if (maxV - minV - (n - 1) <= slop && !overlaps(excl, minV, maxV) &&
+        (contain == null || overlaps(contain, minV, maxV))) count += 1
       ptr(minT) += 1
       if (ptr(minT) >= lists(minT).length) done = true
     }

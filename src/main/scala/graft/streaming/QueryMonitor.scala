@@ -102,6 +102,17 @@ object QueryMonitor {
             graft.search.SpanMatch.orderedFreq(lists, inc.slop, ex) > 0
           else graft.search.SpanMatch.unorderedFreq(lists, inc.slop, ex) > 0
         }
+      case SpanContainingQ(big, little) =>
+        val lists = big.spanTerms.map(t => tf.get(t).orNull).toArray
+        if (lists.exists(_ == null)) false
+        else {
+          val cont = tf.getOrElse(little, graft.search.SpanMatch.NO_EXCLUSIONS)
+          if (big.inOrder || big.spanTerms.distinct.size != big.spanTerms.size)
+            graft.search.SpanMatch.orderedFreq(lists, big.slop,
+              graft.search.SpanMatch.NO_EXCLUSIONS, cont) > 0
+          else graft.search.SpanMatch.unorderedFreq(lists, big.slop,
+            graft.search.SpanMatch.NO_EXCLUSIONS, cont) > 0
+        }
       case SpanOrNearQ(slots, slop, inOrder) =>
         val lists = slots.map { ts =>
           val arrs = ts.flatMap(tf.get)

@@ -158,6 +158,34 @@ class SpanNearSpec extends AnyFunSuite {
       brute.map(h => (h.docId, h.score)).toSeq)
   }
 
+  test("span-containing keeps only greedy chains holding the little term") {
+    for {
+      terms <- Seq(Seq("ant", "bee"), Seq("cat", "elk"))
+      little <- Seq("dog", "cat")
+      slop <- Seq(1, 3, 5)
+    } {
+      val got = enginePaths(SpanContainingQ(SpanNearQ(terms, slop, inOrder = true), little))
+      // brute force: per anchor, the greedy chain (first next-term match),
+      // kept iff slop holds AND a little occurrence lies in [start, last]
+      val expect = files.filter { f =>
+        val os = occ(f, terms)
+        val ls = occ(f, Seq(little)).head
+        os.forall(_.nonEmpty) && os.head.exists { p0 =>
+          var prev = p0
+          var ok = true
+          for (slot <- 1 until terms.size if ok) {
+            os(slot).find(_ > prev) match {
+              case Some(p) => prev = p
+              case None => ok = false
+            }
+          }
+          ok && prev - p0 - (terms.size - 1) <= slop && ls.exists(l => l >= p0 && l <= prev)
+        }
+      }.map(_.path).toSet
+      assert(got == expect, s"containing terms=$terms little=$little slop=$slop")
+    }
+  }
+
   test("ordered is a subset of unordered at equal slop") {
     val terms = Seq("dog", "bee", "cat")
     for (slop <- 1 to 3) {
