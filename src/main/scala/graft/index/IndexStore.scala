@@ -49,6 +49,14 @@ object IndexStore {
 
   // -------- manifest JSON (hand-rolled: no extra deps) --------
 
+  /** Every committed generation is also archived immutably under
+    * `commits/manifest-<gen>.json` — the commit-point retention of Lucene's
+    * `SnapshotDeletionPolicy` / `IndexDeletionPolicy` (reference:
+    * lucene/core/src/java/org/apache/lucene/index/SnapshotDeletionPolicy.java:
+    * 33-58 keeps `segments_N` files alive so readers can open historical
+    * commits). Segment/delete/docvalues files are generation-suffixed and
+    * never rewritten in place, so an archived manifest stays openable
+    * ([[openAt]]) until its files are physically purged. */
   def writeManifest(dir: String, m: Manifest): Unit = {
     val segs = m.segments.map { s =>
       s"""{"name":"${s.name}","docBase":${s.docBase},"docCount":${s.docCount},""" +
@@ -63,12 +71,26 @@ object IndexStore {
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(dir, "manifest.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(Paths.get(dir, "commits"))
+    Files.writeString(Paths.get(dir, "commits", f"manifest-${m.generation}%05d.json"), json)
+  }
+
+  /** Open a historical commit point (time travel): the index exactly as it
+    * was at `generation` — pre-delete tombstones, pre-merge segments,
+    * pre-update docvalues. */
+  def openAt(spark: SparkSession, indexDir: String, generation: Long): GraftIndex = {
+    val p = Paths.get(indexDir, "commits", f"manifest-$generation%05d.json")
+    require(Files.exists(p), s"no archived commit $generation at $indexDir")
+    openManifest(spark, indexDir, parseManifest(Files.readString(p)))
   }
 
   def readManifest(dir: String): Option[Manifest] = {
     val p = Paths.get(dir, "manifest.json")
     if (!Files.exists(p)) return None
-    val json = Files.readString(p)
+    Some(parseManifest(Files.readString(p)))
+  }
+
+  private def parseManifest(json: String): Manifest = {
     // minimal parser for the exact shape we write
     val gen = """"generation":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
     val delGen = """"delGen":(-?\d+)""".r.findFirstMatchIn(json)
@@ -86,7 +108,7 @@ object IndexStore {
       .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Nil)
     val dvGen = """"dvGen":(-?\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(-1L)
-    Some(Manifest(gen, segs, delGen, indexSort, sortRuns, dvGen))
+    Manifest(gen, segs, delGen, indexSort, sortRuns, dvGen)
   }
 
   private def isComplete(path: String): Boolean =
@@ -250,9 +272,13 @@ object IndexStore {
 
   /** Open the committed index: union of all live segments. */
   def open(spark: SparkSession, indexDir: String): GraftIndex = {
-    import spark.implicits._
     val m = readManifest(indexDir).getOrElse(
       throw new IllegalStateException(s"no manifest at $indexDir"))
+    openManifest(spark, indexDir, m)
+  }
+
+  private def openManifest(spark: SparkSession, indexDir: String, m: Manifest): GraftIndex = {
+    import spark.implicits._
     require(m.segments.nonEmpty, "empty index")
     def unionOf[T: org.apache.spark.sql.Encoder](sub: String): Dataset[T] =
       m.segments.map(s => spark.read.parquet(s"$indexDir/${s.name}/$sub").as[T]).reduce(_ union _)

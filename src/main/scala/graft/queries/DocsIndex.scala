@@ -19,6 +19,17 @@ object DocsIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (GraftIndex, GraftSearcher)]()
 
+  /** Index dirs for builds that need commit-point access (snapshot query). */
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The deletes index's on-disk dir (for [[graft.index.IndexStore.openAt]]
+    * time travel — ft_snapshot). Forces the build if not cached yet. */
+  def deletesDir(spark: SparkSession, sfDir: String): String = {
+    getWithDeletes(spark, sfDir)
+    dirs.get(s"${System.identityHashCode(spark)}#$sfDir#del")
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -40,6 +51,7 @@ object DocsIndex {
   private def buildWithDeletes(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docsdel-").toString
+    dirs.put(s"${System.identityHashCode(spark)}#$sfDir#del", dir)
     graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
       IndexConfig(analyzer = Analyzers.simple))
     val idx0 = graft.index.IndexStore.open(spark, dir)

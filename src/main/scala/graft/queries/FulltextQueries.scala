@@ -825,6 +825,20 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // commit-point time travel (SnapshotDeletionPolicy / IndexDeletionPolicy:
+    // IndexStore.openAt scaladoc): generation 0 predates the tombstones, so
+    // the SAME query counts every match there and only the live ones on the
+    // latest commit — both recomputable from raw text
+    "ft_snapshot" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (_, latest) = DocsIndex.getWithDeletes(spark, sfDir)
+      val dir = DocsIndex.deletesDir(spark, sfDir)
+      val old = new graft.search.GraftSearcher(
+        graft.index.IndexStore.openAt(spark, dir, 0L), graft.analysis.Analyzers.simple)
+      val n0 = old.matchesDS(graft.search.TermQ("vector")).count()
+      val n1 = latest.matchesDS(graft.search.TermQ("vector")).count()
+      Seq((n0, n1)).toDF("n_at_gen0", "n_at_latest")
+    }),
     // SpanContainingQuery: ordered 'key'..'table' chains (gap <= 4) KEPT
     // only when a 'value' occurrence falls INSIDE the greedy chain's span —
     // the exact dual of ft_span_not's overlap rejection
@@ -1627,6 +1641,13 @@ object FulltextQueries {
          |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
          |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // snapshot: gen0 counts every 'vector' match, latest only doc_id%7<>0
+    "ft_snapshot" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |   WHERE list_contains(tk, 'vector')) AS n_at_gen0,
+         |  (SELECT count(*) FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |   WHERE list_contains(tk, 'vector') AND doc_id % 7 <> 0) AS n_at_latest""".stripMargin,
     // span-containing: same greedy chain, but a 'value' must fall in [i, j0]
     "ft_span_containing" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
