@@ -825,6 +825,15 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // TermInSetQuery (ConstSetQ scaladoc): constant-score any-of filter —
+    // the no-clause-limit shape large programmatic term filters take
+    "ft_term_in_set" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.ConstSetQ(Seq("dup", "elephant", "sort", "window"))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // commit-point time travel (SnapshotDeletionPolicy / IndexDeletionPolicy:
     // IndexStore.openAt scaladoc): generation 0 predates the tombstones, so
     // the SAME query counts every match there and only the live ones on the
@@ -1640,6 +1649,11 @@ object FulltextQueries {
          |        i -> tk[i] IN ('key', 'hash')
          |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
          |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_term_in_set" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'dup') OR list_contains(tk, 'elephant')
+         |   OR list_contains(tk, 'sort') OR list_contains(tk, 'window')
          |ORDER BY doc_id""".stripMargin,
     // snapshot: gen0 counts every 'vector' match, latest only doc_id%7<>0
     "ft_snapshot" ->

@@ -239,6 +239,30 @@ object TrainingDataQueries {
     // plane dot is exact integer arithmetic — order-independent and
     // bit-identical in the DuckDB oracle (which carries the same +-1 plane
     // matrix as literals). Cosine verification stays full-precision.
+    // exact-substring (window) dedup — the ExactSubstr shape from
+    // "Deduplicating Training Data Makes Language Models Better" (Lee et
+    // al., 2022) at fixed 50-char window granularity: non-overlapping
+    // windows are hashed and any window text occurring in >1 document is a
+    // cross-document duplicate span. Scale shape: explode (bounded: 1/50th
+    // of corpus chars), one groupBy on the window hash — no suffix array,
+    // no all-pairs. Stride-vs-suffix-array tradeoff: a true suffix array
+    // catches unaligned duplicates; aligned windows are the cheap first
+    // pass used to triage boilerplate.
+    "td_dedup_substr" -> ((spark, sfDir) => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(length(col("text")) >= 50) // sequence(0, -1) would descend
+      docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0), (floor(length(col("text")) / 50) - 1).cast("int")))
+            .as("i"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), expr("substring(text, i * 50 + 1, 50)").as("win"))
+        .filter(length(col("win")) === 50)
+        .groupBy(md5(col("win")).as("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > 1)
+        .orderBy("h")
+    }),
     // kNN classification (reference: lucene/classification/src/java/org/
     // apache/lucene/classification/KNearestNeighborClassifier.java:160-190
     // assignClass = majority vote over the top-k neighbors): top-5 cosine
@@ -603,6 +627,13 @@ object TrainingDataQueries {
     "td_dedup_minhash_prod" -> minhashProdOracle,
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
+    "td_dedup_substr" ->
+      """SELECT md5(win) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
+        |  SELECT doc_id, substr(text, i * 50 + 1, 50) AS win
+        |  FROM documents, (SELECT unnest(generate_series(0, 200)) AS i) gs
+        |  WHERE i <= length(text) / 50 - 1)
+        |WHERE length(win) = 50
+        |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1 ORDER BY h""".stripMargin,
     "td_knn_classify" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

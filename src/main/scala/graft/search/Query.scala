@@ -149,7 +149,11 @@ final case class TermRangeQ(
     loOk && hiOk
   }
 }
-/** Explicit constant-score set of terms (internal / programmatic target). */
+/** Explicit constant-score set of terms — `TermInSetQuery` (reference:
+  * lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java:47-76:
+  * a doc matches when it contains ANY set member; scores are constant, the
+  * rewrite that large programmatic filters take instead of a BooleanQuery
+  * with its clause limit). */
 final case class ConstSetQ(terms: Seq[String]) extends Query
 /** Terms scored as one pseudo-term (reference:
   * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:55-218). */
