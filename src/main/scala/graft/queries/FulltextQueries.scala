@@ -825,6 +825,37 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // BooleanClause.Occur.FILTER (reference: lucene/core/src/java/org/
+    // apache/lucene/search/BooleanClause.java:35-43 — "like MUST except that
+    // these clauses do not participate in scoring"): 'table' gates the match
+    // as a boost-0 required clause, only 'vector' scores
+    "ft_filter_clause" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.BoolQ(must = Seq(
+        graft.search.TermQ("vector"),
+        graft.search.BoostQ(graft.search.TermQ("table"), 0f)))
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // field-sorted deep paging (TopFieldCollector after a FieldDoc,
+    // reference: lucene/core/.../search/TopFieldCollector.java PagingField-
+    // Collector): page 2 of sort (n_tokens DESC, doc_id ASC) resumes
+    // strictly after page 1's last (len, docId) tuple
+    "ft_sort_after" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val hits = searcher.matchesDS(graft.search.TermQ("vector")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("len").cast("long").as("n_tokens")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val page1 = hits.orderBy(desc("n_tokens"), asc("doc_id")).limit(10)
+        .select("n_tokens", "doc_id").collect()
+      val (ln, li) = (page1.last.getLong(0), page1.last.getLong(1))
+      hits.filter(col("n_tokens") < ln ||
+          (col("n_tokens") === ln && col("doc_id") > li))
+        .orderBy(desc("n_tokens"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_tokens"))
+    }),
     // TermInSetQuery (ConstSetQ scaladoc): constant-score any-of filter —
     // the no-clause-limit shape large programmatic term filters take
     "ft_term_in_set" -> ((spark, sfDir) => {
@@ -1650,6 +1681,20 @@ object FulltextQueries {
          |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
          |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // FILTER clause: both terms gate, only 'vector' scores (boost-0 must)
+    "ft_filter_clause" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf1, ${tfSql("table")} AS tf2,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf1 > 0 AND tf2 > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_sort_after" ->
+      s"""SELECT doc_id, n_tokens FROM
+         |  (SELECT doc_id, $TOKS AS tk, len($TOKS) AS n_tokens FROM documents)
+         |WHERE list_contains(tk, 'vector')
+         |ORDER BY n_tokens DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
     "ft_term_in_set" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'dup') OR list_contains(tk, 'elephant')
