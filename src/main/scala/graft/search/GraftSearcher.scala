@@ -517,16 +517,22 @@ final class GraftSearcher(
       case _ => true // wildcard/fuzzy/regexp: prefilter is a superset
     }
     val scan = index.blocks.filter(pred.get).as[BlockRow]
-    if (!needsDict) scan
-    else {
-      val exact = Query.terms(q)
-      val mtsB = mts
-      val dict = index.termStats
-        .filter(pred.get) // same pushable pre-filter on the dictionary scan
-        .filter(ts => exact.contains(ts.term) || mtsB.exists(_.matches(ts.term)))
-        .select("term")
-      scan.join(dict, Seq("term"), "left_semi").as[BlockRow]
-    }
+    val narrowed =
+      if (!needsDict) scan
+      else {
+        val exact = Query.terms(q)
+        val mtsB = mts
+        val dict = index.termStats
+          .filter(pred.get) // same pushable pre-filter on the dictionary scan
+          .filter(ts => exact.contains(ts.term) || mtsB.exists(_.matches(ts.term)))
+          .select("term")
+        scan.join(dict, Seq("term"), "left_semi").as[BlockRow]
+      }
+    // queries that never consume positions project the payload away: the
+    // replaced column is unreferenced, so parquet column pruning skips
+    // posEnc entirely — neither read nor shuffled (Query.needsPositions)
+    if (Query.needsPositions(q)) narrowed
+    else narrowed.withColumn("posEnc", lit(Array.emptyByteArray)).as[BlockRow]
   }
 
   /** Distributed top-k. Returns hits best-first (score desc, docId asc). */

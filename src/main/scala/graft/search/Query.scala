@@ -240,6 +240,21 @@ object Query {
     case _ => Set.empty
   }
 
+  /** Does any node consume term POSITIONS (phrase/span matching)? When not,
+    * the block scan projects the positions payload away entirely — parquet
+    * column pruning skips `posEnc` (typically the largest postings column,
+    * Lucene's separate `.pos` file that term queries never open; reference:
+    * lucene/core/src/java/org/apache/lucene/codecs/lucene84/Lucene84PostingsReader.java
+    * posIn opened only when FieldInfo has positions AND the caller asks). */
+  def needsPositions(q: Query): Boolean = q match {
+    case _: PhraseQ | _: SpanNearQ | _: SpanOrNearQ | _: SpanNotQ |
+         _: SpanContainingQ | _: SpanFirstQ => true
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
+    case DisMaxQ(ds, _) => ds.exists(needsPositions)
+    case BoostQ(sub, _) => needsPositions(sub)
+    case _ => false
+  }
+
   /** Does the tree contain MatchAll (e.g. a NOT anchor)? Such queries must
     * visit every doc range, even ranges holding no posting blocks. */
   def containsMatchAll(q: Query): Boolean = q match {
