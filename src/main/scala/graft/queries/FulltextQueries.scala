@@ -825,6 +825,32 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // passage extraction (UnifiedHighlighter, reference: lucene/highlighter/
+    // src/java/org/apache/lucene/search/uhighlight/UnifiedHighlighter.java +
+    // Passage.java): the snippet window around the first stored-postings
+    // occurrence — positions come from the INDEX (like the offsets-from-
+    // postings highlight mode), the text window from the stored field
+    "ft_passage" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val firstPos = index.blocks.filter($"term" === "vector").as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)(0) + 1L)) // 1-based
+        }.toDF("docId", "p")
+      firstPos
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(DocsIndex.documents(spark, sfDir), "doc_id")
+        .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .withColumn("w", greatest(col("p") - 3, lit(1L)))
+        .select(col("doc_id"),
+          array_join(slice(col("tk"), col("w").cast("int"),
+            (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
+        .orderBy("doc_id")
+    }),
     // BooleanClause.Occur.FILTER (reference: lucene/core/src/java/org/
     // apache/lucene/search/BooleanClause.java:35-43 — "like MUST except that
     // these clauses do not participate in scoring"): 'table' gates the match
@@ -1680,6 +1706,14 @@ object FulltextQueries {
          |        i -> tk[i] IN ('key', 'hash')
          |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
          |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // passage: +-3-token window around the FIRST 'vector' occurrence
+    "ft_passage" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_slice(tk, greatest(idx - 3, 1), idx + 3), ' ') AS passage
+         |FROM (SELECT doc_id, tk, list_position(tk, 'vector') AS idx
+         |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
     // FILTER clause: both terms gate, only 'vector' scores (boost-0 must)
     "ft_filter_clause" ->
