@@ -263,6 +263,34 @@ object DocsIndex {
     * tie-breaks at top-k boundaries (equal round4'd scores resolve by
     * doc_id on both sides). The source label rides in `commit` for the
     * query-time-join field (ft_join). */
+  /** Combined-field index for BM25F scoring (Lucene CombinedFieldQuery,
+    * reference: lucene/sandbox/src/java/org/apache/lucene/sandbox/search/
+    * CombinedFieldQuery.java:66-104): the query scores a VIRTUAL field whose
+    * term freqs are Σ w_f·tf_f and whose norm is Σ w_f·len_f across fields.
+    * With integer weights that virtual field is literally the concatenation
+    * of each field repeated w_f times — so the combined index is a REAL
+    * index built over `title title text` (title = the source label, w=2)
+    * and searched through the unmodified engine; the oracle re-tokenizes the
+    * same concatenation. */
+  def getCombined(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#cmb", _ => {
+        import spark.implicits._
+        val combined = documents(spark, sfDir)
+          .select(
+            lit("corpus").as("repo"),
+            format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            concat_ws(" ", $"source", $"source", $"text").as("content"),
+            lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(combined,
+          IndexConfig(analyzer = Analyzers.simple))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.simple))
+      })
+
   private[queries] def files(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     documents(spark, sfDir)

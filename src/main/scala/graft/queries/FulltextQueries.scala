@@ -40,6 +40,12 @@ object FulltextQueries {
        |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
        |  FROM toks)""".stripMargin
 
+  /** PRELUDE over the BM25F virtual combined field (DocsIndex.getCombined:
+    * title = source label at weight 2, then the body) — same collection
+    * stats / SmallFloat shape, combined token stream. */
+  private val CMB_PRELUDE = PRELUDE.replace(TOKS,
+    "regexp_extract_all(lower(source || ' ' || source || ' ' || text), '[a-z0-9]+')")
+
   /** The deterministic pluralization applied before the stemmed index is
     * built (`DocsIndex.getStemmed`) — same patterns, DuckDB 'g' flag. */
   private val STEM_TXT =
@@ -621,6 +627,73 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
+    }),
+    // FunctionScoreQuery (reference: lucene/queries/src/java/org/apache/
+    // lucene/queries/function/FunctionScoreQuery.java:47-76): final score =
+    // BM25 · (1 + len/100), a docvalue-derived factor. An unbounded custom
+    // function disables block-max pruning in Lucene too, so EVERY match is
+    // scored (scoreAllDoubleDS) and the multiply runs vectorized in the
+    // join projection; the factor uses only exact arithmetic on the stored
+    // token count, so the oracle recomputes it bit-for-bit.
+    "ft_function_score" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("fscore",
+          round(col("score") * (lit(1.0) + col("len").cast("double") / 100.0), 4))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("fscore"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("fscore"))
+    }),
+    // FeatureField saturation scoring (reference: lucene/core/src/java/org/
+    // apache/lucene/document/FeatureField.java:287-310 newSaturationQuery):
+    // final = BM25 + w·f/(f+pivot) with the feature leg riding the bool tree
+    // as SHOULD. The feature's contribution is bounded by w (Lucene keeps
+    // block-max for exactly this reason); f = the stored token count.
+    "ft_feature_sat" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("fscore",
+          round(col("score")
+            + lit(2.0) * col("len").cast("double") / (col("len").cast("double") + 60.0), 4))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("fscore"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("fscore"))
+    }),
+    // CombinedFieldQuery / BM25F (see DocsIndex.getCombined scaladoc): the
+    // title field (source label, weight 2) and the body score as ONE virtual
+    // field — per-term tf and the norm both accumulate across fields, which
+    // is NOT expressible as a bool-over-fields query (dismax/sum change both
+    // idf and length normalization). 'src7' matches only via the title legs;
+    // 'table' via the body — one ranked list across both.
+    "ft_combined" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getCombined(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("table OR src7"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // match_phrase_prefix (reference: lucene/sandbox/src/java/org/apache/
+    // lucene/sandbox/search/PhraseWildcardQuery.java:60-98): the trailing
+    // prefix expands against the term DICTIONARY (termStats — one row per
+    // term, parquet prefix pushdown, never the blocks table), then the
+    // expansions enter one MultiPhrase position-union slot. Expansion is
+    // plan-time like Lucene's rewrite, bounded like maxExpansions.
+    "ft_phrase_prefix" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val pq = graft.search.PrefixQ("s")
+      val exps = index.termStats
+        .filter(graft.search.Query.scanPrefilter(pq))
+        .filter(ts => ts.term.startsWith("s"))
+        .map(_.term)
+        .orderBy("value").limit(64)
+        .collect()
+      val q = graft.search.Query.multiPhrase(Seq(Seq("fast"), exps.toSeq))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
     }),
     // totalHits: exact match count for a query (TotalHits EQUAL_TO surface;
     // the distributed count never collects the match set to the driver)
@@ -1600,6 +1673,44 @@ object FulltextQueries {
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // FunctionScoreQuery: round4(BM25) · (1 + rawLen/100), re-rounded — the
+    // multiplier uses the RAW token count (len(tk)), not the quantized dlq
+    "ft_function_score" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4) * (1.0 + CAST(dlen AS DOUBLE) / 100.0), 4) AS fscore
+         |FROM (
+         |  SELECT dl.doc_id, len(dl.tk) AS dlen, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // FeatureField saturation: round4(BM25) + 2·f/(f+60), f = raw token count
+    "ft_feature_sat" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4)
+         |        + 2.0 * CAST(dlen AS DOUBLE) / (CAST(dlen AS DOUBLE) + 60.0), 4) AS fscore
+         |FROM (
+         |  SELECT dl.doc_id, len(dl.tk) AS dlen, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // CombinedFieldQuery / BM25F: the oracle re-tokenizes the same virtual
+    // field (title·2 ++ body) — tf, df, dl, and avgdl are all COMBINED stats
+    "ft_combined" ->
+      s"""$CMB_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} + ${tfSql("src7")} AS tf,
+         |    ${bmSql(idfSql(dfSql("table")), tfSql("table"))}
+         |      + ${bmSql(idfSql(dfSql("src7")), tfSql("src7"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // phrase-prefix: 'fast' immediately followed by any s-prefixed token
+    "ft_phrase_prefix" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk) - 1),
+         |        i -> tk[i] = 'fast' AND tk[i + 1] LIKE 's%')) > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_total_hits_gte" ->
       """SELECT 'GTE' AS relation, true AS ge_threshold, true AS le_true_count,
         |  CAST(5 AS BIGINT) AS n_hits, true AS topk_exact""".stripMargin,

@@ -412,8 +412,84 @@ object RelationalQueries {
         .select("c_custkey", "dist_km")
         .orderBy(asc("dist_km"), asc("c_custkey"))
         .limit(10)
+    }),
+    // Pearson correlation + sample covariance (Solr math expressions `corr`
+    // / `cov`, reference: solr/solrj/src/java/org/apache/solr/client/solrj/
+    // io/eval/CorrelationEvaluator.java, CovarianceEvaluator.java). One
+    // distributed agg pass accumulates EXACT integer sums (quantity is
+    // whole, price rounded to whole dollars so every square-sum fits both
+    // BIGINT and a double's 53-bit mantissa); the final expression text is
+    // shared verbatim with the oracle so the only float ops are identical
+    // IEEE sequences on exact operands.
+    "q_corr" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) AS x",
+          "CAST(round(l_extendedprice) AS BIGINT) AS y")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .selectExpr(s"$corrExpr AS corr_qty_price", s"$covExpr AS cov_qty_price")
+    }),
+    // equal-width histogram over data-driven min/max (Solr `hist`,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // HistogramEvaluator.java): two agg passes (bounds, then bin counts via
+    // a broadcast of the 1-row bounds), never a collect. Bin arithmetic is
+    // exact double on small ints — identical in both engines.
+    "q_hist" -> ((spark, sfDir) => {
+      val x = t(spark, sfDir, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) AS x")
+      val bounds = x.agg(min("x").as("minx"), max("x").as("maxx"))
+      x.crossJoin(broadcast(bounds))
+        .selectExpr(
+          "CAST(floor(CAST((x - minx) * 10 AS DOUBLE) / CAST(maxx - minx + 1 AS DOUBLE)) AS BIGINT) AS bin")
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("bin")
+    }),
+    // trailing moving average over the daily event series (Solr
+    // `movingAvg`, reference: solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/MovingAverageEvaluator.java): window = current + 6
+    // preceding days. The window runs over the POST-AGG series (one row per
+    // day), so the single-partition sort is over a tiny frame whatever the
+    // corpus size; the heavy lifting is the distributed daily agg.
+    "q_moving_avg" -> ((spark, sfDir) => {
+      val daily = t(spark, sfDir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("ma7",
+          round(sum("cnt").over(w).cast("double") / count(lit(1)).over(w), 4))
+        .orderBy("day")
+    }),
+    // z-score outlier detection (Solr `zscores` / `outliers` evaluators,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // NormalizeEvaluator.java): one agg pass for exact integer moments, then
+    // a map-only filter against mean + 2.5 sd — the shared-text double math
+    // guarantees both engines draw the identical threshold.
+    "q_zscore" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .selectExpr("event_id", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val m = ev.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("ss"))
+      ev.crossJoin(broadcast(m))
+        .filter(expr(s"CAST(cents AS DOUBLE) > $zThresholdExpr"))
+        .select("event_id", "cents")
+        .orderBy("event_id")
     })
   )
+
+  /** Pearson / sample-covariance final math over exact BIGINT sums — ONE
+    * text evaluated by both engines (CorrelationEvaluator semantics). */
+  private val corrExpr =
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+      "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)"
+  private val covExpr =
+    "round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4)"
+
+  /** mean + 2.5·sd over (n, s, ss) exact sums — shared threshold text. */
+  private val zThresholdExpr =
+    "CAST(s AS DOUBLE) / n + 2.5 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))"
 
   /** Deterministic synthetic coordinates from the customer key — integer
     * modulo then exact double arithmetic, identical in Spark and DuckDB. */
@@ -629,6 +705,34 @@ object RelationalQueries {
       s"""SELECT c_custkey,
          |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km
          |FROM customer
-         |ORDER BY dist_km, c_custkey LIMIT 10""".stripMargin
+         |ORDER BY dist_km, c_custkey LIMIT 10""".stripMargin,
+    "q_corr" ->
+      s"""SELECT $corrExpr AS corr_qty_price, $covExpr AS cov_qty_price FROM (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |               CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem))""".stripMargin,
+    "q_hist" ->
+      """SELECT CAST(floor(CAST((x - minx) * 10 AS DOUBLE)
+        |                  / CAST(maxx - minx + 1 AS DOUBLE)) AS BIGINT) AS bin,
+        |       count(*) AS cnt
+        |FROM (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |     (SELECT min(CAST(l_quantity AS BIGINT)) AS minx,
+        |             max(CAST(l_quantity AS BIGINT)) AS maxx FROM lineitem)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT day, cnt,
+        |  round(CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w, 4) AS ma7
+        |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+        |      FROM events GROUP BY 1)
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q_zscore" ->
+      s"""SELECT event_id, cents FROM
+         |  (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         |  (SELECT count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss
+         |   FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events))
+         |WHERE CAST(cents AS DOUBLE) > $zThresholdExpr
+         |ORDER BY event_id""".stripMargin
   )
 }
