@@ -177,6 +177,41 @@ object TrainingDataQueries {
       }.reduce(_ + _)
       s.select(col("doc_id"), bits.as("simhash64")).orderBy("doc_id")
     }),
+    // duplicate-cluster resolution: pairwise near-dup candidates are NOT a
+    // dedup decision — transitively connected docs must collapse to one
+    // keeper. Connected components over the verified LSH pairs via min-label
+    // propagation (each round: every node takes the min label among itself
+    // and its neighbors — one join + one groupBy per round, converging in
+    // O(cluster diameter) rounds; near-dup clusters are shallow, and the
+    // alternating small-star/large-star transform of Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond" (SoCC'14), is the
+    // drop-in upgrade if adversarially long chains ever appear).
+    // localCheckpoint caps lineage per round; the driver-side work per round
+    // is a single boolean (converged?), never the label table.
+    "td_dedup_cluster" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val pairs = jaccardVerify(d, lshCandidates(minhashSig(d, 4), bands = 2, rowsPerBand = 2))
+        .select("a", "b")
+      val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+        .localCheckpoint()
+      var lbl = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        val nbr = edges.join(lbl, edges("dst") === lbl("id"))
+          .select(edges("src").as("id"), col("lbl"))
+        val next = lbl.select("id", "lbl").union(nbr)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        converged = next.join(lbl.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") < col("old")).isEmpty
+        lbl = next
+        iter += 1
+      }
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
+    }),
     // ---- text analysis ----
     "td_langid" -> ((spark, sfDir) => {
       val stop = Seq("the", "a", "of", "and", "is", "to", "in")
@@ -214,6 +249,68 @@ object TrainingDataQueries {
         .select(col("doc_id"),
           md5(concat_ws(" ", expr(TOKS))).as("fp"))
         .orderBy("doc_id")
+    }),
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1, public
+    // paper): drop docs dominated by one token (top-token fraction > 0.3)
+    // or by repeated bigrams (duplicate-bigram fraction > 0.2). All ratios
+    // stay integer cross-multiplications — no float thresholds. Map-only:
+    // the per-doc max-count runs as a vectorized lambda over the token
+    // list, never an explode+shuffle.
+    "td_quality_gopher" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .select(col("doc_id"), expr(TOKS).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_toks"),
+          expr("CAST(array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t)))) AS BIGINT)")
+            .as("top_tok_cnt"),
+          expr("CAST(size(tk) - 1 AS BIGINT)").as("n_bg"),
+          expr("""CAST(size(tk) - 1 - size(array_distinct(
+                    transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1])))) AS BIGINT)""")
+            .as("n_dup_bg"))
+        .withColumn("keep",
+          (col("top_tok_cnt") * 10 <= col("n_toks") * 3) &&
+            (col("n_dup_bg") * 5 <= col("n_bg")))
+        .orderBy("doc_id")
+    }),
+    // PII redaction: emails and phone-shaped numbers replaced with typed
+    // placeholder tokens (the standard pre-training scrub). The corpus
+    // carries no PII, so both engines inject the SAME deterministic
+    // address/number per doc, then scrub — the oracle proves the regexes
+    // remove exactly what was planted (redaction count + byte-exact output
+    // hash). Map-only at any scale.
+    "td_pii_scrub" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example or 555-0"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")).as("aug"))
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[a-z]', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr("regexp_extract_all(aug, '555-[0-9]{4}', 0)"))
+            .cast("long").as("n_phones"),
+          md5(expr(
+            """regexp_replace(regexp_replace(aug,
+              |  '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>'),
+              |  '555-[0-9]{4}', '<PHONE>')""".stripMargin)).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+    // per-domain hard cap (the C4/CCNet-style per-host quota that bounds
+    // any single domain's share of the corpus): keep at most 5 docs per
+    // source, selected by a deterministic hash order so the winners are a
+    // uniform, reproducible subset. One shuffle keyed by source; a skewed
+    // mega-domain bounds its partition at quota x fanout via the
+    // rank-within-group window.
+    "td_domain_quota" -> ((spark, sfDir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
     }),
     // ---- similarity search ----
     // exact brute-force cosine top-k: the ANN correctness baseline
@@ -585,37 +682,87 @@ object TrainingDataQueries {
        |SELECT doc_id, CAST($bitExprs AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Contract-config MinHash LSH verified pairs (shared by the pairwise
+    * query's oracle and, as a CTE, by the cluster oracle). */
+  private val lshPairsOracle =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk)-1),
+       |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+       |  WHERE len(tk) >= 2
+       |), sig AS (
+       |  SELECT doc_id,
+       |    min(md5(s || '#0')) AS h0, min(md5(s || '#1')) AS h1,
+       |    min(md5(s || '#2')) AS h2, min(md5(s || '#3')) AS h3
+       |  FROM (SELECT doc_id, unnest(bg) AS s FROM sh)
+       |  GROUP BY doc_id
+       |), cand AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+       |      ON x.h0 = y.h0 AND x.h1 = y.h1 AND x.doc_id < y.doc_id
+       |    UNION
+       |    SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+       |      ON x.h2 = y.h2 AND x.h3 = y.h3 AND x.doc_id < y.doc_id
+       |  )
+       |), sets AS (SELECT doc_id, list_distinct($TOKS) AS tk FROM documents)
+       |SELECT a, b, len(list_intersect(sa.tk, sb.tk)) AS inter,
+       |       len(sa.tk) AS na, len(sb.tk) AS nb
+       |FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
+       |WHERE len(list_intersect(sa.tk, sb.tk)) * 9 >= (len(sa.tk) + len(sb.tk)) * 4
+       |ORDER BY a, b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "td_quality_gopher" ->
+      s"""SELECT doc_id, n_toks, top_tok_cnt, n_bg, n_dup_bg,
+         |  (top_tok_cnt * 10 <= n_toks * 3) AND (n_dup_bg * 5 <= n_bg) AS keep
+         |FROM (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(list_max(list_transform(list_distinct(tk),
+         |           t -> len(list_filter(tk, x -> x = t)))) AS BIGINT) AS top_tok_cnt,
+         |    CAST(len(tk) - 1 AS BIGINT) AS n_bg,
+         |    CAST(len(tk) - 1 - len(list_distinct(list_transform(
+         |           generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])))
+         |         AS BIGINT) AS n_dup_bg
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE len(tk) >= 2)
+         |ORDER BY doc_id""".stripMargin,
+    "td_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM (SELECT doc_id,
+        |        text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail.example or 555-0'
+        |          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS aug
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "td_domain_quota" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
     "td_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
-    "td_dedup_minhash_lsh" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, len(tk)-1),
-         |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
-         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
-         |  WHERE len(tk) >= 2
-         |), sig AS (
-         |  SELECT doc_id,
-         |    min(md5(s || '#0')) AS h0, min(md5(s || '#1')) AS h1,
-         |    min(md5(s || '#2')) AS h2, min(md5(s || '#3')) AS h3
-         |  FROM (SELECT doc_id, unnest(bg) AS s FROM sh)
-         |  GROUP BY doc_id
-         |), cand AS (
-         |  SELECT DISTINCT a, b FROM (
-         |    SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
-         |      ON x.h0 = y.h0 AND x.h1 = y.h1 AND x.doc_id < y.doc_id
-         |    UNION
-         |    SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
-         |      ON x.h2 = y.h2 AND x.h3 = y.h3 AND x.doc_id < y.doc_id
-         |  )
-         |), sets AS (SELECT doc_id, list_distinct($TOKS) AS tk FROM documents)
-         |SELECT a, b, len(list_intersect(sa.tk, sb.tk)) AS inter,
-         |       len(sa.tk) AS na, len(sb.tk) AS nb
-         |FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
-         |WHERE len(list_intersect(sa.tk, sb.tk)) * 9 >= (len(sa.tk) + len(sb.tk)) * 4
-         |ORDER BY a, b""".stripMargin,
+    "td_dedup_minhash_lsh" -> lshPairsOracle,
+    // transitive closure of the verified pairs (recursive CTE), cluster
+    // label = smallest reachable doc_id — exactly what min-label
+    // propagation converges to
+    "td_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($lshPairsOracle)),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "td_dedup_jaccard" ->
       s"""WITH sets AS (SELECT lang, doc_id, list_distinct($TOKS) AS tk FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,
