@@ -162,7 +162,17 @@ final case class Analyzer(
       * SAME position (posIncrement 0 — a stacked/overlap token, WDGF's graph
       * semantics flattened the way FlattenGraphFilter does for indexing),
       * and each later part one position on. Unsplit tokens pass through. */
-    wordDelimiter: Boolean = false) extends Serializable {
+    wordDelimiter: Boolean = false,
+    /** Index-time synonym injection — `SynonymGraphFilter` with
+      * single-token rules, flattened for indexing the way
+      * `FlattenGraphFilter` does (reference: lucene/analysis/common/src/
+      * java/org/apache/lucene/analysis/synonym/SynonymGraphFilter.java:73-88,
+      * SynonymMap keepOrig=true): each mapped term also emits its synonym
+      * at the SAME position (posIncrement 0). Stacked tokens don't count
+      * toward the field length (discountOverlaps, see [[invert]]), phrase
+      * queries match through either surface form, and tf/df of the synonym
+      * term absorb the mapped occurrences — Lucene's exact semantics. */
+    synonyms: Map[String, String] = Map.empty) extends Serializable {
 
   /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
@@ -286,7 +296,12 @@ final case class Analyzer(
         pos += rt.posIncr + pendingGap
         pendingGap = 0
         val out = if (minimalStem) Analyzer.minimalStemEn(term) else term
-        Iterator.single(Token(out, pos, rt.startOffset, rt.endOffset))
+        val tok = Token(out, pos, rt.startOffset, rt.endOffset)
+        synonyms.get(out) match {
+          case Some(syn) =>
+            Iterator(tok, Token(syn, pos, rt.startOffset, rt.endOffset))
+          case None => Iterator.single(tok)
+        }
       }
     }
     if (shingleSize <= 1) base
@@ -381,4 +396,11 @@ object Analyzers {
     * case-transition splitting with the original preserved as a stacked
     * token) — the code-payload analyzer behind `ft_wd_search`/`ft_wd_phrase`. */
   val wordDelim: Analyzer = Analyzer(wordDelimiter = true)
+
+  /** Index-time synonym chain (`slow => slow, fast` with keepOrig): 'fast'
+    * postings absorb every 'slow' occurrence at its position — the
+    * `ft_syn_*` oracle family recomputes tf/df/phrase positions over the
+    * merged surface forms. */
+  val synonymSlowFast: Analyzer =
+    Analyzer(simple = true, synonyms = Map("slow" -> "fast"))
 }

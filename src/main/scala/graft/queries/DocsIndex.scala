@@ -291,6 +291,19 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.simple))
       })
 
+  /** Corpus indexed through the index-time synonym chain
+    * (`Analyzers.synonymSlowFast` — SynonymGraphFilter semantics: every
+    * 'slow' also indexes a stacked 'fast'). Queries still parse with the
+    * synonym-free analyzer: synonym injection is an INDEX-side rewrite. */
+  def getSynonyms(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#syn", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.synonymSlowFast))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.simple))
+      })
+
   private[queries] def files(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     documents(spark, sfDir)

@@ -695,6 +695,26 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // index-time synonyms (Analyzers.synonymSlowFast scaladoc): 'fast'
+    // postings absorbed every 'slow' occurrence at its position, so tf, df,
+    // and BM25 stats all reflect the merged surface forms — querying the
+    // single term 'fast' ranks docs that only say 'slow'
+    "ft_syn_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getSynonyms(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("fast"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // phrase across a synonym: the stacked token sits at the original's
+    // position, so "fast table" matches "slow table" — SynonymGraphFilter's
+    // defining positional property
+    "ft_syn_phrase" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getSynonyms(spark, sfDir)
+      searcher.matchesDS(searcher.parse("\"fast table\"")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // totalHits: exact match count for a query (TotalHits EQUAL_TO surface;
     // the distributed count never collects the match set to the driver)
     "ft_count" -> ((spark, sfDir) => {
@@ -1705,6 +1725,24 @@ object FulltextQueries {
          |      + ${bmSql(idfSql(dfSql("src7")), tfSql("src7"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // synonym index: tf('fast') = fast+slow occurrences, df likewise; the
+    // stacked token doesn't count toward dl (discountOverlaps), so the
+    // PRELUDE's dlq applies unchanged
+    "ft_syn_search" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    len(list_filter(tk, x -> x = 'fast' OR x = 'slow')) AS tf,
+         |    ${bmSql(
+              idfSql("(SELECT count(*) FROM toks WHERE list_contains(tk, 'fast') OR list_contains(tk, 'slow'))"),
+              "len(list_filter(tk, x -> x = 'fast' OR x = 'slow'))")} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_syn_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk) - 1),
+         |        i -> (tk[i] = 'fast' OR tk[i] = 'slow') AND tk[i + 1] = 'table')) > 0
+         |ORDER BY doc_id""".stripMargin,
     // phrase-prefix: 'fast' immediately followed by any s-prefixed token
     "ft_phrase_prefix" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

@@ -312,6 +312,29 @@ object TrainingDataQueries {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")
     }),
+    // perplexity-style LM quality filter (the CCNet recipe, Wenzek et al.
+    // 2020 — public paper — scores docs by LM perplexity and drops the worst
+    // tail). No external LM exists in this sandbox, so the LM is the
+    // corpus's own unigram model: cost(tok) = -ln(ttf/total), quantized to
+    // integer micro-nats so the per-doc sum is EXACT and order-independent
+    // (float addition across an unordered groupBy would be
+    // non-deterministic). Shapes: one groupBy(token) for the model, one
+    // shuffle join tokens->model, one groupBy(doc) — all linear, the
+    // standard 100 TB layout for corpus-statistics scoring.
+    "td_perplexity" -> ((spark, sfDir) => {
+      val toks = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr(TOKS)).as("tok"))
+      val model = toks.groupBy("tok").agg(count(lit(1)).as("ttf"))
+      val total = toks.groupBy().agg(count(lit(1)).as("total"))
+      toks.join(model, "tok").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          expr("CAST(floor((ln(CAST(total AS DOUBLE)) - ln(CAST(ttf AS DOUBLE))) * 1000000.0) AS BIGINT)")
+            .as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("c").as("micro_nats"))
+        .withColumn("keep", col("micro_nats") <= col("n_toks") * 4000000L)
+        .orderBy("doc_id")
+    }),
     // ---- similarity search ----
     // exact brute-force cosine top-k: the ANN correctness baseline
     "td_knn_exact" -> ((spark, sfDir) => {
@@ -740,6 +763,18 @@ object TrainingDataQueries {
         |          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS aug
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "td_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS ttf FROM toks GROUP BY tok),
+         |tot AS (SELECT count(*) AS total FROM toks)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  CAST(sum(CAST(floor((ln(CAST(total AS DOUBLE)) - ln(CAST(ttf AS DOUBLE)))
+         |                      * 1000000.0) AS BIGINT)) AS BIGINT) AS micro_nats,
+         |  CAST(sum(CAST(floor((ln(CAST(total AS DOUBLE)) - ln(CAST(ttf AS DOUBLE)))
+         |                      * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    <= count(*) * 4000000 AS keep
+         |FROM toks JOIN tf USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "td_domain_quota" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

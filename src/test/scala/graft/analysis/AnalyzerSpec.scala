@@ -124,4 +124,19 @@ class AnalyzerSpec extends AnyFunSuite {
     val t = a.analyze("foo bar").next()
     assert(t.startOffset == 0 && t.endOffset == 7)
   }
+
+  test("synonym filter: stacked token at same position, discountOverlaps length") {
+    val a = Analyzers.synonymSlowFast
+    // 'slow' also emits 'fast' at ITS position; later tokens shift nothing
+    assert(termPos(a, "slow table fast") ==
+      Seq(("slow", 0), ("fast", 0), ("table", 1), ("fast", 2)))
+    val (byTerm, len) = a.invert("slow table fast")
+    // stacked token doesn't count toward field length (numOverlap)
+    assert(len == 3)
+    assert(byTerm("fast")._1 == 2)
+    assert(byTerm("fast")._2.toList == List(0, 2))
+    assert(byTerm("slow")._1 == 1)
+    // non-mapped text passes through untouched
+    assert(termPos(a, "fast table") == Seq(("fast", 0), ("table", 1)))
+  }
 }
