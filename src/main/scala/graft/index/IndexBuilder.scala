@@ -255,7 +255,10 @@ object IndexBuilder {
       postings: Dataset[PostingRow],
       cfg: IndexConfig,
       maxDoc: Long = -1L,
-      sumTokens: Long = 0L): Dataset[BlockRow] = {
+      sumTokens: Long = 0L,
+      /** when non-null, each encode task records its lineage + postings/sec
+        * row ([[TaskBuildMetric]]) into this accumulator */
+      metrics: BuildMetricsAcc = null): Dataset[BlockRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val floor = if (cfg.numPartitions > 0) cfg.numPartitions else spark.sparkContext.defaultParallelism
@@ -267,10 +270,14 @@ object IndexBuilder {
         saltSpanFor(maxDoc, parts)
       }
     val salt = (col("docId") / lit(span)).cast("long")
+    val metricsB = metrics
     postings
       .repartition(parts, col("term"), salt)
       .sortWithinPartitions(col("term"), col("docId"))
-      .mapPartitions { it => blockify(it, span) }
+      .mapPartitions { it =>
+        if (metricsB == null) blockify(it, span)
+        else BuildMetrics.metered(it, metricsB, blockify(_, span))
+      }
   }
 
   /** Stream a (term, docId)-sorted posting iterator into BlockRows.

@@ -144,9 +144,16 @@ object IndexStore {
           .option("compression", "zstd").parquet(docsPath)
       if (!isComplete(blocksPath)) {
         val fs = IndexBuilder.fieldStatsOf(spark.read.parquet(docsPath).as[DocRow])
+        // per-task lineage + postings/sec telemetry, persisted with the
+        // segment (the north rule's per-task metrics; a resumed build that
+        // skips this stage keeps the original run's records)
+        val metrics = new BuildMetricsAcc
+        spark.sparkContext.register(metrics, s"buildmetrics:$segName")
         IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg,
-            fs.maxDocId + 1, fs.sumTotalTermFreq)
+            fs.maxDocId + 1, fs.sumTotalTermFreq, metrics)
           .write.mode("overwrite").option("compression", "zstd").parquet(blocksPath)
+        spark.createDataset(metrics.value)
+          .write.mode("overwrite").parquet(s"$segDir/buildmetrics")
       }
     }
     if (!isComplete(statsPath)) {

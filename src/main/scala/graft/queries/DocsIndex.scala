@@ -291,6 +291,20 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.simple))
       })
 
+  /** Per-task build telemetry of a dedicated (cached) corpus build — the
+    * lineage + postings/sec rows the encode stage records per shuffle task
+    * ([[graft.index.TaskBuildMetric]]), persisted with the segment. */
+  def buildMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}#$sfDir#bm"
+    val dir = dirs.computeIfAbsent(key, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-docsbm-").toString
+      graft.index.IndexStore.buildAndCommit(files(spark, sfDir), d,
+        IndexConfig(analyzer = Analyzers.simple))
+      d
+    })
+    spark.read.parquet(s"$dir/seg-00000/buildmetrics")
+  }
+
   /** Corpus indexed through the index-time synonym chain
     * (`Analyzers.synonymSlowFast` — SynonymGraphFilter semantics: every
     * 'slow' also indexes a stacked 'fast'). Queries still parse with the

@@ -715,6 +715,20 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // per-task build telemetry (DocsIndex.buildMetrics scaladoc): every
+    // encode task recorded its partition/attempt lineage, docId span, and
+    // postings/sec. The postings GRAND TOTAL is an engine-independent
+    // invariant (Σ distinct terms per doc) the oracle recomputes exactly;
+    // the rate/block fields assert the telemetry is populated and sane
+    // (their absolute values are host-dependent by nature).
+    "ft_build_metrics" -> ((spark, sfDir) => {
+      DocsIndex.buildMetrics(spark, sfDir)
+        .agg(sum("nPostings").as("tp"), min("postingsPerSec").as("minpps"),
+          sum("nBlocks").as("tb"))
+        .select(col("tp").as("total_postings"),
+          (col("minpps") > 0).as("rates_positive"),
+          (col("tb") > 0).as("blocks_positive"))
+    }),
     // totalHits: exact match count for a query (TotalHits EQUAL_TO surface;
     // the distributed count never collects the match set to the driver)
     "ft_count" -> ((spark, sfDir) => {
@@ -1743,6 +1757,11 @@ object FulltextQueries {
          |WHERE len(list_filter(generate_series(1, len(tk) - 1),
          |        i -> (tk[i] = 'fast' OR tk[i] = 'slow') AND tk[i + 1] = 'table')) > 0
          |ORDER BY doc_id""".stripMargin,
+    // build telemetry: total postings = Σ per-doc distinct tokens
+    "ft_build_metrics" ->
+      s"""SELECT CAST(sum(len(list_distinct(tk))) AS BIGINT) AS total_postings,
+         |  true AS rates_positive, true AS blocks_positive
+         |FROM (SELECT $TOKS AS tk FROM documents)""".stripMargin,
     // phrase-prefix: 'fast' immediately followed by any s-prefixed token
     "ft_phrase_prefix" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
