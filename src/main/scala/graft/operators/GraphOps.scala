@@ -69,4 +69,38 @@ object GraphOps {
     if (!found) frontier.filter(lit(false))
     else frontier.filter(col("node") === target)
   }
+
+  /** Connected components by min-label propagation: every node repeatedly
+    * takes the smallest label among itself and its neighbors — one join +
+    * one groupBy per round, converging in O(component diameter) rounds to
+    * label = min node id of the component. `edges` has long columns
+    * (`src`, `dst`), interpreted UNDIRECTED; returns (`id`, `lbl`) for every
+    * node with at least one edge. The driver-side work per round is a single
+    * convergence boolean; `localCheckpoint` caps lineage. Near-dup clusters
+    * (the dedup use) have tiny diameters; for adversarially long chains the
+    * alternating small-star/large-star transform of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14), is the
+    * drop-in replacement with O(log²) rounds. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var lbl = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbr = und.join(lbl, und("dst") === lbl("id"))
+        .select(und("src").as("id"), col("lbl"))
+      val next = lbl.select("id", "lbl").union(nbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.join(lbl.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).isEmpty
+      lbl = next
+      iter += 1
+    }
+    lbl
+  }
 }

@@ -179,38 +179,14 @@ object TrainingDataQueries {
     }),
     // duplicate-cluster resolution: pairwise near-dup candidates are NOT a
     // dedup decision — transitively connected docs must collapse to one
-    // keeper. Connected components over the verified LSH pairs via min-label
-    // propagation (each round: every node takes the min label among itself
-    // and its neighbors — one join + one groupBy per round, converging in
-    // O(cluster diameter) rounds; near-dup clusters are shallow, and the
-    // alternating small-star/large-star transform of Kiveris et al.,
-    // "Connected Components in MapReduce and Beyond" (SoCC'14), is the
-    // drop-in upgrade if adversarially long chains ever appear).
-    // localCheckpoint caps lineage per round; the driver-side work per round
-    // is a single boolean (converged?), never the label table.
+    // keeper. Connected components (GraphOps.connectedComponents scaladoc)
+    // over the verified LSH pairs; label = the cluster's min doc_id.
     "td_dedup_cluster" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       val pairs = jaccardVerify(d, lshCandidates(minhashSig(d, 4), bands = 2, rowsPerBand = 2))
-        .select("a", "b")
-      val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-        .localCheckpoint()
-      var lbl = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-        .localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 15) {
-        val nbr = edges.join(lbl, edges("dst") === lbl("id"))
-          .select(edges("src").as("id"), col("lbl"))
-        val next = lbl.select("id", "lbl").union(nbr)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint()
-        converged = next.join(lbl.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") < col("old")).isEmpty
-        lbl = next
-        iter += 1
-      }
-      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
     }),
     // ---- text analysis ----
     "td_langid" -> ((spark, sfDir) => {

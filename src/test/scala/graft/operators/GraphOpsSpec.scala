@@ -50,4 +50,37 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(got == Set("b", "c", "d", "e"))
   }
+
+  test("connectedComponents matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val es = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = es.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      .map(id => id -> {
+        // expected label = min node id in the component, restricted to
+        // nodes that actually carry an edge (isolated ids never appear)
+        val root = find(id.toInt)
+        es.flatMap { case (a, b) => Seq(a, b) }
+          .filter(x => find(x.toInt) == root).min
+      }).toMap
+    val got = GraphOps.connectedComponents(es.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("connectedComponents handles a long chain within maxIter") {
+    // a 12-node path graph: diameter 11, maxIter must cover it
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 11L).map(_ -> 0L).toMap)
+  }
 }
