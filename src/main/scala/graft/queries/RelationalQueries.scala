@@ -236,6 +236,9 @@ object RelationalQueries {
     "q_stream_window" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.windowedCounts(spark, s"$sfDir/events.parquet")
         .orderBy("day", "event_type")),
+    // streaming exact dedup (StreamAggregates.dedupCount scaladoc)
+    "q_stream_dedup" -> ((spark, sfDir) =>
+      graft.streaming.StreamAggregates.dedupCount(spark, s"$sfDir/documents.parquet")),
     "q_sessionize" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.sessionize(spark, s"$sfDir/events.parquet")
         // one emission per key per micro-batch; the running total is
@@ -637,6 +640,8 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT count(DISTINCT md5(text)) AS n_unique FROM documents""",
     // gaps-and-islands: a session opens when the previous event of the same
     // user is more than 30 minutes (in exact microseconds) in the past
     "q_sessionize" ->

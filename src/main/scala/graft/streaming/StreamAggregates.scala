@@ -107,4 +107,23 @@ object StreamAggregates {
       }
     runToMemory(spark, sessions.toDF(), OutputMode.Update())
   }
+
+  /** Streaming exact dedup: `dropDuplicates` on the content hash — the
+    * continuous-ingest version of td_dedup_exact (repeated documents index
+    * once, however the stream batches them). Dedup state is one hash per
+    * distinct doc; a production deployment bounds it with an event-time
+    * watermark + `dropDuplicatesWithinWatermark` (this corpus has no event
+    * time, and the verify run is bounded by AvailableNow). Only the count
+    * survives to the output: WHICH duplicate wins is batch-order-dependent
+    * by definition, the cardinality is not. */
+  def dedupCount(spark: SparkSession, docsPath: String): DataFrame = {
+    val schema = spark.read.parquet(docsPath).schema
+    val uniq = spark.readStream
+      .schema(schema)
+      .parquet(streamableDir(docsPath))
+      .select(md5(col("text")).as("h"))
+      .dropDuplicates("h")
+      .groupBy().agg(count(lit(1)).as("n_unique"))
+    runToMemory(spark, uniq, OutputMode.Complete())
+  }
 }
