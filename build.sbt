@@ -29,10 +29,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // This sandbox VM faults anonymous pages ~500x slower than normal
   // (measured: 2 min wall / 43 min sys to first-touch 8 GB), so every fresh
   // heap page costs. Mitigations: (a) THP madvise -> 512x fewer faults,
-  // (b) a FIXED modest heap (Xms == Xmx) so G1 recycles already-faulted
-  // pages instead of wandering across a huge lazily-grown heap. Deliberately
-  // NO AlwaysPreTouch (it front-loads the slow faults: 14 min startup at
-  // 48 GB).
+  // (b) a FIXED heap (Xms == Xmx) so G1 recycles already-faulted pages,
+  // (c) AlwaysPreTouch: fault the WHOLE heap once at JVM startup instead of
+  //     lazily mid-workload. Round-3 isolation runs proved lazy heap
+  //     faulting was the dominant "burst" mechanism: the 1.6M-doc build at
+  //     local[32]@48g ran 219-278s lazily vs 59.7s pre-touched (3.7x), with
+  //     the encode stage collapsing 137.6s -> 10.9s (BASELINE.md round-3
+  //     postmortem). With THP the pre-touch itself uses 2 MB pages and
+  //     completes in seconds-to-a-minute; an earlier 14-min pre-touch
+  //     reading was taken in a degraded window and is the exception, not
+  //     the rule — and the faults are paid either way, so eager is strictly
+  //     better for anything measured.
   // 48g default (was 16g): at local[32] a 16 GB heap is GC-bound — the
   // 400k-doc build measured 96.5s @16g vs 29.6s @48g (BASELINE.md round 3).
   // Executor memory must scale with executor cores; Xms==Xmx still avoids
@@ -41,4 +48,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseTransparentHugePages",
+  "-XX:+AlwaysPreTouch",
 )

@@ -17,7 +17,7 @@ set -u
 PAIRS=${1:-4}; DOCS=${2:-400000}
 OUT="$(dirname "$0")/scaling_r03_v2.jsonl"
 CP=$(cat /tmp/graft-cp.txt)
-JBASE="-XX:+UseTransparentHugePages -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
+JBASE="-XX:+AlwaysPreTouch -XX:+UseTransparentHugePages -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 
 probe() {
   local o1 f c
