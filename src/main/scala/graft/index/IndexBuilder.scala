@@ -235,10 +235,18 @@ object IndexBuilder {
   val POSTINGS_PER_PARTITION: Long = 1500000L
 
   /** Encode shuffle width: the configured/parallelism floor, scaled up by
-    * data volume (total token count bounds the posting count). */
+    * data volume (total token count bounds the posting count). When the
+    * data-driven width exceeds the floor it is rounded UP to a multiple of
+    * the floor: a width like 46 on 32 cores schedules as a full wave of 32
+    * plus a straggler wave of 14 that idles 18 slots (~30% of the stage,
+    * measured on the 1.6M-doc build) — rounding to 64 gives two full waves
+    * of smaller tasks. At cluster scale the width is thousands of
+    * partitions and the rounding cost vanishes. */
   def encodeParts(floorParts: Int, sumTokens: Long): Int = {
     val byData = (sumTokens + POSTINGS_PER_PARTITION - 1) / POSTINGS_PER_PARTITION
-    math.max(floorParts, math.min(byData, 200000L).toInt)
+    val capped = math.min(byData, 200000L).toInt
+    if (capped <= floorParts) floorParts
+    else ((capped + floorParts - 1) / floorParts) * floorParts
   }
 
   /** THE shuffle: repartition postings by hash(term, docId/saltSpan), sort
