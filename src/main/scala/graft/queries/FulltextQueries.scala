@@ -729,6 +729,29 @@ object FulltextQueries {
           (col("minpps") > 0).as("rates_positive"),
           (col("tb") > 0).as("blocks_positive"))
     }),
+    // spellcheck collation (DirectSpellChecker + Solr collate, reference:
+    // lucene/suggest/src/java/org/apache/lucene/search/suggest/... and
+    // solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java):
+    // each misspelled input term corrects to the dictionary term with the
+    // smallest edit distance (<= 2), ties broken by higher docFreq then
+    // term order — Lucene's suggestion ranking. The candidate walk is a
+    // distributed scan of termStats (one row per term), never the blocks.
+    "ft_spell_collate" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val inputs = Seq("vektor", "tabel").toDF("term_in")
+      index.termStats.toDF().select(col("term"), col("docFreq"))
+        .crossJoin(broadcast(inputs))
+        .withColumn("dist", levenshtein(col("term_in"), col("term")))
+        .filter(col("dist") <= 2)
+        .withColumn("rk", row_number().over(Window.partitionBy("term_in")
+          .orderBy(asc("dist"), desc("docFreq"), asc("term"))))
+        .filter(col("rk") === 1)
+        .select(col("term_in"), col("term").as("correction"),
+          col("dist").cast("long").as("dist"), col("docFreq").as("df"))
+        .orderBy("term_in")
+    }),
     // totalHits: exact match count for a query (TotalHits EQUAL_TO surface;
     // the distributed count never collects the match set to the driver)
     "ft_count" -> ((spark, sfDir) => {
@@ -1757,6 +1780,19 @@ object FulltextQueries {
          |WHERE len(list_filter(generate_series(1, len(tk) - 1),
          |        i -> (tk[i] = 'fast' OR tk[i] = 'slow') AND tk[i + 1] = 'table')) > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_spell_collate" ->
+      s"""WITH dict AS (
+         |  SELECT tok AS term, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY tok),
+         |inp(term_in) AS (VALUES ('vektor'), ('tabel'))
+         |SELECT term_in, correction, dist, df FROM (
+         |  SELECT term_in, term AS correction,
+         |    CAST(levenshtein(term_in, term) AS BIGINT) AS dist, df,
+         |    row_number() OVER (PARTITION BY term_in
+         |      ORDER BY levenshtein(term_in, term), df DESC, term) AS rk
+         |  FROM inp, dict WHERE levenshtein(term_in, term) <= 2)
+         |WHERE rk = 1 ORDER BY term_in""".stripMargin,
     // build telemetry: total postings = Σ per-doc distinct tokens
     "ft_build_metrics" ->
       s"""SELECT CAST(sum(len(list_distinct(tk))) AS BIGINT) AS total_postings,

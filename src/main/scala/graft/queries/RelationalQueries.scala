@@ -416,6 +416,19 @@ object RelationalQueries {
         .orderBy(asc("dist_km"), asc("c_custkey"))
         .limit(10)
     }),
+    // per-bucket percentiles (Solr stats component over facet buckets,
+    // percentiles param — reference: solr/core/src/java/org/apache/solr/
+    // handler/component/StatsValuesFactory.java percentiles): exact
+    // interpolated median + p90 per group. Interpolation on whole-number
+    // doubles yields x.0/x.5 exactly in both engines.
+    "q_group_percentile" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag")
+    }),
     // Pearson correlation + sample covariance (Solr math expressions `corr`
     // / `cov`, reference: solr/solrj/src/java/org/apache/solr/client/solrj/
     // io/eval/CorrelationEvaluator.java, CovarianceEvaluator.java). One
@@ -711,6 +724,11 @@ object RelationalQueries {
          |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km
          |FROM customer
          |ORDER BY dist_km, c_custkey LIMIT 10""".stripMargin,
+    "q_group_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_corr" ->
       s"""SELECT $corrExpr AS corr_qty_price, $covExpr AS cov_qty_price FROM (
          |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,

@@ -288,6 +288,38 @@ object TrainingDataQueries {
         .select(col("source"), col("doc_id"))
         .orderBy("source", "doc_id")
     }),
+    // the operators COMPOSED as one pipeline (quality gate -> exact dedup
+    // keeper -> per-domain quota -> corpus stats), the way a production
+    // pre-training data job chains them: each stage consumes the previous
+    // stage's surviving DataFrame, so Catalyst plans the whole chain as one
+    // job — filters run before either shuffle, and the two shuffles (dedup
+    // hash, domain quota) touch only survivors.
+    "td_pipeline" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          expr(TOKS).as("tk"))
+      val quality = base
+        .filter(size(col("tk")) >= 2)
+        .filter(expr(
+          "array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t)))) * 10 <= size(tk) * 3"))
+        .filter(expr(
+          """(size(tk) - 1 - size(array_distinct(
+            |   transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))))) * 5
+            | <= size(tk) - 1""".stripMargin))
+      val deduped = quality
+        .withColumn("rhash",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rhash") === 1)
+      val quota = deduped
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= 5)
+      quota.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
     // perplexity-style LM quality filter (the CCNet recipe, Wenzek et al.
     // 2020 — public paper — scores docs by LM perplexity and drops the worst
     // tail). No external LM exists in this sandbox, so the LM is the
@@ -739,6 +771,29 @@ object TrainingDataQueries {
         |          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS aug
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "td_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source, text, tk
+         |  FROM (SELECT doc_id, lang, source, text, $TOKS AS tk FROM documents)
+         |  WHERE len(tk) >= 2
+         |    AND list_max(list_transform(list_distinct(tk),
+         |          t -> len(list_filter(tk, x -> x = t)))) * 10 <= len(tk) * 3
+         |    AND (len(tk) - 1 - len(list_distinct(list_transform(
+         |          generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])))) * 5
+         |        <= len(tk) - 1
+         |), d AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rhash
+         |    FROM q) WHERE rhash = 1
+         |), k AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |    FROM d) WHERE rn <= 5
+         |)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS sum_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "td_perplexity" ->
       s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
          |tf AS (SELECT tok, count(*) AS ttf FROM toks GROUP BY tok),
