@@ -1284,6 +1284,28 @@ object FulltextQueries {
           round5Col(col("bg_count").cast("double") / col("bg_size")).as("bg_pop"),
           round5Col(rel).as("relatedness"))
         .orderBy(desc("relatedness"), asc("lang"))
+    }),
+    // DiversifiedTopDocsCollector (lucene/misc/.../search/
+    // DiversifiedTopDocsCollector.java:61-64: top-k "with a maximum number
+    // of results from a single source" — the de-duplicating priority queue
+    // keeps at most maxHitsPerKey hits per key). Distributed shape: the
+    // per-key cap is ONE window shuffle on the key over the full scored
+    // match set (a key's best hits can sit arbitrarily deep in the global
+    // ranking, so a global top-N pre-cut would be wrong), then a k·P merge.
+    "ft_diversified" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector OR table"))
+        .toDF("docId", "score")
+      val w = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+      scored
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("lang"), col("score"))
     })
   )
 
@@ -2150,6 +2172,27 @@ object FulltextQueries {
          |       + 0.2 * ((zv + 80.0) / (50.0 + abs(zv + 80.0)))) * 100000.0 + 0.5)
          |    / 100000.0 AS relatedness
          |FROM z
-         |ORDER BY relatedness DESC, lang""".stripMargin
+         |ORDER BY relatedness DESC, lang""".stripMargin,
+    // diversified top-k: per-lang rank over the FULL scored match set
+    // (scores round4'd before ranking, as everywhere), cap 2 per lang,
+    // then the global top-10
+    "ft_diversified" ->
+      s"""$PRELUDE,
+         |scored AS (
+         |  SELECT x.doc_id, d.lang, round(x.s, 4) AS score
+         |  FROM (
+         |    SELECT dl.doc_id,
+         |      ${tfSql("vector")} AS tf_v, ${tfSql("table")} AS tf_t,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}
+         |        + ${bmSql(idfSql(dfSql("table")), tfSql("table"))} AS s
+         |    FROM dl, st) x
+         |  JOIN documents d ON x.doc_id = d.doc_id
+         |  WHERE x.tf_v > 0 OR x.tf_t > 0)
+         |SELECT doc_id, lang, score FROM (
+         |  SELECT doc_id, lang, score,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -446,6 +446,23 @@ object RelationalQueries {
           sum(col("x") * col("y")).as("sxy"))
         .selectExpr(s"$corrExpr AS corr_qty_price", s"$covExpr AS cov_qty_price")
     }),
+    // Welch's two-sample t-test between return-flag groups (Solr math
+    // `ttest`, reference: solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/TTestEvaluator.java — the commons-math Welch
+    // statistic): one grouped agg of exact BIGINT sums (map-side
+    // combined), then a single-row formula — never a collect
+    "q_ttest" -> ((spark, sfDir) => {
+      val g = t(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .selectExpr("l_returnflag AS f", "CAST(l_quantity AS BIGINT) AS x")
+        .groupBy("f")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("q"))
+      g.filter(col("f") === "R").selectExpr("n AS n1", "s AS s1", "q AS q1")
+        .crossJoin(g.filter(col("f") === "A")
+          .selectExpr("n AS n2", "s AS s2", "q AS q2"))
+        .selectExpr("n1", "n2", s"$ttestExpr AS t_stat")
+    }),
     // equal-width histogram over data-driven min/max (Solr `hist`,
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // HistogramEvaluator.java): two agg passes (bounds, then bin counts via
@@ -502,6 +519,15 @@ object RelationalQueries {
       "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)"
   private val covExpr =
     "round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4)"
+
+  /** Welch's t over per-group exact sums (n, s=Σx, q=Σx²): t =
+    * (m1−m2)/sqrt(v1/n1 + v2/n2), v from the sum-of-squares identity —
+    * shared expression text so Spark and DuckDB run the identical IEEE op
+    * sequence over identical BIGINT inputs. */
+  private val ttestExpr =
+    "round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / " +
+      "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1 + " +
+      "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2), 4)"
 
   /** mean + 2.5·sd over (n, s, ss) exact sums — shared threshold text. */
   private val zThresholdExpr =
@@ -735,6 +761,12 @@ object RelationalQueries {
          |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
          |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
          |               CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem))""".stripMargin,
+    "q_ttest" ->
+      s"""SELECT n1, n2, $ttestExpr AS t_stat FROM
+         |  (SELECT count(*) AS n1, sum(x) AS s1, sum(x * x) AS q1 FROM
+         |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'R')),
+         |  (SELECT count(*) AS n2, sum(x) AS s2, sum(x * x) AS q2 FROM
+         |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'A'))""".stripMargin,
     "q_hist" ->
       """SELECT CAST(floor(CAST((x - minx) * 10 AS DOUBLE)
         |                  / CAST(maxx - minx + 1 AS DOUBLE)) AS BIGINT) AS bin,

@@ -33,6 +33,50 @@ object TrainingDataQueries {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** floor(x*1000) integer quantization of the embedding column — every
+    * cross-row sum over `v` is exact and order-independent (shared by
+    * td_kmeans and the IVF coarse quantizer). */
+  private def quantCol: Column =
+    transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** k-means seeds = the first k quantized vectors (deterministic). */
+  private def seedCentroids(e: DataFrame, k: Int = 4): Array[Array[Long]] =
+    e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("v").collect().map(_.getSeq[Long](0).toArray)
+
+  /** argmin over k centroids: struct (dist, cid) array-sorted takes the
+    * lexicographic minimum — ties resolve to the lowest cluster id.
+    * Integer-centroid variant: distances are exact BIGINT sums. */
+  private def assignNearestL(cs: Array[Array[Long]]): Column =
+    element_at(array_sort(array(cs.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(zip_with(col("v"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d).as("d"),
+        lit(j.toLong).as("c"))
+    }: _*)), 1).getField("c")
+
+  /** Double-centroid variant: sequential double folds, same tie order. */
+  private def assignNearestD(cs: Array[Array[Double]]): Column =
+    element_at(array_sort(array(cs.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(zip_with(col("v"), typedLit(c.toSeq),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, d) => acc + d).as("d"),
+        lit(j.toLong).as("c"))
+    }: _*)), 1).getField("c")
+
+  /** One exact Lloyd update: per-cluster per-dim means as single IEEE
+    * divisions of exact BIGINT sums (k×dims rows collected — tiny). */
+  private def lloydMeans(a1: DataFrame, k: Int): Array[Array[Double]] = {
+    val meanRows = a1.select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cl", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect()
+    (0 until k).map { j =>
+      meanRows.filter(_.getLong(0) == j).sortBy(_.getInt(1))
+        .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble).toArray
+    }.toArray
+  }
+
   /** Deterministic +-1 hyperplanes for the sign-LSH ANN (seeded xorshift —
     * fixed constants shared verbatim with the DuckDB oracle as a VALUES
     * literal). 8 planes x 64 dims. */
@@ -391,6 +435,42 @@ object TrainingDataQueries {
         .filter(col("df") > 1)
         .orderBy("h")
     }),
+    // Naive Bayes classification (reference: lucene/classification/src/
+    // java/org/apache/lucene/classification/SimpleNaiveBayesClassifier.java
+    // assignClassNormalizedList: score(c) = log P(c) + Σ_w log P(w|c), with
+    // getWordProbability's Laplace smoothing (tf(w,c)+1)/(tokens(c)+|V|)).
+    // Train = every doc but doc 0 (class = lang); classify doc 0's token
+    // stream. Micro-nat integers (floor(ln·1e6), the td_perplexity
+    // discipline) make every log-sum an exact BIGINT — order-independent
+    // and engine-portable. Scale shape: the model is two grouped aggs
+    // (class-term counts + class totals, both map-side combined) and
+    // classification is one broadcast join of test tokens vs the model.
+    "td_nb_classify" -> ((spark, sfDir) => {
+      val toks = docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"), explode(expr(TOKS)).as("tok"))
+      val train = toks.filter(col("doc_id") =!= 0)
+      val tf = train.groupBy("lang", "tok").agg(count(lit(1)).as("ctf"))
+      val totals = train.groupBy("lang").agg(count(lit(1)).as("ctoks"))
+      val vocab = train.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val prior = docs(spark, sfDir).filter(col("doc_id") =!= 0)
+        .groupBy("lang").agg(count(lit(1)).as("cdocs"))
+      val nTrain = docs(spark, sfDir).filter(col("doc_id") =!= 0)
+        .agg(count(lit(1)).as("n"))
+      val test = toks.filter(col("doc_id") === 0).select("tok")
+      val ll = test.crossJoin(broadcast(totals))
+        .join(tf, Seq("lang", "tok"), "left").na.fill(0L, Seq("ctf"))
+        .crossJoin(broadcast(vocab))
+        .select(col("lang"),
+          expr("CAST(floor((ln(CAST(ctf + 1 AS DOUBLE)) - ln(CAST(ctoks + v AS DOUBLE))) * 1000000.0) AS BIGINT)")
+            .as("mn"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_toks"), sum("mn").as("log_likelihood_micro"))
+      ll.join(broadcast(prior), "lang").crossJoin(broadcast(nTrain))
+        .withColumn("score_micro", col("log_likelihood_micro") +
+          expr("CAST(floor((ln(CAST(cdocs AS DOUBLE)) - ln(CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)"))
+        .select(col("lang"), col("n_toks"), col("score_micro"))
+        .orderBy(desc("score_micro"), asc("lang"))
+    }),
     // kNN classification (reference: lucene/classification/src/java/org/
     // apache/lucene/classification/KNearestNeighborClassifier.java:160-190
     // assignClass = majority vote over the top-k neighbors): top-5 cosine
@@ -439,40 +519,52 @@ object TrainingDataQueries {
     // distance re-assign). Scale shape: assignment is a map over rows
     // against a k×dims broadcast, the update one groupBy — no all-pairs.
     "td_kmeans" -> ((spark, sfDir) => {
-      val quant = transform(col("embedding"),
-        x => floor(x.cast("double") * 1000).cast("long"))
-      val e = emb(spark, sfDir).select(col("vec_id"), quant.as("v"))
-      val c0: Array[Array[Long]] = e.filter(col("vec_id") < 4).orderBy("vec_id")
-        .select("v").collect().map(_.getSeq[Long](0).toArray)
-      // argmin over k centroids: struct (dist, cid) array-sorted takes the
-      // lexicographic minimum — ties resolve to the lowest cluster id
-      def assignL(cs: Array[Array[Long]]): Column =
-        element_at(array_sort(array(cs.zipWithIndex.map { case (c, j) =>
-          struct(
-            aggregate(zip_with(col("v"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, d) => acc + d).as("d"),
-            lit(j.toLong).as("c"))
-        }: _*)), 1).getField("c")
-      def assignD(cs: Array[Array[Double]]): Column =
-        element_at(array_sort(array(cs.zipWithIndex.map { case (c, j) =>
-          struct(
-            aggregate(zip_with(col("v"), typedLit(c.toSeq),
-              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-              lit(0.0), (acc, d) => acc + d).as("d"),
-            lit(j.toLong).as("c"))
-        }: _*)), 1).getField("c")
-      val a1 = e.withColumn("cl", assignL(c0))
-      // exact integer per-dim sums -> means as one IEEE division each
-      val meanRows = a1.select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cl", "i").agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val means: Array[Array[Double]] = (0 until 4).map { j =>
-        meanRows.filter(_.getLong(0) == j).sortBy(_.getInt(1))
-          .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble).toArray
-      }.toArray
-      a1.drop("cl").withColumn("cl", assignD(means))
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      val c0 = seedCentroids(e)
+      val a1 = e.withColumn("cl", assignNearestL(c0))
+      val means = lloydMeans(a1, 4)
+      a1.drop("cl").withColumn("cl", assignNearestD(means))
         .groupBy(col("cl").as("cluster")).agg(count(lit(1)).as("cnt"))
         .orderBy("cluster")
+    }),
+    // IVF ANN (FAISS-style inverted-file index): the coarse quantizer is
+    // the same deterministic k-means as td_kmeans (integer-quantized
+    // embeddings, seeds vec_id 0..3, one exact Lloyd iteration); every
+    // vector is assigned to its nearest centroid — the inverted lists —
+    // and the query probes only the nprobe=2 nearest lists with
+    // full-precision cosine. 100 TB shape: training is a sample + a k×dims
+    // broadcast, assignment is map-only, and the stored table would be
+    // PARTITIONED BY list id so each probe is a partition-pruned scan of
+    // ~nprobe/k of the corpus — never td_knn_exact's full scan.
+    "td_knn_ivf" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), quantCol.as("v"))
+      val c0 = seedCentroids(e)
+      val means = lloydMeans(e.withColumn("cl", assignNearestL(c0)), 4)
+      val lists = e.withColumn("cl", assignNearestD(means))
+      val qrow = e.filter(col("vec_id") === 0)
+        .select(col("embedding"), col("v")).head()
+      val q = qrow.getSeq[Float](0).map(_.toDouble).toArray
+      val qv = qrow.getSeq[Long](1).toArray
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      // rank centroids for the query with the same sequential double fold
+      // the assignment uses; ties resolve to the lowest list id
+      val probes = means.zipWithIndex.map { case (c, j) =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = qv(i).toDouble - c(i); d += t * t; i += 1 }
+        (d, j.toLong)
+      }.sorted.take(2).map(_._2)
+      val qcol = typedLit(q)
+      val dot = aggregate(
+        zip_with(col("embedding"), qcol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      val vn = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      lists.filter(col("vec_id") =!= 0 && col("cl").isin(probes: _*))
+        .select(col("vec_id"), round(dot / (vn * lit(qn)), 4).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
     }),
     "td_knn_lsh" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -847,6 +939,31 @@ object TrainingDataQueries {
         |  WHERE i <= length(text) / 50 - 1)
         |WHERE length(win) = 50
         |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1 ORDER BY h""".stripMargin,
+    // Naive Bayes: same Laplace-smoothed micro-nat sums; the LEFT JOIN
+    // against the class-term counts supplies tf=0 for unseen (class, word)
+    "td_nb_classify" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($TOKS) AS tok FROM documents),
+         |train AS (SELECT * FROM toks WHERE doc_id <> 0),
+         |tf AS (SELECT lang, tok, count(*) AS ctf FROM train GROUP BY lang, tok),
+         |tot AS (SELECT lang, count(*) AS ctoks FROM train GROUP BY lang),
+         |voc AS (SELECT count(DISTINCT tok) AS v FROM train),
+         |pri AS (SELECT lang, count(*) AS cdocs FROM documents WHERE doc_id <> 0 GROUP BY lang),
+         |nd AS (SELECT count(*) AS n FROM documents WHERE doc_id <> 0),
+         |ll AS (
+         |  SELECT tot.lang,
+         |    CAST(floor((ln(CAST(coalesce(tf.ctf, 0) + 1 AS DOUBLE))
+         |              - ln(CAST(tot.ctoks + voc.v AS DOUBLE))) * 1000000.0) AS BIGINT) AS mn
+         |  FROM (SELECT tok FROM toks WHERE doc_id = 0) test
+         |  CROSS JOIN tot CROSS JOIN voc
+         |  LEFT JOIN tf ON tf.lang = tot.lang AND tf.tok = test.tok),
+         |s AS (SELECT lang, count(*) AS n_toks, sum(mn) AS log_likelihood_micro
+         |      FROM ll GROUP BY lang)
+         |SELECT s.lang, s.n_toks,
+         |  s.log_likelihood_micro
+         |    + CAST(floor((ln(CAST(pri.cdocs AS DOUBLE))
+         |                - ln(CAST(nd.n AS DOUBLE))) * 1000000.0) AS BIGINT) AS score_micro
+         |FROM s JOIN pri ON s.lang = pri.lang CROSS JOIN nd
+         |ORDER BY score_micro DESC, s.lang""".stripMargin,
     "td_knn_classify" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -900,6 +1017,56 @@ object TrainingDataQueries {
         |    FROM e CROSS JOIN c1)
         |  WHERE rn = 1)
         |SELECT cl AS cluster, count(*) AS cnt FROM a2 GROUP BY cl ORDER BY cluster""".stripMargin,
+    // IVF: same c0 -> a1 -> means -> c1 training CTEs as td_kmeans; a2 =
+    // the inverted lists; probe = the 2 centroids nearest the query's
+    // quantized vector (same sequential double fold); exact cosine only
+    // inside the probed lists
+    "td_knn_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT e.vec_id, e.v, c0.cid AS cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)),
+        |          i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) ASC, c0.cid ASC) AS rn
+        |    FROM e CROSS JOIN c0)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT cl, i, CAST(sum(v[i]) AS DOUBLE) / count(*) AS mu
+        |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT len(v) FROM e LIMIT 1))) AS i) gs
+        |  GROUP BY cl, i),
+        |c1 AS (SELECT cl AS cid, list(mu ORDER BY i) AS c FROM m GROUP BY cl),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT e.vec_id, c1.cid AS cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)),
+        |          i -> (CAST(e.v[i] AS DOUBLE) - c1.c[i])
+        |             * (CAST(e.v[i] AS DOUBLE) - c1.c[i]))) ASC, c1.cid ASC) AS rn
+        |    FROM e CROSS JOIN c1)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT c1.cid,
+        |      list_sum(list_transform(generate_series(1, len(q.v)),
+        |        i -> (CAST(q.v[i] AS DOUBLE) - c1.c[i])
+        |           * (CAST(q.v[i] AS DOUBLE) - c1.c[i]))) AS d
+        |    FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN c1)
+        |  ORDER BY d ASC, cid ASC LIMIT 2),
+        |qv AS (SELECT ve AS qe FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(
+        |  list_sum(list_transform(generate_series(1, len(ve)), i -> ve[i] * qe[i])) /
+        |  (sqrt(list_sum(list_transform(ve, x -> x * x))) *
+        |   sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+        |FROM e JOIN a2 USING (vec_id) CROSS JOIN qv
+        |WHERE vec_id <> 0 AND a2.cl IN (SELECT cid FROM probe)
+        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
     "td_knn_lsh" -> knnLshOracle,
     "td_dedup_embed" -> dedupEmbedOracle,
     "td_langid" ->
