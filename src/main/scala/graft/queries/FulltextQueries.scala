@@ -881,6 +881,21 @@ object FulltextQueries {
         .orderBy(desc("doc_freq"), asc("term"))
         .limit(5)
     }),
+    // infix autocomplete (lucene/suggest AnalyzingInfixSuggester: matches
+    // the query string ANYWHERE in the suggestion, ranked by weight) —
+    // unlike the prefix walks above, the infix predicate cannot use the
+    // dictionary's sort order, so Lucene keeps a dedicated suggest index;
+    // here it is one vectorized contains() scan of the term-keyed
+    // dictionary (1 row per term — never the blocks table)
+    "ft_infix_suggest" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats.toDF()
+        .filter($"term".contains("er"))
+        .select($"term", $"docFreq".as("weight"))
+        .orderBy(desc("weight"), asc("term"))
+        .limit(5)
+    }),
     // MoreLikeThis (lucene/queries mlt.MoreLikeThis): re-analyze doc 42's
     // stored text, pick the top-5 terms by tf*idf (minTermFreq=2,
     // minDocFreq=5 — the MLT defaults) with df from the real term dictionary,
@@ -1879,6 +1894,12 @@ object FulltextQueries {
          |WHERE tok LIKE 's%'
          |GROUP BY tok
          |ORDER BY doc_freq DESC, term LIMIT 5""".stripMargin,
+    "ft_infix_suggest" ->
+      s"""SELECT tok AS term, count(*) AS weight
+         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |WHERE tok LIKE '%er%'
+         |GROUP BY tok
+         |ORDER BY weight DESC, term LIMIT 5""".stripMargin,
     "ft_mlt" ->
       s"""$PRELUDE,
          |bg AS (SELECT tok AS term, count(*) AS df

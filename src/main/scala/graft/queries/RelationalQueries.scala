@@ -222,6 +222,30 @@ object RelationalQueries {
         .select("o_custkey", "o_orderkey", "rn")
         .orderBy("o_custkey", "rn")
     }),
+    // collapse + expand (Solr CollapsingQParser + ExpandComponent,
+    // reference: solr/core/src/java/org/apache/solr/handler/component/
+    // ExpandComponent.java): collapse keeps the head doc per group (highest
+    // o_totalprice), expand returns up to 2 of the collapsed-away docs per
+    // surviving group under a DIFFERENT sort (o_orderkey asc) — the two
+    // result sets ride the same window shuffle
+    "q_expand" -> ((spark, sfDir) => {
+      val wHead = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val o = t(spark, sfDir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("head_rn", row_number().over(wHead))
+      val heads = o.filter(col("head_rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), lit("collapsed").as("kind"),
+          lit(0L).as("rnk"))
+      val wExp = Window.partitionBy("o_custkey").orderBy(asc("o_orderkey"))
+      val expanded = o.filter(col("head_rn") > 1)
+        .withColumn("rnk", row_number().over(wExp).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), lit("expanded").as("kind"),
+          col("rnk"))
+      heads.unionByName(expanded)
+        .orderBy("o_custkey", "kind", "rnk", "o_orderkey")
+    }),
     // time-series bucketing (TimeSeriesStream)
     "q_timeseries" -> ((spark, sfDir) => {
       t(spark, sfDir, "events")
@@ -402,6 +426,16 @@ object RelationalQueries {
         .select("c_custkey", "lat", "lon")
         .orderBy("c_custkey")
     }),
+    // polygon containment (LatLonPoint.newPolygonQuery): ray-cast crossing
+    // test against a fixed quadrilateral — map-only predicate over the
+    // synthetic coordinates, the same shape Lucene evaluates per point
+    "q_geo_polygon" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
+        .filter(expr(pipSql("lat", "lon", polyVerts)))
+        .select("c_custkey", "lat", "lon")
+        .orderBy("c_custkey")
+    }),
     // geodist() (solr/core/.../search/function/distance/HaversineConstFunction.java;
     // DistanceUtils.distHaversineRAD, earth mean radius 6371.0087714 km):
     // 10 nearest customers to (48.85, 2.35). The formula text is shared
@@ -540,6 +574,30 @@ object RelationalQueries {
   private val lonSql =
     "CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0"
 
+  /** Fixed test polygon (lat, lon) — a convex quad over Europe-ish space. */
+  private val polyVerts: Seq[(Double, Double)] =
+    Seq((35.0, -12.0), (62.0, -5.0), (58.0, 24.0), (38.0, 15.0))
+
+  /** Ray-casting point-in-polygon (LatLonPoint.newPolygonQuery; reference
+    * crossing test: lucene/core/src/java/org/apache/lucene/geo/Polygon2D /
+    * GeoUtils — odd number of edges crossed by the +lon ray). One SQL text
+    * evaluated by BOTH engines; vertices are exact two-decimal doubles so
+    * the edge arithmetic is deterministic IEEE. */
+  private def pipSql(latC0: String, lonC0: String,
+                     verts: Seq[(Double, Double)]): String = {
+    val lat = s"($latC0)"; val lon = s"($lonC0)"
+    val edges = verts.indices.map { i =>
+      val (y1, x1) = verts(i)
+      val (y2, x2) = verts((i + 1) % verts.size)
+      s"""(CASE WHEN (CAST($y1 AS DOUBLE) > $lat) <> (CAST($y2 AS DOUBLE) > $lat)
+         | AND $lon < (CAST($x2 AS DOUBLE) - CAST($x1 AS DOUBLE))
+         |   * ($lat - CAST($y1 AS DOUBLE))
+         |   / (CAST($y2 AS DOUBLE) - CAST($y1 AS DOUBLE)) + CAST($x1 AS DOUBLE)
+         | THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }
+    s"((${edges.mkString(" + ")}) % 2 = 1)"
+  }
+
   /** Haversine in the reference's op order (DistanceUtils.distHaversineRAD:
     * h = sin²(Δy/2) + cos(y1)·cos(y2)·sin²(Δx/2);
     * d = 2·atan2(√h, √(1−h))·R) — one SQL text evaluated by BOTH engines. */
@@ -657,6 +715,23 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q_expand" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS head_rn
+        |  FROM orders WHERE o_custkey <= 50),
+        |heads AS (
+        |  SELECT o_custkey, o_orderkey, 'collapsed' AS kind, CAST(0 AS BIGINT) AS rnk
+        |  FROM o WHERE head_rn = 1),
+        |exp AS (
+        |  SELECT o_custkey, o_orderkey, 'expanded' AS kind, rnk FROM (
+        |    SELECT o_custkey, o_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnk
+        |    FROM o WHERE head_rn > 1)
+        |  WHERE rnk <= 2)
+        |SELECT * FROM (SELECT * FROM heads UNION ALL SELECT * FROM exp)
+        |ORDER BY o_custkey, kind, rnk, o_orderkey""".stripMargin,
     "q_facet_nested" ->
       """WITH lc AS (SELECT lang, count(*) AS lang_cnt FROM documents GROUP BY lang),
         |top2 AS (SELECT lang, lang_cnt FROM lc ORDER BY lang_cnt DESC, lang LIMIT 2),
@@ -744,6 +819,11 @@ object RelationalQueries {
       s"""SELECT c_custkey, $latSql AS lat, $lonSql AS lon
          |FROM customer
          |WHERE $latSql BETWEEN 40.0 AND 60.0 AND $lonSql BETWEEN -10.0 AND 20.0
+         |ORDER BY c_custkey""".stripMargin,
+    "q_geo_polygon" ->
+      s"""SELECT c_custkey, lat, lon FROM (
+         |  SELECT c_custkey, $latSql AS lat, $lonSql AS lon FROM customer)
+         |WHERE ${pipSql("lat", "lon", polyVerts)}
          |ORDER BY c_custkey""".stripMargin,
     "q_geodist" ->
       s"""SELECT c_custkey,

@@ -435,6 +435,47 @@ object TrainingDataQueries {
         .filter(col("df") > 1)
         .orderBy("h")
     }),
+    // benchmark decontamination (the n-gram-overlap check every serious
+    // training pipeline runs before the eval suite — e.g. GPT-3 App. C /
+    // PaLM-style 8-gram filtering): docs 0..4 stand in for the benchmark;
+    // any training doc sharing a w-token shingle with a benchmark doc is
+    // flagged with its overlap count (w=4 here so the synthetic corpus
+    // yields overlaps; production pipelines run w=8..13 — only the
+    // constant changes). Scale shape: the benchmark shingle
+    // set is tiny and BROADCAST; training shingles stream through a
+    // map-side hash join — the corpus is never shuffled on the shingle key.
+    "td_decontaminate" -> ((spark, sfDir) => {
+      val sh = docs(spark, sfDir)
+        .select(col("doc_id"), expr(TOKS).as("tk"))
+        .filter(size(col("tk")) >= 4) // sequence(0, <0) would descend
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 4), i -> md5(array_join(slice(tk, i + 1, 4), ' ')))"))
+          .as("h"))
+      val bench = sh.filter(col("doc_id") < 5).select(col("h")).distinct()
+      sh.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+    // sequence packing (the concat-and-chop packing step that turns a doc
+    // stream into fixed-budget training sequences): docs are packed in
+    // doc_id order within each lang partition, sequence id = the 512-token
+    // bin the doc's START offset lands in. Scale shape: the cumulative sum
+    // is a per-lang window — packing parallelizes across partitions, never
+    // a global single-partition sort.
+    "td_pack" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"), size(expr(TOKS)).cast("long").as("n"))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n")) / lit(512)).cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"))
+        .orderBy("lang", "seq_id")
+    }),
     // Naive Bayes classification (reference: lucene/classification/src/
     // java/org/apache/lucene/classification/SimpleNaiveBayesClassifier.java
     // assignClassNormalizedList: score(c) = log P(c) + Σ_w log P(w|c), with
@@ -939,6 +980,25 @@ object TrainingDataQueries {
         |  WHERE i <= length(text) / 50 - 1)
         |WHERE length(win) = 50
         |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1 ORDER BY h""".stripMargin,
+    "td_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, md5(array_to_string(tk[i + 1:i + 4], ' ')) AS h
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents),
+         |       (SELECT unnest(generate_series(0, 5000)) AS i) gs
+         |  WHERE len(tk) >= 4 AND i <= len(tk) - 4),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 5)
+         |SELECT doc_id, count(DISTINCT sh.h) AS n_shared
+         |FROM sh JOIN bench ON sh.h = bench.h
+         |WHERE doc_id >= 5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "td_pack" ->
+      s"""SELECT lang, seq_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_toks FROM (
+         |  SELECT lang, doc_id, n,
+         |    CAST(floor((sum(n) OVER w - n) / 512) AS BIGINT) AS seq_id
+         |  FROM (SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS n FROM documents)
+         |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
     // Naive Bayes: same Laplace-smoothed micro-nat sums; the LEFT JOIN
     // against the class-term counts supplies tf=0 for unseen (class, word)
     "td_nb_classify" ->
