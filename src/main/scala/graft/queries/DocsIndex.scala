@@ -291,6 +291,29 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.simple))
       })
 
+  /** A second per-field index over the SOURCE label alone (one token per
+    * doc) — the multi-field surface behind ft_edismax: Lucene/Solr keep one
+    * inverted index per field, and eDisMax scores each field independently
+    * before the per-term max. dl=1 everywhere, so avgdl=1 and the
+    * SmallFloat norm is exact. */
+  def getSourceField(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#srcf", _ => {
+        import spark.implicits._
+        val f = documents(spark, sfDir)
+          .select(
+            lit("corpus").as("repo"),
+            format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"source".as("content"),
+            lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(f, IndexConfig(analyzer = Analyzers.simple))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.simple))
+      })
+
   /** Per-task build telemetry of a dedicated (cached) corpus build — the
     * lineage + postings/sec rows the encode stage records per shuffle task
     * ([[graft.index.TaskBuildMetric]]), persisted with the segment. */

@@ -318,6 +318,66 @@ object FulltextQueries {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+    // eDisMax over per-field indexes (solr/core/src/java/org/apache/solr/
+    // search/ExtendedDismaxQParser.java: each query term scores every field
+    // in qf independently, DisjunctionMax with the field boost picks the
+    // winner, and the per-term maxima sum). qf = "text^1 source^2"; the
+    // source field has its OWN inverted index (one token per doc), exactly
+    // as Lucene keeps one postings list per (field, term).
+    "ft_edismax" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val (sIdx, sSearcher) = DocsIndex.getSourceField(spark, sfDir)
+      def fieldScores(sr: graft.search.GraftSearcher,
+                      idx: graft.index.GraftIndex, t: String): DataFrame =
+        sr.scoreAllDoubleDS(sr.parse(t)).toDF("docId", "s")
+          .join(DocsIndex.docIdMap(idx), "docId")
+          .select(col("doc_id"), col("s"))
+      val perTerm = Seq("vector", "src3").map { t =>
+        fieldScores(searcher, index, t).withColumnRenamed("s", "st")
+          .join(fieldScores(sSearcher, sIdx, t).withColumnRenamed("s", "ss"),
+            Seq("doc_id"), "full")
+          .na.fill(0.0, Seq("st", "ss"))
+          .select(col("doc_id"), greatest(col("st"), col("ss") * lit(2.0)).as("s"))
+      }.reduce(_ unionByName _)
+      perTerm.groupBy("doc_id").agg(round4Col(sum("s")).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // query-time join with scores (lucene/join JoinUtil.createJoinQuery
+    // ScoreMode.Max; reference: lucene/join/src/java/org/apache/lucene/
+    // search/join/TermsIncludingScoreQuery.java): the from-query's BM25
+    // scores aggregate per join value (max), and every to-side doc with
+    // that value inherits the aggregated score. The per-value score table
+    // is small (distinct join values) and broadcast to the to-side scan.
+    "ft_join_scored" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val from = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s")
+        .join(index.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .groupBy("commit").agg(max("s").as("score"))
+      index.docs.toDF().select(col("docId"), col("commit"))
+        .join(broadcast(from), "commit")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    }),
+    // CoveringQuery (lucene/sandbox/src/java/org/apache/lucene/search/
+    // CoveringQuery.java): match docs where the NUMBER of matching clauses
+    // >= a per-doc LongValuesSource — here len % 3 + 1. Each clause's
+    // match set comes off the real index scatter; the count is one groupBy.
+    "ft_covering" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val clauses = Seq("vector", "table", "customer", "window")
+      val matches = clauses.map(t => searcher.matchesDS(searcher.parse(t)).toDF("docId"))
+        .reduce(_ unionByName _)
+      matches.groupBy("docId").agg(count(lit(1)).as("n_matched"))
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .filter(col("n_matched") >= pmod(col("len"), lit(3)) + lit(1))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("n_matched"))
+        .orderBy("doc_id")
+    }),
     // IndexOrDocValuesQuery composition: term match via the inverted index,
     // numeric range via the doc-values column (index.docs.len) — Lucene picks
     // per-segment between postings and docvalues; here Catalyst joins the
@@ -498,6 +558,25 @@ object FulltextQueries {
         .orderBy("doc_id")
     }),
     "ft_search_bool" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "(table OR vector) AND batch", 10)),
+    // prohibited clause through the SCORED path: MUST_NOT filters, never
+    // contributes score (BooleanWeight: prohibited scorers are
+    // two-phase-excluded, reqExcl)
+    "ft_search_not" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "vector AND NOT table", 10)),
+    // minimumNumberShouldMatch through the SCORED path (Boolean2ScorerSupplier
+    // -> MinShouldMatchSumScorer: docs matching >= msm optional clauses,
+    // score = sum over the MATCHING clauses only)
+    "ft_search_msm" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.BoolQ(
+        should = Seq(graft.search.TermQ("vector"), graft.search.TermQ("customer"),
+          graft.search.TermQ("hash")),
+        minShouldMatch = 2)
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     "ft_search_phrase" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\" OR customer", 10)),
     // sloppy phrase scored: BM25 over the sloppy phrase frequency
     "ft_search_sloppy" -> ((spark, sfDir) => hitsDoubleDF(spark, sfDir, "\"big table\"~2", 10)),
@@ -1465,6 +1544,57 @@ object FulltextQueries {
         |WHERE source IN (SELECT source FROM documents
         |  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$)'))
         |ORDER BY doc_id""".stripMargin,
+    // eDisMax: text-side scores from the shared dlq family; source-side
+    // BM25 with the single-token field's exact stats (tf=1, dl=dlq=1,
+    // avgdl=1.0) spelled in the engine's op order — each field rounds to
+    // 4 before the per-term max, like scoreAllDoubleDS does
+    "ft_edismax" ->
+      s"""$PRELUDE,
+         |srcstats AS (SELECT count(*) AS n2,
+         |  (SELECT count(*) FROM documents WHERE source = 'src3') AS df3
+         |  FROM documents),
+         |tsc AS (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("vector")} AS tf_v, ${tfSql("src3")} AS tf_3,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS tv,
+         |    round(${bmSql(idfSql(dfSql("src3")), tfSql("src3"))}, 4) AS t3
+         |  FROM dl, st),
+         |ssc AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN d.source = 'src3' THEN
+         |      round(ln(1 + (s2.n2 - s2.df3 + 0.5) / (s2.df3 + 0.5))
+         |        * (1 * (1.2 + 1))
+         |        / (1 + 1.2 * (1 - 0.75 + 0.75 * CAST(1 AS DOUBLE) / CAST(1 AS DOUBLE))), 4)
+         |    ELSE 0.0 END AS s3
+         |  FROM documents d, srcstats s2)
+         |SELECT doc_id, round(greatest(tv, 2 * 0.0) + greatest(t3, 2 * s3), 4) AS score
+         |FROM tsc JOIN ssc USING (doc_id)
+         |WHERE tf_v > 0 OR tf_3 > 0 OR source = 'src3'
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // ScoreMode.Max join: per-source max of the round4'd from-side scores
+    "ft_join_scored" ->
+      s"""$PRELUDE,
+         |scored AS (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st),
+         |fv AS (
+         |  SELECT d.source, max(sc.s) AS score
+         |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  WHERE sc.tf > 0 GROUP BY d.source)
+         |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_covering" ->
+      s"""SELECT doc_id, n_matched FROM (
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(tk, 'customer') THEN 1 ELSE 0 END)
+         |       + (CASE WHEN list_contains(tk, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |    len(tk) AS l
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |WHERE n_matched >= l % 3 + 1
+         |ORDER BY doc_id""".stripMargin,
     "ft_delete_match" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE (list_contains(tk, 'vector') OR list_contains(tk, 'customer'))
@@ -1606,6 +1736,28 @@ object FulltextQueries {
          |WHERE len(list_filter(range(1, len(tk)),
          |      i -> tk[i] = 'fast' AND tk[i+1] = 'hash')) > 0
          |ORDER BY doc_id""".stripMargin,
+    "ft_search_not" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("vector")} AS tf_v, ${tfSql("table")} AS tf_t,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf_v > 0 AND tf_t = 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_search_msm" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    (CASE WHEN ${tfSql("vector")} > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN ${tfSql("customer")} > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN ${tfSql("hash")} > 0 THEN 1 ELSE 0 END) AS n_match,
+         |    (${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}
+         |     + ${bmSql(idfSql(dfSql("customer")), tfSql("customer"))}
+         |     + ${bmSql(idfSql(dfSql("hash")), tfSql("hash"))}) AS s
+         |  FROM dl, st
+         |) WHERE n_match >= 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_bool" ->
       s"""$PRELUDE
          |SELECT doc_id, round(s, 4) AS score FROM (

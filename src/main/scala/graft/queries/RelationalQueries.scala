@@ -53,6 +53,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")
     }),
+    // range facet with the `other` buckets (Solr facet.range.other=all,
+    // reference: solr/core/src/java/org/apache/solr/request/
+    // SimpleFacets / RangeFacetProcessor — before/after/between counts
+    // alongside the gap buckets): same single-pass grouped agg plus one
+    // filtered global agg
+    "q_facet_range_other" -> ((spark, sfDir) => {
+      val o = t(spark, sfDir, "orders")
+      val bucket = when(col("o_totalprice") < 50000.0, lit("before"))
+        .when(col("o_totalprice") >= 200000.0, lit("after"))
+        .otherwise(concat(lit("r"),
+          floor(col("o_totalprice") / 50000).cast("long").cast("string")))
+      val bins = o.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+      val between = o
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") < 200000.0)
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("between").as("bucket"), col("cnt"))
+      bins.unionByName(between).orderBy("bucket")
+    }),
     // OLS regression + prediction (Solr streaming-expressions `regress` /
     // `predict`, reference: solr/solrj/src/java/org/apache/solr/client/
     // solrj/io/eval/RegressionEvaluator.java): slope/intercept from the
@@ -134,6 +152,18 @@ object RelationalQueries {
       t(spark, sfDir, "lineitem").agg(
         expr("percentile(l_quantity, 0.5)").as("p50"),
         expr("percentile(l_quantity, 0.9)").as("p90"))
+    }),
+    // median absolute deviation (Solr math `mad`; commons-math
+    // DescriptiveStatistics-based MadEvaluator): med = exact interpolated
+    // median, mad = median of |x − med| — two distributed percentile
+    // passes with the 1-row median broadcast between them, never a collect
+    "q_mad" -> ((spark, sfDir) => {
+      val x = t(spark, sfDir, "lineitem")
+        .selectExpr("CAST(l_quantity AS DOUBLE) AS x")
+      val med = x.agg(expr("percentile(x, 0.5)").as("med"))
+      x.crossJoin(broadcast(med))
+        .selectExpr("med", "abs(x - med) AS d")
+        .agg(max("med").as("med"), expr("percentile(d, 0.5)").as("mad"))
     }),
     // unique agg (UniqueAgg / HLLAgg exact form)
     "q_unique" -> ((spark, sfDir) => {
@@ -631,6 +661,17 @@ object RelationalQueries {
     "q_facet_range" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_facet_range_other" ->
+      """SELECT bucket, cnt FROM (
+        |  SELECT CASE WHEN o_totalprice < 50000 THEN 'before'
+        |              WHEN o_totalprice >= 200000 THEN 'after'
+        |              ELSE 'r' || CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+        |         END AS bucket, count(*) AS cnt
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'between', count(*) FROM orders
+        |  WHERE o_totalprice >= 50000 AND o_totalprice < 200000)
+        |ORDER BY bucket""".stripMargin,
     // same normal-equation expression tree over the same exact integer sums
     "q_regress" ->
       """WITH s AS (
@@ -670,6 +711,11 @@ object RelationalQueries {
     "q_percentile" ->
       """SELECT quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem""".stripMargin,
+    "q_mad" ->
+      """WITH m AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med FROM lineitem)
+        |SELECT max(m.med) AS med,
+        |  quantile_cont(abs(CAST(l_quantity AS DOUBLE) - m.med), 0.5) AS mad
+        |FROM lineitem CROSS JOIN m""".stripMargin,
     "q_unique" ->
       """SELECT count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part,
         |  count(*) AS n FROM lineitem""".stripMargin,
