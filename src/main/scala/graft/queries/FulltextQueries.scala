@@ -165,6 +165,38 @@ object FulltextQueries {
         .select($"term", $"doc_id", $"tf")
         .orderBy("term", "doc_id")
     }),
+    // the TokenStream surface itself (Solr /analysis handler; Lucene
+    // TokenStream contract): (pos, term) rows for docs 0..2 through the
+    // English stop chain — stop-filtered tokens leave position GAPS
+    // (posIncrement accumulates), which the oracle reproduces as the raw
+    // 0-based token index of each surviving token
+    "ft_analyze" -> ((spark, sfDir) => {
+      import spark.implicits._
+      DocsIndex.documents(spark, sfDir).filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          graft.analysis.Analyzers.english.analyze(txt)
+            .map(t => (id, t.position.toLong, t.term))
+        }
+        .toDF("doc_id", "pos", "term")
+        .orderBy("doc_id", "pos")
+    }),
+    // positions decoded from the REAL posting blocks (the .pos payload):
+    // every occurrence position of 'window', straight off the codec
+    "ft_term_positions" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val decoded = index.blocks.filter($"term" === "window").as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.flatMap(i => poss(i).iterator.map(p => (docs(i), p.toLong)))
+        }.toDF("docId", "pos")
+      decoded.join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"pos").orderBy("doc_id", "pos")
+    }),
     "ft_term_stats" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
@@ -1132,6 +1164,40 @@ object FulltextQueries {
     // SpanContainingQuery: ordered 'key'..'table' chains (gap <= 4) KEPT
     // only when a 'value' occurrence falls INSIDE the greedy chain's span —
     // the exact dual of ft_span_not's overlap rejection
+    // grouped faceting (Solr group.facet=true, reference: solr/core/src/
+    // java/org/apache/solr/request/SimpleFacets.java getGroupedCounts —
+    // each GROUP counts once per facet value, not each doc): distinct
+    // source-groups per lang over the match set
+    "ft_group_facet" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("table")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang"), col("commit")), "docId")
+        .groupBy("lang").agg(countDistinct(col("commit")).as("n_groups"))
+        .orderBy("lang")
+    }),
+    // JSON facet bucket aggregations beyond count (solr/core/.../search/
+    // facet/FacetFieldProcessor.java + SumAgg/AvgAgg): per-lang sum/avg of
+    // the len docvalue over the match set; avg spelled as one division of
+    // exact integer sums so both engines run the identical IEEE op
+    "ft_facet_agg" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang"), col("len")), "docId")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("len")).cast("long").as("sum_len"))
+        .selectExpr("lang", "cnt", "sum_len",
+          "round(CAST(sum_len AS DOUBLE) / cnt, 4) AS avg_len")
+        .orderBy("lang")
+    }),
+    // SimpleQueryParser syntax (`+`/`|`/`-`, never-throw contract): the
+    // translated operators run the same engine; phrase OR (prefix AND NOT)
+    "ft_simpleqp" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.parser.parseSimple("\"big table\" | tabl* + -vector")
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "ft_span_containing" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.get(spark, sfDir)
       val q = graft.search.SpanContainingQ(
@@ -1411,6 +1477,24 @@ object FulltextQueries {
          |  FROM documents d
          |  CROSS JOIN (SELECT unnest(['spark','query','vector']) AS term) t
          |) WHERE tf > 0 ORDER BY term, doc_id""".stripMargin,
+    // surviving token at raw index i keeps position i-1 (0-based): the
+    // stop filter's posIncrement gap arithmetic collapses to exactly this
+    "ft_analyze" ->
+      s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS term
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id < 3),
+         |     (SELECT unnest(generate_series(1, 5000)) AS i) gs
+         |WHERE i <= len(tk)
+         |  AND tk[i] NOT IN ('a','an','and','are','as','at','be','but','by',
+         |    'for','if','in','into','is','it','no','not','of','on','or','such',
+         |    'that','the','their','then','there','these','they','this','to',
+         |    'was','will','with')
+         |ORDER BY doc_id, pos""".stripMargin,
+    "ft_term_positions" ->
+      s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents),
+         |     (SELECT unnest(generate_series(1, 5000)) AS i) gs
+         |WHERE i <= len(tk) AND tk[i] = 'window'
+         |ORDER BY doc_id, pos""".stripMargin,
     "ft_term_stats" ->
       s"""SELECT tok AS term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_term_freq
          |FROM (
@@ -2141,6 +2225,24 @@ object FulltextQueries {
          |  (SELECT count(*) FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |   WHERE list_contains(tk, 'vector') AND doc_id % 7 <> 0) AS n_at_latest""".stripMargin,
     // span-containing: same greedy chain, but a 'value' must fall in [i, j0]
+    "ft_group_facet" ->
+      s"""SELECT lang, count(DISTINCT source) AS n_groups
+         |FROM (SELECT doc_id, lang, source, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'table')
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "ft_facet_agg" ->
+      s"""SELECT lang, count(*) AS cnt, CAST(sum(len(tk)) AS BIGINT) AS sum_len,
+         |  round(CAST(CAST(sum(len(tk)) AS BIGINT) AS DOUBLE) / count(*), 4) AS avg_len
+         |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector')
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "ft_simpleqp" ->
+      s"""SELECT doc_id
+         |FROM (SELECT doc_id, lower(text) AS lt, $TOKS AS tk FROM documents)
+         |WHERE regexp_matches(lt, '(^|[^a-z0-9])big[^a-z0-9]+table([^a-z0-9]|$$)')
+         |   OR (len(list_filter(tk, x -> x LIKE 'tabl%')) > 0
+         |       AND NOT list_contains(tk, 'vector'))
+         |ORDER BY doc_id""".stripMargin,
     "ft_span_containing" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'key'

@@ -174,6 +174,40 @@ object TrainingDataQueries {
       val d = docs(spark, sfDir)
       jaccardVerify(d, lshCandidates(minhashSig(d, 128), bands = 16, rowsPerBand = 8))
     }),
+    // MinHash estimator-accuracy contract: what a 128-perm signature
+    // actually PROMISES is |est − true shingle Jaccard| small — per LSH
+    // candidate pair, est = matching permutations / 128 vs the exact
+    // bigram-shingle Jaccard, both as integer milli-jaccards plus the
+    // ±0.35 bound boolean. Scale shape: signatures join once per pair
+    // (candidates only), shingle intersection is an equi-join on the
+    // shingle key restricted to candidates — never all-pairs.
+    "td_minhash_accuracy" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val sig = minhashSig(d, 128)
+      val cands = lshCandidates(sig, 16, 8)
+      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "a" else s"${c}_a"): _*)
+      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "b" else s"${c}_b"): _*)
+      val nMatch = (0 until 128)
+        .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = cands.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"), nMatch.as("n_match"))
+      val sh = shingles(d) // distinct (doc_id, bigram) rows
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      est.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+        .join(counts.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"),
+          floor(col("n_match") * 1000 / 128).cast("long").as("est_milli"),
+          floor(col("inter") * 1000 / (col("na") + col("nb") - col("inter")))
+            .cast("long").as("true_milli"))
+        .withColumn("within_350", abs(col("est_milli") - col("true_milli")) <= 350)
+        .orderBy("a", "b")
+    }),
     // blocked brute-force n-gram (token-set) Jaccard near-dup, block = lang
     "td_dedup_jaccard" -> ((spark, sfDir) => {
       val sets = docs(spark, sfDir)
@@ -733,6 +767,56 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Same signature/band CTEs as [[minhashProdOracle]], then per candidate
+    * pair: matching-permutation count vs exact bigram-shingle Jaccard. */
+  private def minhashAccuracyOracle: String = {
+    val aggs = (0 until 128).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+    val bandJoins = (0 until 16).map { b =>
+      val eqs = (b * 8 until (b + 1) * 8).map(i => s"x.h$i = y.h$i").mkString(" AND ")
+      s"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON $eqs AND x.doc_id < y.doc_id"
+    }.mkString("\n    UNION\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(tk)-1),
+       |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+       |  WHERE len(tk) >= 2
+       |), shx AS (SELECT doc_id, unnest(bg) AS s FROM sh),
+       |sig AS (SELECT doc_id, $aggs FROM shx GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    $bandJoins
+       |  )
+       |),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+       |sigl AS (
+       |  SELECT doc_id, list(h ORDER BY perm) AS hs FROM (
+       |    SELECT doc_id, perm, min(md5(s || '#' || perm)) AS h
+       |    FROM shx CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS perm) p
+       |    GROUP BY doc_id, perm)
+       |  GROUP BY doc_id),
+       |est AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(generate_series(1, 128), i -> x.hs[i] = y.hs[i])) AS n_match
+       |  FROM cand c JOIN sigl x ON x.doc_id = c.a JOIN sigl y ON y.doc_id = c.b),
+       |ix AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shx sa ON sa.doc_id = c.a
+       |  JOIN shx sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY c.a, c.b)
+       |SELECT a, b,
+       |  CAST(floor(n_match * 1000 / 128) AS BIGINT) AS est_milli,
+       |  CAST(floor(coalesce(inter, 0) * 1000
+       |       / (ca.n + cb.n - coalesce(inter, 0))) AS BIGINT) AS true_milli,
+       |  abs(CAST(floor(n_match * 1000 / 128) AS BIGINT)
+       |    - CAST(floor(coalesce(inter, 0) * 1000
+       |           / (ca.n + cb.n - coalesce(inter, 0))) AS BIGINT)) <= 350 AS within_350
+       |FROM est LEFT JOIN ix USING (a, b)
+       |JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+       |ORDER BY a, b""".stripMargin
+  }
+
   private def simhash64Oracle: String = {
     def hashSql(d: Int): String =
       if (d <= 32) s"substr(md5(tok), $d, 1)"
@@ -971,6 +1055,7 @@ object TrainingDataQueries {
          |WHERE len(list_intersect(x.tk, y.tk)) * 3 >= len(x.tk) + len(y.tk)
          |ORDER BY a, b""".stripMargin,
     "td_dedup_minhash_prod" -> minhashProdOracle,
+    "td_minhash_accuracy" -> minhashAccuracyOracle,
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
     "td_dedup_substr" ->

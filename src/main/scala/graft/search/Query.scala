@@ -472,6 +472,17 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
   private def peek: Option[Tok] = toks.headOption
   private def pop(): Tok = { val t = toks.head; toks = toks.tail; t }
 
+  /** SimpleQueryParser subset (reference: lucene/queryparser/src/java/org/
+    * apache/lucene/queryparser/simple/SimpleQueryParser.java): `+` = AND,
+    * `|` = OR, leading `-` = NOT; quotes/slop/prefix/fuzzy share the classic
+    * lexer. SimpleQueryParser's contract is "never throw on user input" —
+    * the operators are translated onto the classic grammar, which already
+    * degrades malformed input to terms. */
+  def parseSimple(s: String): Query = parse(
+    s.replaceAll("\\s\\+\\s", " AND ")
+      .replaceAll("\\s\\|\\s", " OR ")
+      .replaceAll("(^|\\s)-(?=\\S)", "$1NOT "))
+
   def parse(s: String): Query = {
     toks = lex(s)
     if (toks.isEmpty) return MatchNoneQ
