@@ -675,6 +675,33 @@ object TrainingDataQueries {
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(5)
     }),
+    // kNN-graph construction / hard-negative mining (the per-doc neighbor
+    // join a contrastive-training pipeline runs): EVERY vector's top-3
+    // cosine neighbors within its sign-LSH bucket, as (a, b, cos, rnk)
+    // edges. Scale shape: one shuffle on the bucket key + a per-bucket
+    // window — never the all-pairs product an exact kNN join would need.
+    "td_knn_join" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(spark, sfDir)
+      val withB = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, vf) =>
+          val v = vf.map(_.toDouble)
+          (id, knnBucketOf(v), v)
+        }.toDF("vec_id", "b", "ve")
+      val pairs = withB.as("x").join(withB.as("y"),
+        col("x.b") === col("y.b") && col("x.vec_id") =!= col("y.vec_id"))
+      val dot = aggregate(zip_with(col("x.ve"), col("y.ve"), (a, bb) => a * bb),
+        lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(col("x.ve"), lit(0.0), (acc, v) => acc + v * v))
+      val nb = sqrt(aggregate(col("y.ve"), lit(0.0), (acc, v) => acc + v * v))
+      val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
+      pairs.select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(dot / (na * nb), 4).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("a", "rnk")
+    }),
     // embedding-cosine near-dup: sign-LSH bucket equi-join (the 100 TB scale
     // shape — candidates come from a single shuffle on the bucket key, never
     // an all-pairs product), full-precision cosine verification on the
@@ -909,6 +936,43 @@ object TrainingDataQueries {
        |     sqrt(list_sum(list_transform(vb, x -> x * x)))), 4) AS cos
        |  FROM cand
        |) WHERE cos >= 0.3 ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
+  }
+
+  /** Same plane/bucket CTEs as [[dedupEmbedOracle]]; directed pairs within
+    * a bucket, per-vector top-3 by cosine. */
+  private def knnJoinOracle: String = {
+    val planeRows = (for {
+      p <- KNN_PLANES.indices
+      d <- KNN_PLANES(p).indices
+    } yield s"($p,$d,${KNN_PLANES(p)(d)})").mkString(",")
+    s"""WITH planes(p, d, w) AS (VALUES $planeRows),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings
+       |), qz AS (
+       |  SELECT vec_id, list_transform(ve, x -> CAST(floor(x * 1000) AS BIGINT)) AS vq
+       |  FROM e
+       |), dots AS (
+       |  SELECT qz.vec_id, planes.p, sum(planes.w * qz.vq[planes.d + 1]) AS dot
+       |  FROM qz, planes GROUP BY qz.vec_id, planes.p
+       |), buck AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS b
+       |  FROM dots GROUP BY vec_id
+       |), scored AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, round(
+       |    list_sum(list_transform(generate_series(1, len(ex.ve)), i -> ex.ve[i] * ey.ve[i])) /
+       |    (sqrt(list_sum(list_transform(ex.ve, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(ey.ve, x -> x * x)))), 4) AS cos
+       |  FROM buck x JOIN buck y ON x.b = y.b AND x.vec_id <> y.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |)
+       |SELECT a, b, cos, rnk FROM (
+       |  SELECT a, b, cos,
+       |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3 ORDER BY a, rnk""".stripMargin
   }
 
   private def simhashOracle: String = {
@@ -1214,6 +1278,7 @@ object TrainingDataQueries {
         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
     "td_knn_lsh" -> knnLshOracle,
     "td_dedup_embed" -> dedupEmbedOracle,
+    "td_knn_join" -> knnJoinOracle,
     "td_langid" ->
       s"""SELECT doc_id, len(tk) AS n_toks,
          |  len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) AS en_hits,
