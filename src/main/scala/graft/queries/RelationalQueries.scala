@@ -290,6 +290,11 @@ object RelationalQueries {
     "q_stream_window" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.windowedCounts(spark, s"$sfDir/events.parquet")
         .orderBy("day", "event_type")),
+    // stream-static broadcast enrichment (StreamAggregates.enrichedCounts)
+    "q_stream_enrich" -> ((spark, sfDir) =>
+      graft.streaming.StreamAggregates.enrichedCounts(spark,
+        s"$sfDir/events.parquet", s"$sfDir/customer.parquet")
+        .orderBy("segment")),
     // streaming exact dedup (StreamAggregates.dedupCount scaladoc)
     "q_stream_dedup" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.dedupCount(spark, s"$sfDir/documents.parquet")),
@@ -443,6 +448,17 @@ object RelationalQueries {
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .orderBy("o_orderkey")
+    }),
+    // sampled faceting (lucene/facet/.../RandomSamplingFacetsCollector.java:
+    // counts over a doc sample, scaled back by 1/rate): deterministic
+    // md5-hash sample at rate 1/16 (first hex digit), counts ×16 — the
+    // facet pass touches 1/16th of the match set, the 100 TB trade
+    "q_facet_sampled" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "7")
+        .groupBy("o_orderpriority")
+        .agg((count(lit(1)) * 16).as("est_cnt"), count(lit(1)).as("sampled"))
+        .orderBy("o_orderpriority")
     }),
     // bbox filter (solr/core/.../search/SpatialFilterQParser.java bbox):
     // customers inside a lat/lon rectangle. The testdata has no
@@ -800,6 +816,11 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_stream_dedup" ->
       """SELECT count(DISTINCT md5(text)) AS n_unique FROM documents""",
     // gaps-and-islands: a session opens when the previous event of the same
@@ -861,6 +882,11 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_facet_sampled" ->
+      """SELECT o_orderpriority, count(*) * 16 AS est_cnt, count(*) AS sampled
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '7'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_geo_bbox" ->
       s"""SELECT c_custkey, $latSql AS lat, $lonSql AS lon
          |FROM customer

@@ -66,6 +66,26 @@ object StreamAggregates {
     runToMemory(spark, agg, OutputMode.Complete())
   }
 
+  /** Stream-static enrichment join (Solr `fetch` over a topic stream;
+    * reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    * FetchStream.java — batch lookup enrich of a flowing stream): each
+    * streaming event joins the customer dim on user_id, aggregated per
+    * market segment. The static side is BROADCAST into every micro-batch
+    * task, so the stream side never shuffles for the join — the standard
+    * 100 TB/day enrichment shape. */
+  def enrichedCounts(spark: SparkSession, eventsPath: String,
+                     customerPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val dim = spark.read.parquet(customerPath)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agg = spark.readStream.schema(schema).parquet(streamableDir(eventsPath))
+      .join(broadcast(dim), "user_id")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    runToMemory(spark, agg, OutputMode.Complete())
+  }
+
   /** Per-user session state: last event time (micros) + closed-session
     * count. Bounded: two longs per key, regardless of stream length. */
   final case class SessionState(lastMicros: Long, sessions: Long)
