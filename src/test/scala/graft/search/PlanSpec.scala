@@ -87,6 +87,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("decontamination joins the benchmark shingle set by broadcast") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.TrainingDataQueries.queries("td_decontaminate")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side must NOT shuffle on the shingle key — the benchmark
+    // side broadcasts into a map-side hash join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("scored join broadcasts the per-value score table to the to-side") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.FulltextQueries.queries("ft_join_scored")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q1 scan prunes lineitem columns to the aggregated subset") {
     val sfDir = "/root/testdata/sf0.001"
     val df = graft.queries.RelationalQueries.queries("q1_agg")(spark, sfDir)
