@@ -165,6 +165,45 @@ object FulltextQueries {
         .select($"term", $"doc_id", $"tf")
         .orderBy("term", "doc_id")
     }),
+    // hybrid rank fusion — Reciprocal Rank Fusion (Cormack et al. 2009,
+    // the BM25+kNN combiner modern Lucene deployments run): two engine
+    // rankings fuse by Σ 1/(60+rank). Ranks are exact integers, so the
+    // fused score is one identical IEEE sum in both engines. The global
+    // rank here is a window over the scored match set; at scale it's a
+    // range-sort + zipWithIndex, same as ft_export's total order.
+    "ft_rrf" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      def ranked(q: String) =
+        searcher.scoreAllDoubleDS(searcher.parse(q)).toDF("docId", "s")
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(desc("s"), asc("docId"))).cast("long"))
+          .select(col("docId"), col("rnk"))
+      val ra = ranked("vector").withColumnRenamed("rnk", "ra")
+      val rb = ranked("table").withColumnRenamed("rnk", "rb")
+      ra.join(rb, Seq("docId"), "full")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"),
+          coalesce(col("ra"), lit(0L)).as("ra"),
+          coalesce(col("rb"), lit(0L)).as("rb"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("ra")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)), 6).as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(10)
+    }),
+    // realtime get (solr/core/.../handler/component/RealTimeGetComponent
+    // .java: fetch stored fields by id, no query, no scoring): ids resolve
+    // through the docId map and the stored-field join-back — at scale a
+    // point lookup on the sorted doc_id column (parquet min/max pruning),
+    // never a scan
+    "ft_get" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      DocsIndex.docIdMap(index).filter(col("doc_id").isin(7L, 42L, 123L))
+        .join(index.docs.toDF(), "docId")
+        .select(col("doc_id"), col("lang"), col("commit").as("source"),
+          col("len").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // the TokenStream surface itself (Solr /analysis handler; Lucene
     // TokenStream contract): (pos, term) rows for docs 0..2 through the
     // English stop chain — stop-filtered tokens leave position GAPS
@@ -1477,6 +1516,27 @@ object FulltextQueries {
          |  FROM documents d
          |  CROSS JOIN (SELECT unnest(['spark','query','vector']) AS term) t
          |) WHERE tf > 0 ORDER BY term, doc_id""".stripMargin,
+    // RRF: per-query ranks over round4'd scores (ties -> doc_id), fused by
+    // the identical double sum; unmatched side contributes exactly 0
+    "ft_rrf" ->
+      s"""$PRELUDE,
+         |ra AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ra FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st) WHERE tf > 0),
+         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rb FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("table")), tfSql("table"))}, 4) AS s
+         |  FROM dl, st) WHERE tf > 0)
+         |SELECT doc_id, coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb,
+         |  round(coalesce(CAST(1 AS DOUBLE) / (60 + ra), CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + rb), CAST(0 AS DOUBLE)), 6) AS rrf
+         |FROM ra FULL JOIN rb USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_get" ->
+      s"""SELECT doc_id, lang, source, len(tk) AS n_tokens
+         |FROM (SELECT doc_id, lang, source, $TOKS AS tk FROM documents)
+         |WHERE doc_id IN (7, 42, 123) ORDER BY doc_id""".stripMargin,
     // surviving token at raw index i keeps position i-1 (0-based): the
     // stop filter's posIncrement gap arithmetic collapses to exactly this
     "ft_analyze" ->

@@ -449,6 +449,22 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
+    // Parallel SQL surface (Solr SQL over Calcite, reference: solr/core/
+    // src/java/org/apache/solr/handler/sql/ — SELECT..GROUP BY..HAVING..
+    // ORDER BY compiled onto facet/stream plans): here the SQL text IS the
+    // engine's native surface — spark.sql over a registered view runs the
+    // identical Catalyst plan the DataFrame API builds
+    "q_sql" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders").createOrReplaceTempView("orders_v")
+      spark.sql(
+        """SELECT o_orderpriority, count(*) AS cnt,
+          |  CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
+          |FROM orders_v
+          |WHERE o_orderstatus = 'O'
+          |GROUP BY o_orderpriority
+          |HAVING count(*) > 10
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
     // sampled faceting (lucene/facet/.../RandomSamplingFacetsCollector.java:
     // counts over a doc sample, scaled back by 1/rate): deterministic
     // md5-hash sample at rate 1/16 (first hex digit), counts ×16 — the
@@ -882,6 +898,14 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_sql" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_facet_sampled" ->
       """SELECT o_orderpriority, count(*) * 16 AS est_cnt, count(*) AS sampled
         |FROM orders
