@@ -449,6 +449,26 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
+    // chi-square independence test over a contingency table (Solr math
+    // `chiSquareDataSet`, commons-math ChiSquareTest): lang × source over
+    // documents. Per-cell statistic = ONE double expression over exact
+    // integer totals — (o·n − rt·ct)²/(rt·ct·n) — floored to micro-units,
+    // so the cross-cell sum is an exact BIGINT (order-independent)
+    "q_chisq" -> ((spark, sfDir) => {
+      val obs = t(spark, sfDir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("lang").agg(sum("o").as("rt"))
+      val colT = obs.groupBy("source").agg(sum("o").as("ct"))
+      val tot = obs.agg(sum("o").as("n"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      obs.join(rowT, "lang").join(colT, "source").crossJoin(broadcast(tot))
+        .selectExpr(
+          "CAST(floor(CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)" +
+            " / (CAST(rt AS DOUBLE) * ct * n) * 1000000.0) AS BIGINT) AS cell_micro",
+          "(nl - 1) * (ns - 1) AS dof")
+        .groupBy("dof").agg(sum("cell_micro").as("chi2_micro"))
+        .select(col("dof"), col("chi2_micro"))
+    }),
     // Parallel SQL surface (Solr SQL over Calcite, reference: solr/core/
     // src/java/org/apache/solr/handler/sql/ — SELECT..GROUP BY..HAVING..
     // ORDER BY compiled onto facet/stream plans): here the SQL text IS the
@@ -898,6 +918,17 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_chisq" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+        |ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+        |               count(DISTINCT source) AS ns FROM obs)
+        |SELECT (nl - 1) * (ns - 1) AS dof,
+        |  CAST(sum(CAST(floor(CAST((o * n - rt.rt * ct.ct) * (o * n - rt.rt * ct.ct) AS DOUBLE)
+        |       / (CAST(rt.rt AS DOUBLE) * ct.ct * n) * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2_micro
+        |FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     "q_sql" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
