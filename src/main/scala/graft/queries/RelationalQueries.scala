@@ -579,6 +579,22 @@ object RelationalQueries {
           .selectExpr("n AS n2", "s AS s2", "q AS q2"))
         .selectExpr("n1", "n2", s"$ttestExpr AS t_stat")
     }),
+    // one-way ANOVA between the three return-flag groups (Solr math
+    // `anova`, commons-math OneWayAnova): per-group exact BIGINT sums in
+    // one grouped pass, then a single fixed F-statistic expression tree
+    "q_anova" -> ((spark, sfDir) => {
+      val g = t(spark, sfDir, "lineitem")
+        .selectExpr("l_returnflag AS f", "CAST(l_quantity AS BIGINT) AS x")
+        .groupBy("f")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("q"))
+      g.filter(col("f") === "R").selectExpr("n AS n1", "s AS s1", "q AS q1")
+        .crossJoin(g.filter(col("f") === "A")
+          .selectExpr("n AS n2", "s AS s2", "q AS q2"))
+        .crossJoin(g.filter(col("f") === "N")
+          .selectExpr("n AS n3", "s AS s3", "q AS q3"))
+        .selectExpr("n1", "n2", "n3", s"$anovaExpr AS f_stat")
+    }),
     // equal-width histogram over data-driven min/max (Solr `hist`,
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // HistogramEvaluator.java): two agg passes (bounds, then bin counts via
@@ -644,6 +660,18 @@ object RelationalQueries {
     "round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / " +
       "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1 + " +
       "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2), 4)"
+
+  /** One-way ANOVA F over three groups' exact sums (ni, si=Σx, qi=Σx²):
+    * F = (SSB/(k−1)) / (SSW/(n−k)) with SSB/SSW from the sum-of-squares
+    * identities — one fixed expression tree, shared text. */
+  private val anovaExpr = {
+    val gm = "(CAST(s1 + s2 + s3 AS DOUBLE) / (n1 + n2 + n3))"
+    def dev(i: Int) =
+      s"(n$i * (CAST(s$i AS DOUBLE) / n$i - $gm) * (CAST(s$i AS DOUBLE) / n$i - $gm))"
+    def wit(i: Int) = s"(CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE) * s$i / n$i)"
+    s"round(((${dev(1)} + ${dev(2)} + ${dev(3)}) / (3 - 1)) / " +
+      s"((${wit(1)} + ${wit(2)} + ${wit(3)}) / (n1 + n2 + n3 - 3)), 4)"
+  }
 
   /** mean + 2.5·sd over (n, s, ss) exact sums — shared threshold text. */
   private val zThresholdExpr =
@@ -974,6 +1002,14 @@ object RelationalQueries {
          |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'R')),
          |  (SELECT count(*) AS n2, sum(x) AS s2, sum(x * x) AS q2 FROM
          |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'A'))""".stripMargin,
+    "q_anova" ->
+      s"""SELECT n1, n2, n3, $anovaExpr AS f_stat FROM
+         |  (SELECT count(*) AS n1, sum(x) AS s1, sum(x * x) AS q1 FROM
+         |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'R')),
+         |  (SELECT count(*) AS n2, sum(x) AS s2, sum(x * x) AS q2 FROM
+         |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'A')),
+         |  (SELECT count(*) AS n3, sum(x) AS s3, sum(x * x) AS q3 FROM
+         |    (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem WHERE l_returnflag = 'N'))""".stripMargin,
     "q_hist" ->
       """SELECT CAST(floor(CAST((x - minx) * 10 AS DOUBLE)
         |                  / CAST(maxx - minx + 1 AS DOUBLE)) AS BIGINT) AS bin,
