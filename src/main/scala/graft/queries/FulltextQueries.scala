@@ -276,6 +276,17 @@ object FulltextQueries {
     // FuzzyQuery: terms within Levenshtein distance 2 ('sort' also pulls in
     // 'part'), constant-score rewrite, distributed dictionary walk
     "ft_match_fuzzy" -> ((spark, sfDir) => matchDF(spark, sfDir, "sort~2")),
+    // FuzzyQuery with prefixLength (FuzzyQuery.java defaultPrefixLength
+    // knob): the first 2 chars must match EXACTLY — the production setting
+    // that turns the dictionary pass into a prefix range seek. AST-built
+    // (the classic parser has no prefixLength syntax, matching Lucene).
+    "ft_match_fuzzy_prefix" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(graft.search.FuzzyQ("sort", 2, prefixLength = 2)).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // TermRangeQuery: lexicographic [row TO sort] — pushes down to parquet
     // term min/max pruning like a dictionary seek
     "ft_match_range" -> ((spark, sfDir) => matchDF(spark, sfDir, "[row TO sort]")),
@@ -1616,6 +1627,11 @@ object FulltextQueries {
     "ft_match_fuzzy" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> levenshtein(x, 'sort') <= 2)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_fuzzy_prefix" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> x LIKE 'so%'
+         |  AND abs(len(x) - 4) <= 2 AND levenshtein(x, 'sort') <= 2)) > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_match_range" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

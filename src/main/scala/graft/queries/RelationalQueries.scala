@@ -626,6 +626,18 @@ object RelationalQueries {
           round(sum("cnt").over(w).cast("double") / count(lit(1)).over(w), 4))
         .orderBy("day")
     }),
+    // trailing moving MEDIAN over the daily series (Solr math
+    // `movingMedian`): exact interpolated median over the 7-row trailing
+    // frame; the window runs over the post-agg series (1 row per day)
+    "q_moving_median" -> ((spark, sfDir) => {
+      val daily = t(spark, sfDir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("mm7", expr("percentile(cnt, 0.5)").over(w))
+        .orderBy("day")
+    }),
     // z-score outlier detection (Solr `zscores` / `outliers` evaluators,
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // NormalizeEvaluator.java): one agg pass for exact integer moments, then
@@ -1021,6 +1033,12 @@ object RelationalQueries {
     "q_moving_avg" ->
       """SELECT day, cnt,
         |  round(CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w, 4) AS ma7
+        |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+        |      FROM events GROUP BY 1)
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q_moving_median" ->
+      """SELECT day, cnt, quantile_cont(cnt, 0.5) OVER w AS mm7
         |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
         |      FROM events GROUP BY 1)
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)

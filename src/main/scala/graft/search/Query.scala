@@ -120,10 +120,18 @@ final case class WildcardQ(pattern: String) extends MultiTermQ {
   * scores; this engine keeps the match semantics (plain edit distance, so a
   * SQL oracle can recompute it with `levenshtein()`) and the CONSTANT_SCORE
   * rewrite). */
-final case class FuzzyQ(term: String, maxEdits: Int = 2) extends MultiTermQ {
-  override def matches(t: String): Boolean =
-    math.abs(t.length - term.length) <= maxEdits &&
+final case class FuzzyQ(term: String, maxEdits: Int = 2,
+                        prefixLength: Int = 0) extends MultiTermQ {
+  /** Lucene's FuzzyQuery(term, maxEdits, prefixLength): the first
+    * `prefixLength` characters must match EXACTLY (no edits there) — the
+    * standard production setting (1-2) that anchors the dictionary scan to
+    * a prefix seek instead of a full-dictionary edit-distance pass. */
+  override def matches(t: String): Boolean = {
+    val p = math.min(prefixLength, term.length)
+    t.length >= p && t.startsWith(term.substring(0, p)) &&
+      math.abs(t.length - term.length) <= maxEdits &&
       Query.levenshtein(t, term) <= maxEdits
+  }
 }
 /** Anchored regular-expression term query (reference:
   * lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java — automaton
@@ -344,7 +352,13 @@ object Query {
         if (litPrefix.nonEmpty) term.startsWith(litPrefix) else lit(true)
       case f: FuzzyQ =>
         val q16 = f.term.length
-        (length(term) <= q16 + f.maxEdits) && (length(term) * 2 >= q16 - f.maxEdits)
+        val lenGuard =
+          (length(term) <= q16 + f.maxEdits) && (length(term) * 2 >= q16 - f.maxEdits)
+        // the exact-prefix anchor pushes down as a range seek (parquet
+        // min/max pruning on the sorted term column), like PrefixQ
+        if (f.prefixLength > 0)
+          lenGuard && term.startsWith(f.term.substring(0, math.min(f.prefixLength, f.term.length)))
+        else lenGuard
       case r: RegexpQ =>
         val lp = regexLiteralPrefix(r.pattern)
         if (lp.nonEmpty) term.startsWith(lp) else lit(true)
