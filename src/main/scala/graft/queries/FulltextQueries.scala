@@ -287,6 +287,19 @@ object FulltextQueries {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+    // FuzzyQuery with transpositions=true — Lucene's DEFAULT fuzzy semantics
+    // (FuzzyQuery.java defaultTranspositions): adjacent swaps cost ONE edit.
+    // Engine computes unrestricted Damerau-Levenshtein over the dictionary;
+    // the oracle recomputes the identical function via DuckDB's
+    // damerau_levenshtein(). (QueryParserSpec pins the divergent cases —
+    // dl('abaa','baaa')=1 vs lev=2 — on synthetic dictionaries.)
+    "ft_match_fuzzy_dl" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(graft.search.FuzzyQ("sort", 2, transpositions = true)).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // TermRangeQuery: lexicographic [row TO sort] — pushes down to parquet
     // term min/max pruning like a dictionary seek
     "ft_match_range" -> ((spark, sfDir) => matchDF(spark, sfDir, "[row TO sort]")),
@@ -1632,6 +1645,11 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> x LIKE 'so%'
          |  AND abs(len(x) - 4) <= 2 AND levenshtein(x, 'sort') <= 2)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "ft_match_fuzzy_dl" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> abs(len(x) - 4) <= 2
+         |  AND damerau_levenshtein(x, 'sort') <= 2)) > 0
          |ORDER BY doc_id""".stripMargin,
     "ft_match_range" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

@@ -121,16 +121,24 @@ final case class WildcardQ(pattern: String) extends MultiTermQ {
   * SQL oracle can recompute it with `levenshtein()`) and the CONSTANT_SCORE
   * rewrite). */
 final case class FuzzyQ(term: String, maxEdits: Int = 2,
-                        prefixLength: Int = 0) extends MultiTermQ {
+                        prefixLength: Int = 0,
+                        transpositions: Boolean = false) extends MultiTermQ {
   /** Lucene's FuzzyQuery(term, maxEdits, prefixLength): the first
     * `prefixLength` characters must match EXACTLY (no edits there) — the
     * standard production setting (1-2) that anchors the dictionary scan to
-    * a prefix seek instead of a full-dictionary edit-distance pass. */
+    * a prefix seek instead of a full-dictionary edit-distance pass.
+    *
+    * `transpositions = true` is Lucene's DEFAULT constructor setting
+    * (FuzzyQuery.java `defaultTranspositions = true`): an adjacent-character
+    * swap costs ONE edit (Damerau-Levenshtein) instead of two. We implement
+    * the unrestricted Damerau distance — the same function DuckDB exposes as
+    * `damerau_levenshtein()`, so the oracle recomputes it exactly. */
   override def matches(t: String): Boolean = {
     val p = math.min(prefixLength, term.length)
     t.length >= p && t.startsWith(term.substring(0, p)) &&
       math.abs(t.length - term.length) <= maxEdits &&
-      Query.levenshtein(t, term) <= maxEdits
+      (if (transpositions) Query.damerauLevenshtein(t, term) <= maxEdits
+       else Query.levenshtein(t, term) <= maxEdits)
   }
 }
 /** Anchored regular-expression term query (reference:
@@ -311,6 +319,52 @@ object Query {
       i += 1
     }
     prev(n)
+  }
+
+  /** Unrestricted Damerau-Levenshtein distance (adjacent transposition = one
+    * edit, and — unlike the cheaper "optimal string alignment" variant — a
+    * transposed pair may be edited again, so e.g. dl("ca","abc") = 2 where
+    * OSA gives 3). This is the variant DuckDB's `damerau_levenshtein()`
+    * computes, which keeps the SQL oracle bit-compatible; it is also the
+    * distance Lucene's transposition-enabled Levenshtein automata accept
+    * (reference: lucene/core/src/java/org/apache/lucene/util/automaton/
+    * LevenshteinAutomata.java — the Schulz-Mihov construction with the
+    * transposition parameter). Lowe's standard DP with a last-occurrence
+    * row, O(|a|·|b|) time. */
+  def damerauLevenshtein(a: String, b: String): Int = {
+    if (a == b) return 0
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d is offset by 1: d(i+1)(j+1) = distance over prefixes a[0,i) b[0,j)
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val last = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = { val v = last.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val j1 = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val subst = d(i)(j) + cost
+        val insert = d(i + 1)(j) + 1
+        val delete = d(i)(j + 1) + 1
+        val transp = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        d(i + 1)(j + 1) = math.min(math.min(subst, insert), math.min(delete, transp))
+        j += 1
+      }
+      last.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
   }
 
   /** Longest literal prefix every match of an anchored regex must start

@@ -160,4 +160,73 @@ class MultiTermSpec extends AnyFunSuite {
     val ast = searcher.parse("segment~2 OR indexwriter")
     assert(searcher.search(ast, 10).toSeq == searcher.bruteForce(ast, 10).toSeq)
   }
+
+  test("damerauLevenshtein = unrestricted Damerau (DuckDB-pinned + BFS oracle)") {
+    import Query.{damerauLevenshtein => dl, levenshtein => lev}
+    // values pinned against DuckDB's damerau_levenshtein() — unrestricted
+    // semantics: 'ca'->'abc' is 2 (swap then insert INTO the swapped pair),
+    // where the optimal-string-alignment variant would say 3
+    assert(dl("ca", "abc") == 2 && lev("ca", "abc") == 3)
+    assert(dl("ab", "ba") == 1 && lev("ab", "ba") == 2)
+    assert(dl("abaa", "baaa") == 1 && lev("abaa", "baaa") == 2)
+    assert(dl("sort", "sotr") == 1 && dl("sort", "sort") == 0)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3)
+
+    // independent oracle: BFS over true edit sequences (insert / delete /
+    // substitute / adjacent transposition, each applied to the CURRENT
+    // string) — the definition of the unrestricted distance
+    def bfs(a: String, b: String): Int = {
+      if (a == b) return 0
+      val seen = collection.mutable.Set(a)
+      var frontier = List(a)
+      var d = 0
+      val alpha = (a + b).toSet
+      while (d < 6) {
+        d += 1
+        val next = collection.mutable.ListBuffer.empty[String]
+        for (s <- frontier) {
+          val edits = collection.mutable.ListBuffer.empty[String]
+          for (i <- 0 to s.length; c <- alpha) edits += s.substring(0, i) + c + s.substring(i)
+          for (i <- 0 until s.length) {
+            edits += s.substring(0, i) + s.substring(i + 1)
+            for (c <- alpha) edits += s.substring(0, i) + c + s.substring(i + 1)
+            if (i + 1 < s.length)
+              edits += s.substring(0, i) + s.charAt(i + 1) + s.charAt(i) + s.substring(i + 2)
+          }
+          // pruning bound must admit the pure-deletion path when |b| < |a|,
+          // so cap intermediates at max(|a|,|b|)+2, not |b|+2
+          val cap = math.max(a.length, b.length) + 2
+          for (e <- edits if e.length <= cap && !seen.contains(e)) {
+            if (e == b) return d
+            seen += e; next += e
+          }
+        }
+        frontier = next.toList
+      }
+      d
+    }
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    for (_ <- 1 to 200) {
+      val (a, b) = (word(), word())
+      val expect = math.min(bfs(a, b), 6)
+      assert(math.min(dl(a, b), 6) == expect, s"dl('$a','$b') = ${dl(a, b)}, BFS = $expect")
+    }
+  }
+
+  test("FuzzyQ transpositions=true matches Damerau neighbours plain fuzzy misses") {
+    // dictionary contains 'sotr' only as a synthetic check below the engine:
+    // at the AST level the predicate must treat the swap as ONE edit
+    val q1 = FuzzyQ("sort", 1, transpositions = true)
+    val q0 = FuzzyQ("sort", 1)
+    assert(q1.matches("sotr") && !q0.matches("sotr"))
+    assert(q1.matches("osrt") && !q0.matches("osrt"))
+    // end-to-end over the real index: transpositions=true is a superset of
+    // plain fuzzy at the same maxEdits, and equals the analyzer-level oracle
+    val dlPaths = matchedPaths(FuzzyQ("sort", 2, transpositions = true))
+    val plainPaths = matchedPaths(FuzzyQ("sort", 2))
+    assert(plainPaths.subsetOf(dlPaths))
+    assert(dlPaths == expectedPaths(t =>
+      math.abs(t.length - 4) <= 2 && Query.damerauLevenshtein(t, "sort") <= 2))
+  }
 }
