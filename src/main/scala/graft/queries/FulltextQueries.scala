@@ -1144,6 +1144,63 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // Lucene intervals module, MINIMAL-interval semantics (reference:
+    // lucene/queries/src/java/org/apache/lucene/queries/intervals/
+    // Intervals.java ordered() + maxgaps(); OrderedIntervalsSource.java;
+    // FilteredIntervalsSource.java maxGaps): per-doc count of minimal
+    // ordered 'data'..'table' intervals with internal gap <= 2. Plan:
+    // term-pruned block fetch for BOTH terms (parquet min/max seek on the
+    // term column), positions decoded per posting, ONE docId equi-join,
+    // then a linear two-pointer merge per doc — never a full-corpus scan.
+    "ft_intervals" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      posOf("data").toDF("docId", "pa")
+        .join(posOf("table").toDF("docId", "pb"), "docId")
+        .as[(Long, Array[Int], Array[Int])]
+        .map { case (d, pa, pb) =>
+          (d, graft.search.Intervals.orderedMaxgapsCount(pa, pb, 2).toLong)
+        }
+        .toDF("docId", "n_intervals")
+        .filter($"n_intervals" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_intervals").orderBy("doc_id")
+    }),
+    // Intervals.unordered + maxgaps (UnorderedIntervalsSource.java): minimal
+    // unordered {'key','value'} intervals = adjacent opposite-type pairs in
+    // the merged position stream, gap <= 3. Same scale shape as above.
+    "ft_intervals_unordered" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      posOf("key").toDF("docId", "pa")
+        .join(posOf("value").toDF("docId", "pb"), "docId")
+        .as[(Long, Array[Int], Array[Int])]
+        .map { case (d, pa, pb) =>
+          (d, graft.search.Intervals.unorderedMaxgapsCount(pa, pb, 3).toLong)
+        }
+        .toDF("docId", "n_intervals")
+        .filter($"n_intervals" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_intervals").orderBy("doc_id")
+    }),
     // passage extraction (UnifiedHighlighter, reference: lucene/highlighter/
     // src/java/org/apache/lucene/search/uhighlight/UnifiedHighlighter.java +
     // Passage.java): the snippet window around the first stored-postings
@@ -1358,6 +1415,26 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("parent"))
         .limit(5)
         .select(col("parent"), col("child_hits"), col("score"))
+    }),
+    // ToChildBlockJoinQuery (reference: lucene/join/src/java/org/apache/
+    // lucene/search/join/ToChildBlockJoinQuery.java — the inverse join:
+    // every CHILD of a matching parent is returned carrying its PARENT's
+    // score): parent scores are the ScoreMode.Max block-join scores above;
+    // the top-3 parents broadcast back onto their children (small-side
+    // broadcast, no shuffle of the child table beyond the score join)
+    "ft_block_join_child" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val childScores = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s")
+      val parents = index.docs.toDF().select(col("docId"), col("commit").as("parent"))
+      val topParents = childScores
+        .join(parents, "docId")
+        .groupBy("parent").agg(max("s").as("score"))
+        .orderBy(desc("score"), asc("parent")).limit(3)
+      parents
+        .join(broadcast(topParents), "parent")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("parent"), col("score"))
+        .orderBy(desc("score"), asc("parent"), asc("doc_id"))
     }),
     // QueryRescorer (lucene/core/.../search/QueryRescorer.java:54-107):
     // first pass = top-50 BM25 for 'vector'; second pass advances 'customer'
@@ -2284,6 +2361,37 @@ object FulltextQueries {
          |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
          |        j -> tk[j] IN ('table', 'value'))) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
+    // minimal ordered intervals: i a 'data' position, j the FIRST 'table'
+    // after i (no 'table' inside), next 'data' not before j (no 'data'
+    // inside -> minimal), internal gap j - i - 1 <= 2; count per doc
+    "ft_intervals" ->
+      s"""SELECT doc_id, n_intervals FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(generate_series(1, len(pa)), m ->
+         |      len(list_filter(pb, j -> j > pa[m]
+         |        AND len(list_filter(pb, j2 -> j2 > pa[m] AND j2 < j)) = 0
+         |        AND (m = len(pa) OR pa[m+1] >= j)
+         |        AND j - pa[m] - 1 <= 2)) > 0)) AS BIGINT) AS n_intervals
+         |  FROM (SELECT doc_id,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data') AS pa,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'table') AS pb
+         |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE len(pa) > 0 AND len(pb) > 0)
+         |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
+    // minimal unordered intervals: adjacent opposite-type pairs in the
+    // merged 'key'/'value' position stream, gap <= 3; count per doc
+    "ft_intervals_unordered" ->
+      s"""SELECT doc_id, n_intervals FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(generate_series(1, len(pm) - 1), m ->
+         |      tk[pm[m]] != tk[pm[m+1]] AND pm[m+1] - pm[m] - 1 <= 3)) AS BIGINT)
+         |      AS n_intervals
+         |  FROM (SELECT doc_id, tk,
+         |          list_filter(generate_series(1, len(tk)),
+         |                      i -> tk[i] = 'key' OR tk[i] = 'value') AS pm
+         |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE len(pm) >= 2)
+         |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
     // passage: +-3-token window around the FIRST 'vector' occurrence
     "ft_passage" ->
       s"""SELECT doc_id,
@@ -2406,6 +2514,28 @@ object FulltextQueries {
          |SELECT parent, CAST(count(*) AS BIGINT) AS child_hits, max(s) AS score
          |FROM ch GROUP BY parent
          |ORDER BY score DESC, parent LIMIT 5""".stripMargin,
+    // ToChildBlockJoin: children of the top-3 Max-score parents, each child
+    // carrying the parent score
+    "ft_block_join_child" ->
+      s"""WITH toks AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dl AS (
+         |  SELECT doc_id, source, tk,
+         |    CASE WHEN len(tk) < 24 THEN len(tk)
+         |         WHEN len(tk) - 24 < 8 THEN len(tk)
+         |         ELSE 24 + (((len(tk) - 24) >> (length(format('{:b}', len(tk) - 24)) - 4))
+         |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
+         |  FROM toks),
+         |ch AS (
+         |  SELECT dl.source AS parent,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("vector")} > 0),
+         |ps AS (
+         |  SELECT parent, max(s) AS score FROM ch GROUP BY parent
+         |  ORDER BY score DESC, parent LIMIT 3)
+         |SELECT d.doc_id, ps.parent, ps.score
+         |FROM documents d JOIN ps ON d.source = ps.parent
+         |ORDER BY score DESC, parent, doc_id""".stripMargin,
     // two-pass rescore: top-50 by round4'd BM25('vector'), combined =
     // round4(s1 + 2.0 * s2) where s2 is BM25('customer') on those docs only
     "ft_rescore" ->

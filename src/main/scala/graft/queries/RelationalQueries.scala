@@ -295,6 +295,12 @@ object RelationalQueries {
       graft.streaming.StreamAggregates.enrichedCounts(spark,
         s"$sfDir/events.parquet", s"$sfDir/customer.parquet")
         .orderBy("segment")),
+    // stream-STREAM interval join (StreamAggregates.conversionJoin):
+    // watermarked click x purchase attribution, aggregated per user
+    "q_stream_join" -> ((spark, sfDir) =>
+      graft.streaming.StreamAggregates.conversionJoin(spark, s"$sfDir/events.parquet")
+        .groupBy("user_id").agg(count(lit(1)).as("n_conv"))
+        .orderBy(desc("n_conv"), asc("user_id")).limit(20)),
     // streaming exact dedup (StreamAggregates.dedupCount scaladoc)
     "q_stream_dedup" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.dedupCount(spark, s"$sfDir/documents.parquet")),
@@ -352,6 +358,38 @@ object RelationalQueries {
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(var_samp(col("l_quantity")), 4).as("var_qty"),
           sum(col("l_quantity") * col("l_quantity")).cast("long").as("sumsq_qty"))
+        .orderBy("l_returnflag")
+    }),
+    // Solr math `skewness()` / `kurtosis()` (Commons-Math sample moments,
+    // the definitions Solr's stream evaluators delegate to): computed from
+    // EXACT integer raw-moment sums (x..x^4 as BIGINT, one hash agg) and
+    // the identical double expression tree on the oracle side — central
+    // moments c2..c4 derived algebraically from the raw sums, so the
+    // distributed sum order can never perturb the result. Map-side partial
+    // agg; scales as a plain groupBy.
+    "q_skewness" -> ((spark, sfDir) => {
+      val x = col("x")
+      val m = t(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n0"),
+          sum(x).as("s1l"), sum(x * x).as("s2l"),
+          sum(x * x * x).as("s3l"), sum(x * x * x * x).as("s4l"))
+      val n = col("n0").cast("double")
+      val s1 = col("s1l").cast("double"); val s2 = col("s2l").cast("double")
+      val s3 = col("s3l").cast("double"); val s4 = col("s4l").cast("double")
+      val mean = s1 / n
+      val c2 = s2 - mean * s1
+      val c3 = s3 - (lit(3.0) * mean) * s2 + ((lit(2.0) * mean) * mean) * s1
+      val c4 = s4 - (lit(4.0) * mean) * s3 + ((lit(6.0) * mean) * mean) * s2 -
+        (((lit(3.0) * mean) * mean) * mean) * s1
+      val v = c2 / (n - lit(1.0))
+      val skew = (n / ((n - lit(1.0)) * (n - lit(2.0)))) * c3 / (v * sqrt(v))
+      val kurt = (n * (n + lit(1.0)) / (((n - lit(1.0)) * (n - lit(2.0))) * (n - lit(3.0)))) *
+        c4 / (v * v) -
+        (lit(3.0) * (n - lit(1.0))) * (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))
+      m.select(col("l_returnflag"),
+        round(skew, 4).as("skewness"), round(kurt, 4).as("kurtosis"))
         .orderBy("l_returnflag")
     }),
     // HLL approx distinct (HLLAgg): the property both engines verify is the
@@ -897,6 +935,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+    // batch recomputation of the watermarked stream-stream interval join:
+    // purchases within 1 hour after a same-user click
+    "q_stream_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_conv
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY n_conv DESC, user_id LIMIT 20""".stripMargin,
     "q_stream_dedup" ->
       """SELECT count(DISTINCT md5(text)) AS n_unique FROM documents""",
     // gaps-and-islands: a session opens when the previous event of the same
@@ -931,6 +977,34 @@ object RelationalQueries {
         |  round(var_samp(l_quantity), 4) AS var_qty,
         |  CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sumsq_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Commons-Math sample skewness / excess kurtosis from exact integer raw
+    // moments; the double expression tree mirrors the engine's exactly
+    "q_skewness" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(l_quantity) AS BIGINT) AS s1l,
+        |    CAST(sum(l_quantity * l_quantity) AS BIGINT) AS s2l,
+        |    CAST(sum(l_quantity * l_quantity * l_quantity) AS BIGINT) AS s3l,
+        |    CAST(sum(l_quantity * l_quantity * l_quantity * l_quantity) AS BIGINT) AS s4l
+        |  FROM lineitem GROUP BY l_returnflag
+        |), d AS (
+        |  SELECT l_returnflag, CAST(n0 AS DOUBLE) AS n,
+        |    CAST(s1l AS DOUBLE) AS s1, CAST(s2l AS DOUBLE) AS s2,
+        |    CAST(s3l AS DOUBLE) AS s3, CAST(s4l AS DOUBLE) AS s4,
+        |    CAST(s1l AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean FROM m
+        |), c AS (
+        |  SELECT l_returnflag, n,
+        |    (s2 - mean * s1) / (n - 1.0) AS v,
+        |    s3 - (3.0 * mean) * s2 + ((2.0 * mean) * mean) * s1 AS c3,
+        |    s4 - (4.0 * mean) * s3 + ((6.0 * mean) * mean) * s2
+        |      - (((3.0 * mean) * mean) * mean) * s1 AS c4
+        |  FROM d
+        |)
+        |SELECT l_returnflag,
+        |  round((n / ((n - 1.0) * (n - 2.0))) * c3 / (v * sqrt(v)), 4) AS skewness,
+        |  round((n * (n + 1.0) / (((n - 1.0) * (n - 2.0)) * (n - 3.0))) * c4 / (v * v)
+        |        - (3.0 * (n - 1.0)) * (n - 1.0) / ((n - 2.0) * (n - 3.0)), 4) AS kurtosis
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q_hll" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |  CAST(CASE WHEN abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 10

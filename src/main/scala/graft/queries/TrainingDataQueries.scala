@@ -439,6 +439,38 @@ object TrainingDataQueries {
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(5)
     }),
+    // Scalar-quantized (int8-style) vector search: every float component is
+    // linearly mapped to [0, 127] from the CORPUS min/max (the
+    // confidence-1.0 quantile pair of Lucene's ScalarQuantizer), and top-k
+    // runs on the exact INTEGER quantized dot product — the memory-bound
+    // scale path where a 100 TB float corpus shrinks 4x and the hot loop is
+    // int arithmetic. The quantization formula is a single fixed double
+    // expression `floor((x - lo) * 127.0 / (hi - lo))`, evaluated
+    // identically by the engine and the DuckDB oracle, so scores are exact
+    // integers — order-independent and hash-stable. Map-only scoring +
+    // TakeOrdered(k); the stats pass is one min/max agg.
+    "td_knn_sq8" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val st = e.select(
+        min(array_min(col("embedding"))).as("lo"),
+        max(array_max(col("embedding"))).as("hi")).head()
+      val lo = st.getFloat(0).toDouble
+      val hi = st.getFloat(1).toDouble
+      def quantCol(c: Column): Column = transform(c, x =>
+        least(lit(127),
+          floor((x.cast("double") - lit(lo)) * lit(127.0) / lit(hi - lo)).cast("int")))
+      val qRaw = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val qQuant = qRaw.map(x =>
+        math.min(127, math.floor((x.toDouble - lo) * 127.0 / (hi - lo)).toInt)).toArray
+      val dotQ = aggregate(
+        zip_with(quantCol(col("embedding")), typedLit(qQuant), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v.cast("bigint"))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dotQ.as("dot_q"))
+        .orderBy(desc("dot_q"), asc("vec_id"))
+        .limit(5)
+    }),
     // LSH-bucketed ANN (random-hyperplane sign buckets; probe Hamming<=1):
     // the 100 TB scale path — bucket equi-filter instead of all-pairs scan.
     // Bucketing runs on floor(x*1000) INTEGER-quantized embeddings so every
@@ -1314,6 +1346,26 @@ object TrainingDataQueries {
         |  (sqrt(list_sum(list_transform(ve, x -> x * x))) *
         |   sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
         |FROM e, q ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+    // scalar-quantized (int8) top-k: same linear quantization formula as the
+    // engine — floor((x - lo) * 127.0 / (hi - lo)) from the corpus min/max —
+    // then the EXACT integer quantized dot product
+    "td_knn_sq8" ->
+      """WITH s AS (
+        |  SELECT CAST(min(u) AS DOUBLE) AS lo, CAST(max(u) AS DOUBLE) AS hi
+        |  FROM (SELECT unnest(embedding) AS u FROM embeddings)
+        |), q AS (
+        |  SELECT list_transform(embedding, x -> LEAST(127,
+        |    CAST(floor((CAST(x AS DOUBLE) - s.lo) * 127.0 / (s.hi - s.lo)) AS INTEGER))) AS qv
+        |  FROM embeddings, s WHERE vec_id = 0
+        |)
+        |SELECT vec_id, CAST(list_sum(
+        |  list_transform(generate_series(1, len(ev)), i -> qv[i] * ev[i])) AS BIGINT) AS dot_q
+        |FROM (
+        |  SELECT vec_id, list_transform(embedding, x -> LEAST(127,
+        |    CAST(floor((CAST(x AS DOUBLE) - s.lo) * 127.0 / (s.hi - s.lo)) AS INTEGER))) AS ev
+        |  FROM embeddings, s WHERE vec_id <> 0
+        |), q
+        |ORDER BY dot_q DESC, vec_id ASC LIMIT 5""".stripMargin,
     "td_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  length(text) - length(replace(text, 'a', '')) AS n_a,

@@ -86,6 +86,33 @@ object StreamAggregates {
     runToMemory(spark, agg, OutputMode.Complete())
   }
 
+  /** Stream-STREAM interval join (the conversion-attribution shape; Spark's
+    * watermarked two-stream equi-join with a time-range condition): the
+    * click stream joins the purchase stream on user_id where the purchase
+    * lands within 1 hour after the click. Both sides carry event-time
+    * watermarks so the join state is BOUNDED — clicks older than the
+    * purchase watermark minus the join window are evicted, which is what
+    * lets the same plan run forever on an unbounded 100 TB/day feed. The
+    * returned table is the raw joined pairs (Append mode); callers
+    * aggregate it as a batch table. */
+  def conversionJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    def side(tpe: String, tsName: String, idName: String) = spark.readStream
+      .schema(schema).parquet(streamableDir(eventsPath))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts").cast("timestamp").as(tsName),
+        col("event_id").as(idName))
+      .withWatermark(tsName, "1 hour")
+    val clicks = side("click", "click_ts", "click_id")
+    val purchases = side("purchase", "purchase_ts", "purchase_id")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"))
+    runToMemory(spark, joined, OutputMode.Append())
+  }
+
   /** Per-user session state: last event time (micros) + closed-session
     * count. Bounded: two longs per key, regardless of stream length. */
   final case class SessionState(lastMicros: Long, sessions: Long)
