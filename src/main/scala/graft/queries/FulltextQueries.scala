@@ -685,6 +685,17 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // BlendedTermQuery: both clauses scored with the blended (max) df, then
+    // DisjunctionMax(0.5) — distinct from dismax (per-term dfs) and from
+    // synonym (merged pseudo-term)
+    "ft_search_blended" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.BlendedTermQ(Seq("vector", "customer"), 0.5f)
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // BoostQuery scored: ^2 multiplies the clause weight BEFORE the idf
     // product (DoubleScorer.weightD = boost * idf), oracle-recomputed
     "ft_search_boost" -> ((spark, sfDir) =>
@@ -1042,6 +1053,24 @@ object FulltextQueries {
           levenshtein($"term", lit("sorw")).cast("long").as("dist"))
         .filter($"dist" <= 2)
         .orderBy(asc("dist"), desc("doc_freq"), asc("term"))
+        .limit(5)
+    }),
+    // FuzzySuggester (reference: lucene/suggest/src/java/org/apache/lucene/
+    // search/suggest/analyzing/FuzzySuggester.java — typo-tolerant
+    // autocomplete: the automaton allows maxEdits=1 within the typed
+    // PREFIX, the first char is exact (nonFuzzyPrefix=1), completions
+    // ranked by weight): dictionary-first — ONE row per term in termStats,
+    // the first-char guard is a pushable prefix predicate
+    "ft_fuzzy_complete" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val q = "ser"
+      index.termStats.toDF()
+        .filter(substring($"term", 1, 1) === q.substring(0, 1))
+        .select($"term", $"docFreq".as("doc_freq"),
+          levenshtein(substring($"term", 1, q.length), lit(q)).cast("long").as("dist"))
+        .filter($"dist" <= 1)
+        .orderBy(desc("doc_freq"), asc("term"))
         .limit(5)
     }),
     // autocomplete (lucene/suggest completion): prefix completions ranked by
@@ -2071,6 +2100,21 @@ object FulltextQueries {
          |  ) dl, st
          |) WHERE tf_v > 0 OR tf_c > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // blended stats: one shared idf from greatest(df_vector, df_customer)
+    "ft_search_blended" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_v, tf_c,
+         |    greatest(${bmSql(s"${idfSql(s"greatest(${dfSql("vector")}, ${dfSql("customer")})")}", "tf_v")},
+         |             ${bmSql(s"${idfSql(s"greatest(${dfSql("vector")}, ${dfSql("customer")})")}", "tf_c")})
+         |    + 0.5 * least(${bmSql(s"${idfSql(s"greatest(${dfSql("vector")}, ${dfSql("customer")})")}", "tf_v")},
+         |                  ${bmSql(s"${idfSql(s"greatest(${dfSql("vector")}, ${dfSql("customer")})")}", "tf_c")}) AS s
+         |  FROM (
+         |    SELECT doc_id, dlq, ${tfSql("vector")} AS tf_v, ${tfSql("customer")} AS tf_c
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf_v > 0 OR tf_c > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_boost" ->
       s"""$PRELUDE
          |SELECT doc_id, round(s, 4) AS score FROM (
@@ -2295,6 +2339,14 @@ object FulltextQueries {
          |GROUP BY tok
          |HAVING levenshtein(tok, 'sorw') <= 2
          |ORDER BY dist, doc_freq DESC, term LIMIT 5""".stripMargin,
+    // fuzzy autocomplete: maxEdits=1 on the typed prefix, first char exact
+    "ft_fuzzy_complete" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(levenshtein(substr(tok, 1, 3), 'ser') AS BIGINT) AS dist
+         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |WHERE substr(tok, 1, 1) = 's'
+         |GROUP BY tok HAVING levenshtein(substr(tok, 1, 3), 'ser') <= 1
+         |ORDER BY doc_freq DESC, term LIMIT 5""".stripMargin,
     "ft_complete" ->
       s"""SELECT tok AS term, count(*) AS doc_freq
          |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)

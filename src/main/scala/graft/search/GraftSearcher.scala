@@ -237,6 +237,27 @@ object ScorerBuilder {
         new SynonymScorer(tis, scorer, dScorer)
       }
 
+    case BlendedTermQ(terms, tieBreak) =>
+      val present = terms.filter(t => termBlocks.contains(t) && ctx.docFreq.contains(t))
+      if (present.isEmpty) EmptyScorer
+      else {
+        // BlendedTermQuery.adjustFrequencies: every clause scored with the
+        // MAX df / ttf across the group, then DisjunctionMax(tieBreak)
+        // (reference: lucene/core/src/java/org/apache/lucene/search/
+        // BlendedTermQuery.java:281-306)
+        val df = present.map(ctx.docFreq).max
+        val ttf = present.map(ctx.ttfOf).max
+        val subs = present.map { t =>
+          val dScorer =
+            if (ctx.doubleMode) ctx.sim.doubleScorer(boost.toDouble, df, ttf, ctx.stats)
+            else null
+          new TermIterator(termBlocks(t), ctx.sim.scorer(boost, df, ttf, ctx.stats),
+            lo, hi, dScorer, ctx.counters, live): DocScorer
+        }
+        if (subs.size == 1) subs.head
+        else new DisMaxScorer(subs.toArray, tieBreak)
+      }
+
     case ConstSetQ(terms) =>
       val tis = terms.flatMap(t => termBlocks.get(t).map(blocks =>
         new TermIterator(blocks, ctx.sim.scorer(1f, ctx.docFreq.getOrElse(t, 1L), ctx.ttfOf(t), ctx.stats),

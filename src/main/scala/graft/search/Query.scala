@@ -174,6 +174,14 @@ final case class ConstSetQ(terms: Seq[String]) extends Query
 /** Terms scored as one pseudo-term (reference:
   * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:55-218). */
 final case class SynonymQ(terms: Seq[String]) extends Query
+/** BlendedTermQuery (reference:
+  * lucene/core/src/java/org/apache/lucene/search/BlendedTermQuery.java:
+  * each term is scored as a TermQuery whose df/ttf are REPLACED by the
+  * maximum across the group — `adjustFrequencies` — then combined by
+  * DisjunctionMax with `tieBreakerMultiplier`; the cross-field shape
+  * Elasticsearch's `cross_fields` uses). Differs from [[SynonymQ]], which
+  * merges the postings into one pseudo-term with min(Σdf, docCount). */
+final case class BlendedTermQ(terms: Seq[String], tieBreak: Float = 0f) extends Query
 case object MatchAllQ extends Query
 case object MatchNoneQ extends Query
 
@@ -249,6 +257,7 @@ object Query {
     case SpanContainingQ(big, little) => big.spanTerms.toSet + little
     case SpanFirstQ(t, _) => Set(t)
     case SynonymQ(ts) => ts.toSet
+    case BlendedTermQ(ts, _) => ts.toSet
     case ConstSetQ(ts) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(terms).toSet
     case DisMaxQ(ds, _) => ds.flatMap(terms).toSet
