@@ -1204,6 +1204,33 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select($"doc_id", $"n_intervals").orderBy("doc_id")
     }),
+    // IntervalQuery scoring surface (IntervalScoreFunction.java): sloppy
+    // freq = sum of 1/(1+gap) over the minimal ordered intervals — the
+    // slop-weighted frequency the interval similarity saturates; top-15
+    "ft_intervals_score" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      posOf("data").toDF("docId", "pa")
+        .join(posOf("table").toDF("docId", "pb"), "docId")
+        .as[(Long, Array[Int], Array[Int])]
+        .map { case (d, pa, pb) =>
+          (d, TopK.round4(graft.search.Intervals.orderedSloppyFreq(pa, pb)))
+        }
+        .toDF("docId", "sloppy_freq")
+        .filter($"sloppy_freq" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"sloppy_freq")
+        .orderBy(desc("sloppy_freq"), asc("doc_id")).limit(15)
+    }),
     // Intervals.unordered + maxgaps (UnorderedIntervalsSource.java): minimal
     // unordered {'key','value'} intervals = adjacent opposite-type pairs in
     // the merged position stream, gap <= 3. Same scale shape as above.
@@ -2430,6 +2457,22 @@ object FulltextQueries {
          |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |  WHERE len(pa) > 0 AND len(pb) > 0)
          |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
+    // slop-weighted interval frequency, same minimal-interval enumeration;
+    // the oracle rounds AFTER summing in the same ascending-i order
+    "ft_intervals_score" ->
+      s"""SELECT doc_id, round(freq, 4) AS sloppy_freq FROM (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(generate_series(1, len(pa)), m ->
+         |      CASE WHEN len(list_filter(pb, j -> j > pa[m])) > 0
+         |             AND (m = len(pa) OR pa[m+1] >= list_min(list_filter(pb, j -> j > pa[m])))
+         |           THEN 1.0 / (1.0 + (list_min(list_filter(pb, j -> j > pa[m])) - pa[m] - 1))
+         |           ELSE 0.0 END)) AS freq
+         |  FROM (SELECT doc_id,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data') AS pa,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'table') AS pb
+         |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE len(pa) > 0 AND len(pb) > 0)
+         |WHERE freq > 0 ORDER BY sloppy_freq DESC, doc_id LIMIT 15""".stripMargin,
     // minimal unordered intervals: adjacent opposite-type pairs in the
     // merged 'key'/'value' position stream, gap <= 3; count per doc
     "ft_intervals_unordered" ->

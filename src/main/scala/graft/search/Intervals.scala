@@ -41,6 +41,30 @@ object Intervals {
     count
   }
 
+  /** IntervalQuery-style sloppy frequency: the sum of `1 / (1 + gap)` over
+    * every minimal ordered interval (no maxgaps filter) — tighter intervals
+    * contribute more, the saturating-frequency shape `IntervalQuery` feeds
+    * its similarity (reference: lucene/queries/src/java/org/apache/lucene/
+    * queries/intervals/IntervalScoreFunction.java — SaturationFunction over
+    * the slop-weighted interval freq). Summation runs in ascending-i order
+    * so the engine and the oracle add the same doubles in the same order. */
+  def orderedSloppyFreq(pa: Array[Int], pb: Array[Int]): Double = {
+    var k = 0
+    var m = 0
+    var freq = 0.0
+    while (m < pa.length && k < pb.length) {
+      val i = pa(m)
+      while (k < pb.length && pb(k) <= i) k += 1
+      if (k < pb.length) {
+        val j = pb(k)
+        val nextA = if (m + 1 < pa.length) pa(m + 1) else Int.MaxValue
+        if (nextA >= j) freq += 1.0 / (1.0 + (j - i - 1))
+      }
+      m += 1
+    }
+    freq
+  }
+
   /** Count of minimal unordered intervals over two DISTINCT terms: in the
     * merged ascending stream of a- and b-positions, every ADJACENT pair of
     * opposite type is a minimal interval (anything wider contains it), and

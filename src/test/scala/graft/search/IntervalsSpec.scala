@@ -45,6 +45,15 @@ class IntervalsSpec extends AnyFunSuite {
         s"ordered pa=${pa.mkString(",")} pb=${pb.mkString(",")} g=$g")
       assert(Intervals.unorderedMaxgapsCount(pa, pb, g) === bruteUnordered(pa, pb, g),
         s"unordered pa=${pa.mkString(",")} pb=${pb.mkString(",")} g=$g")
+      val bruteFreq = (for {
+        i <- pa
+        j <- pb
+        if j > i
+        if !pa.exists(x => x > i && x < j)
+        if !pb.exists(x => x > i && x < j)
+      } yield 1.0 / (1.0 + (j - i - 1))).sum
+      assert(math.abs(Intervals.orderedSloppyFreq(pa, pb) - bruteFreq) < 1e-12,
+        s"sloppyFreq pa=${pa.mkString(",")} pb=${pb.mkString(",")}")
     }
   }
 
