@@ -392,6 +392,33 @@ object RelationalQueries {
         round(skew, 4).as("skewness"), round(kurt, 4).as("kurtosis"))
         .orderBy("l_returnflag")
     }),
+    // Solr math `polyfit` (Commons-Math PolynomialCurveFitter, degree 2):
+    // least-squares fit of price-cents on quantity from EXACT integer sums
+    // (x..x^4, y, xy, x^2y as BIGINT, one agg) solved by Cramer's rule —
+    // every product/division runs in double with the identical expression
+    // tree on the oracle side, so the distributed sum order is irrelevant
+    // and the coefficients are deterministic. One agg pass, map-side
+    // partials; scales as a plain aggregate.
+    "q_polyfit" -> ((spark, sfDir) => {
+      val x = col("x"); val y = col("y")
+      val m = t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n0"),
+          sum(x).as("s1l"), sum(x * x).as("s2l"),
+          sum(x * x * x).as("s3l"), sum(x * x * x * x).as("s4l"),
+          sum(y).as("t0l"), sum(x * y).as("t1l"), sum(x * x * y).as("t2l"))
+      val n = col("n0").cast("double")
+      val s1 = col("s1l").cast("double"); val s2 = col("s2l").cast("double")
+      val s3 = col("s3l").cast("double"); val s4 = col("s4l").cast("double")
+      val t0 = col("t0l").cast("double"); val t1 = col("t1l").cast("double")
+      val t2 = col("t2l").cast("double")
+      val d = n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)
+      val c0 = (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2)) / d
+      val c1 = (n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)) / d
+      val c2 = (n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2)) / d
+      m.select(round(c0, 4).as("c0"), round(c1, 4).as("c1"), round(c2, 4).as("c2"))
+    }),
     // HLL approx distinct (HLLAgg): the property both engines verify is the
     // HLL estimate landing within 10% of the exact count — sketches differ
     // across engines, the accuracy contract is what's portable
@@ -1005,6 +1032,30 @@ object RelationalQueries {
         |  round((n * (n + 1.0) / (((n - 1.0) * (n - 2.0)) * (n - 3.0))) * c4 / (v * v)
         |        - (3.0 * (n - 1.0)) * (n - 1.0) / ((n - 2.0) * (n - 3.0)), 4) AS kurtosis
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    // degree-2 least squares by Cramer over exact integer sums; identical
+    // double expression tree as the engine
+    "q_polyfit" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(x * x * x) AS BIGINT) AS DOUBLE) AS s3,
+        |    CAST(CAST(sum(x * x * x * x) AS BIGINT) AS DOUBLE) AS s4,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS t0,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS t1,
+        |    CAST(CAST(sum(x * x * y) AS BIGINT) AS DOUBLE) AS t2
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |), d AS (
+        |  SELECT *, n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+        |         + s2 * (s1 * s3 - s2 * s2) AS det FROM m
+        |)
+        |SELECT
+        |  round((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2)) / det, 4) AS c0,
+        |  round((n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)) / det, 4) AS c1,
+        |  round((n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2)) / det, 4) AS c2
+        |FROM d""".stripMargin,
     "q_hll" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |  CAST(CASE WHEN abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 10
