@@ -310,6 +310,26 @@ object RelationalQueries {
         // monotone, so max = the final count whatever the batch split
         .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
         .orderBy("user_id")),
+    // TimeSeriesStream gap semantics (reference: solr/solrj/src/java/org/
+    // apache/solr/client/solrj/io/stream/TimeSeriesStream.java — Solr's
+    // JSON range facet emits EVERY bucket in [start, end] at the given gap,
+    // empty buckets with zero counts): hourly purchase counts over the full
+    // stream span, absent hours zero-filled by a generated hour axis. The
+    // axis derives from one min/max agg (a scalar), so the left join is a
+    // broadcast of the small counts side — no extra shuffle at scale.
+    "q_timeseries_gapfill" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val hours = e
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val counts = e.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt0"))
+      hours.join(broadcast(counts), Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("cnt0"), lit(0L)).as("cnt"))
+        .orderBy("hour")
+    }),
     // explode / CartesianProductStream (unnest multivalued field)
     "q_explode" -> ((spark, sfDir) => {
       t(spark, sfDir, "part")
@@ -953,6 +973,19 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // full hour axis from the stream bounds; empty buckets -> 0
+    "q_timeseries_gapfill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events
+        |), h AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+        |), c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT h.hour AS hour, COALESCE(c.cnt, 0) AS cnt
+        |FROM h LEFT JOIN c ON h.hour = c.hour ORDER BY hour""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS cnt,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
