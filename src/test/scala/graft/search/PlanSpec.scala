@@ -103,6 +103,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("child block join broadcasts the top-parent table onto the children") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.FulltextQueries.queries("ft_block_join_child")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the 3-row parent-score table must broadcast; the child table never
+    // shuffles on the parent key
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("sq8 quantized top-k is a scan + project + TakeOrdered, no shuffle agg") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.TrainingDataQueries.queries("td_knn_sq8")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // scoring is map-only: the only wide operation is the final top-k merge
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("gap-filled timeseries broadcasts the counts into the hour axis") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("q_timeseries_gapfill")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q1 scan prunes lineitem columns to the aggregated subset") {
     val sfDir = "/root/testdata/sf0.001"
     val df = graft.queries.RelationalQueries.queries("q1_agg")(spark, sfDir)
