@@ -562,6 +562,39 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // DFR InL2 (reference: DFRSimilarity.java:110-114, BasicModelIn.java:36-43,
+    // AfterEffectL.java:32-34, NormalizationH2.java:58-59) top-10
+    "ft_search_dfr" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.DFRInL2Sim())
+      s.searchDoubleDS(s.parse("merge"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // IB LL-D-H2 (reference: IBSimilarity.java score, DistributionLL.java:33-34,
+    // LambdaDF.java:36-38, NormalizationH2.java:58-59) top-10
+    "ft_search_ib" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.IBLLSim())
+      s.searchDoubleDS(s.parse("window"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // Axiomatic F2EXP (reference: Axiomatic.java:104-110,
+    // AxiomaticF2EXP.java:61-94; s=0.25, k=0.35) top-10
+    "ft_search_axiomatic" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.AxiomaticF2EXPSim())
+      s.searchDoubleDS(s.parse("sort"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // BooleanSimilarity: score = Σ boosts of matched SHOULD clauses
     // (reference: BooleanSimilarity.java:59-61); exercises boost-passthrough
     // and the disjunction's clause-order sum under a non-default Similarity
@@ -1981,6 +2014,48 @@ object FulltextQueries {
          |     FROM (SELECT (lm.ttf + 1) * dlq / (lm.sttf + 1) AS e FROM lm)) AS s
          |  FROM dl
          |) WHERE tf > 0 AND s > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // DFR InL2: A = log2((N+1)/(df+0.5)), tfn = tf·log2(1 + avgdl/dlq),
+    // s = A · 1 · (1 − 1/(1+tfn)) — mirrors DFRInL2Sim.DblScorer op order
+    "ft_search_dfr" ->
+      s"""$PRELUDE,
+         |ts AS (SELECT ${dfSql("merge")} AS df)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("merge")} AS tf,
+         |    (SELECT (ln((st.n + 1) / (ts.df + 0.5)) / ln(2)) * 1.0 *
+         |            (1 - 1.0 / (1 + ${tfSql("merge")} *
+         |                            (ln(1 + 1.0 * st.avgdl / dlq) / ln(2))))
+         |     FROM st, ts) AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // IB LL-D-H2: λ = (df+1)/(N+1), tfn = tf·log2(1 + avgdl/dlq),
+    // s = −ln(λ/(tfn+λ)) — mirrors IBLLSim.DblScorer op order
+    "ft_search_ib" ->
+      s"""$PRELUDE,
+         |ts AS (SELECT ${dfSql("window")} AS df)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("window")} AS tf,
+         |    (SELECT -ln(((ts.df + 1.0) / (st.n + 1.0)) /
+         |                (${tfSql("window")} *
+         |                   (ln(1 + 1.0 * st.avgdl / dlq) / ln(2)) +
+         |                 ((ts.df + 1.0) / (st.n + 1.0))))
+         |     FROM st, ts) AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Axiomatic F2EXP: tfln = tf/(tf + 0.25 + 0.25·dlq/avgdl),
+    // idf = ((N+1)/df)^0.35, s = max(0, 1·1·tfln·idf − 0) — mirrors
+    // AxiomaticF2EXPSim.raw op order
+    "ft_search_axiomatic" ->
+      s"""$PRELUDE,
+         |ts AS (SELECT ${dfSql("sort")} AS df)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("sort")} AS tf,
+         |    (SELECT greatest(0.0, 1.0 * 1.0 *
+         |       (${tfSql("sort")} /
+         |          (${tfSql("sort")} + 0.25 + 0.25 * dlq / st.avgdl)) *
+         |       pow((st.n + 1.0) / ts.df, 0.35) - 0.0)
+         |     FROM st, ts) AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // BooleanSimilarity: per-clause score = boost; SHOULD sums matched clauses
     "ft_search_boolsim" ->
       s"""$PRELUDE

@@ -220,3 +220,117 @@ final case class LMDirichletSim(mu: Double = 2000d) extends Similarity {
   def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
     new DblScorer(boost, prob(freqs.map(_._2).sum, stats), mu)
 }
+
+/** DFRSimilarity with BasicModel I(n), AfterEffect L, Normalization H2 —
+  * the classic "InL2" divergence-from-randomness configuration (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/DFRSimilarity.java:110-114
+  * score = boost · basicModel(tfn, ae·(1+tfn));
+  * BasicModelIn.java:36-43 A = log2((N+1)/(n+0.5)), score = A · ae1pTfn ·
+  * (1 − 1/(1+tfn)); AfterEffectL.java:32-34 ae·(1+tfn) = 1;
+  * NormalizationH2.java:58-59 tfn = tf · log2(1 + c·avgfl/fl), default c=1).
+  * The I(n) basic model is bounded above by A as tfn → ∞, so `maxScore`
+  * is finite and global WAND floors stay live — unlike the LM family. */
+final case class DFRInL2Sim(c: Double = 1d) extends Similarity {
+  private val LOG2 = math.log(2d)
+  private def raw(freq: Double, normByte: Int, a: Double, avgdl: Double): Double = {
+    val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+    val tfn = freq * (math.log(1 + c * avgdl / dl) / LOG2)
+    a * 1.0d * (1 - 1 / (1 + tfn))
+  }
+  private def bigA(df: Long, n: Long): Double =
+    math.log((n + 1).toDouble / (df + 0.5d)) / LOG2
+
+  private final class FloatScorer(boost: Float, a: Double, avgdl: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float =
+      (boost * raw(freq.toDouble, normByte, a, avgdl)).toFloat
+    def maxScore: Float = (boost * a).toFloat // I(n) ≤ A, ae·(1+tfn) = 1
+  }
+  private final class DblScorer(boost: Double, a: Double, avgdl: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost * raw(freq, normByte, a, avgdl)
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, bigA(df, stats.docCount), stats.avgdlD)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, bigA(df, stats.docCount), stats.avgdlD)
+  /** Multi-term (phrase / synonym): pseudo-df = min(Σ df, docCount) — the
+    * same blended-stat deviation documented on [[LMDirichletSim]]. */
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, bigA(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, bigA(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+}
+
+/** IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) — the
+  * information-based model with log-logistic distribution (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/IBSimilarity.java
+  * score = boost · distribution(tfn, λ); DistributionLL.java:33-34
+  * score = −ln(λ/(tfn+λ)); LambdaDF.java:36-38 λ = (df+1)/(N+1);
+  * NormalizationH2.java:58-59 tfn = tf · log2(1 + c·avgfl/fl), c=1).
+  * The double twin keeps λ in double precision so the DuckDB oracle can
+  * recompute it verbatim; the Float path mirrors Lucene's float-cast λ
+  * (LambdaDF.java:36). Unbounded in tfn → maxScore = +inf (impact-block
+  * pruning still applies through the frontier, like the LM family). */
+final case class IBLLSim(c: Double = 1d) extends Similarity {
+  private val LOG2 = math.log(2d)
+  private def tfn(freq: Double, normByte: Int, avgdl: Double): Double = {
+    val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+    freq * (math.log(1 + c * avgdl / dl) / LOG2)
+  }
+  private final class FloatScorer(boost: Float, lambda: Float, avgdl: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = {
+      val t = tfn(freq.toDouble, normByte, avgdl)
+      (boost * -math.log(lambda / (t + lambda))).toFloat
+    }
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(boost: Double, lambda: Double, avgdl: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = {
+      val t = tfn(freq, normByte, avgdl)
+      boost * -math.log(lambda / (t + lambda))
+    }
+  }
+  private def lambdaD(df: Long, n: Long): Double = (df + 1.0d) / (n + 1.0d)
+
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, lambdaD(df, stats.docCount).toFloat, stats.avgdlD)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, lambdaD(df, stats.docCount), stats.avgdlD)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost,
+      lambdaD(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount).toFloat, stats.avgdlD)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost,
+      lambdaD(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+}
+
+/** AxiomaticF2EXP — axiomatic retrieval, function F2-EXP (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/Axiomatic.java:104-110
+  * score = boost · max(0, tf·ln·tfln·idf − gamma); AxiomaticF2EXP.java:61-94
+  * tf = ln = 1, gamma = 0, tfln = freq/(freq + s + s·dl/avgdl),
+  * idf = ((N+1)/df)^k; defaults s=0.25, k=0.35 (Axiomatic.java:99-101)).
+  * tfln < 1 always, so maxScore = boost·idf is finite — WAND-compatible. */
+final case class AxiomaticF2EXPSim(s: Double = 0.25d, k: Double = 0.35d) extends Similarity {
+  private def idf(df: Long, n: Long): Double = math.pow((n + 1.0d) / df.toDouble, k)
+  private def raw(freq: Double, normByte: Int, w: Double, avgdl: Double): Double = {
+    val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+    val tfln = freq / (freq + s + s * dl / avgdl)
+    val sc = 1.0d * 1.0d * tfln * w - 0.0d
+    if (sc > 0) sc else 0d
+  }
+  private final class FloatScorer(boost: Float, w: Double, avgdl: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float =
+      (boost * raw(freq.toDouble, normByte, w, avgdl)).toFloat
+    def maxScore: Float = (boost * w).toFloat // tfln < 1
+  }
+  private final class DblScorer(boost: Double, w: Double, avgdl: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost * raw(freq, normByte, w, avgdl)
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, idf(df, stats.docCount), stats.avgdlD)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, idf(df, stats.docCount), stats.avgdlD)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, idf(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, idf(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+}

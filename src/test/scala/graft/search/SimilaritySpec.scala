@@ -81,6 +81,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.maxScore == b.maxScore)
   }
 
+  test("DFR InL2 formula: log2((N+1)/(df+0.5)) * (1 - 1/(1+tfn)), tfn = tf*log2(1+avgdl/dl)") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val sim = DFRInL2Sim()
+    val avgdl = 50000.0 / 1000.0
+    val tfn = 4.0 * (math.log(1 + avgdl / 16.0) / math.log(2.0))
+    val a = math.log(1001.0 / 9.5) / math.log(2.0)
+    val expected = a * (1 - 1 / (1 + tfn))
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(4.0, nb) - expected) < 1e-12)
+    // bounded: maxScore = boost * A (BasicModelIn score -> A as tfn -> inf)
+    val f = sim.scorer(2f, 9, 20, stats)
+    assert(math.abs(f.maxScore - 2 * a) < 1e-6)
+    assert(f.score(1000000f, nb) <= f.maxScore)
+  }
+
+  test("IB LL-D-H2 formula: -ln(lambda/(tfn+lambda)), lambda = (df+1)/(N+1)") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val sim = IBLLSim()
+    val avgdl = 50000.0 / 1000.0
+    val tfn = 4.0 * (math.log(1 + avgdl / 16.0) / math.log(2.0))
+    val lambda = 10.0 / 1001.0
+    val expected = -math.log(lambda / (tfn + lambda))
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(4.0, nb) - expected) < 1e-12)
+    assert(sim.scorer(1f, 9, 20, stats).maxScore == Float.PositiveInfinity)
+  }
+
+  test("AxiomaticF2EXP formula: tf/(tf + s + s*dl/avgdl) * ((N+1)/df)^k, s=0.25 k=0.35") {
+    val nb = Bm25.encodeNorm(16) & 0xFF
+    val sim = AxiomaticF2EXPSim()
+    val avgdl = 50000.0 / 1000.0
+    val idf = math.pow(1001.0 / 9.0, 0.35)
+    val expected = (4.0 / (4.0 + 0.25 + 0.25 * 16.0 / avgdl)) * idf
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(4.0, nb) - expected) < 1e-12)
+    // tfln < 1 always -> maxScore = boost * idf, finite
+    val f = sim.scorer(1f, 9, 20, stats)
+    assert(math.abs(f.maxScore - idf) < 1e-6)
+    assert(f.score(1000000f, nb) < f.maxScore)
+  }
+
   private val queries = Seq(
     "return",
     "indexwriter",
@@ -92,7 +130,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("distributed top-k under each similarity is identical to brute force") {
     for (sim <- Seq[Similarity](ClassicSim, LMDirichletSim(), LMJelinekMercerSim(),
-                                DFISim(), BooleanSim);
+                                DFISim(), BooleanSim, DFRInL2Sim(), IBLLSim(),
+                                AxiomaticF2EXPSim());
          q <- queries) {
       val s = base.withSimilarity(sim)
       val ast = s.parse(q)
