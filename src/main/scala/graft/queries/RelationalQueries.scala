@@ -330,6 +330,61 @@ object RelationalQueries {
         .select(col("hour"), coalesce(col("cnt0"), lit(0L)).as("cnt"))
         .orderBy("hour")
     }),
+    // As-of join — for each purchase, the latest same-user click at/before
+    // its timestamp (the temporal-attribution operator Spark lacks as a
+    // native join type). Spark-first rendering: no per-event lookup and no
+    // inequality join; both sides union on the key, one shuffle partitions
+    // by user, and a running `last(click, ignoreNulls)` window carries the
+    // most recent click forward onto each purchase row. Tie discipline:
+    // clicks sort before purchases at equal ts (typ 0 < 1) so `<=` is
+    // inclusive, and equal-ts clicks sort by ascending id so the carried
+    // value is the max click id — the oracle's ORDER BY ts DESC, id DESC.
+    // At 100 TB this is one shuffle + an in-partition sorted sweep; a hot
+    // user key salts the same way any keyed window does.
+    "q_asof" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("typ"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("typ"),
+          lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("typ"), col("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("typ") === 1)
+        .select(col("purchase_id").as("event_id"), col("asof_click"))
+        .orderBy("event_id")
+    }),
+    // Range join — lineitems shipped inside each order's [date, date+3d)
+    // window, NO equi key. The scale path is the canonical bucketed
+    // interval join: each order explodes into the day buckets its window
+    // covers (bounded fan-out = window/bucket width), lineitems bucket by
+    // their own day, and the join becomes an equi-join on the bucket plus
+    // an exact range filter — linear in input, no O(n·m) inequality join.
+    // Orders with zero shipments are restored by a left join against the
+    // counted side (broadcast: one row per order key).
+    "q_range_join" -> ((spark, sfDir) => {
+      val o = t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").as("lo"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("hi"))
+      val buckets = o.select(col("o_orderkey"), col("lo"), col("hi"),
+        explode(expr(
+          "sequence(date_trunc('DAY', lo), date_trunc('DAY', hi), interval 1 day)"))
+          .as("day"))
+      val li = t(spark, sfDir, "lineitem")
+        .select(col("l_shipdate"), date_trunc("DAY", col("l_shipdate")).as("day"))
+      val cnt = buckets.join(li, "day")
+        .filter(col("l_shipdate") >= col("lo") && col("l_shipdate") < col("hi"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n0"))
+      o.select("o_orderkey").join(cnt, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n0"), lit(0L)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
     // explode / CartesianProductStream (unnest multivalued field)
     "q_explode" -> ((spark, sfDir) => {
       t(spark, sfDir, "part")
@@ -1016,6 +1071,23 @@ object RelationalQueries {
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // as-of semantics stated directly: latest prior click, ties broken by
+    // max click id — the engine's union+window carry produces exactly this
+    "q_asof" ->
+      """SELECT p.event_id, (
+        |  SELECT c.event_id FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    // range join stated directly as an inequality join (DuckDB IEJoin)
+    "q_range_join" ->
+      """SELECT o.o_orderkey, count(l.l_shipdate) AS n_shipped
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
     "q_explode" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)

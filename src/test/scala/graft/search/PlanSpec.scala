@@ -128,6 +128,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("as-of join is one keyed window sweep, not a per-row lookup join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("q_asof")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the carry is a running window over the unioned stream: no join node
+    // of any kind, and no nested-loop fallback
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("range join buckets into an equi-join, never a nested-loop product") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.RelationalQueries.queries("q_range_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the inequality predicate must ride an equi-join on the day bucket —
+    // a BroadcastNestedLoopJoin/CartesianProduct here is the O(n·m) cliff
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("q1 scan prunes lineitem columns to the aggregated subset") {
     val sfDir = "/root/testdata/sf0.001"
     val df = graft.queries.RelationalQueries.queries("q1_agg")(spark, sfDir)
