@@ -209,12 +209,46 @@ object TrainingDataQueries {
         .orderBy("a", "b")
     }),
     // blocked brute-force n-gram (token-set) Jaccard near-dup, block = lang
+    // n-gram Jaccard dedup via AllPairs/PPJoin prefix filtering (Bayardo et
+    // al. WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al.
+    // WWW'08 PPJoin): instead of the O(n²)-per-block all-pairs join, each
+    // doc's tokens are globally ordered by ascending df (rarest first) and
+    // only the first n − ⌈t·n⌉ + 1 = ⌊n/2⌋ + 1 tokens (t = 0.5) are
+    // exploded as candidate keys — any pair with Jaccard ≥ t provably
+    // shares a prefix token. Candidates also pass the length bound
+    // (max(na,nb) ≤ 2·min — J ≥ 0.5 forbids more) before the exact
+    // intersect verify, so work scales with the candidate count, not the
+    // block square. Result is identical to the brute-force oracle
+    // (JaccardPPJoinSpec checks pair-set equality vs all-pairs).
     "td_dedup_jaccard" -> ((spark, sfDir) => {
       val sets = docs(spark, sfDir)
         .select(col("lang"), col("doc_id"), array_distinct(expr(TOKS)).as("tk"))
-      val a = sets.select(col("lang"), col("doc_id").as("a"), col("tk").as("ta"))
-      val b = sets.select(col("lang"), col("doc_id").as("b"), col("tk").as("tb"))
-      a.join(b, "lang").filter(col("a") < col("b"))
+      val toks = sets.select(col("lang"), col("doc_id"), explode(col("tk")).as("tok"))
+      val dfreq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("df"))
+      // per-doc tokens sorted rare-first by (df, tok) — a deterministic
+      // total order shared by all docs of the block
+      val ordered = toks.join(dfreq, Seq("lang", "tok"))
+        .groupBy("lang", "doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+        .select(col("lang"), col("doc_id"),
+          expr("transform(ord, x -> x.tok)").as("sorted"),
+          size(col("ord")).as("n"))
+      // prefix = floor(n/2)+1 rarest tokens; the '' sentinel keeps the
+      // degenerate empty-token-set docs mutually joinable (J vacuously
+      // passes the brute-force filter for two empty sets)
+      val prefixes = ordered.select(col("lang"), col("doc_id"), col("n"),
+        explode(expr("CASE WHEN n = 0 THEN array('') " +
+          "ELSE slice(sorted, 1, CAST(n / 2 AS INT) + 1) END")).as("tok"))
+      val cand = prefixes.select(col("lang"), col("tok"), col("doc_id").as("a"), col("n").as("na"))
+        .join(prefixes.select(col("lang"), col("tok"), col("doc_id").as("b"), col("n").as("nb")),
+          Seq("lang", "tok"))
+        .filter(col("a") < col("b") &&
+          col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+        .select("lang", "a", "b").distinct()
+      val full = sets
+      cand
+        .join(full.select(col("lang"), col("doc_id").as("a"), col("tk").as("ta")), Seq("lang", "a"))
+        .join(full.select(col("lang"), col("doc_id").as("b"), col("tk").as("tb")), Seq("lang", "b"))
         .select(col("a"), col("b"),
           size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
           size(col("ta")).cast("long").as("na"),
