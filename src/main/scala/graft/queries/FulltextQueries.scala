@@ -457,6 +457,41 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
     }),
+    // JoinUtil ScoreMode.Total (reference: lucene/join/src/java/org/apache/
+    // lucene/search/join/JoinUtil.java createJoinQuery + ScoreMode.Total):
+    // per-join-value score = SUM of from-side hit scores. Numeric
+    // discipline: round4 scores become exact integer ten-thousandths before
+    // the sum, so the per-group total is an order-independent BIGINT.
+    "ft_join_scored_total" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val from = searcher.scoreAllDoubleDS(searcher.parse("stream")).toDF("docId", "s")
+        .join(index.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .groupBy("commit")
+        .agg(sum(round(col("s") * 10000).cast("long")).as("score_1e4"))
+      index.docs.toDF().select(col("docId"), col("commit"))
+        .join(broadcast(from), "commit")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("score_1e4"))
+        .orderBy(desc("score_1e4"), asc("doc_id"))
+        .limit(20)
+    }),
+    // JoinUtil ScoreMode.Avg: total in exact 1e-4 integer units, then two
+    // IEEE divisions on exact operands (sum/10000.0, then /count) — the
+    // same double both engines compute bit-for-bit.
+    "ft_join_scored_avg" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val from = searcher.scoreAllDoubleDS(searcher.parse("group")).toDF("docId", "s")
+        .join(index.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .groupBy("commit")
+        .agg(((sum(round(col("s") * 10000).cast("long")).cast("double") / 10000.0d)
+          / count(lit(1))).as("score"))
+      index.docs.toDF().select(col("docId"), col("commit"))
+        .join(broadcast(from), "commit")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    }),
     // CoveringQuery (lucene/sandbox/src/java/org/apache/lucene/search/
     // CoveringQuery.java): match docs where the NUMBER of matching clauses
     // >= a per-doc LongValuesSource — here len % 3 + 1. Each clause's
@@ -1924,6 +1959,32 @@ object FulltextQueries {
          |  FROM dl, st),
          |fv AS (
          |  SELECT d.source, max(sc.s) AS score
+         |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  WHERE sc.tf > 0 GROUP BY d.source)
+         |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_join_scored_total" ->
+      s"""$PRELUDE,
+         |scored AS (
+         |  SELECT dl.doc_id, ${tfSql("stream")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("stream")), tfSql("stream"))}, 4) AS s
+         |  FROM dl, st),
+         |fv AS (
+         |  SELECT d.source, sum(CAST(round(sc.s * 10000) AS BIGINT)) AS score_1e4
+         |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  WHERE sc.tf > 0 GROUP BY d.source)
+         |SELECT d.doc_id, fv.score_1e4 FROM documents d JOIN fv ON d.source = fv.source
+         |ORDER BY score_1e4 DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_join_scored_avg" ->
+      s"""$PRELUDE,
+         |scored AS (
+         |  SELECT dl.doc_id, ${tfSql("group")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("group")), tfSql("group"))}, 4) AS s
+         |  FROM dl, st),
+         |fv AS (
+         |  SELECT d.source,
+         |    (CAST(sum(CAST(round(sc.s * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
+         |      / count(*) AS score
          |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
