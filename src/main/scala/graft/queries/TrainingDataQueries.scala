@@ -181,6 +181,39 @@ object TrainingDataQueries {
     // ±0.35 bound boolean. Scale shape: signatures join once per pair
     // (candidates only), shingle intersection is an equi-join on the
     // shingle key restricted to candidates — never all-pairs.
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): a
+    // d=4 × w=1024 counter matrix built in ONE map-side-combinable groupBy
+    // (each token occurrence explodes into its d (row, xxhash64(tok, row)
+    // mod w) cells), then the top-10 exact heavy hitters probe it — the
+    // estimate is min over rows of the hit counter (a broadcast join: the
+    // whole sketch is d·w rows regardless of corpus size, THE point of a
+    // sketch at 100 TB). Oracle contract, not sketch bytes (same pattern
+    // as q_hll / td_minhash_accuracy): CMS guarantees est ≥ exact always
+    // and est ≤ exact + ⌈(e/w)·N⌉ w.h.p.; both engines emit the verdict.
+    "td_heavy_hitters" -> ((spark, sfDir) => {
+      val D = 4; val W = 1024
+      val tok = docs(spark, sfDir).select(explode(expr(TOKS)).as("tok"))
+      val cells = (0 until D).map(i =>
+        struct(lit(i).as("row"), pmod(xxhash64(col("tok"), lit(i)), lit(W)).as("bucket")))
+      val sketch = tok
+        .select(explode(array(cells: _*)).as("rb"))
+        .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(desc("exact_cnt"), asc("tok")).limit(10)
+      val n = tok.agg(count(lit(1)).as("n"))
+      val est = top
+        .select(col("tok"), col("exact_cnt"), explode(array(cells: _*)).as("rb"))
+        .select(col("tok"), col("exact_cnt"), col("rb.row"), col("rb.bucket"))
+        .join(broadcast(sketch), Seq("row", "bucket"))
+        .groupBy("tok", "exact_cnt").agg(min(col("c")).as("est"))
+      est.crossJoin(broadcast(n))
+        .select(col("tok"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt") &&
+            col("est") <= col("exact_cnt") + ceil(lit(math.E) * col("n") / W))
+            .cast("int").as("cms_within_bound"))
+        .orderBy(desc("exact_cnt"), asc("tok"))
+    }),
     "td_minhash_accuracy" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       val sig = minhashSig(d, 128)
@@ -802,6 +835,33 @@ object TrainingDataQueries {
     // ---- multimodal binary pipeline (decode step is a deterministic stub:
     // no image/audio libs in this container; the Spark-side plumbing —
     // binary column, typed batch iterator, schema — is real) ----
+    // Multimodal frame sampling: the video path of the training pipeline —
+    // opaque binary column → fixed-size frames (64 B stand-in for a real
+    // codec's GOP), strided sampling (every 2nd frame, first 4 samples),
+    // per-frame byte count + content hash. The Spark side runs on REAL
+    // binary (encode → byte-addressed substring → md5 over bytes), all
+    // map-only until the driver-facing sort; the per-frame fan-out is the
+    // batch shape a real decoder UDF would emit (one row per sampled
+    // frame). Frame extraction itself is the deterministic stand-in for
+    // the absent codec libs, same policy as td_multimodal's stub decode.
+    // The oracle verifies over this ASCII corpus where byte framing ==
+    // char framing (octet_length == length checked by the WHERE guard in
+    // spirit; the testdata corpus is ASCII).
+    "td_multimodal_frames" -> ((spark, sfDir) => {
+      val FRAME = 64; val STRIDE = 2; val MAXF = 4
+      docs(spark, sfDir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+        .withColumn("n_frames",
+          ceil(length(col("bin")).cast("double") / FRAME).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("bin"),
+          explode(expr(s"slice(sequence(0, n_frames - 1, $STRIDE), 1, $MAXF)")).as("f"))
+        .select(col("doc_id"), col("f").cast("long").as("frame"),
+          length(expr(s"substring(bin, f * $FRAME + 1, $FRAME)")).cast("long")
+            .as("frame_bytes"),
+          md5(expr(s"substring(bin, f * $FRAME + 1, $FRAME)")).as("frame_md5"))
+        .orderBy("doc_id", "frame")
+    }),
     "td_multimodal" -> ((spark, sfDir) => {
       import spark.implicits._
       docs(spark, sfDir)
@@ -1091,6 +1151,27 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // CMS accuracy contract: exact heavy-hitter counts plus the guarantee
+    // verdict — the oracle asserts the bound the sketch must meet, the
+    // engine computes its side from the real d×w counters
+    "td_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS tok FROM documents),
+         |ex AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok)
+         |SELECT tok, exact_cnt, CAST(1 AS INT) AS cms_within_bound
+         |FROM ex ORDER BY exact_cnt DESC, tok LIMIT 10""".stripMargin,
+    // byte framing == char framing on the ASCII corpus; md5(varchar)
+    // hashes the same UTF-8 bytes the engine's binary md5 sees
+    "td_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1, 2)) AS frame
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  CAST(length(substring(text, frame * 64 + 1, 64)) AS BIGINT) AS frame_bytes,
+        |  md5(substring(text, frame * 64 + 1, 64)) AS frame_md5
+        |FROM f WHERE frame < 8
+        |ORDER BY doc_id, frame""".stripMargin,
     "td_quality_gopher" ->
       s"""SELECT doc_id, n_toks, top_tok_cnt, n_bg, n_dup_bg,
          |  (top_tok_cnt * 10 <= n_toks * 3) AND (n_dup_bg * 5 <= n_bg) AS keep
