@@ -1167,6 +1167,21 @@ object FulltextQueries {
         .orderBy(desc("weight"), asc("term"))
         .limit(5)
     }),
+    // ContextQuery-filtered completion (reference: lucene/suggest/src/java/
+    // org/apache/lucene/search/suggest/document/ContextQuery.java —
+    // completions restricted to entries carrying a context label, ranked by
+    // per-context weight): the dictionary build is a filtered token count
+    // (DocumentDictionary-with-contexts analog), the typed prefix a
+    // pushable StartsWith — both stay map-side until the tiny top-k merge
+    "ft_suggest_context" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .filter(col("source") === "src7")
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+        .filter(col("term").startsWith("s"))
+        .groupBy("term").agg(count(lit(1)).as("weight"))
+        .orderBy(desc("weight"), asc("term"))
+        .limit(5)
+    }),
     // MoreLikeThis (lucene/queries mlt.MoreLikeThis): re-analyze doc 42's
     // stored text, pick the top-5 terms by tf*idf (minTermFreq=2,
     // minDocFreq=5 — the MLT defaults) with df from the real term dictionary,
@@ -2522,6 +2537,11 @@ object FulltextQueries {
          |WHERE tok LIKE '%er%'
          |GROUP BY tok
          |ORDER BY weight DESC, term LIMIT 5""".stripMargin,
+    "ft_suggest_context" ->
+      s"""SELECT term, count(*) AS weight
+         |FROM (SELECT unnest($TOKS) AS term FROM documents WHERE source = 'src7')
+         |WHERE term LIKE 's%'
+         |GROUP BY 1 ORDER BY weight DESC, term LIMIT 5""".stripMargin,
     "ft_mlt" ->
       s"""$PRELUDE,
          |bg AS (SELECT tok AS term, count(*) AS df

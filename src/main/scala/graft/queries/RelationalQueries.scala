@@ -153,6 +153,61 @@ object RelationalQueries {
         expr("percentile(l_quantity, 0.5)").as("p50"),
         expr("percentile(l_quantity, 0.9)").as("p90"))
     }),
+    // Approx percentile under the accuracy CONTRACT (Spark's
+    // ApproximatePercentile = Greenwald-Khanna with rank error ≤ N/acc):
+    // the sketch is the 100-TB path (bounded memory per partition,
+    // mergeable); the verdict joins the sketch output back against exact
+    // ranks — returned value's rank interval [#<v + 1, #≤v] must
+    // intersect [pN − N/acc, pN + N/acc]. Exact percentiles ride along
+    // (the known-good percentile ↔ quantile_cont bridge), so the oracle
+    // pins them and asserts the contract flags.
+    "q_approx_percentile" -> ((spark, sfDir) => {
+      val acc = 100
+      val x = t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("double").as("x"))
+      val ap = x.agg(
+        expr(s"approx_percentile(x, 0.5, $acc)").as("a50"),
+        expr(s"approx_percentile(x, 0.9, $acc)").as("a90"),
+        expr("percentile(x, 0.5)").as("p50_exact"),
+        expr("percentile(x, 0.9)").as("p90_exact"),
+        count(lit(1)).as("n"))
+      val r = x.crossJoin(broadcast(ap)).agg(
+        sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("x") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        first("p50_exact").as("p50_exact"), first("p90_exact").as("p90_exact"),
+        first("n").as("n"))
+      r.select(col("n"), col("p50_exact"), col("p90_exact"),
+        (col("le50") >= col("n") * 0.5 - col("n") / lit(acc) &&
+          (col("lt50") + 1) <= col("n") * 0.5 + col("n") / lit(acc))
+          .cast("int").as("p50_within"),
+        (col("le90") >= col("n") * 0.9 - col("n") / lit(acc) &&
+          (col("lt90") + 1) <= col("n") * 0.9 + col("n") / lit(acc))
+          .cast("int").as("p90_within"))
+    }),
+    // Solr facet.prefix (SimpleFacets: term facet constrained to buckets
+    // with a given prefix — the prefix is a pushable filter BEFORE the
+    // count, never a post-filter over all buckets)
+    "q_facet_prefix" -> ((spark, sfDir) => {
+      t(spark, sfDir, "part")
+        .select(explode(split(col("p_name"), " ")).as("bucket"))
+        .filter(col("bucket").startsWith("b"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bucket"))
+        .limit(10)
+    }),
+    // Solr JSON facet numBuckets + allBuckets (FacetFieldProcessor:
+    // numBuckets = distinct bucket count, allBuckets = the aggregates over
+    // every bucket regardless of the top-k limit) — one pass
+    "q_facet_numbuckets" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .select(floor(col("o_totalprice") / 10000).as("bucket"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .agg(countDistinct(col("bucket")).as("num_buckets"),
+          count(lit(1)).as("all_cnt"),
+          sum(col("cents")).as("all_sum_cents"))
+    }),
     // median absolute deviation (Solr math `mad`; commons-math
     // DescriptiveStatistics-based MadEvaluator): med = exact interpolated
     // median, mad = median of |x − med| — two distributed percentile
@@ -943,6 +998,23 @@ object RelationalQueries {
     "q_percentile" ->
       """SELECT quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem""".stripMargin,
+    // GK contract flags asserted by the oracle; exact percentiles pinned
+    "q_approx_percentile" ->
+      """SELECT count(*) AS n,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50_exact,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90_exact,
+        |  CAST(1 AS INT) AS p50_within, CAST(1 AS INT) AS p90_within
+        |FROM lineitem""".stripMargin,
+    "q_facet_prefix" ->
+      """SELECT word AS bucket, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |WHERE word LIKE 'b%'
+        |GROUP BY 1 ORDER BY cnt DESC, bucket LIMIT 10""".stripMargin,
+    "q_facet_numbuckets" ->
+      """SELECT CAST(count(DISTINCT floor(o_totalprice / 10000)) AS BIGINT) AS num_buckets,
+        |  count(*) AS all_cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS all_sum_cents
+        |FROM orders""".stripMargin,
     "q_mad" ->
       """WITH m AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med FROM lineitem)
         |SELECT max(m.med) AS med,
