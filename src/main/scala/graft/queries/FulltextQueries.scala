@@ -1182,6 +1182,37 @@ object FulltextQueries {
         .orderBy(desc("weight"), asc("term"))
         .limit(5)
     }),
+    // EdgeNGramTokenFilter search-as-you-type (reference: lucene/analysis/
+    // common/src/java/org/apache/lucene/analysis/ngram/
+    // EdgeNGramTokenFilter.java — emit prefixes minGram..maxGram of each
+    // token at the same position): index-time gram expansion (3..5 here),
+    // the typed 3-char prefix 'sor' hits its gram as an EXACT term — no
+    // wildcard scan at query time, which is the whole point of the filter
+    "ft_edgengram" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(3, least(5, length(tok))), n -> substring(tok, 1, n))"))
+          .as("gram"))
+        .filter(col("gram") === "sor")
+        .groupBy("doc_id").agg(count(lit(1)).as("gram_tf"))
+        .orderBy("doc_id")
+    }),
+    // Solr analysis chain PatternReplaceFilter + LengthFilter (reference:
+    // solr PatternReplaceFilterFactory / LengthFilterFactory): digit runs
+    // collapse to a class token, then only lengths 3..8 survive — top-10
+    // surviving terms by count
+    "ft_analysis_chain" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .select(regexp_replace(col("tok"), "[0-9]+", "N").as("term"))
+        .filter(length(col("term")).between(3, 8))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("term"))
+        .limit(10)
+    }),
     // MoreLikeThis (lucene/queries mlt.MoreLikeThis): re-analyze doc 42's
     // stored text, pick the top-5 terms by tf*idf (minTermFreq=2,
     // minDocFreq=5 — the MLT defaults) with df from the real term dictionary,
@@ -2542,6 +2573,20 @@ object FulltextQueries {
          |FROM (SELECT unnest($TOKS) AS term FROM documents WHERE source = 'src7')
          |WHERE term LIKE 's%'
          |GROUP BY 1 ORDER BY weight DESC, term LIMIT 5""".stripMargin,
+    // gram 'sor' is emitted exactly once per token of length >= 3 whose
+    // 3-prefix is 'sor' (the 4- and 5-grams are different strings)
+    "ft_edgengram" ->
+      s"""SELECT doc_id, count(*) AS gram_tf
+         |FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |WHERE len(tok) >= 3 AND substr(tok, 1, 3) = 'sor'
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+    "ft_analysis_chain" ->
+      s"""SELECT term, count(*) AS cnt FROM (
+         |  SELECT regexp_replace(tok, '[0-9]+', 'N', 'g') AS term
+         |  FROM (SELECT unnest($TOKS) AS tok FROM documents))
+         |WHERE len(term) BETWEEN 3 AND 8
+         |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
     "ft_mlt" ->
       s"""$PRELUDE,
          |bg AS (SELECT tok AS term, count(*) AS df
