@@ -1182,6 +1182,26 @@ object FulltextQueries {
         .orderBy(desc("weight"), asc("term"))
         .limit(5)
     }),
+    // ValueSource scale() (reference: lucene/queries/src/java/org/apache/
+    // lucene/queries/function/valuesource/ScaleFloatFunction.java — rescale
+    // a query's scores into [0,1] from the match set's own min/max; Solr's
+    // classic `scale(query($q),0,1)` boost): one scored pass, a 1-row
+    // min/max broadcast back over it, (s−min)/(max−min) on bit-identical
+    // doubles — no second scoring pass
+    "ft_scale_score" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("filter")).toDF("docId", "s")
+      val mm = scored.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      scored.crossJoin(broadcast(mm))
+        .select(col("docId"),
+          round(when(col("mx") === col("mn"), lit(0.0))
+            .otherwise((col("s") - col("mn")) / (col("mx") - col("mn"))), 4)
+            .as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // EdgeNGramTokenFilter search-as-you-type (reference: lucene/analysis/
     // common/src/java/org/apache/lucene/analysis/ngram/
     // EdgeNGramTokenFilter.java — emit prefixes minGram..maxGram of each
@@ -2573,6 +2593,18 @@ object FulltextQueries {
          |FROM (SELECT unnest($TOKS) AS term FROM documents WHERE source = 'src7')
          |WHERE term LIKE 's%'
          |GROUP BY 1 ORDER BY weight DESC, term LIMIT 5""".stripMargin,
+    "ft_scale_score" ->
+      s"""$PRELUDE,
+         |scored AS (
+         |  SELECT dl.doc_id, ${tfSql("filter")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("filter")), tfSql("filter"))}, 4) AS s
+         |  FROM dl, st),
+         |m AS (SELECT min(s) AS mn, max(s) AS mx FROM scored WHERE tf > 0)
+         |SELECT doc_id,
+         |  round(CASE WHEN m.mx = m.mn THEN 0.0
+         |        ELSE (s - m.mn) / (m.mx - m.mn) END, 4) AS score
+         |FROM scored, m WHERE tf > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // gram 'sor' is emitted exactly once per token of length >= 3 whose
     // 3-prefix is 'sor' (the 4- and 5-grams are different strings)
     "ft_edgengram" ->

@@ -297,6 +297,37 @@ object RelationalQueries {
           |GROUP BY ROLLUP(r_name, n_name)
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     }),
+    // full CUBE lattice (multi-dim JSON facets emit every dim combination;
+    // Catalyst plans CUBE as one expand + one hash agg — no per-combination
+    // rescan)
+    "q_cube" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem").createOrReplaceTempView("v_lineitem")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+          |FROM v_lineitem
+          |GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+    // Solr math conv(): 3-point smoothing kernel over the ordered hourly
+    // series. Kernel weights are dyadic rationals (0.25/0.5/0.25) over
+    // integer counts, each output one 3-term sum written in one op order —
+    // exact in IEEE doubles on both engines, no rounding step needed. The
+    // global window runs over the AGGREGATED series (one row per hour —
+    // bounded output, not data-scale), so the single-range sort is cheap;
+    // the data-scale work is the hash agg before it.
+    "q_convolve" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("hour")
+      hourly
+        .select(col("hour"),
+          (lag(col("cnt"), 1).over(w) * 0.25 + col("cnt") * 0.5 +
+            lead(col("cnt"), 1).over(w) * 0.25).as("smooth"))
+        .filter(col("smooth").isNotNull)
+        .orderBy("hour")
+    }),
     // expand/collapse: top-2 rows per group via window (CollapsingQParser)
     "q_window_topk" -> ((spark, sfDir) => {
       val w = Window.partitionBy("o_custkey")
@@ -1059,6 +1090,22 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // 0.25e0 float literals force DOUBLE arithmetic (a bare 0.25 is a
+    // DuckDB DECIMAL and would change the output schema)
+    "q_convolve" ->
+      """SELECT hour,
+        |  lag(cnt) OVER w * 0.25e0 + cnt * 0.5e0 + lead(cnt) OVER w * 0.25e0 AS smooth
+        |FROM (SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |      FROM events GROUP BY 1)
+        |WINDOW w AS (ORDER BY hour)
+        |QUALIFY smooth IS NOT NULL
+        |ORDER BY hour""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,

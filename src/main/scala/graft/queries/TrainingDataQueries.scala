@@ -670,6 +670,28 @@ object TrainingDataQueries {
         .orderBy(desc("votes"), asc("label"))
         .limit(1)
     }),
+    // Solr math knnRegression (solrj/.../io/eval/KnnRegressionEvaluator):
+    // prediction = mean label of the k=5 cosine-nearest neighbors — exact
+    // integer label sum over the top-k, then one IEEE division
+    "td_knn_regress" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val q = e.filter(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val qcol = typedLit(q)
+      val dot = aggregate(
+        zip_with(col("embedding"), qcol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      val vn = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      e.filter(col("vec_id") =!= 1)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(dot / (vn * lit(qn)), 4).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(5)
+        .agg((sum(col("label")).cast("double") / count(lit(1))).as("pred"),
+          count(lit(1)).as("k"))
+    }),
     // stratified sampling: per-language sampling rates via a deterministic
     // integer hash (Knuth multiplicative, exact in both engines) — the
     // training-pipeline rebalancing step (downsample dominant languages,
@@ -1335,6 +1357,21 @@ object TrainingDataQueries {
         |  FROM e, q ORDER BY cos DESC, vec_id LIMIT 5)
         |SELECT label, count(*) AS votes FROM top5
         |GROUP BY label ORDER BY votes DESC, label LIMIT 1""".stripMargin,
+    "td_knn_regress" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id = 1
+        |), e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings WHERE vec_id <> 1
+        |), top5 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, round(
+        |    list_sum(list_transform(generate_series(1, len(ve)), i -> ve[i] * qe[i])) /
+        |    (sqrt(list_sum(list_transform(ve, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+        |  FROM e, q ORDER BY cos DESC, vec_id LIMIT 5)
+        |SELECT CAST(sum(label) AS DOUBLE) / count(*) AS pred, count(*) AS k
+        |FROM top5""".stripMargin,
     "td_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 <
