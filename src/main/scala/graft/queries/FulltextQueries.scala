@@ -948,6 +948,25 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // ComplexPhraseQueryParser (reference: lucene/queryparser/src/java/org/
+    // apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java
+    // — phrases whose slots may be fuzzy/wildcard sub-queries, rewritten to
+    // positional queries): "batch tabl~1" — the fuzzy slot expands against
+    // the term dictionary (one row per term, Levenshtein ≤ 1), then runs as
+    // exact MultiPhrase adjacency
+    "ft_complex_phrase" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val fz = graft.search.FuzzyQ("tabl", 1)
+      val exps = index.termStats
+        .map(_.term).filter(t => fz.matches(t))
+        .orderBy("value").limit(64)
+        .collect()
+      val q = graft.search.Query.multiPhrase(Seq(Seq("batch"), exps.toSeq))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // index-time synonyms (Analyzers.synonymSlowFast scaladoc): 'fast'
     // postings absorbed every 'slow' occurrence at its position, so tf, df,
     // and BM25 stats all reflect the merged surface forms — querying the
@@ -2593,6 +2612,12 @@ object FulltextQueries {
          |FROM (SELECT unnest($TOKS) AS term FROM documents WHERE source = 'src7')
          |WHERE term LIKE 's%'
          |GROUP BY 1 ORDER BY weight DESC, term LIMIT 5""".stripMargin,
+    // fuzzy-in-phrase: adjacency where slot 2 is any term within 1 edit
+    "ft_complex_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk) - 1),
+         |  i -> tk[i] = 'batch' AND levenshtein(tk[i + 1], 'tabl') <= 1)) > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_scale_score" ->
       s"""$PRELUDE,
          |scored AS (

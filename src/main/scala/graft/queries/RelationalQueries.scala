@@ -328,6 +328,21 @@ object RelationalQueries {
         .filter(col("smooth").isNotNull)
         .orderBy("hour")
     }),
+    // Solr math expMovingAverage (α = 0.5): a left fold s ← s·0.5 + x·0.5
+    // over the ordered hourly series. The fold runs over the AGGREGATED
+    // series collected into one array (bounded: one element per hour);
+    // both engines execute the identical IEEE op sequence, so the result
+    // is bit-equal with no rounding step.
+    "q_ewma" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("hour"), col("cnt")))).as("hs"))
+        .select(expr("transform(hs, h -> h.cnt)").as("xs"))
+        .select(size(col("xs")).cast("long").as("n"),
+          expr("aggregate(slice(xs, 2, size(xs) - 1), xs[0], " +
+            "(s, x) -> s * 0.5d + x * 0.5d)").as("ewma"))
+    }),
     // expand/collapse: top-2 rows per group via window (CollapsingQParser)
     "q_window_topk" -> ((spark, sfDir) => {
       val w = Window.partitionBy("o_custkey")
@@ -1106,6 +1121,16 @@ object RelationalQueries {
         |WINDOW w AS (ORDER BY hour)
         |QUALIFY smooth IS NOT NULL
         |ORDER BY hour""".stripMargin,
+    // list_reduce starts from the first element, exactly like the engine's
+    // aggregate(tail, head, ·) fold; 0.5e0 keeps the math in DOUBLE
+    "q_ewma" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+        |                 CAST(count(*) AS DOUBLE) AS cnt
+        |          FROM events GROUP BY 1),
+        |arr AS (SELECT list(cnt ORDER BY hour) AS xs FROM h)
+        |SELECT CAST(len(xs) AS BIGINT) AS n,
+        |       list_reduce(xs, (s, x) -> s * 0.5e0 + x * 0.5e0) AS ewma
+        |FROM arr""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
