@@ -236,6 +236,38 @@ object FulltextQueries {
       decoded.join(DocsIndex.docIdMap(index), "docId")
         .select($"doc_id", $"pos").orderBy("doc_id", "pos")
     }),
+    // PayloadScoreQuery over a span term (reference: lucene/queries/src/
+    // java/org/apache/lucene/queries/payloads/PayloadScoreQuery.java:44-75
+    // with the Min/Max/Sum/AveragePayloadFunction family, includeSpanScore=
+    // false → the payload function IS the score). The corpus carries no
+    // payload markup, so the PayloadDecoder (PayloadDecoder.java: bytes →
+    // float per position) is a deterministic position-keyed stand-in,
+    // payload(pos) = (pos % 11) + 1 — the span-collection and per-doc
+    // function semantics (one payload per matching span position, decoded
+    // off the REAL .pos blocks) are the operator under test. All four
+    // PayloadFunction reductions emitted per doc; payloads are small
+    // integers-as-doubles so sums are exact.
+    "ft_payload_score" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val decoded = index.blocks.filter($"term" === "merge").as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.flatMap(i =>
+            poss(i).iterator.map(p => (docs(i), ((p % 11) + 1).toDouble)))
+        }.toDF("docId", "payload")
+      decoded.groupBy("docId")
+        .agg(count(lit(1)).as("tf"),
+          min("payload").as("p_min"), max("payload").as("p_max"),
+          sum("payload").as("p_sum"),
+          round(sum("payload") / count(lit(1)), 4).as("p_avg"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"tf", $"p_min", $"p_max", $"p_sum", $"p_avg")
+        .orderBy("doc_id")
+    }),
     "ft_term_stats" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
@@ -1865,6 +1897,16 @@ object FulltextQueries {
          |     (SELECT unnest(generate_series(1, 5000)) AS i) gs
          |WHERE i <= len(tk) AND tk[i] = 'window'
          |ORDER BY doc_id, pos""".stripMargin,
+    "ft_payload_score" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, CAST(((i - 1) % 11) + 1 AS DOUBLE) AS payload
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents),
+         |       (SELECT unnest(generate_series(1, 5000)) AS i) gs
+         |  WHERE i <= len(tk) AND tk[i] = 'merge')
+         |SELECT doc_id, count(*) AS tf, min(payload) AS p_min,
+         |  max(payload) AS p_max, sum(payload) AS p_sum,
+         |  round(sum(payload) / count(*), 4) AS p_avg
+         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ft_term_stats" ->
       s"""SELECT tok AS term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_term_freq
          |FROM (

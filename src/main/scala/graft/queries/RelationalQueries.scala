@@ -893,8 +893,90 @@ object RelationalQueries {
         .filter(expr(s"CAST(cents AS DOUBLE) > $zThresholdExpr"))
         .select("event_id", "cents")
         .orderBy("event_id")
+    }),
+    // Mann-Whitney U (Solr math mannWhitney, reference: solr/solrj/src/java/
+    // org/apache/solr/client/solrj/io/eval/MannWhitneyUEvaluator.java:50-56 →
+    // commons-math MannWhitneyUTest: tie-AVERAGED pooled ranks, U1 =
+    // sumRank(x) − n1(n1+1)/2, U = max(U1, n1·n2 − U1)). Exactness: ranks are
+    // carried in HALF-UNITS — for a distinct value v, rank2(v) = 2·(#pooled
+    // below v) + (#tied at v) + 1 = 2·avgRank(v), an exact BIGINT — so every
+    // sum is integer and order-independent; the single ÷2 happens once at the
+    // end. Scale shape: one groupBy over the value domain (bounded distinct
+    // cents), one prefix-sum window over that compressed domain (not the raw
+    // rows; at 100 TB this is a range-partitioned prefix sum over value
+    // buckets), one scalar agg.
+    "q_mannwhitney" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val byVal = ev.groupBy("cents").agg(
+        count(lit(1)).as("c"),
+        sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("ca"))
+      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+      byVal
+        .withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cum") + col("c") + lit(1L))
+        .agg(sum("ca").as("n1"), sum(col("c") - col("ca")).as("n2"),
+          sum(col("ca") * col("rank2")).as("sr2"))
+        .selectExpr("n1", "n2", mannWhitneyUExpr)
+    }),
+    // Two-sample Kolmogorov-Smirnov D (Solr math ks, reference: solr/solrj/
+    // src/java/org/apache/solr/client/solrj/io/eval/
+    // KolmogorovSmirnovEvaluator.java → commons-math
+    // kolmogorovSmirnovStatistic: D = sup_v |ECDF1(v) − ECDF2(v)|).
+    // Exactness: the sup is maximized over the cross-multiplied integer
+    // |cumA·n2 − cumB·n1| (exact BIGINT), divided by n1·n2 once at the end.
+    // Same compressed-value-domain prefix-sum shape as q_mannwhitney.
+    "q_ks" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val byVal = ev.groupBy("cents").agg(
+        sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("a"),
+        sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("b"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byVal.agg(sum("a").as("n1"), sum("b").as("n2"))
+      byVal
+        .withColumn("cumA", sum("a").over(w))
+        .withColumn("cumB", sum("b").over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("cumA") * col("n2") - col("cumB") * col("n1"))).as("num"))
+        .selectExpr("n1", "n2", "num", ksExpr)
+    }),
+    // Distribution-CDF outlier detection (Solr math outliers, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // OutliersEvaluator.java: keep tuples whose cumulativeProbability under
+    // the fitted distribution is < low or > hi) against
+    // exponentialDistribution(mean(value)) — CDF(x) = 1 − exp(−x/mean),
+    // commons-math ExponentialDistribution.cumulativeProbability. mean is
+    // drawn from exact integer cent sums; the CDF text is shared so both
+    // engines run the identical IEEE sequence. Map-only after one scalar agg.
+    "q_outliers" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .selectExpr("event_id", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val m = ev.agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      ev.crossJoin(broadcast(m))
+        .withColumn("cum_prob", expr(expCdfExpr))
+        .filter(col("cum_prob") < 0.01 || col("cum_prob") > 0.99)
+        .selectExpr("event_id", "cents", "round(cum_prob, 4) AS cum_prob_r")
+        .orderBy("event_id")
     })
   )
+
+  /** U = max(U1, n1·n2 − U1) from half-unit rank sums (sr2 = 2·sumRank_A):
+    * U1_2 = sr2 − n1(n1+1) is 2·U1, all-BIGINT; one ÷2 at the end. */
+  private val mannWhitneyUExpr =
+    "CAST(greatest(sr2 - n1 * (n1 + 1), 2 * n1 * n2 - (sr2 - n1 * (n1 + 1))) AS DOUBLE) / 2 AS u_stat"
+
+  /** D from the exact integer sup numerator over the pooled value domain. */
+  private val ksExpr =
+    "CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d_stat"
+
+  /** Exponential CDF over exact operands — shared text (mean = s/n cents). */
+  private val expCdfExpr =
+    "1.0 - exp(-(CAST(cents AS DOUBLE)) / (CAST(s AS DOUBLE) / n))"
 
   /** Pearson / sample-covariance final math over exact BIGINT sums — ONE
     * text evaluated by both engines (CorrelationEvaluator semantics). */
@@ -1423,6 +1505,55 @@ object RelationalQueries {
          |  (SELECT count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss
          |   FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events))
          |WHERE CAST(cents AS DOUBLE) > $zThresholdExpr
+         |ORDER BY event_id""".stripMargin,
+    "q_mannwhitney" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |byval AS (
+         |  SELECT cents, count(*) AS c,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca
+         |  FROM ev GROUP BY cents),
+         |ranked AS (
+         |  SELECT ca, c,
+         |    2 * coalesce(sum(c) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + c + 1 AS rank2
+         |  FROM byval),
+         |agg AS (
+         |  SELECT sum(ca) AS n1, sum(c - ca) AS n2, sum(ca * rank2) AS sr2
+         |  FROM ranked)
+         |SELECT n1, n2, $mannWhitneyUExpr FROM agg""".stripMargin,
+    "q_ks" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |byval AS (
+         |  SELECT cents,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+         |  FROM ev GROUP BY cents),
+         |cum AS (
+         |  SELECT
+         |    sum(a) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+         |    sum(b) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+         |  FROM byval),
+         |tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM byval),
+         |agg AS (
+         |  SELECT n1, n2, max(abs(cumA * n2 - cumB * n1)) AS num
+         |  FROM cum, tot GROUP BY n1, n2)
+         |SELECT n1, n2, num, $ksExpr FROM agg""".stripMargin,
+    "q_outliers" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         |m AS (SELECT count(*) AS n, sum(cents) AS s FROM ev),
+         |probs AS (
+         |  SELECT event_id, cents, $expCdfExpr AS cum_prob FROM ev, m)
+         |SELECT event_id, cents, round(cum_prob, 4) AS cum_prob_r
+         |FROM probs
+         |WHERE cum_prob < 0.01 OR cum_prob > 0.99
          |ORDER BY event_id""".stripMargin
   )
 }

@@ -908,8 +908,118 @@ object TrainingDataQueries {
         }
         .toDF("doc_id", "n_bytes", "n_a", "first_byte_hex")
         .orderBy("doc_id")
+    }),
+    // Solr `features()` stream = information-gain feature selection
+    // (reference: solr/core/src/java/org/apache/solr/search/
+    // IGainTermsQParserPlugin.java:160-210 — per term t: xc = #positive docs
+    // containing t, nc = #negative docs containing t, score = H(P(+)) −
+    // (df/N)·H(xc/df) − (1−df/N)·H((np−xc)/(N−df+1)); note the reference's
+    // +1 in the not-contains denominator, kept verbatim) with the idf the
+    // companion stream attaches (solr/solrj/.../io/stream/
+    // FeaturesSelectionStream.java:372: idf = ln(N/(df+1))). Outcome here:
+    // lang='en'. Scale shape: one distinct-(doc,term) explode + term-keyed
+    // grouped agg (map-side combined), scalar totals broadcast, top-k by
+    // score — no all-pairs, no driver loop.
+    "td_feature_select" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+          expr(TOKS).as("tk"))
+      val docTerms = d.select(col("y"), explode(array_distinct(col("tk"))).as("term"))
+      val perTerm = docTerms.groupBy("term")
+        .agg(sum("y").as("xc"), sum(lit(1L) - col("y")).as("nc"))
+      val tot = d.agg(count(lit(1)).as("nd"), sum("y").as("np"))
+      perTerm.crossJoin(broadcast(tot))
+        .selectExpr("term", "xc + nc AS doc_freq", igainScoreExpr, igainIdfExpr)
+        .orderBy(desc("score_r"), asc("term"))
+        .limit(10)
+    }),
+    // Solr `train()` stream = distributed logistic-regression training
+    // (reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/
+    // stream/TextLogitStream.java:81-116 iterative framework; gradient math
+    // in solr/core/src/java/org/apache/solr/search/
+    // TextLogisticRegressionQParserPlugin.java:170-235: doc vector x0=1,
+    // xi = idf_i·(1+ln tf_i) for docs containing ≥1 feature term, sigmoid
+    // error, alpha=0.01, initial weights 1.0). DOCUMENTED DEVIATION: the
+    // reference updates weights per-doc in HashMap iteration order —
+    // nondeterministic by construction — so the Spark-native rendering is
+    // full-BATCH gradient descent per iteration (deterministic,
+    // order-independent, the shape a 1000-executor cluster needs anyway).
+    // Exactness: feature values are micro-quantized (floor(·1e6)/1e6) and
+    // every per-doc gradient/error contribution is floored to 1e-8 integers
+    // before summation, so the weight trajectory is bit-identical across
+    // engines and partitionings. Scale shape: the vector table is built
+    // once and cached; each of the 3 iterations is ONE partial-agg job
+    // (K+1 integer sums); weights live on the driver and re-enter as
+    // literals — the classic Spark iterative-ML pattern, checkpointable
+    // per-iteration for the resumability contract.
+    "td_train_logit" -> ((spark, sfDir) => {
+      val terms = Seq("data", "hash", "join")
+      val alpha = 0.01
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), (col("lang") === "en").cast("double").as("y"),
+          expr(TOKS).as("tk"))
+      val nDocs = d.count()
+      val tf = d.select(col("doc_id"), col("y"), explode(col("tk")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // idf = ln(N/(df+1)) (FeaturesSelectionStream.java:372), micro-quantized
+      val idfq = terms.map(t =>
+        math.floor(math.log(nDocs.toDouble / (dfs(t) + 1)) * 1e6) / 1e6)
+      val xCols = terms.zip(idfq).zipWithIndex.map { case ((t, i), j) =>
+        expr(s"max(CASE WHEN tok = '$t' THEN floor($i * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END)")
+          .as(s"x${j + 1}")
+      }
+      val vec = tf.groupBy("doc_id", "y").agg(xCols.head, xCols.tail: _*).cache()
+      var w = Array(1.0, 1.0, 1.0, 1.0)
+      for (_ <- 1 to 3) {
+        val sig = logitSigExpr(w(0).toString, w(1).toString, w(2).toString, w(3).toString)
+        val g = vec.selectExpr(
+          s"CAST(floor(($sig - y) * 1e8) AS BIGINT) AS g0",
+          s"CAST(floor(($sig - y) * x1 * 1e8) AS BIGINT) AS g1",
+          s"CAST(floor(($sig - y) * x2 * 1e8) AS BIGINT) AS g2",
+          s"CAST(floor(($sig - y) * x3 * 1e8) AS BIGINT) AS g3")
+          .agg(sum("g0"), sum("g1"), sum("g2"), sum("g3")).head()
+        w = w.indices.map(j => w(j) - alpha * (g.getLong(j).toDouble / 1e8)).toArray
+      }
+      val sigF = logitSigExpr(w(0).toString, w(1).toString, w(2).toString, w(3).toString)
+      vec.selectExpr("y", s"$sigF AS sig")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("CAST(floor(abs(sig - y) * 1e8) AS BIGINT)")).as("error_micro8"),
+          sum(expr("CASE WHEN y = 1 AND sig >= 0.5 THEN 1 ELSE 0 END")).as("tp"),
+          sum(expr("CASE WHEN y = 0 AND sig >= 0.5 THEN 1 ELSE 0 END")).as("fp"),
+          sum(expr("CASE WHEN y = 0 AND sig < 0.5 THEN 1 ELSE 0 END")).as("tn"),
+          sum(expr("CASE WHEN y = 1 AND sig < 0.5 THEN 1 ELSE 0 END")).as("fn"))
+        .withColumn("w0_r", round(lit(w(0)), 6))
+        .withColumn("w1_r", round(lit(w(1)), 6))
+        .withColumn("w2_r", round(lit(w(2)), 6))
+        .withColumn("w3_r", round(lit(w(3)), 6))
     })
   )
+
+  /** binary entropy in nats over a rational p — ONE text both engines run
+    * (IGainTermsQParserPlugin.binaryEntropy: 0 at p∈{0,1}). */
+  private def binEnt(p: String): String =
+    s"(CASE WHEN ($p) <= 0 OR ($p) >= 1 THEN 0.0 ELSE -(($p) * ln($p)) - (1.0 - ($p)) * ln(1.0 - ($p)) END)"
+
+  /** IGain score over exact counts (xc, nc, nd, np) — shared text. */
+  private val igainScoreExpr = {
+    val h1 = binEnt("CAST(xc AS DOUBLE) / (xc + nc)")
+    val h2 = binEnt("CAST(np - xc AS DOUBLE) / (nd - (xc + nc) + 1)")
+    val hc = binEnt("CAST(np AS DOUBLE) / nd")
+    s"round($hc - ((CAST(xc + nc AS DOUBLE) / nd) * $h1 + (1.0 - CAST(xc + nc AS DOUBLE) / nd) * $h2), 4) AS score_r"
+  }
+
+  /** FeaturesSelectionStream idf_d = ln(N/(df+1)) — shared text. */
+  private val igainIdfExpr =
+    "round(ln(CAST(nd AS DOUBLE) / (xc + nc + 1)), 4) AS idf_r"
+
+  /** sigmoid(w·x) with x0=1 — the weight slots are literals on the engine
+    * side and CTE columns on the oracle side; the op sequence is identical. */
+  private def logitSigExpr(w0: String, w1: String, w2: String, w3: String): String =
+    s"(1.0 / (1.0 + exp(-($w0 * 1.0 + $w1 * x1 + $w2 * x2 + $w3 * x3))))"
 
   /** 128-perm / 16-band oracle, generated from the same parameters the
     * Spark query uses (band-key concat equality == per-column equality for
@@ -1522,6 +1632,57 @@ object TrainingDataQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  length(text) - length(replace(text, 'a', '')) AS n_a,
         |  substr(hex(encode(text)), 1, 2) AS first_byte_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "td_feature_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y, $TOKS AS tk
+         |  FROM documents),
+         |dt AS (SELECT y, unnest(list_distinct(tk)) AS term FROM d),
+         |pt AS (SELECT term, sum(y) AS xc, sum(1 - y) AS nc FROM dt GROUP BY term),
+         |tot AS (SELECT count(*) AS nd, sum(y) AS np FROM d)
+         |SELECT term, xc + nc AS doc_freq, $igainScoreExpr, $igainIdfExpr
+         |FROM pt, tot
+         |ORDER BY score_r DESC, term ASC LIMIT 10""".stripMargin,
+    "td_train_logit" -> {
+      val sig = (p: String) => logitSigExpr(s"$p.w0", s"$p.w1", s"$p.w2", s"$p.w3")
+      def grads(p: String) =
+        s"""SELECT
+           |  $p.w0 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w0,
+           |  $p.w1 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * x1 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w1,
+           |  $p.w2 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * x2 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w2,
+           |  $p.w3 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * x3 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w3
+           |FROM vec, $p GROUP BY $p.w0, $p.w1, $p.w2, $p.w3""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y, $TOKS AS tk
+         |  FROM documents),
+         |nd AS (SELECT count(*) AS n FROM d),
+         |tf AS (
+         |  SELECT doc_id, y, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, y, unnest(tk) AS tok FROM d)
+         |  WHERE tok IN ('data', 'hash', 'join') GROUP BY doc_id, y, tok),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |idf AS (
+         |  SELECT tok, floor(ln(CAST(n AS DOUBLE) / (df + 1)) * 1e6) / 1e6 AS idfq
+         |  FROM dfs, nd),
+         |vec AS (
+         |  SELECT doc_id, y,
+         |    max(CASE WHEN tok = 'data' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x1,
+         |    max(CASE WHEN tok = 'hash' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x2,
+         |    max(CASE WHEN tok = 'join' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x3
+         |  FROM tf JOIN idf USING (tok) GROUP BY doc_id, y),
+         |i0 AS (SELECT 1.0 AS w0, 1.0 AS w1, 1.0 AS w2, 1.0 AS w3),
+         |i1 AS (${grads("i0")}),
+         |i2 AS (${grads("i1")}),
+         |i3 AS (${grads("i2")})
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(floor(abs(${sig("i3")} - y) * 1e8) AS BIGINT)) AS BIGINT) AS error_micro8,
+         |  CAST(sum(CASE WHEN y = 1 AND ${sig("i3")} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN y = 0 AND ${sig("i3")} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN y = 0 AND ${sig("i3")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN y = 1 AND ${sig("i3")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  round(any_value(i3.w0), 6) AS w0_r, round(any_value(i3.w1), 6) AS w1_r,
+         |  round(any_value(i3.w2), 6) AS w2_r, round(any_value(i3.w3), 6) AS w3_r
+         |FROM vec, i3""".stripMargin
+    }
   )
 }
