@@ -962,8 +962,115 @@ object RelationalQueries {
         .filter(col("cum_prob") < 0.01 || col("cum_prob") > 0.99)
         .selectExpr("event_id", "cents", "round(cum_prob, 4) AS cum_prob_r")
         .orderBy("event_id")
+    }),
+    // Paired t-test (Solr math pairedTtest, reference: solr/solrj/src/java/
+    // org/apache/solr/client/solrj/io/eval/PairedTTestEvaluator.java →
+    // commons-math TTest.pairedT: one-sample t over per-pair differences).
+    // Pairs = users with BOTH click and view activity; the paired
+    // measurement is the user's click-cents vs view-cents total. The t
+    // statistic is drawn from exact integer difference sums (n, Σd, Σd²)
+    // through one shared expression. Scale: one user-keyed grouped agg
+    // (map-side combined) + one scalar agg.
+    "q_paired_ttest" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .selectExpr("user_id", "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val byUser = ev.groupBy("user_id").agg(
+        sum(expr("CASE WHEN event_type = 'click' THEN cents ELSE 0 END")).as("xc"),
+        sum(expr("CASE WHEN event_type = 'view' THEN cents ELSE 0 END")).as("xv"),
+        max(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("hc"),
+        max(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("hv"))
+      byUser.filter(col("hc") === 1 && col("hv") === 1)
+        .select((col("xc") - col("xv")).as("d"))
+        .agg(count(lit(1)).as("n"), sum("d").as("s"),
+          sum(col("d") * col("d")).as("q"))
+        .selectExpr("n", pairedTExpr)
+    }),
+    // Earth-mover's distance (Solr math earthMovers, reference: solr/solrj/
+    // src/java/org/apache/solr/client/solrj/io/eval/EarthMoversEvaluator.java
+    // → commons-math EarthMoversDistance: total = Σ_k |prefix_k(a − b)|)
+    // between the daily click-count and view-count series. Counts are exact
+    // BIGINTs, the prefix sum runs over the compressed day domain, the total
+    // is an exact integer — no floating point anywhere.
+    "q_emd" -> ((spark, sfDir) => {
+      val daily = t(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("a"),
+          sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("b"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("pre", sum(col("a") - col("b")).over(w))
+        .agg(count(lit(1)).as("n_days"), sum(abs(col("pre"))).as("emd"))
+    }),
+    // Vector distance evaluators (Solr math, reference: solr/solrj/src/java/
+    // org/apache/solr/client/solrj/io/eval/ManhattanEvaluator.java,
+    // ChebyshevDistanceEvaluator.java, EuclideanEvaluator.java,
+    // CanberraEvaluator.java — commons-math DistanceMeasure family) between
+    // embedding vectors 0 and 1 on the shared floor(x·1000) integer
+    // quantization: manhattan/chebyshev exact BIGINT, euclidean = one sqrt
+    // of an exact sum, canberra micro-quantized per term (|a−b|/(|a|+|b|),
+    // 0 when both are 0 — commons-math's convention) so its sum is
+    // order-independent. Map-only over the zipped components.
+    "q_distances" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") <= 1)
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("pos", "v")))
+      val a = e.filter(col("vec_id") === 0).select(col("pos"), col("v").as("va"))
+      val b = e.filter(col("vec_id") === 1).select(col("pos"), col("v").as("vb"))
+      a.join(b, "pos")
+        .selectExpr("abs(va - vb) AS d", "abs(va) + abs(vb) AS sab")
+        .agg(
+          sum("d").as("manhattan"),
+          max("d").as("chebyshev"),
+          sum(col("d") * col("d")).as("eu2"),
+          sum(expr(canberraTermExpr)).as("canberra_micro8"))
+        .selectExpr("manhattan", "chebyshev",
+          "round(sqrt(CAST(eu2 AS DOUBLE)), 4) AS euclidean_r", "canberra_micro8")
+    }),
+    // Discrete Fourier transform of a time series (Solr math fft, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // FFTEvaluator.java → commons-math FastFourierTransformer, STANDARD
+    // normalization, forward: X_k = Σ_n x_n·e^(−2πikn/N), returned as the
+    // real/imaginary pair per bin). Input: the first 32 hourly click-count
+    // buckets (N = 32, power of two as the FFT requires). The engine computes
+    // the DFT as a distributed sum — each (k, n) product term is
+    // micro-quantized to an exact BIGINT so the per-bin sums are
+    // order-independent; an executor-local FFT would be O(N log N) per
+    // partition, but the distributed-sum shape is the one that scales to
+    // series that don't fit one machine, and N=32 makes both identical in
+    // cost. Scale: a compressed hour-domain prefix rank + one k-keyed
+    // grouped agg (map-side combined).
+    "q_fft" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("h")
+      val series = hourly
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .filter(col("n") < 32).select("n", "x")
+      spark.range(32).select(col("id").as("k"))
+        .crossJoin(series)
+        .selectExpr("k",
+          s"CAST(floor(x * cos(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT) AS tr",
+          s"CAST(floor(-x * sin(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT) AS ti")
+        .groupBy("k")
+        .agg(sum("tr").as("re_micro6"), sum("ti").as("im_micro6"))
+        .orderBy("k")
     })
   )
+
+  /** paired t over exact difference sums (n, s=Σd, q=Σd²) — shared text. */
+  private val pairedTExpr =
+    "round((CAST(s AS DOUBLE) / n) / sqrt(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / n), 4) AS t_stat"
+
+  /** Canberra term |a−b|/(|a|+|b|) micro-quantized; 0/0 → 0. */
+  private val canberraTermExpr =
+    "CASE WHEN sab = 0 THEN 0 ELSE CAST(floor(CAST(d AS DOUBLE) / sab * 1e8) AS BIGINT) END"
 
   /** U = max(U1, n1·n2 − U1) from half-unit rank sums (sr2 = 2·sumRank_A):
     * U1_2 = sr2 − n1(n1+1) is 2·U1, all-BIGINT; one ÷2 at the end. */
@@ -1554,6 +1661,64 @@ object RelationalQueries {
          |SELECT event_id, cents, round(cum_prob, 4) AS cum_prob_r
          |FROM probs
          |WHERE cum_prob < 0.01 OR cum_prob > 0.99
-         |ORDER BY event_id""".stripMargin
+         |ORDER BY event_id""".stripMargin,
+    "q_paired_ttest" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |bu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS xc,
+         |    sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS xv,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv
+         |  FROM ev GROUP BY user_id),
+         |d AS (SELECT xc - xv AS d FROM bu WHERE hc = 1 AND hv = 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s,
+         |               CAST(sum(d * d) AS BIGINT) AS q FROM d)
+         |SELECT n, $pairedTExpr FROM agg""".stripMargin,
+    "q_emd" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY day),
+        |pre AS (
+        |  SELECT sum(a - b) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM daily)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(pre)) AS BIGINT) AS emd FROM pre""".stripMargin,
+    "q_distances" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, i - 1 AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 4096)) AS i) gs
+         |  WHERE vec_id <= 1 AND i <= len(embedding)),
+         |z AS (
+         |  SELECT abs(a.v - b.v) AS d, abs(a.v) + abs(b.v) AS sab
+         |  FROM (SELECT pos, v FROM e WHERE vec_id = 0) a
+         |  JOIN (SELECT pos, v FROM e WHERE vec_id = 1) b USING (pos)),
+         |agg AS (
+         |  SELECT CAST(sum(d) AS BIGINT) AS manhattan, max(d) AS chebyshev,
+         |    CAST(sum(d * d) AS BIGINT) AS eu2,
+         |    CAST(sum($canberraTermExpr) AS BIGINT) AS canberra_micro8
+         |  FROM z)
+         |SELECT manhattan, chebyshev,
+         |  round(sqrt(CAST(eu2 AS DOUBLE)), 4) AS euclidean_r, canberra_micro8
+         |FROM agg""".stripMargin,
+    "q_fft" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY h),
+        |series AS (
+        |  SELECT n, x FROM (
+        |    SELECT row_number() OVER (ORDER BY h) - 1 AS n, x FROM hourly)
+        |  WHERE n < 32),
+        |ks AS (SELECT unnest(generate_series(0, 31)) AS k)
+        |SELECT k,
+        |  CAST(sum(CAST(floor(x * cos(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT)) AS BIGINT) AS re_micro6,
+        |  CAST(sum(CAST(floor(-x * sin(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT)) AS BIGINT) AS im_micro6
+        |FROM ks, series GROUP BY k ORDER BY k""".stripMargin
   )
 }

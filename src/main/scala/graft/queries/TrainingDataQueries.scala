@@ -909,6 +909,66 @@ object TrainingDataQueries {
         .toDF("doc_id", "n_bytes", "n_a", "first_byte_hex")
         .orderBy("doc_id")
     }),
+    // DBSCAN clustering over the embedding space (Solr math dbscan,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // DbscanEvaluator.java → commons-math DBSCANClusterer: core point =
+    // ≥ minPts OTHER points within eps; clusters = density-connected core
+    // components; border = non-core within eps of a core; noise dropped).
+    // DOCUMENTED DEVIATION: commons-math assigns a multi-reachable border
+    // point to whichever cluster expands first (seed-order dependent); here
+    // it goes to the smallest cluster label — deterministic, same clusters.
+    // Cluster ids are canonicalized to the min core vec_id of the component.
+    // Scale shape: candidate pairs come from a PIVOT-BAND join, not an
+    // all-pairs cross — by the triangle inequality d(x,y) ≤ eps ⇒
+    // |d(x,p0) − d(y,p0)| ≤ eps, so banding each point by floor(d(·,p0)/eps)
+    // and joining adjacent bands is a COMPLETE equi-join pruning (strongest
+    // when eps ≪ the distance spread, the realistic near-dup regime; add
+    // pivots to sharpen). Distances are exact integer mills²; components
+    // via GraphOps.connectedComponents (min-label propagation).
+    "td_dbscan" -> ((spark, sfDir) => {
+      val eps = 1150L
+      val minPts = 3
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      val p0 = e.filter(col("vec_id") === 0).head().getSeq[Long](1).toArray
+      val d0 = sqrt(aggregate(
+        zip_with(col("v"), typedLit(p0), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).cast("double"))
+      val banded = e.withColumn("band", floor(d0 / eps).cast("long"))
+      val lhs = banded.select(col("vec_id").as("ai"), col("v").as("va"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jb"))
+      val rhs = banded.select(col("vec_id").as("bi"), col("v").as("vb"),
+        col("band").as("jb"))
+      val dist2 = aggregate(
+        zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val pairs = lhs.join(rhs, "jb")
+        .filter(col("ai") < col("bi") && dist2 <= lit(eps * eps))
+        .select("ai", "bi")
+      val und = pairs
+        .union(pairs.select(col("bi").as("ai"), col("ai").as("bi"))).cache()
+      val core = und.groupBy("ai").agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= minPts).select(col("ai").as("id"))
+      val cce = und
+        .join(core.withColumnRenamed("id", "ai"), "ai")
+        .join(core.withColumnRenamed("id", "bi"), "bi")
+        .select(col("ai").as("src"), col("bi").as("dst"))
+      // near-percolation core graphs have long chains: give label propagation
+      // O(n) rounds headroom (it exits on convergence; production-scale would
+      // swap in the O(log²)-round small-star/large-star noted in GraphOps)
+      val cc = graft.operators.GraphOps.connectedComponents(cce, maxIter = 200)
+      val coreLbl = core.join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"))
+      val border = und
+        .join(coreLbl.withColumnRenamed("id", "bi")
+          .withColumnRenamed("cluster", "ncl"), "bi")
+        .join(core.withColumnRenamed("id", "ai"), Seq("ai"), "left_anti")
+        .groupBy("ai").agg(min("ncl").as("cluster"))
+        .select(col("ai").as("id"), col("cluster"), lit(0L).as("is_core"))
+      coreLbl.withColumn("is_core", lit(1L))
+        .union(border)
+        .select(col("id").as("vec_id"), col("cluster"), col("is_core"))
+        .orderBy("vec_id")
+    }),
     // Solr `features()` stream = information-gain feature selection
     // (reference: solr/core/src/java/org/apache/solr/search/
     // IGainTermsQParserPlugin.java:160-210 — per term t: xc = #positive docs
@@ -1633,6 +1693,36 @@ object TrainingDataQueries {
         |  length(text) - length(replace(text, 'a', '')) AS n_a,
         |  substr(hex(encode(text)), 1, 2) AS first_byte_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "td_dbscan" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS ai, b.vec_id AS bi
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+        |          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) <= 1150 * 1150),
+        |und AS (SELECT ai, bi FROM pairs UNION ALL SELECT bi, ai FROM pairs),
+        |core AS (SELECT ai AS id FROM und GROUP BY ai HAVING count(*) >= 3),
+        |cce AS (
+        |  SELECT u.ai AS a, u.bi AS b FROM und u
+        |  JOIN core c1 ON u.ai = c1.id JOIN core c2 ON u.bi = c2.id),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM cce
+        |  UNION
+        |  SELECT r.src, e2.b FROM reach r JOIN cce e2 ON r.dst = e2.a),
+        |lbl AS (
+        |  SELECT c.id, least(c.id, coalesce(min(r.dst), c.id)) AS cluster
+        |  FROM core c LEFT JOIN reach r ON r.src = c.id GROUP BY c.id),
+        |border AS (
+        |  SELECT u.ai AS id, min(l.cluster) AS cluster
+        |  FROM und u JOIN lbl l ON u.bi = l.id
+        |  WHERE u.ai NOT IN (SELECT id FROM core) GROUP BY u.ai)
+        |SELECT id AS vec_id, cluster, CAST(1 AS BIGINT) AS is_core FROM lbl
+        |UNION ALL
+        |SELECT id AS vec_id, cluster, CAST(0 AS BIGINT) AS is_core FROM border
+        |ORDER BY vec_id""".stripMargin,
     "td_feature_select" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y, $TOKS AS tk

@@ -18,40 +18,60 @@ class MLStatsSpec extends AnyFunSuite {
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlstats").toString
     import spark.implicits._
-    // click: 0.01, 0.02, 0.03 ; view: 0.02, 0.04  (cents 1,2,3 vs 2,4)
+    // click cents: 1, 2, 3 (users u1,u1,u2; days 1,1,2)
+    // view  cents: 2, 4, 5 (users u1,u3,u2; days 1,2,3)
     Seq(
-      (1L, "click", 0.011), (2L, "click", 0.021), (3L, "click", 0.031),
-      (4L, "view", 0.021), (5L, "view", 0.041))
-      .toDF("event_id", "event_type", "value")
+      (1L, "click", 0.011, "2024-01-01 10:00:00", "u1"),
+      (2L, "click", 0.021, "2024-01-01 11:00:00", "u1"),
+      (3L, "click", 0.031, "2024-01-02 10:00:00", "u2"),
+      (4L, "view", 0.021, "2024-01-01 12:00:00", "u1"),
+      (5L, "view", 0.041, "2024-01-02 13:00:00", "u3"),
+      (6L, "view", 0.051, "2024-01-03 09:00:00", "u2"))
+      .toDF("event_id", "event_type", "value", "ts_s", "user_id")
+      .selectExpr("event_id", "event_type", "value",
+        "CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
     dir
   }
 
   test("q_mannwhitney matches the hand-computed tie-averaged U") {
-    // pooled cents sorted: 1(A) 2(A) 2(B) 3(A) 4(B); ranks 1, 2.5, 2.5, 4, 5
-    // sumRank_A = 7.5 -> U1 = 7.5 - 3*4/2 = 1.5, U2 = 3*2 - 1.5 = 4.5
-    // commons-math mannWhitneyU returns max(U1, U2) = 4.5
+    // pooled sorted: 1A 2A 2B 3A 4B 5B; ranks 1, 2.5, 2.5, 4, 5, 6
+    // sumRank_A = 7.5 -> U1 = 7.5 - 3*4/2 = 1.5, U2 = 9 - 1.5 = 7.5
+    // commons-math mannWhitneyU returns max(U1, U2) = 7.5
     val r = SparkEntry.queries("q_mannwhitney")(spark, eventsDir).head()
     assert(r.getAs[Long]("n1") === 3L)
-    assert(r.getAs[Long]("n2") === 2L)
-    assert(r.getAs[Double]("u_stat") === 4.5)
+    assert(r.getAs[Long]("n2") === 3L)
+    assert(r.getAs[Double]("u_stat") === 7.5)
   }
 
   test("q_ks matches the hand-computed sup-ECDF D") {
-    // ECDF_A at v=1: 1/3, v=2: 2/3, v=3: 1, v=4: 1
-    // ECDF_B at v=1: 0,   v=2: 1/2, v=3: 1/2, v=4: 1
-    // gaps: 1/3, 1/6, 1/2, 0 -> D = 1/2
+    // ECDF gaps peak at v=3: |ECDF_A=1 − ECDF_B=1/3| = 2/3
+    // integer numerator: |cumA·n2 − cumB·n1| = |3·3 − 1·3| = 6
     val r = SparkEntry.queries("q_ks")(spark, eventsDir).head()
-    assert(r.getAs[Long]("num") === 3L) // |cumA*n2 - cumB*n1| max = |3*2-1*3|=3
-    assert(r.getAs[Double]("d_stat") === 0.5)
+    assert(r.getAs[Long]("num") === 6L)
+    assert(math.abs(r.getAs[Double]("d_stat") - 2.0 / 3.0) < 1e-12)
   }
 
   test("q_outliers keeps exactly the tuples outside the CDF band") {
-    // mean cents = (1+2+3+2+4)/5 = 2.4; CDF(x) = 1 - exp(-x/2.4)
-    // CDF(1)=.341 CDF(2)=.565 CDF(3)=.713 CDF(4)=.811 — none outside
-    // [0.01, 0.99] -> empty result on this fixture
+    // mean cents = 17/6 ≈ 2.833; CDF range on cents 1..5 is [0.30, 0.83]
+    // — none outside [0.01, 0.99] -> empty result on this fixture
     val n = SparkEntry.queries("q_outliers")(spark, eventsDir).count()
     assert(n === 0L)
+  }
+
+  test("q_paired_ttest matches the hand-computed paired t") {
+    // paired users: u1 d = (1+2) − 2 = 1; u2 d = 3 − 5 = −2 (u3 unpaired)
+    // n=2, s=−1, q=5: t = (−0.5)/sqrt(((5 − 0.5)/1)/2) = −1/3
+    val r = SparkEntry.queries("q_paired_ttest")(spark, eventsDir).head()
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Double]("t_stat") === -0.3333)
+  }
+
+  test("q_emd matches the hand-computed prefix-sum EMD") {
+    // daily a−b: d1: 2−1=1, d2: 1−1=0, d3: 0−1=−1; prefixes 1,1,0 -> EMD 2
+    val r = SparkEntry.queries("q_emd")(spark, eventsDir).head()
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("emd") === 2L)
   }
 
   /** docs fixture for the ML streams: two langs, feature terms with
@@ -127,6 +147,52 @@ class MLStatsSpec extends AnyFunSuite {
     // scores are sorted descending and within [0, ln 2]
     assert(r.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
     assert(r.forall(x => x._2 >= -1e-9 && x._2 <= math.log(2.0) + 1e-9))
+  }
+
+  test("td_dbscan recovers the planted chain + blob geometry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbscan").toString
+    import spark.implicits._
+    // chain 0—1—2—3 at x = 0, 0.5, 1.0, 1.5 (spacing 500 mills, eps 1150):
+    //   0 has neighbors {1,2} (2 < minPts=3)  -> border
+    //   1 has {0,2,3}, 2 has {0,1,3}          -> cores, one component
+    //   3 has neighbors {1,2}                 -> border
+    // blob 4..7 at x≈10: all 4 mutually within eps -> cores, cluster 4
+    // 8 at x=5: no neighbors -> noise (absent from the result)
+    val vecs = Seq(
+      (0L, Array(0.0f, 0f, 0f, 0f)), (1L, Array(0.5f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 0f)), (3L, Array(1.5f, 0f, 0f, 0f)),
+      (4L, Array(10.0f, 0f, 0f, 0f)), (5L, Array(10.0f, 0.1f, 0f, 0f)),
+      (6L, Array(10.1f, 0f, 0f, 0f)), (7L, Array(10.1f, 0.1f, 0f, 0f)),
+      (8L, Array(5.0f, 0f, 0f, 0f)))
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0L))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("td_dbscan")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("is_core"))).toSet
+    val want = Set(
+      (0L, 1L, 0L), (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (4L, 4L, 1L), (5L, 4L, 1L), (6L, 4L, 1L), (7L, 4L, 1L))
+    assert(got === want)
+  }
+
+  test("q_fft DC bin is the exact series sum; spectrum is conjugate-symmetric") {
+    val rows = SparkEntry.queries("q_fft")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("re_micro6"), r.getAs[Long]("im_micro6")))
+      .sortBy(_._1)
+    assert(rows.length === 32)
+    // k = 0: cos = 1 exactly, sin = 0 exactly -> re = 1e6·Σx, im = 0
+    val (dcRe, dcIm) = (rows(0)._2, rows(0)._3)
+    assert(dcRe % 1000000L === 0L && dcRe > 0L)
+    assert(dcIm === 0L)
+    // real input: X_{N−k} = conj(X_k) up to one floor ulp per term (≤ 32 micro)
+    for (k <- 1 until 16) {
+      val (_, reK, imK) = rows(k)
+      val (_, reN, imN) = rows(32 - k)
+      assert(math.abs(reK - reN) <= 64, s"re symmetry at k=$k: $reK vs $reN")
+      assert(math.abs(imK + imN) <= 64, s"im symmetry at k=$k: $imK vs ${imN}")
+    }
   }
 
   test("ft_payload_score payload reductions respect the decoder range") {
