@@ -596,6 +596,22 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // SweetSpotSimilarity top-10 (reference: lucene/misc/src/java/org/
+    // apache/lucene/misc/SweetSpotSimilarity.java:117-165): doc lengths
+    // inside the [30, 70] sweet spot get lengthNorm 1.0, outside decays as
+    // 1/sqrt(0.5·excess + 1); tf floors at 1.5 for freq ≤ 2 then grows as
+    // sqrt(freq + 1.5² − 2). Exercises a plateau norm over the same
+    // norm-byte inputs as the other TF-IDF-family rows.
+    "ft_search_sweetspot" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(
+        graft.search.SweetSpotSim(lnMin = 30, lnMax = 70))
+      s.searchDoubleDS(s.parse("filter"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // LMDirichletSimilarity top-10 (reference: LMDirichletSimilarity.java:74-88,
     // mu = 2000; p(w|C) = (ttf+1)/(sumTotalTermFreq+1), LMSimilarity.java:55)
     // — exercises the totalTermFreq stats the dictionary carries per term
@@ -2161,6 +2177,18 @@ object FulltextQueries {
          |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
          |    (ln((st.n + 1) / (${dfSql("vector")} + 1.0)) + 1)
          |      * sqrt(${tfSql("vector")}) / sqrt(dlq) AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // SweetSpot: idf * baselineTf * (1/sqrt(steep·(|dlq−30|+|dlq−70|−40)+1))
+    // — op order and the explicit * (1/sqrt(...)) mirror SweetSpotSim.DblScorer
+    "ft_search_sweetspot" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("filter")} AS tf,
+         |    (ln((st.n + 1) / (${dfSql("filter")} + 1.0)) + 1)
+         |      * (CASE WHEN ${tfSql("filter")} <= 2 THEN 1.5
+         |              ELSE sqrt(${tfSql("filter")} + 1.5 * 1.5 - 2) END)
+         |      * (1.0 / sqrt(0.5 * (abs(dlq - 30) + abs(dlq - 70) - 40) + 1.0)) AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // LMDirichlet, mu=2000: ln(1 + tf/(mu*p)) + ln(mu/(dlq+mu)) clamped at

@@ -1061,6 +1061,28 @@ object RelationalQueries {
         .groupBy("k")
         .agg(sum("tr").as("re_micro6"), sum("ti").as("im_micro6"))
         .orderBy("k")
+    }),
+    // Poisson CDF (Solr math poissonDistribution + cumulativeProbability,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // PoissonDistributionEvaluator.java + CumulativeProbabilityEvaluator.java
+    // → P(X ≤ k) = Σ_{i=0..k} e^(−λ)·λ^i/i!). λ = mean daily click count
+    // from exact integer sums; the CDF is a per-row sequential fold on the
+    // term ratio t_i = t_{i−1}·λ/i (identical op order in both engines, no
+    // factorial overflow). k ≥ 1 always (days come from a count groupBy).
+    // Map-only after one scalar agg; the fold is O(k) per row.
+    "q_poisson" -> ((spark, sfDir) => {
+      val daily = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("k"))
+      val m = daily.agg(sum("k").as("s"), count(lit(1)).as("n"))
+      daily.crossJoin(broadcast(m))
+        .withColumn("lam", expr("CAST(s AS DOUBLE) / n"))
+        .withColumn("cdf", expr(
+          "aggregate(slice(sequence(0, k), 2, CAST(k AS INT)), " +
+            "array(exp(-lam), exp(-lam)), " +
+            "(acc, i) -> array(acc[0] * lam / i, acc[1] + acc[0] * lam / i))[1]"))
+        .selectExpr("day", "k", "round(cdf, 4) AS cdf_r")
+        .orderBy("day")
     })
   )
 
@@ -1719,6 +1741,21 @@ object RelationalQueries {
         |SELECT k,
         |  CAST(sum(CAST(floor(x * cos(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT)) AS BIGINT) AS re_micro6,
         |  CAST(sum(CAST(floor(-x * sin(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT)) AS BIGINT) AS im_micro6
-        |FROM ks, series GROUP BY k ORDER BY k""".stripMargin
+        |FROM ks, series GROUP BY k ORDER BY k""".stripMargin,
+    "q_poisson" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS k
+        |  FROM events WHERE event_type = 'click' GROUP BY day),
+        |m AS (SELECT sum(k) AS s, count(*) AS n FROM daily),
+        |c AS (
+        |  SELECT day, k,
+        |    list_reduce(
+        |      list_concat(
+        |        [[exp(-(CAST(s AS DOUBLE) / n)), exp(-(CAST(s AS DOUBLE) / n))]],
+        |        list_transform(generate_series(1, k), i -> [CAST(i AS DOUBLE), 0])),
+        |      (acc, x) -> [acc[1] * (CAST(s AS DOUBLE) / n) / x[1],
+        |                   acc[2] + acc[1] * (CAST(s AS DOUBLE) / n) / x[1]])[2] AS cdf
+        |  FROM daily, m)
+        |SELECT day, k, round(cdf, 4) AS cdf_r FROM c ORDER BY day""".stripMargin
   )
 }

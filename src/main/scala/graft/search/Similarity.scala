@@ -91,6 +91,53 @@ object ClassicSim extends Similarity {
     new DblScorer(boost * freqs.map(f => idf(f._1, stats.docCount)).sum)
 }
 
+/** SweetSpotSimilarity — ClassicSimilarity with a doc-length "sweet spot"
+  * plateau and a baseline tf floor (reference:
+  * lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java:
+  * lengthNorm(numTerms) = 1/sqrt(steepness·(|x−min|+|x−max|−(max−min)) + 1)
+  * :117-133 — flat 1.0 inside [min, max], hyperbolic falloff outside;
+  * baselineTf(freq) = 0 at 0, base for freq ≤ min, sqrt(freq + base² − min)
+  * above :150-165; idf inherited from the TF-IDF family). Same
+  * (freq, norm-byte) inputs as [[ClassicSim]]; the norm byte decodes to the
+  * quantized doc length that feeds lengthNorm, exactly as Lucene's
+  * query-time 256-entry norm cache does. */
+final case class SweetSpotSim(
+    lnMin: Int = 3, lnMax: Int = 20, steepness: Double = 0.5d,
+    tfBase: Double = 1.5d, tfMin: Double = 2.0d) extends Similarity {
+  private def idf(df: Long, n: Long): Double =
+    math.log((n + 1).toDouble / (df + 1).toDouble) + 1.0d
+  private def lengthNorm(dl: Double): Double =
+    1.0d / math.sqrt(
+      steepness * (math.abs(dl - lnMin) + math.abs(dl - lnMax) - (lnMax - lnMin)) + 1.0d)
+  private def baselineTf(freq: Double): Double =
+    if (freq == 0d) 0d
+    else if (freq <= tfMin) tfBase
+    else math.sqrt(freq + tfBase * tfBase - tfMin)
+
+  private final class FloatScorer(w: Float) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      (w * baselineTf(freq.toDouble).toFloat) * lengthNorm(dl).toFloat
+    }
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(w: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      w * baselineTf(freq) * lengthNorm(dl)
+    }
+  }
+
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer((boost * idf(df, stats.docCount)).toFloat)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost * idf(df, stats.docCount))
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer((boost * freqs.map(f => idf(f._1, stats.docCount)).sum).toFloat)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost * freqs.map(f => idf(f._1, stats.docCount)).sum)
+}
+
 /** LMDirichletSimilarity — Bayesian smoothing language model (reference:
   * lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java:74-88:
   * score = boost * (log(1 + freq/(mu*p)) + log(mu/(docLen+mu))), clamped at
