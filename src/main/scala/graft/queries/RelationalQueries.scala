@@ -1083,6 +1083,44 @@ object RelationalQueries {
             "(acc, i) -> array(acc[0] * lam / i, acc[1] + acc[0] * lam / i))[1]"))
         .selectExpr("day", "k", "round(cdf, 4) AS cdf_r")
         .orderBy("day")
+    }),
+    // G-test of independence (Solr math gtestDataSet, reference: solr/solrj/
+    // src/java/org/apache/solr/client/solrj/io/eval/GTestDataSetEvaluator.java
+    // → commons-math GTest: G = 2·Σ O·ln(O/E), E = rowTot·colTot/N) over the
+    // lang × source contingency table — the log-likelihood-ratio twin of
+    // q_chisq, same exact-count plumbing, per-cell micro-nat quantization
+    // keeps the sum order-independent. Zero cells contribute 0 (absent from
+    // the grouped observation table, matching 0·ln 0 → 0).
+    "q_gtest" -> ((spark, sfDir) => {
+      val obs = t(spark, sfDir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("lang").agg(sum("o").as("rt"))
+      val colT = obs.groupBy("source").agg(sum("o").as("ct"))
+      val tot = obs.agg(sum("o").as("n"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      obs.join(rowT, "lang").join(colT, "source").crossJoin(broadcast(tot))
+        .selectExpr(
+          "CAST(floor(o * ln(CAST(o AS DOUBLE) * n / (CAST(rt AS DOUBLE) * ct))" +
+            " * 1000000.0) AS BIGINT) AS cell_micro",
+          "(nl - 1) * (ns - 1) AS dof")
+        .groupBy("dof").agg((sum("cell_micro") * 2).as("g_micro"))
+        .select(col("dof"), col("g_micro"))
+    }),
+    // min-max scaling (Solr math minMaxScale, reference: solr/solrj/src/
+    // java/org/apache/solr/client/solrj/io/eval/MinMaxScaleEvaluator.java:
+    // (x − min)/(max − min) onto [0, 1]). Hourly click counts; min/max are
+    // exact integers so each scaled value is ONE IEEE division of exact
+    // operands. Map-only after a broadcast scalar agg.
+    "q_minmax" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val m = hourly.agg(min("x").as("mn"), max("x").as("mx"))
+      hourly.crossJoin(broadcast(m))
+        .selectExpr("hour", "x",
+          "CAST(x - mn AS DOUBLE) / (mx - mn) AS scaled")
+        .orderBy("hour")
     })
   )
 
@@ -1756,6 +1794,24 @@ object RelationalQueries {
         |      (acc, x) -> [acc[1] * (CAST(s AS DOUBLE) / n) / x[1],
         |                   acc[2] + acc[1] * (CAST(s AS DOUBLE) / n) / x[1]])[2] AS cdf
         |  FROM daily, m)
-        |SELECT day, k, round(cdf, 4) AS cdf_r FROM c ORDER BY day""".stripMargin
+        |SELECT day, k, round(cdf, 4) AS cdf_r FROM c ORDER BY day""".stripMargin,
+    "q_gtest" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+        |ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+        |               count(DISTINCT source) AS ns FROM obs)
+        |SELECT (nl - 1) * (ns - 1) AS dof,
+        |  CAST(sum(CAST(floor(o * ln(CAST(o AS DOUBLE) * n / (CAST(rt.rt AS DOUBLE) * ct.ct))
+        |       * 1000000.0) AS BIGINT)) * 2 AS BIGINT) AS g_micro
+        |FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+    "q_minmax" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY hour),
+        |m AS (SELECT min(x) AS mn, max(x) AS mx FROM hourly)
+        |SELECT hour, x, CAST(x - mn AS DOUBLE) / (mx - mn) AS scaled
+        |FROM hourly, m ORDER BY hour""".stripMargin
   )
 }

@@ -969,6 +969,68 @@ object TrainingDataQueries {
         .select(col("id").as("vec_id"), col("cluster"), col("is_core"))
         .orderBy("vec_id")
     }),
+    // Fuzzy k-means (Solr math fuzzyKmeans + getMembershipMatrix/getCluster,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // FuzzyKmeansEvaluator.java → commons-math FuzzyKMeansClusterer:
+    // membership u_cj = 1/Σ_k (d_cj/d_kj)^(2/(m−1)), centroid =
+    // Σ u^m·x / Σ u^m; a zero distance pins membership 1 on that cluster).
+    // Contract config: k = 3 seeded with vectors 0-2 (commons-math seeds
+    // randomly — documented deviation, same update rule), fuzziness m = 2 so
+    // the exponent collapses to the exact ratio of squared distances, two
+    // iterations. Exactness: u² weights are micro-quantized to BIGINTs, so
+    // each centroid is ONE division of exact integer sums — the trajectory
+    // is order-independent and engine-portable. Scale: per iteration one
+    // map (k distances per vector) + one (dim)-keyed grouped agg; centroids
+    // broadcast as literals — same iterative shape as td_train_logit.
+    "td_fuzzy_kmeans" -> ((spark, sfDir) => {
+      val k = 3
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
+        .orderBy("vec_id").select("v").collect()
+        .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+      def d2Col(c: Array[Double]): Column =
+        aggregate(
+          zip_with(col("v"), typedLit(c),
+            (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+          lit(0.0), (acc, t) => acc + t)
+      val uExprs = (0 until k).map(j =>
+        s"""(CASE WHEN d$j = 0 THEN 1.0
+           | WHEN d0 = 0 OR d1 = 0 OR d2 = 0 THEN 0.0
+           | ELSE 1.0 / (d$j / d0 + d$j / d1 + d$j / d2) END) AS u$j""".stripMargin)
+      val wExprs = (0 until k).map(j =>
+        s"CAST(floor(u$j * u$j * 1e8) AS BIGINT) AS w$j")
+      def weighted(c: Array[Array[Double]]) =
+        e.select(col("vec_id") +: col("v") +:
+            c.zipWithIndex.map { case (cc, j) => d2Col(cc).as(s"d$j") }: _*)
+          .selectExpr(Seq("vec_id", "v") ++ uExprs: _*)
+          .selectExpr(Seq("vec_id", "v") ++ wExprs: _*)
+      for (_ <- 1 to 2) {
+        val w = weighted(cents)
+        val dens = w.agg(sum("w0"), sum("w1"), sum("w2")).head()
+        val nums = w.select(posexplode(col("v")).as(Seq("i", "x")),
+            col("w0"), col("w1"), col("w2"))
+          .groupBy("i")
+          .agg(sum(expr("w0 * x")).as("n0"), sum(expr("w1 * x")).as("n1"),
+            sum(expr("w2 * x")).as("n2"))
+          .collect()
+        cents = (0 until k).map { j =>
+          nums.sortBy(_.getInt(0))
+            .map(r => r.getLong(j + 1).toDouble / dens.getLong(j).toDouble)
+            .toArray
+        }.toArray
+      }
+      val fin = weighted(cents).selectExpr("w0", "w1", "w2",
+        "CAST(CASE WHEN w0 >= w1 AND w0 >= w2 THEN 0 WHEN w1 >= w2 THEN 1 ELSE 2 END AS BIGINT) AS hard")
+      val wsums = fin.agg(sum("w0"), sum("w1"), sum("w2")).head()
+      val hards = fin.groupBy("hard").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val spark2 = e.sparkSession
+      import spark2.implicits._
+      (0 until k).map(j => (j.toLong, hards.getOrElse(j.toLong, 0L),
+          wsums.getLong(j), cents(j)(0), cents(j)(1)))
+        .toDF("centroid", "n_hard", "w_sum_micro8", "c0", "c1")
+        .orderBy("centroid")
+    }),
     // Solr `features()` stream = information-gain feature selection
     // (reference: solr/core/src/java/org/apache/solr/search/
     // IGainTermsQParserPlugin.java:160-210 — per term t: xc = #positive docs
@@ -1058,6 +1120,80 @@ object TrainingDataQueries {
         .withColumn("w3_r", round(lit(w(3)), 6))
     })
   )
+
+  /** Unrolled fuzzy-k-means oracle: each round is distance → pivot →
+    * membership-weight → centroid-update CTEs generated from one template,
+    * mirroring the engine's op order (left-fold distances, fixed-order
+    * ratio sums, floor(u²·1e8) weights, one exact num/den division). */
+  private val fuzzyKmeansOracle: String = {
+    // distances of every vector to centroid table `cSrc`(cid, c) → pivoted
+    // d0/d1/d2 per vec → u → w, then num/den update into centroid table `cOut`
+    def round(n: Int, cSrc: String): String =
+      s"""dist$n AS (
+         |  SELECT e.vec_id, $cSrc.cid,
+         |    list_reduce(list_concat([0.0], list_transform(generate_series(1, len(e.v)),
+         |      i -> (CAST(e.v[i] AS DOUBLE) - $cSrc.c[i]) * (CAST(e.v[i] AS DOUBLE) - $cSrc.c[i]))),
+         |      (acc, t) -> acc + t) AS dd
+         |  FROM e CROSS JOIN $cSrc),
+         |p$n AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN cid = 0 THEN dd END) AS d0,
+         |    max(CASE WHEN cid = 1 THEN dd END) AS d1,
+         |    max(CASE WHEN cid = 2 THEN dd END) AS d2
+         |  FROM dist$n GROUP BY vec_id),
+         |u$n AS (
+         |  SELECT vec_id,
+         |    ${(0 until 3).map(j =>
+              s"""(CASE WHEN d$j = 0 THEN 1.0
+                 | WHEN d0 = 0 OR d1 = 0 OR d2 = 0 THEN 0.0
+                 | ELSE 1.0 / (d$j / d0 + d$j / d1 + d$j / d2) END) AS u$j""".stripMargin)
+              .mkString(",\n    ")}
+         |  FROM p$n),
+         |w$n AS (
+         |  SELECT vec_id,
+         |    ${(0 until 3).map(j =>
+              s"CAST(floor(u$j * u$j * 1e8) AS BIGINT) AS w$j").mkString(",\n    ")}
+         |  FROM u$n)""".stripMargin
+    def update(n: Int, cOut: String): String =
+      s"""den$n AS (SELECT sum(w0) AS s0, sum(w1) AS s1, sum(w2) AS s2 FROM w$n),
+         |num$n AS (
+         |  SELECT i, sum(w0 * e.v[i]) AS n0, sum(w1 * e.v[i]) AS n1,
+         |         sum(w2 * e.v[i]) AS n2
+         |  FROM w$n JOIN e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1,
+         |    (SELECT len(v) FROM e LIMIT 1))) AS i) gs
+         |  GROUP BY i),
+         |$cOut AS (
+         |  SELECT 0 AS cid, list(CAST(n0 AS DOUBLE) / s0 ORDER BY i) AS c FROM num$n, den$n
+         |  UNION ALL
+         |  SELECT 1 AS cid, list(CAST(n1 AS DOUBLE) / s1 ORDER BY i) AS c FROM num$n, den$n
+         |  UNION ALL
+         |  SELECT 2 AS cid, list(CAST(n2 AS DOUBLE) / s2 ORDER BY i) AS c FROM num$n, den$n)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+       |       FROM e WHERE vec_id < 3),
+       |${round(1, "c0")},
+       |${update(1, "c1")},
+       |${round(2, "c1")},
+       |${update(2, "c2")},
+       |${round(3, "c2")},
+       |hard AS (
+       |  SELECT CASE WHEN w0 >= w1 AND w0 >= w2 THEN 0
+       |              WHEN w1 >= w2 THEN 1 ELSE 2 END AS hard
+       |  FROM w3),
+       |hc AS (SELECT hard, count(*) AS n FROM hard GROUP BY hard),
+       |ws AS (SELECT sum(w0) AS s0, sum(w1) AS s1, sum(w2) AS s2 FROM w3)
+       |SELECT CAST(c2.cid AS BIGINT) AS centroid,
+       |  CAST(coalesce(hc.n, 0) AS BIGINT) AS n_hard,
+       |  CAST(CASE c2.cid WHEN 0 THEN ws.s0 WHEN 1 THEN ws.s1 ELSE ws.s2 END AS BIGINT)
+       |    AS w_sum_micro8,
+       |  c2.c[1] AS c0, c2.c[2] AS c1
+       |FROM c2 CROSS JOIN ws LEFT JOIN hc ON hc.hard = c2.cid
+       |ORDER BY centroid""".stripMargin
+  }
 
   /** binary entropy in nats over a rational p — ONE text both engines run
     * (IGainTermsQParserPlugin.binaryEntropy: 0 at p∈{0,1}). */
@@ -1723,6 +1859,7 @@ object TrainingDataQueries {
         |UNION ALL
         |SELECT id AS vec_id, cluster, CAST(0 AS BIGINT) AS is_core FROM border
         |ORDER BY vec_id""".stripMargin,
+    "td_fuzzy_kmeans" -> fuzzyKmeansOracle,
     "td_feature_select" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y, $TOKS AS tk
