@@ -268,6 +268,31 @@ object FulltextQueries {
         .select($"doc_id", $"tf", $"p_min", $"p_max", $"p_sum", $"p_avg")
         .orderBy("doc_id")
     }),
+    // SpanPayloadCheckQuery (reference: lucene/queries/src/java/org/apache/
+    // lucene/queries/payloads/SpanPayloadCheckQuery.java:46-60: a span
+    // matches only when the payloads at its positions EQUAL the required
+    // list) — span term 'merge' restricted to positions whose decoded
+    // payload is exactly 5.0, same position-keyed decoder as
+    // ft_payload_score. Emits matching docs + accepted-position counts.
+    "ft_payload_check" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val decoded = index.blocks.filter($"term" === "merge").as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.flatMap(i =>
+            poss(i).iterator
+              .filter(p => ((p % 11) + 1).toDouble == 5.0d)
+              .map(p => (docs(i), p.toLong)))
+        }.toDF("docId", "pos")
+      decoded.groupBy("docId").agg(count(lit(1)).as("n_match"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_match")
+        .orderBy("doc_id")
+    }),
     "ft_term_stats" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
@@ -1923,6 +1948,15 @@ object FulltextQueries {
          |  max(payload) AS p_max, sum(payload) AS p_sum,
          |  round(sum(payload) / count(*), 4) AS p_avg
          |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ft_payload_check" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, ((i - 1) % 11) + 1 AS payload
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents),
+         |       (SELECT unnest(generate_series(1, 5000)) AS i) gs
+         |  WHERE i <= len(tk) AND tk[i] = 'merge')
+         |SELECT doc_id, count(*) AS n_match
+         |FROM pos WHERE payload = 5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ft_term_stats" ->
       s"""SELECT tok AS term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_term_freq
          |FROM (

@@ -1121,6 +1121,50 @@ object RelationalQueries {
         .selectExpr("hour", "x",
           "CAST(x - mn AS DOUBLE) / (mx - mn) AS scaled")
         .orderBy("hour")
+    }),
+    // Cross-correlation delay estimation (Solr math finddelay, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // FindDelayEvaluator.java:55-75: convolve(a, reverse(b)), argmax of
+    // |conv| with the FIRST index winning ties, delay = idx + 1 − len(b)).
+    // Series: the first 24 hour-buckets of the event stream, a = click
+    // counts, b = view counts (0-filled on the shared hour domain). All
+    // integer products — the correlation surface is exact and the argmax
+    // deterministic. Scale: the lag join is a bounded 24×24 fan-out keyed
+    // by lag index, one grouped agg.
+    "q_finddelay" -> ((spark, sfDir) => {
+      val w = Window.orderBy("hour")
+      val hourly = t(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          sum(expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).as("x"),
+          sum(expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")).as("y"))
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .filter(col("n") < 24)
+      val a = hourly.select(col("n").as("k"), col("x"))
+      val b = hourly.select(col("n").as("m"), col("y"))
+      a.crossJoin(b)
+        .selectExpr("k + (24 - 1 - m) AS idx", "x * y AS p")
+        .groupBy("idx").agg(sum("p").as("c"))
+        .orderBy(abs(col("c")).desc, col("idx").asc)
+        .limit(1)
+        .selectExpr("CAST(idx + 1 - 24 AS BIGINT) AS delay", "abs(c) AS max_abs")
+    }),
+    // TSV source (TupStream's TSV sibling of CsvStream — solr/solrj/src/
+    // java/org/apache/solr/client/solrj/io/stream/TsvStream semantics):
+    // stage the region dim as tab-separated text (untimed landing-zone
+    // drop), aggregate off the TSV scan; the oracle reads parquet.
+    "q_tsv" -> ((spark, sfDir) => {
+      val tsvPath = s"/tmp/graft-tsv-region-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tsvPath/_SUCCESS")))
+        t(spark, sfDir, "region")
+          .select("r_regionkey", "r_name")
+          .write.mode("overwrite").option("header", "true")
+          .option("sep", "\t").csv(tsvPath)
+      spark.read.option("header", "true").option("sep", "\t")
+        .schema("r_regionkey INT, r_name STRING")
+        .csv(tsvPath)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
     })
   )
 
@@ -1812,6 +1856,23 @@ object RelationalQueries {
         |  FROM events WHERE event_type = 'click' GROUP BY hour),
         |m AS (SELECT min(x) AS mn, max(x) AS mx FROM hourly)
         |SELECT hour, x, CAST(x - mn AS DOUBLE) / (mx - mn) AS scaled
-        |FROM hourly, m ORDER BY hour""".stripMargin
+        |FROM hourly, m ORDER BY hour""".stripMargin,
+    "q_finddelay" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY hour),
+        |ranked AS (
+        |  SELECT row_number() OVER (ORDER BY hour) - 1 AS n, x, y FROM hourly),
+        |series AS (SELECT n, x, y FROM ranked WHERE n < 24),
+        |conv AS (
+        |  SELECT a.n + (24 - 1 - b.n) AS idx, sum(a.x * b.y) AS c
+        |  FROM series a, series b GROUP BY idx)
+        |SELECT CAST(idx + 1 - 24 AS BIGINT) AS delay, CAST(abs(c) AS BIGINT) AS max_abs
+        |FROM conv ORDER BY abs(c) DESC, idx ASC LIMIT 1""".stripMargin,
+    "q_tsv" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin
   )
 }
