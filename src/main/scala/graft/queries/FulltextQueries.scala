@@ -110,6 +110,23 @@ object FulltextQueries {
        |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   private def tfSql(t: String) = s"len(list_filter(tk, x -> x = '$t'))"
+
+  /** American Soundex with commons-codec's H/W rule as ONE SQL expression
+    * (h/w deleted before run-collapse ≡ "letters separated by h or w code
+    * as single"; vowels map to 0 and break runs before being stripped).
+    * `flags` is ", 'g'" for DuckDB's regexp_replace (global flag) and ""
+    * for Spark (global by default) — the op sequence is identical. */
+  private def soundexSql(in: String, flags: String): String = {
+    val mapped =
+      s"translate($in, 'hwaeiouybfpvcgjkqsxzdtlmnr', '000000111122222222334556')"
+    val collapsed =
+      (0 to 6).foldLeft(mapped)((a, d) => s"regexp_replace($a, '$d$d+', '$d'$flags)")
+    val stripped = s"replace($collapsed, '0', '')"
+    val body = s"(CASE WHEN substr($in, 1, 1) IN " +
+      s"('a','e','i','o','u','y','h','w') THEN $stripped " +
+      s"ELSE substr($stripped, 2) END)"
+    s"substr(concat(substr($in, 1, 1), $body, '000'), 1, 4)"
+  }
   private def dfSql(t: String) = s"(SELECT count(*) FROM toks WHERE list_contains(tk, '$t'))"
   private def idfSql(df: String) = s"ln(1 + (st.n - $df + 0.5) / ($df + 0.5))"
   /** Textbook double BM25, op order in sync with `Bm25.DoubleScorer.score`. */
@@ -1549,6 +1566,26 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // Phonetic matching (reference: lucene/analysis/phonetic/src/java/org/
+    // apache/lucene/analysis/phonetic/PhoneticFilter.java over
+    // commons-codec Soundex, incl. the H/W adjacency rule — letters
+    // separated by h/w collapse as if adjacent, vowels break the run):
+    // the misspelled query word 'filtre' (code f436) phonetically matches
+    // 'filter'/'filters'. Plan shape: the Soundex code is ONE vectorized
+    // expression over the dictionary (termStats, 1 row/term), the matching
+    // terms become a ConstSetQ over the indexed disjunction iterators —
+    // dictionary-first multi-term expansion, never a blocks-table scan.
+    "ft_soundex" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val terms = index.termStats
+        .filter(col("term").rlike("^[a-z]+$"))
+        .filter(expr(s"${soundexSql("term", "")} = ${soundexSql("'filtre'", "")}"))
+        .select("term").collect().map(_.getString(0)).toSeq.sorted
+      val q = graft.search.ConstSetQ(terms)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // commit-point time travel (SnapshotDeletionPolicy / IndexDeletionPolicy:
     // IndexStore.openAt scaladoc): generation 0 predates the tombstones, so
     // the SAME query counts every match there and only the live ones on the
@@ -1948,6 +1985,12 @@ object FulltextQueries {
          |  max(payload) AS p_max, sum(payload) AS p_sum,
          |  round(sum(payload) / count(*), 4) AS p_avg
          |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ft_soundex" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |SELECT DISTINCT doc_id FROM toks
+         |WHERE regexp_full_match(tok, '[a-z]+')
+         |  AND ${soundexSql("tok", ", 'g'")} = ${soundexSql("'filtre'", ", 'g'")}
+         |ORDER BY doc_id""".stripMargin,
     "ft_payload_check" ->
       s"""WITH pos AS (
          |  SELECT doc_id, ((i - 1) % 11) + 1 AS payload

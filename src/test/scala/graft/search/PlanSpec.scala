@@ -150,6 +150,16 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("dbscan candidate generation is a banded equi-join, never all-pairs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.TrainingDataQueries.queries("td_dbscan")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the eps-neighbor pairs must come from the pivot-band equi-join —
+    // a nested-loop/cartesian here is the O(n²) cliff at corpus scale
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q1 scan prunes lineitem columns to the aggregated subset") {
     val sfDir = "/root/testdata/sf0.001"
     val df = graft.queries.RelationalQueries.queries("q1_agg")(spark, sfDir)
