@@ -1165,8 +1165,92 @@ object RelationalQueries {
         .csv(tsvPath)
         .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
         .orderBy("r_regionkey")
+    }),
+    // Linear interpolation at interval midpoints (Solr math lerp, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // LerpEvaluator.java → commons-math LinearInterpolator): hourly click
+    // counts sampled at half-hours — (y_i + y_{i+1})/2, one exact division
+    // of integer operands per row. Window lead over the compressed hour
+    // domain, map-only otherwise.
+    "q_lerp" -> ((spark, sfDir) => {
+      val w = Window.orderBy("hour")
+      t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .withColumn("xn", lead("x", 1).over(w))
+        .filter(col("xn").isNotNull)
+        .selectExpr("n", "CAST(x + xn AS DOUBLE) / 2 AS mid")
+        .orderBy("n")
+    }),
+    // Multivariate OLS (Solr math olsRegress, reference: solr/solrj/src/
+    // java/org/apache/solr/client/solrj/io/eval/OLSRegressionEvaluator.java
+    // → commons-math OLSMultipleLinearRegression): price cents on
+    // (quantity, discount cents) via the 3×3 normal equations solved by
+    // Cramer over exact BIGINT moment sums — the q_polyfit discipline with
+    // two regressors. One distributed agg pass, driver-free.
+    "q_ols" -> ((spark, sfDir) => {
+      val m = t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n0"),
+          sum("x1").as("a1"), sum("x2").as("a2"),
+          sum(col("x1") * col("x1")).as("a11"),
+          sum(col("x1") * col("x2")).as("a12"),
+          sum(col("x2") * col("x2")).as("a22"),
+          sum("y").as("b0"), sum(col("x1") * col("y")).as("b1"),
+          sum(col("x2") * col("y")).as("b2"))
+      val n = col("n0").cast("double")
+      val s1 = col("a1").cast("double"); val s2 = col("a2").cast("double")
+      val s11 = col("a11").cast("double"); val s12 = col("a12").cast("double")
+      val s22 = col("a22").cast("double")
+      val t0 = col("b0").cast("double"); val t1 = col("b1").cast("double")
+      val t2 = col("b2").cast("double")
+      val d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+      val c0 = (t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2) + s2 * (t1 * s12 - s11 * t2)) / d
+      val c1 = (n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2) + s2 * (s1 * t2 - t1 * s2)) / d
+      val c2 = (n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s12 - s11 * s2)) / d
+      m.select(round(c0, 4).as("c0"), round(c1, 4).as("c1"), round(c2, 4).as("c2"))
+    }),
+    // Akima spline interpolation at interval midpoints (Solr math akima,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // AkimaEvaluator.java → commons-math AkimaSplineInterpolator): tangent
+    // t_i = (|m_{i+1}−m_i|·m_{i−1} + |m_{i−1}−m_{i−2}|·m_i) / (Σ weights),
+    // equal-slopes degenerate case → (m_{i−1}+m_i)/2; Hermite cubic at
+    // u = 0.5 collapses to 0.5·y_i + 0.125·t_i + 0.5·y_{i+1} − 0.125·t_{i+1}.
+    // Interior intervals only (the reference's end handling switches to
+    // three-point differentiation — documented subset). Slopes/weights are
+    // exact integers on the uniform hour grid; the 0/0 test is exact. All
+    // window lag/lead over the compressed hour domain — map-only, local.
+    "q_akima" -> ((spark, sfDir) => {
+      val w = Window.orderBy("hour")
+      t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .withColumn("xn", lead("x", 1).over(w))
+        .withColumn("m", col("xn") - col("x"))
+        .withColumn("mm2", lag("m", 2).over(w))
+        .withColumn("mm1", lag("m", 1).over(w))
+        .withColumn("mp1", lead("m", 1).over(w))
+        .withColumn("mp2", lead("m", 2).over(w))
+        .filter(col("mm2").isNotNull && col("mp2").isNotNull)
+        .selectExpr("n",
+          s"round(0.5 * x + 0.125 * ${akimaT("mm2", "mm1", "m", "mp1")} + " +
+            s"0.5 * xn - 0.125 * ${akimaT("mm1", "m", "mp1", "mp2")}, 4) AS mid_r")
+        .orderBy("n")
     })
   )
+
+  /** Akima tangent from four consecutive slopes (a, b, c, d) =
+    * (m_{i−2}, m_{i−1}, m_i, m_{i+1}) — shared text, exact integer weights. */
+  private def akimaT(a: String, b: String, c: String, d: String): String =
+    s"(CASE WHEN abs($d - $c) + abs($b - $a) = 0 THEN CAST($b + $c AS DOUBLE) / 2 " +
+      s"ELSE (CAST(abs($d - $c) AS DOUBLE) * $b + CAST(abs($b - $a) AS DOUBLE) * $c) " +
+      s"/ (abs($d - $c) + abs($b - $a)) END)"
 
   /** paired t over exact difference sums (n, s=Σd, q=Σd²) — shared text. */
   private val pairedTExpr =
@@ -1873,6 +1957,65 @@ object RelationalQueries {
         |FROM conv ORDER BY abs(c) DESC, idx ASC LIMIT 1""".stripMargin,
     "q_tsv" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
-        |FROM region ORDER BY r_regionkey""".stripMargin
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_lerp" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY hour),
+        |s AS (
+        |  SELECT row_number() OVER (ORDER BY hour) - 1 AS n, x,
+        |    lead(x, 1) OVER (ORDER BY hour) AS xn
+        |  FROM hourly)
+        |SELECT n, CAST(x + xn AS DOUBLE) / 2 AS mid
+        |FROM s WHERE xn IS NOT NULL ORDER BY n""".stripMargin,
+    "q_ols" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+        |    CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+        |    CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS t0,
+        |    CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS t1,
+        |    CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS t2
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |               CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+        |               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |), d AS (
+        |  SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |         + s2 * (s1 * s12 - s11 * s2) AS det FROM m
+        |)
+        |SELECT
+        |  round((t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2) + s2 * (t1 * s12 - s11 * t2)) / det, 4) AS c0,
+        |  round((n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2) + s2 * (s1 * t2 - t1 * s2)) / det, 4) AS c1,
+        |  round((n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s12 - s11 * s2)) / det, 4) AS c2
+        |FROM d""".stripMargin,
+    "q_akima" -> {
+      def tkm(a: String, b: String, c: String, d: String): String =
+        s"(CASE WHEN abs($d - $c) + abs($b - $a) = 0 THEN CAST($b + $c AS DOUBLE) / 2 " +
+          s"ELSE (CAST(abs($d - $c) AS DOUBLE) * $b + CAST(abs($b - $a) AS DOUBLE) * $c) " +
+          s"/ (abs($d - $c) + abs($b - $a)) END)"
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+         |  FROM events WHERE event_type = 'click' GROUP BY hour),
+         |s AS (
+         |  SELECT row_number() OVER (ORDER BY hour) - 1 AS n, x,
+         |    lead(x, 1) OVER (ORDER BY hour) AS xn
+         |  FROM hourly),
+         |sl AS (
+         |  SELECT n, x, xn, xn - x AS m,
+         |    lag(xn - x, 2) OVER (ORDER BY n) AS mm2,
+         |    lag(xn - x, 1) OVER (ORDER BY n) AS mm1,
+         |    lead(xn - x, 1) OVER (ORDER BY n) AS mp1,
+         |    lead(xn - x, 2) OVER (ORDER BY n) AS mp2
+         |  FROM s)
+         |SELECT n,
+         |  round(0.5 * x + 0.125 * ${tkm("mm2", "mm1", "m", "mp1")} +
+         |        0.5 * xn - 0.125 * ${tkm("mm1", "m", "mp1", "mp2")}, 4) AS mid_r
+         |FROM sl WHERE mm2 IS NOT NULL AND mp2 IS NOT NULL
+         |ORDER BY n""".stripMargin
+    }
   )
 }
