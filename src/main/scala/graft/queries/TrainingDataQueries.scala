@@ -969,6 +969,35 @@ object TrainingDataQueries {
         .select(col("id").as("vec_id"), col("cluster"), col("is_core"))
         .orderBy("vec_id")
     }),
+    // Zipf-law fit of the term-frequency distribution (Solr math
+    // zipFDistribution, reference: solr/solrj/src/java/org/apache/solr/
+    // client/solrj/io/eval/ZipFDistributionEvaluator.java → commons-math
+    // ZipfDistribution: PMF(k) = (1/k^s)/H_{N,s}): s = 1 over the corpus
+    // vocabulary, observed share vs model PMF for the top-20 terms by
+    // total term frequency. Exactness: the harmonic normalizer is
+    // H_micro12 = Σ_k floor(1e12/k) — pure BIGINT integer division, summed
+    // distributed over a range (order-independent); every emitted share is
+    // ONE division of exact integers. Scale: term counts are one map-side
+    // combined groupBy; the rank window runs on the compressed vocabulary.
+    "td_zipf" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(spark, sfDir)
+        .select(explode(expr(TOKS)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("ttf"))
+      val tot = tf.agg(sum("ttf").as("t"), count(lit(1)).as("nvocab"))
+      val nv = tot.head().getLong(1)
+      val h = spark.range(1, nv + 1)
+        .selectExpr("CAST(1000000000000 DIV id AS BIGINT) AS hk")
+        .agg(sum("hk").as("h")).head().getLong(0)
+      val w = Window.orderBy(desc("ttf"), asc("tok"))
+      tf.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(tot))
+        .selectExpr("rank", "tok AS term", "ttf",
+          "CAST(ttf AS DOUBLE) / t AS obs_share",
+          s"CAST(1000000000000 DIV rank AS DOUBLE) / $h AS zipf_pmf")
+        .orderBy("rank")
+    }),
     // Fuzzy k-means (Solr math fuzzyKmeans + getMembershipMatrix/getCluster,
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // FuzzyKmeansEvaluator.java → commons-math FuzzyKMeansClusterer:
@@ -1859,6 +1888,24 @@ object TrainingDataQueries {
         |UNION ALL
         |SELECT id AS vec_id, cluster, CAST(0 AS BIGINT) AS is_core FROM border
         |ORDER BY vec_id""".stripMargin,
+    "td_zipf" ->
+      s"""WITH tf AS (
+         |  SELECT tok, count(*) AS ttf
+         |  FROM (SELECT unnest($TOKS) AS tok FROM documents) GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ttf) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS nvocab FROM tf),
+         |h AS (
+         |  SELECT CAST(sum(1000000000000 // k) AS BIGINT) AS h
+         |  FROM (SELECT unnest(generate_series(1,
+         |          (SELECT nvocab FROM tot))) AS k)),
+         |ranked AS (
+         |  SELECT row_number() OVER (ORDER BY ttf DESC, tok ASC) AS rank,
+         |         tok, ttf FROM tf)
+         |SELECT rank, tok AS term, ttf,
+         |  CAST(ttf AS DOUBLE) / t AS obs_share,
+         |  CAST(1000000000000 // rank AS DOUBLE) / h AS zipf_pmf
+         |FROM ranked, tot, h
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "td_fuzzy_kmeans" -> fuzzyKmeansOracle,
     "td_feature_select" ->
       s"""WITH d AS (

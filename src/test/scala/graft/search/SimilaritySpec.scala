@@ -128,10 +128,26 @@ class SimilaritySpec extends AnyFunSuite {
     "indexwriter^2.5 OR parsequery",
     "merge*")
 
+  test("SweetSpotSim: plateau lengthNorm 1.0 inside [min,max], baselineTf floor") {
+    val sim = SweetSpotSim(lnMin = 3, lnMax = 20, steepness = 0.5, tfBase = 1.5, tfMin = 2.0)
+    val idf = math.log(1001.0 / 10.0) + 1
+    // dl = 16 sits inside the sweet spot -> lengthNorm exactly 1.0
+    val nbIn = Bm25.encodeNorm(16) & 0xFF
+    // freq <= tfMin floors at tfBase
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(2.0, nbIn) - idf * 1.5) < 1e-12)
+    // freq above the floor: sqrt(freq + base^2 - min)
+    val expTf = math.sqrt(9.0 + 2.25 - 2.0)
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(9.0, nbIn) - idf * expTf) < 1e-12)
+    // dl = 22 is 2 past the plateau -> 1/sqrt(0.5*(19+2-17)+1) = 1/sqrt(3)
+    val nbOut = Bm25.encodeNorm(22) & 0xFF
+    val expNorm = 1.0 / math.sqrt(0.5 * (math.abs(22.0 - 3) + math.abs(22.0 - 20) - 17) + 1.0)
+    assert(math.abs(sim.doubleScorer(1.0, 9, 20, stats).score(2.0, nbOut) - idf * 1.5 * expNorm) < 1e-12)
+  }
+
   test("distributed top-k under each similarity is identical to brute force") {
     for (sim <- Seq[Similarity](ClassicSim, LMDirichletSim(), LMJelinekMercerSim(),
                                 DFISim(), BooleanSim, DFRInL2Sim(), IBLLSim(),
-                                AxiomaticF2EXPSim());
+                                AxiomaticF2EXPSim(), SweetSpotSim());
          q <- queries) {
       val s = base.withSimilarity(sim)
       val ast = s.parse(q)
