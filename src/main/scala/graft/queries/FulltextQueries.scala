@@ -1773,6 +1773,24 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // Expressions module (reference: lucene/expressions/src/java/org/
+    // apache/lucene/expressions/Expression.java + SimpleBindings — a
+    // compiled arithmetic expression over `_score` and numeric doc fields,
+    // used as a sort/rescore DoubleValuesSource): expr = score/ln(1+n_chars)
+    // reranks the BM25 top-50 window (the QueryRescorer window pattern).
+    // The expression is ONE vectorized projection over (score, field) — the
+    // compiled-expression analog Catalyst gives for free.
+    "ft_expression" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("vector"), 50).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(50) // global k·P merge
+        .join(DocsIndex.documents(spark, sfDir).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("expr_score",
+          round4Col(col("score") / log(lit(1.0) + col("n_chars"))))
+        .orderBy(desc("expr_score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("expr_score"))
+    }),
     // FreeTextSuggester (reference: lucene/suggest/src/java/org/apache/
     // lucene/search/suggest/analyzing/FreeTextSuggester.java:77-117 — an
     // ngram LM built from a ShingleFilter stream): next-word prediction for
@@ -2246,6 +2264,17 @@ object FulltextQueries {
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_expression" ->
+      s"""$PRELUDE,
+         |win AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st
+         |  ) WHERE tf > 0 ORDER BY s DESC, doc_id LIMIT 50)
+         |SELECT doc_id, round(s / ln(1.0 + n_chars), 4) AS expr_score
+         |FROM win JOIN documents USING (doc_id)
+         |ORDER BY expr_score DESC, doc_id LIMIT 10""".stripMargin,
     // ClassicSimilarity: (ln((n+1)/(df+1)) + 1) * sqrt(tf) / sqrt(dlq) —
     // op order mirrors ClassicSim.DblScorer exactly
     "ft_search_tfidf" ->
