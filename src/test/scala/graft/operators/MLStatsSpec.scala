@@ -195,6 +195,45 @@ class MLStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_finddelay matches the hand-computed cross-correlation argmax") {
+    // hourly buckets on the fixture (6 distinct hours, all < 24 kept):
+    // clicks x = [1,1,0,1,0,0], views y = [0,0,1,0,1,1] by hour rank
+    // conv[idx] = Σ x_k·y_m at idx = k + (23 − m); the single best |c| is
+    // verified against a scalar reference loop below
+    val r = SparkEntry.queries("q_finddelay")(spark, eventsDir).head()
+    val x = Array(1L, 1L, 0L, 1L, 0L, 0L)
+    val y = Array(0L, 0L, 1L, 0L, 1L, 1L)
+    val conv = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (k <- x.indices; m <- y.indices) conv(k + (23L - m)) += x(k) * y(m)
+    val (bestIdx, bestAbs) = conv.toSeq.map { case (i, c) => (i, math.abs(c)) }
+      .sortBy { case (i, a) => (-a, i) }.head
+    assert(r.getAs[Long]("delay") === bestIdx + 1 - 24)
+    assert(r.getAs[Long]("max_abs") === bestAbs)
+  }
+
+  test("q_akima equals a scalar Akima+Hermite reference on the real series") {
+    val rows = SparkEntry.queries("q_akima")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("n") -> r.getAs[Double]("mid_r")).toMap
+    // scalar reference from the same hourly series
+    val hours = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x")).orderBy("h")
+      .collect().map(_.getLong(1))
+    val m = hours.sliding(2).map(p => p(1) - p(0)).toArray
+    def t(i: Int): Double = {
+      val w1 = math.abs(m(i + 1) - m(i)); val w2 = math.abs(m(i - 1) - m(i - 2))
+      if (w1 + w2 == 0) (m(i - 1) + m(i)) / 2.0
+      else (w1.toDouble * m(i - 1) + w2.toDouble * m(i)) / (w1 + w2)
+    }
+    assert(rows.nonEmpty)
+    for (i <- 2 until hours.length - 3) {
+      val mid = 0.5 * hours(i) + 0.125 * t(i) + 0.5 * hours(i + 1) - 0.125 * t(i + 1)
+      assert(math.abs(rows(i.toLong) - mid) <= 1e-4, s"interval $i")
+    }
+  }
+
   test("ft_payload_score payload reductions respect the decoder range") {
     val rows = SparkEntry.queries("ft_payload_score")(spark, "/root/testdata/sf0.001")
       .collect()
