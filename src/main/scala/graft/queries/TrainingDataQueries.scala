@@ -969,6 +969,26 @@ object TrainingDataQueries {
         .select(col("id").as("vec_id"), col("cluster"), col("is_core"))
         .orderBy("vec_id")
     }),
+    // Distributed Gram matrix Eᵀ·E (Solr math matrixMult/transpose over a
+    // tuple matrix, reference: solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/MatrixMultiplyEvaluator.java + TransposeEvaluator.java
+    // → commons-math Array2DRowRealMatrix.multiply): the embedding
+    // covariance building block. Each vector contributes its outer product;
+    // the distributed rendering explodes (i, j, v_i·v_j) per row and sums
+    // per cell — exact BIGINT mills products, order-independent. At 100 TB
+    // this is the standard block-partitioned gram (cells keyed by (i, j)
+    // tile); here the 4×4 upper block is emitted. One map-side-combined
+    // groupBy, no driver loop.
+    "td_gram" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).select(quantCol.as("v"))
+      e.select(posexplode(expr("slice(v, 1, 4)")).as(Seq("i", "vi")), col("v"))
+        .select(col("i"), col("vi"),
+          posexplode(expr("slice(v, 1, 4)")).as(Seq("j", "vj")))
+        .groupBy("i", "j")
+        .agg(sum(col("vi") * col("vj")).as("g"))
+        .selectExpr("CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j", "g")
+        .orderBy("i", "j")
+    }),
     // Zipf-law fit of the term-frequency distribution (Solr math
     // zipFDistribution, reference: solr/solrj/src/java/org/apache/solr/
     // client/solrj/io/eval/ZipFDistributionEvaluator.java → commons-math
@@ -1888,6 +1908,18 @@ object TrainingDataQueries {
         |UNION ALL
         |SELECT id AS vec_id, cluster, CAST(0 AS BIGINT) AS is_core FROM border
         |ORDER BY vec_id""".stripMargin,
+    "td_gram" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT i.i AS i, j.j AS j, e.v[i.i + 1] * e.v[j.j + 1] AS p
+        |  FROM e,
+        |       (SELECT unnest(generate_series(0, 3)) AS i) i,
+        |       (SELECT unnest(generate_series(0, 3)) AS j) j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |       CAST(sum(p) AS BIGINT) AS g
+        |FROM cells GROUP BY i, j ORDER BY i, j""".stripMargin,
     "td_zipf" ->
       s"""WITH tf AS (
          |  SELECT tok, count(*) AS ttf
