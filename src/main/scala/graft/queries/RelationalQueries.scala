@@ -1242,8 +1242,54 @@ object RelationalQueries {
           s"round(0.5 * x + 0.125 * ${akimaT("mm2", "mm1", "m", "mp1")} + " +
             s"0.5 * xn - 0.125 * ${akimaT("mm1", "m", "mp1", "mp2")}, 4) AS mid_r")
         .orderBy("n")
-    })
+    }),
+    "q_timediff" -> (timediffQuery(_, _)),
+    "q_moving_mad" -> (movingMadQuery(_, _))
   )
+
+  /** Lag-k time differencing (Solr math timeDifferencing, reference:
+    * solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    * TimeDifferencingEvaluator.java: y_t − y_{t−lag}, the stationarity
+    * transform): lag-24 (daily-seasonal) differences of the hourly click
+    * series — pure integer subtraction over one window lag. */
+  private def timediffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.orderBy("hour")
+      t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .withColumn("xp", lag("x", 24).over(w))
+        .filter(col("xp").isNotNull)
+        .selectExpr("n", "x - xp AS diff24")
+        .orderBy("n")
+    }
+
+  /** Rolling MAD (Solr math movingMAD, reference: solr/solrj/src/java/org/
+    * apache/solr/client/solrj/io/eval/MovingMADEvaluator.java: per window,
+    * median of |x − median(window)|): centered 7-bucket windows over hourly
+    * click cents-counts; both medians are the middle element of 7 exact
+    * integers (no interpolation) so every value is engine-portable. Two
+    * rank-distance self-joins on the compressed hour domain. */
+  private def movingMadQuery(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.orderBy("hour")
+      val s = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .select("n", "x")
+      val tot = s.count()
+      val interior = s.filter(col("n") >= 3 && col("n") <= tot - 4)
+        .select(col("n").as("c"))
+      val j1 = interior.join(s, abs(col("n") - col("c")) <= 3)
+        .groupBy("c").agg(expr("percentile(x, 0.5)").as("med"))
+      interior.join(s, abs(col("n") - col("c")) <= 3)
+        .join(j1, "c")
+        .groupBy("c").agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+        .selectExpr("c AS n", "mad")
+        .orderBy("n")
+    }
 
   /** Akima tangent from four consecutive slopes (a, b, c, d) =
     * (m_{i−2}, m_{i−1}, m_i, m_{i+1}) — shared text, exact integer weights. */
@@ -2016,6 +2062,28 @@ object RelationalQueries {
          |        0.5 * xn - 0.125 * ${tkm("mm1", "m", "mp1", "mp2")}, 4) AS mid_r
          |FROM sl WHERE mm2 IS NOT NULL AND mp2 IS NOT NULL
          |ORDER BY n""".stripMargin
-    }
+    },
+    "q_timediff" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY hour),
+        |s AS (
+        |  SELECT row_number() OVER (ORDER BY hour) - 1 AS n, x,
+        |    lag(x, 24) OVER (ORDER BY hour) AS xp
+        |  FROM hourly)
+        |SELECT n, x - xp AS diff24 FROM s WHERE xp IS NOT NULL ORDER BY n""".stripMargin,
+    "q_moving_mad" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY hour),
+        |s AS (SELECT row_number() OVER (ORDER BY hour) - 1 AS n, x FROM hourly),
+        |tot AS (SELECT count(*) AS c FROM s),
+        |interior AS (SELECT n AS c FROM s, tot WHERE n >= 3 AND n <= tot.c - 4),
+        |j1 AS (
+        |  SELECT i.c, quantile_cont(s.x, 0.5) AS med
+        |  FROM interior i JOIN s ON abs(s.n - i.c) <= 3 GROUP BY i.c)
+        |SELECT i.c AS n, quantile_cont(abs(s.x - j1.med), 0.5) AS mad
+        |FROM interior i JOIN s ON abs(s.n - i.c) <= 3 JOIN j1 ON j1.c = i.c
+        |GROUP BY i.c ORDER BY n""".stripMargin
   )
 }
