@@ -1735,6 +1735,23 @@ object FulltextQueries {
         .limit(5)
         .select(col("parent"), col("child_hits"), col("score"))
     }),
+    // BlockJoinFacetComponent (reference: solr/core/src/java/org/apache/
+    // solr/search/join/BlockJoinFacetComponent.java — facets computed over
+    // the CHILD documents of parents matched through a block join): parents
+    // (commit groups) matched by any child hitting 'vector', then a lang
+    // facet over ALL children of those parents. Parent set broadcasts onto
+    // the child table; one grouped count.
+    "ft_block_join_facet" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val docs = index.docs.toDF()
+      val parents = searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+        .join(docs.select(col("docId"), col("commit").as("parent")), "docId")
+        .select("parent").distinct()
+      docs.select(col("commit").as("parent"), col("lang"))
+        .join(broadcast(parents), "parent")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("lang"))
+    }),
     // ToChildBlockJoinQuery (reference: lucene/join/src/java/org/apache/
     // lucene/search/join/ToChildBlockJoinQuery.java — the inverse join:
     // every CHILD of a matching parent is returned carrying its PARENT's
@@ -2009,6 +2026,12 @@ object FulltextQueries {
          |WHERE regexp_full_match(tok, '[a-z]+')
          |  AND ${soundexSql("tok", ", 'g'")} = ${soundexSql("'filtre'", ", 'g'")}
          |ORDER BY doc_id""".stripMargin,
+    "ft_block_join_facet" ->
+      s"""WITH toks AS (SELECT doc_id, source, lang, $TOKS AS tk FROM documents),
+         |parents AS (SELECT DISTINCT source FROM toks WHERE list_contains(tk, 'vector'))
+         |SELECT lang, count(*) AS cnt
+         |FROM toks JOIN parents USING (source)
+         |GROUP BY lang ORDER BY cnt DESC, lang""".stripMargin,
     "ft_payload_check" ->
       s"""WITH pos AS (
          |  SELECT doc_id, ((i - 1) % 11) + 1 AS payload
