@@ -167,6 +167,29 @@ object FulltextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- index internals, oracle-verified at the token level ----
+    // FunctionRangeQParser {!frange l u} (reference: solr/core/src/java/
+    // org/apache/solr/search/FunctionRangeQParserPlugin.java — filter docs
+    // by a FUNCTION value range, here relative term frequency
+    // termfreq('vector')/doclen): tf decoded off the real posting blocks,
+    // doc length from the stored len, one exact division per candidate.
+    "ft_frange" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val decoded = index.blocks.filter($"term" === "vector").as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          docs.indices.iterator.map(i => (docs(i), freqs(i).toLong))
+        }.toDF("docId", "tf")
+      decoded
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("rtf", col("tf").cast("double") / col("len"))
+        .filter(col("rtf") >= 0.02 && col("rtf") <= 0.05)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"rtf")
+        .orderBy("doc_id")
+    }),
     "ft_postings_tf" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
@@ -2010,6 +2033,14 @@ object FulltextQueries {
          |     (SELECT unnest(generate_series(1, 5000)) AS i) gs
          |WHERE i <= len(tk) AND tk[i] = 'window'
          |ORDER BY doc_id, pos""".stripMargin,
+    "ft_frange" ->
+      s"""WITH dl AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT doc_id, rtf FROM (
+         |  SELECT doc_id, CAST(${tfSql("vector")} AS DOUBLE) / len(tk) AS rtf,
+         |    ${tfSql("vector")} AS tf
+         |  FROM dl
+         |) WHERE tf > 0 AND rtf >= 0.02 AND rtf <= 0.05
+         |ORDER BY doc_id""".stripMargin,
     "ft_payload_score" ->
       s"""WITH pos AS (
          |  SELECT doc_id, CAST(((i - 1) % 11) + 1 AS DOUBLE) AS payload

@@ -38,6 +38,24 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // {!graph} reachability closure (reference: solr/core/src/java/org/
+    // apache/solr/search/join/GraphQParserPlugin.java + GraphQuery.java —
+    // the doc set reachable from a seed following from->to edges up to
+    // maxDepth): BFS over the nation trade graph, maxDepth = 2, emitting
+    // every reached node with its minimum depth. Each hop is one distinct
+    // equi-join (GraphOps.gather) — frontier-sized, never whole-graph.
+    "q_graph_reach" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val edges = tradeEdges(spark, sfDir, 150)
+      val seed = Seq("NATION_1").toDF("node")
+      val h1 = GraphOps.gather(seed, edges, "src", "dst")
+      val h2 = GraphOps.gather(h1, edges, "src", "dst")
+      seed.select(col("node"), lit(0L).as("lvl"))
+        .unionAll(h1.select(col("node"), lit(1L).as("lvl")))
+        .unionAll(h2.select(col("node"), lit(2L).as("lvl")))
+        .groupBy("node").agg(min("lvl").as("depth"))
+        .orderBy("depth", "node")
+    }),
     // gatherNodes walk (GatherNodesStream): seed customers -> their orders
     // -> the suppliers on those orders; one distinct-join per hop, each a
     // single shuffle on the hop key. Output: (level, node) distinct pairs.
@@ -94,6 +112,25 @@ object GraphQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_reach" ->
+      """WITH edges AS (
+        |  SELECT cn.n_name AS src, sn.n_name AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE cn.n_name <> sn.n_name
+        |  GROUP BY 1, 2 HAVING count(*) >= 150),
+        |h0 AS (SELECT 'NATION_1' AS node),
+        |h1 AS (SELECT DISTINCT dst AS node FROM edges JOIN h0 ON src = h0.node),
+        |h2 AS (SELECT DISTINCT dst AS node FROM edges JOIN h1 ON src = h1.node),
+        |u AS (
+        |  SELECT node, 0 AS lvl FROM h0
+        |  UNION ALL SELECT node, 1 FROM h1
+        |  UNION ALL SELECT node, 2 FROM h2)
+        |SELECT node, CAST(min(lvl) AS BIGINT) AS depth
+        |FROM u GROUP BY node ORDER BY depth, node""".stripMargin,
     "q_graph_gather" ->
       """WITH seed AS (
         |  SELECT c_custkey AS node FROM customer

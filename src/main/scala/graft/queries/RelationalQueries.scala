@@ -1244,8 +1244,26 @@ object RelationalQueries {
         .orderBy("n")
     }),
     "q_timediff" -> (timediffQuery(_, _)),
-    "q_moving_mad" -> (movingMadQuery(_, _))
+    "q_moving_mad" -> (movingMadQuery(_, _)),
+    // HashQParserPlugin worker partition filter (reference: solr/core/src/
+    // java/org/apache/solr/search/HashQParserPlugin.java — ParallelStream
+    // gives worker w of N the docs with hash(key) % N == w, a disjoint and
+    // complete partition of the result set): deterministic md5-derived
+    // 4-way split of orders; per-worker counts (their sum is the full
+    // table, checked by the oracle values). Map-only + one grouped count.
+    "q_hash_partition" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .select((ascii(substring(md5(col("o_orderkey").cast("string")), 1, 1)) % 4)
+          .cast("long").as("worker"))
+        .groupBy("worker").agg(count(lit(1)).as("cnt"))
+        .orderBy("worker")
+    })
   )
+
+  /** worker id = ascii(first md5 hex char) % 4 (oracle text; the engine
+    * builds the identical function chain through the Column API). */
+  private val hashWorkerExpr =
+    "CAST(ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 4 AS BIGINT)"
 
   /** Lag-k time differencing (Solr math timeDifferencing, reference:
     * solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
@@ -2084,6 +2102,9 @@ object RelationalQueries {
         |  FROM interior i JOIN s ON abs(s.n - i.c) <= 3 GROUP BY i.c)
         |SELECT i.c AS n, quantile_cont(abs(s.x - j1.med), 0.5) AS mad
         |FROM interior i JOIN s ON abs(s.n - i.c) <= 3 JOIN j1 ON j1.c = i.c
-        |GROUP BY i.c ORDER BY n""".stripMargin
+        |GROUP BY i.c ORDER BY n""".stripMargin,
+    "q_hash_partition" ->
+      s"""SELECT $hashWorkerExpr AS worker, count(*) AS cnt
+         |FROM orders GROUP BY worker ORDER BY worker""".stripMargin
   )
 }
