@@ -1589,6 +1589,21 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // Surround query language (reference: lucene/queryparser/src/java/org/
+    // apache/lucene/queryparser/surround/parser/QueryParser.jj + query/
+    // DistanceQuery.java — prefix `Nw`/`Nn` proximity ops over and/or/not):
+    // and(3w(data, or(table, stream)), 2n(hash, join)) = an ordered
+    // data→(table|stream) window within distance 3 AND an unordered
+    // hash/join adjacency — parsed by SurroundParser into the span AST and
+    // executed through the standard boolean/span match path.
+    "ft_surround" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SurroundParser
+        .parse("and(3w(data, or(table, stream)), 2n(hash, join))")
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // Phonetic matching (reference: lucene/analysis/phonetic/src/java/org/
     // apache/lucene/analysis/phonetic/PhoneticFilter.java over
     // commons-codec Soundex, incl. the H/W adjacency rule — letters
@@ -2051,6 +2066,16 @@ object FulltextQueries {
          |  max(payload) AS p_max, sum(payload) AS p_sum,
          |  round(sum(payload) / count(*), 4) AS p_avg
          |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ft_surround" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data'
+         |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 3)),
+         |        j -> tk[j] IN ('table', 'stream'))) > 0)) > 0
+         |  AND len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'hash'
+         |    AND len(list_filter(
+         |          generate_series(greatest(1, i - 2), least(len(tk), i + 2)),
+         |          j -> tk[j] = 'join')) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_soundex" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
          |SELECT DISTINCT doc_id FROM toks

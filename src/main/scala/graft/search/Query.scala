@@ -664,3 +664,92 @@ final class QueryParser(analyzer: Analyzer) extends Serializable {
     }
   }
 }
+
+/** Minimal surround-query-language parser (reference: lucene/queryparser/
+  * src/java/org/apache/lucene/queryparser/surround/parser/QueryParser.jj —
+  * prefix notation `Nw(...)`/`Nn(...)` for ordered/unordered proximity,
+  * `and`/`or`/`not` above them; DistanceQuery.java builds
+  * SpanNearQuery(slop = N − 1, ordered = W). Supported subset: distance
+  * operands are terms or `or(term, ...)` slot alternatives (mapping to
+  * [[SpanOrNearQ]] slots); `and`/`or`/`not` combine complete sub-queries
+  * into a [[BoolQ]]. N defaults to 1 (adjacent). */
+object SurroundParser {
+  def parse(input: String): Query = {
+    val p = new P(input)
+    val q = p.expr()
+    p.ws()
+    require(p.atEnd, s"surround parse error: trailing input in '$input'")
+    q
+  }
+
+  private final class P(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def peekIs(c: Char): Boolean = { ws(); i < s.length && s.charAt(i) == c }
+    private def eat(c: Char): Unit = {
+      ws()
+      require(i < s.length && s.charAt(i) == c, s"expected '$c' at $i in '$s'")
+      i += 1
+    }
+    private def ident(): String = {
+      ws()
+      val st = i
+      while (i < s.length && s.charAt(i).isLetterOrDigit) i += 1
+      require(i > st, s"expected identifier at $st in '$s'")
+      s.substring(st, i)
+    }
+
+    private val Dist = "([0-9]*)([wn])".r
+
+    def expr(): Query = {
+      val tok = ident().toLowerCase
+      if (!peekIs('(')) return TermQ(tok) // bare term
+      eat('(')
+      val q = tok match {
+        case "and" =>
+          val args = exprs(); BoolQ(must = args)
+        case "or" =>
+          val args = exprs(); BoolQ(should = args)
+        case "not" =>
+          val args = exprs()
+          BoolQ(must = Seq(args.head), mustNot = args.tail)
+        case Dist(n, op) =>
+          val dist = if (n.isEmpty) 1 else n.toInt
+          require(dist >= 1, s"distance must be >= 1 in '$s'")
+          val sl = slots()
+          val inOrder = op == "w"
+          if (sl.forall(_.size == 1)) SpanNearQ(sl.map(_.head), dist - 1, inOrder)
+          else SpanOrNearQ(sl, dist - 1, inOrder)
+        case other =>
+          throw new IllegalArgumentException(s"unknown surround operator '$other'")
+      }
+      eat(')')
+      q
+    }
+
+    private def exprs(): Seq[Query] = {
+      val out = scala.collection.mutable.ArrayBuffer(expr())
+      while (peekIs(',')) { eat(','); out += expr() }
+      out.toSeq
+    }
+
+    /** distance operands: term | or(term, ...) */
+    private def slots(): Seq[Seq[String]] = {
+      def slot(): Seq[String] = {
+        val tok = ident().toLowerCase
+        if (tok == "or" && peekIs('(')) {
+          eat('(')
+          val terms = scala.collection.mutable.ArrayBuffer(ident().toLowerCase)
+          while (peekIs(',')) { eat(','); terms += ident().toLowerCase }
+          eat(')')
+          terms.toSeq
+        } else Seq(tok)
+      }
+      val out = scala.collection.mutable.ArrayBuffer(slot())
+      while (peekIs(',')) { eat(','); out += slot() }
+      require(out.size >= 2, "distance operator needs >= 2 operands")
+      out.toSeq
+    }
+  }
+}

@@ -48,6 +48,23 @@ class SearchSpec extends AnyFunSuite {
     assert(p.parse("(a OR b) OR c") == BoolQ(should = Seq(TermQ("a"), TermQ("b"), TermQ("c"))))
   }
 
+  test("surround parser maps Nw/Nn, or-slots and and/not to the span AST") {
+    assert(SurroundParser.parse("3w(a, b)") ==
+      SpanNearQ(Seq("a", "b"), 2, inOrder = true))
+    assert(SurroundParser.parse("n(a, b)") ==
+      SpanNearQ(Seq("a", "b"), 0, inOrder = false))
+    assert(SurroundParser.parse("2w(or(a, b), c)") ==
+      SpanOrNearQ(Seq(Seq("a", "b"), Seq("c")), 1, inOrder = true))
+    assert(SurroundParser.parse("and(2n(a, b), not(c, d))") ==
+      BoolQ(must = Seq(
+        SpanNearQ(Seq("a", "b"), 1, inOrder = false),
+        BoolQ(must = Seq(TermQ("c")), mustNot = Seq(TermQ("d"))))))
+    assert(SurroundParser.parse("or(a, b)") ==
+      BoolQ(should = Seq(TermQ("a"), TermQ("b"))))
+    intercept[IllegalArgumentException](SurroundParser.parse("zz(a, b)"))
+    intercept[IllegalArgumentException](SurroundParser.parse("3w(a)"))
+  }
+
   test("distributed pruned top-k is rank- and score-identical to the exhaustive oracle") {
     for (q <- querySet) {
       val ast = searcher.parse(q)
