@@ -969,6 +969,49 @@ object TrainingDataQueries {
         .select(col("id").as("vec_id"), col("cluster"), col("is_core"))
         .orderBy("vec_id")
     }),
+    // Dictionary text tagging (Solr Text Tagger, reference: solr/core/src/
+    // java/org/apache/solr/handler/tagger/Tagger.java + the
+    // LONGEST_DOMINANT_RIGHT overlap reducer, TagClusterReducer.java:59-102:
+    // repeatedly keep the longest tag — ties to the rightmost — and drop
+    // tags overlapping it). The greedy cascade is EXACTLY a fold over tags
+    // sorted by (len DESC, start DESC) keeping each tag iff it overlaps no
+    // already-kept tag, which both engines run as the identical sequential
+    // list fold. Tag candidates = every token-window match of the
+    // dictionary (the FST walk re-expressed as per-phrase vectorized window
+    // predicates — map-only over docs; the dictionary broadcasts at scale).
+    "td_tag" -> ((spark, sfDir) => {
+      val dict = Seq("big data", "hash join", "slow scan", "data", "join", "scan")
+      val d = docs(spark, sfDir).select(col("doc_id"), expr(TOKS).as("tk"))
+      val perPhrase = dict.zipWithIndex.map { case (p, pid) =>
+        val pt = p.split(' ')
+        val L = pt.length
+        val cond = pt.zipWithIndex
+          .map { case (t, o) => s"tk[i + $o] = '$t'" }.mkString(" AND ")
+        d.select(col("doc_id"),
+          expr(s"CASE WHEN size(tk) >= $L THEN " +
+            s"filter(sequence(0, size(tk) - $L), i -> $cond) " +
+            s"ELSE array() END").as("starts"))
+          .select(col("doc_id"), explode(col("starts")).as("s"))
+          .selectExpr("doc_id",
+            s"array(-$L, -CAST(s AS INT), CAST(s AS INT), CAST(s AS INT) + $L, $pid) AS tag")
+      }
+      val tags = perPhrase.reduce(_ unionAll _)
+      val kept = tags.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tag"))).as("ts"))
+        .selectExpr("doc_id",
+          // fold: keep tag x iff it overlaps nothing already kept
+          // (overlap: NOT (k.end <= x.start OR k.start >= x.end))
+          "aggregate(slice(ts, 2, size(ts) - 1), array(ts[0]), (acc, x) -> " +
+            "CASE WHEN size(filter(acc, k -> NOT (k[3] <= x[2] OR k[2] >= x[3]))) > 0 " +
+            "THEN acc ELSE concat(acc, array(x)) END) AS kept")
+        .select(col("doc_id"), explode(col("kept")).as("t"))
+      val phraseCase = dict.zipWithIndex
+        .map { case (p, pid) => s"WHEN $pid THEN '$p'" }.mkString(" ")
+      kept.selectExpr("doc_id", "CAST(t[2] AS BIGINT) AS start",
+          "CAST(t[3] - t[2] AS BIGINT) AS len",
+          s"CASE t[4] $phraseCase END AS phrase")
+        .orderBy("doc_id", "start")
+    }),
     // Distributed Gram matrix Eᵀ·E (Solr math matrixMult/transpose over a
     // tuple matrix, reference: solr/solrj/src/java/org/apache/solr/client/
     // solrj/io/eval/MatrixMultiplyEvaluator.java + TransposeEvaluator.java
@@ -1908,6 +1951,39 @@ object TrainingDataQueries {
         |UNION ALL
         |SELECT id AS vec_id, cluster, CAST(0 AS BIGINT) AS is_core FROM border
         |ORDER BY vec_id""".stripMargin,
+    "td_tag" -> {
+      val dict = Seq("big data", "hash join", "slow scan", "data", "join", "scan")
+      val phraseSelects = dict.zipWithIndex.map { case (p, pid) =>
+        val pt = p.split(' ')
+        val l = pt.length
+        val cond = pt.zipWithIndex
+          .map { case (t, o) => s"tk[i + $o] = '$t'" }.mkString(" AND ")
+        s"""SELECT doc_id,
+           |  [-$l, -CAST(i - 1 AS INT), CAST(i - 1 AS INT), CAST(i - 1 AS INT) + $l, $pid] AS tag
+           |FROM d, (SELECT unnest(generate_series(1, 5000)) AS i) gs
+           |WHERE i + ${l - 1} <= len(tk) AND $cond""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val phraseCase = dict.zipWithIndex
+        .map { case (p, pid) => s"WHEN $pid THEN '$p'" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, $TOKS AS tk FROM documents),
+         |tags AS (
+         |$phraseSelects
+         |),
+         |sorted AS (SELECT doc_id, list_sort(list(tag)) AS ts FROM tags GROUP BY doc_id),
+         |kept AS (
+         |  SELECT doc_id, list_reduce(
+         |    list_concat([[ts[1]]], list_transform(ts[2:], x -> [x])),
+         |    (acc, x) -> CASE WHEN len(list_filter(acc,
+         |        k -> NOT (k[4] <= x[1][3] OR k[3] >= x[1][4]))) > 0
+         |      THEN acc ELSE list_concat(acc, x) END) AS ks
+         |  FROM sorted),
+         |un AS (SELECT doc_id, unnest(ks) AS t FROM kept)
+         |SELECT doc_id, CAST(t[3] AS BIGINT) AS start,
+         |  CAST(t[4] - t[3] AS BIGINT) AS len,
+         |  CASE t[5] $phraseCase END AS phrase
+         |FROM un ORDER BY doc_id, start""".stripMargin
+    },
     "td_gram" ->
       """WITH e AS (
         |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
