@@ -172,7 +172,26 @@ final case class Analyzer(
       * toward the field length (discountOverlaps, see [[invert]]), phrase
       * queries match through either surface form, and tf/df of the synonym
       * term absorb the mapped occurrences — Lucene's exact semantics. */
-    synonyms: Map[String, String] = Map.empty) extends Serializable {
+    synonyms: Map[String, String] = Map.empty,
+    /** `HTMLStripCharFilter` subset (reference: lucene/analysis/common/src/
+      * java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.jflex —
+      * tags removed, character entities decoded, before tokenization): a
+      * char-filter pre-pass that blanks `<...>` tag spans and decodes the
+      * core named/numeric entities. Each removed span is replaced by an
+      * EQUAL-length run of spaces, so token offsets keep pointing into the
+      * original markup without the reference's offset-correction machinery.
+      * Documented deviation: a decoded entity char does not join an
+      * adjacent word across the padding gap (`abc&#97;def` tokenizes as
+      * `abc a def`, not `abcadef`) — entities at word boundaries, the
+      * overwhelmingly common case, behave identically. */
+    htmlStrip: Boolean = false,
+    /** `ASCIIFoldingFilter` subset (reference: lucene/analysis/common/src/
+      * java/org/apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.java:
+      * foldToASCII) applied per-term after LowerCaseFilter: NFD-decomposable
+      * accents are stripped (é→e, ü→u, ñ→n, ç→c, å→a …) and the common
+      * non-decomposable Latin specials are mapped by table (æ→ae, œ→oe,
+      * ø→o, ß→ss, þ→th, ð/đ→d, ł→l). */
+    asciiFold: Boolean = false) extends Serializable {
 
   /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
@@ -281,14 +300,16 @@ final case class Analyzer(
 
   /** Full analysis chain: returns tokens with absolute positions. */
   def analyze(text: String): Iterator[Token] = {
+    val src = if (htmlStrip) Analyzer.htmlStripPreserve(text) else text
     val raw =
-      if (wordDelimiter) caseTokens(text).flatMap(wdExpand)
-      else if (simple) simpleTokens(lowercase(text))
-      else Tokenizer.tokenize(text, maxTokenLength)
+      if (wordDelimiter) caseTokens(src).flatMap(wdExpand)
+      else if (simple) simpleTokens(lowercase(src))
+      else Tokenizer.tokenize(src, maxTokenLength)
     var pos = -1
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
     val base = raw.flatMap { rt =>
-      val term = lowercase(rt.term)
+      val lowered = lowercase(rt.term)
+      val term = if (asciiFold) Analyzer.foldAscii(lowered) else lowered
       if (stopWords.contains(term)) {
         pendingGap += rt.posIncr
         Iterator.empty
@@ -342,6 +363,115 @@ final case class Analyzer(
 }
 
 object Analyzer {
+
+  /** HTMLStripCharFilter subset — see [[Analyzer.htmlStrip]]. Blanks each
+    * `<...>` tag span and each recognized character entity with spaces of
+    * equal length (the decoded char lands at the entity's first position),
+    * so offsets into the original markup survive with no correction pass.
+    * An unterminated `<` or an unknown `&name;` passes through unchanged —
+    * the tokenizer breaks on both characters anyway. */
+  def htmlStripPreserve(text: String): String = {
+    var sb: java.lang.StringBuilder = null // allocated lazily on first edit
+    @inline def buf(): java.lang.StringBuilder = {
+      if (sb == null) sb = new java.lang.StringBuilder(text)
+      sb
+    }
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '<') {
+        var j = i + 1
+        while (j < n && text.charAt(j) != '>') j += 1
+        if (j < n) { // subset: first '>' closes the tag (no quoted-'>' scan)
+          var k = i
+          while (k <= j) { buf().setCharAt(k, ' '); k += 1 }
+          i = j + 1
+        } else i += 1
+      } else if (c == '&') {
+        var j = i + 1
+        while (j < n && j - i <= 9 && text.charAt(j) != ';' &&
+               text.charAt(j) != '&' && text.charAt(j) != '<' &&
+               !Character.isWhitespace(text.charAt(j))) j += 1
+        val dec: Int =
+          if (j < n && j > i + 1 && text.charAt(j) == ';') {
+            text.substring(i + 1, j) match {
+              case "amp"  => '&'
+              case "lt"   => '<'
+              case "gt"   => '>'
+              case "quot" => '"'
+              case "apos" => '\''
+              case "nbsp" => ' '
+              case nm if nm.length > 1 && nm.charAt(0) == '#' =>
+                try {
+                  val v =
+                    if (nm.charAt(1) == 'x' || nm.charAt(1) == 'X')
+                      Integer.parseInt(nm.substring(2), 16)
+                    else Integer.parseInt(nm.substring(1))
+                  if (v >= 0 && v <= 0xFFFF) v else -1 // BMP only (subset)
+                } catch { case _: NumberFormatException => -1 }
+              case _ => -1
+            }
+          } else -1
+        if (dec >= 0) {
+          var k = i
+          while (k <= j) { buf().setCharAt(k, ' '); k += 1 }
+          buf().setCharAt(i, dec.toChar)
+          i = j + 1
+        } else i += 1
+      } else i += 1
+    }
+    if (sb == null) text else sb.toString
+  }
+
+  /** ASCIIFoldingFilter subset — see [[Analyzer.asciiFold]]. Table-mapped
+    * Latin specials first (the reference's explicit fold cases,
+    * ASCIIFoldingFilter.java:foldToASCII), then NFD decomposition with
+    * combining marks dropped for everything else. ASCII input returns the
+    * same instance (zero-copy fast path, like the reference's early-exit
+    * scan). Runs after LowerCaseFilter, so the lowercase arms suffice. */
+  def foldAscii(s: String): String = {
+    var needs = false
+    var k = 0
+    while (k < s.length && !needs) {
+      if (s.charAt(k) >= 0x80) needs = true
+      k += 1
+    }
+    if (!needs) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 2)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 0x80) sb.append(c)
+        else c match {
+          case 'æ'               => sb.append("ae")
+          case 'œ'               => sb.append("oe")
+          case 'ø'               => sb.append('o')
+          case 'ß'               => sb.append("ss")
+          case 'þ'               => sb.append("th")
+          case 'ð' | 'đ'         => sb.append('d')
+          case 'ł'               => sb.append('l')
+          case 'ħ'               => sb.append('h')
+          case 'ı'               => sb.append('i')
+          case 'ŋ'               => sb.append('n')
+          case _ =>
+            val d = java.text.Normalizer.normalize(
+              String.valueOf(c), java.text.Normalizer.Form.NFD)
+            var j = 0
+            while (j < d.length) {
+              val dc = d.charAt(j)
+              if (Character.getType(dc) != Character.NON_SPACING_MARK)
+                sb.append(dc)
+              j += 1
+            }
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
   /** Harman's S-stemmer, char-for-char the reference's switch — including
     * the intentional `case 'e'` fallthrough to "drop the final s"
     * (reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishMinimalStemmer.java:30-46).
@@ -403,4 +533,14 @@ object Analyzers {
     * merged surface forms. */
   val synonymSlowFast: Analyzer =
     Analyzer(simple = true, synonyms = Map("slow" -> "fast"))
+
+  /** UAX#29 tokenizer + LowerCase + ASCIIFolding — the accent-insensitive
+    * chain (Lucene's ASCIIFoldingFilterFactory in a standard chain). The
+    * standard tokenizer is required: an accented letter is ALetter (part of
+    * its word), which the `[a-z0-9]`-only simple tokenizer would split on. */
+  val folding: Analyzer = Analyzer(asciiFold = true)
+
+  /** HTMLStripCharFilter + simple chain — markup removed and entities
+    * decoded before tokenization (Solr's HTMLStripCharFilterFactory). */
+  val htmlStrip: Analyzer = Analyzer(simple = true, htmlStrip = true)
 }

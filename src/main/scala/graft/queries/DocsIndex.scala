@@ -272,6 +272,65 @@ object DocsIndex {
     * index built over `title title text` (title = the source label, w=2)
     * and searched through the unmodified engine; the oracle re-tokenizes the
     * same concatenation. */
+  /** Corpus deterministically accented (four common words gain NFD-
+    * decomposable diacritics) and indexed through UAX#29 + LowerCase +
+    * ASCIIFoldingFilter (`Analyzers.folding`). The oracle re-applies the
+    * identical transform in SQL and folds with DuckDB `strip_accents` —
+    * both engines must agree on every token, df, norm and BM25 score. */
+  def getFolded(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#fold", _ => {
+        import spark.implicits._
+        val accented = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |  text, '\\btable\\b', 'tablé'),
+              |  '\\bquery\\b', 'qüery'),
+              |  '\\bvalue\\b', 'vàlue'),
+              |  '\\bhash\\b', 'hâsh')""".stripMargin))
+          .select(
+            lit("corpus").as("repo"),
+            format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(accented,
+          IndexConfig(analyzer = Analyzers.folding))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.folding))
+      })
+
+  /** Corpus deterministically wrapped in HTML markup (document shell, every
+    * 'table' occurrence bolded, a trailing `&amp;` entity) and indexed
+    * through HTMLStripCharFilter + the simple chain (`Analyzers.htmlStrip`).
+    * If tags or entities leaked into the token stream ('html', 'body',
+    * 'class', 'b', 'amp' tokens; inflated doc lengths shifting every norm)
+    * the BM25 oracle — which strips the same markup in SQL — would diverge. */
+  def getHtml(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#html", _ => {
+        import spark.implicits._
+        val wrapped = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """concat('<html><body class="corpus">',
+              |  regexp_replace(text, '\\btable\\b', '<b>table</b>'),
+              |  ' &amp;</body></html>')""".stripMargin))
+          .select(
+            lit("corpus").as("repo"),
+            format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(wrapped,
+          IndexConfig(analyzer = Analyzers.htmlStrip))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.htmlStrip))
+      })
+
   def getCombined(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
     cache.computeIfAbsent(
       s"${System.identityHashCode(spark)}#$sfDir#cmb", _ => {

@@ -26,6 +26,25 @@ object FulltextQueries {
 
   private val TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** The ASCIIFolding oracle token stream: the SAME deterministic accenting
+    * `DocsIndex.getFolded` applies (NFD-decomposable diacritics only), then
+    * DuckDB `strip_accents` plays the filter's role. */
+  private val ACC_TOKS =
+    "regexp_extract_all(strip_accents(lower(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "text, '\\btable\\b', 'tablé', 'g'), '\\bquery\\b', 'qüery', 'g'), " +
+      "'\\bvalue\\b', 'vàlue', 'g'), '\\bhash\\b', 'hâsh', 'g'))), '[a-z0-9]+')"
+
+  /** The HTMLStrip oracle token stream: the SAME deterministic markup wrap
+    * `DocsIndex.getHtml` applies, then tags and entities removed in SQL. */
+  private val HTML_TOKS =
+    "regexp_extract_all(lower(regexp_replace(regexp_replace(" +
+      "'<html><body class=\"corpus\">' || " +
+      "regexp_replace(text, '\\btable\\b', '<b>table</b>', 'g') || " +
+      "' &amp;</body></html>', " +
+      "'<[^>]*>', ' ', 'g'), " +
+      "'&[a-zA-Z]+;|&#[0-9]+;|&#[xX][0-9a-fA-F]+;', ' ', 'g')), '[a-z0-9]+')"
+
   /** Shared oracle prelude: tokens, collection stats, and the
     * SmallFloat-quantized doc length (exact below 24+8; 4-significant-bit
     * floor above — `SmallFloat.scala` semantics re-expressed in SQL). */
@@ -363,6 +382,46 @@ object FulltextQueries {
     "ft_match_phrase" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"")),
     "ft_match_prefix" -> ((spark, sfDir) => matchDF(spark, sfDir, "cust*")),
     "ft_match_wildcard" -> ((spark, sfDir) => matchDF(spark, sfDir, "w?ndow")),
+    // Leading-wildcard via the reversed dictionary — Solr's
+    // ReversedWildcardFilter trick (reference: solr/core/src/java/org/apache/
+    // solr/analysis/ReversedWildcardFilterFactory.java:30-60 — index-side
+    // reversed tokens turn `*able` into the prefix seek `elba*`). Spark
+    // re-expression: the term dictionary (termStats, ONE row per term —
+    // never the blocks table) gains a reversed-term column; the leading
+    // wildcard becomes a startsWith prefix filter over it, and the matching
+    // terms execute as an indexed disjunction (ConstSetQ). At cluster scale
+    // the reversed column is materialized sorted/bucketed by rterm so this
+    // filter is a parquet min/max dictionary seek, exactly like the forward
+    // prefix path.
+    "ft_rev_wildcard" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val terms = index.termStats
+        .withColumn("rterm", reverse(col("term")))
+        .filter(col("rterm").startsWith("elba"))
+        .select("term").collect().map(_.getString(0)).toSeq.sorted
+      val q = graft.search.ConstSetQ(terms)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // CollapsingQParserPlugin with a min-field selector (reference: solr/
+    // core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java —
+    // collapse=`{!collapse field=source min=len}`): one surviving doc per
+    // source group, the one minimizing doc length (docId-asc tiebreak),
+    // over the 'vector' match set. Single window-rank pass — no self-join.
+    "ft_collapse_min" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("commit").as("source"),
+          col("len")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val w = Window.partitionBy("source").orderBy(asc("len"), asc("doc_id"))
+      m.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("source"), col("doc_id"), col("len").cast("long").as("n_tokens"))
+        .orderBy("source")
+    }),
     // sloppy phrase: "big table"~2 — every anchor occurrence of 'big' with a
     // 'table' within 2 positions of the exact-phrase slot
     "ft_match_sloppy" -> ((spark, sfDir) => matchDF(spark, sfDir, "\"big table\"~2")),
@@ -961,6 +1020,34 @@ object FulltextQueries {
     "ft_uax_search" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.getStandard(spark, sfDir)
       searcher.searchDoubleDS(searcher.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // ASCIIFoldingFilter under the hard oracle (reference: lucene/analysis/
+    // common/src/java/org/apache/lucene/analysis/miscellaneous/
+    // ASCIIFoldingFilter.java): the corpus is deterministically accented
+    // ('table'→'tablé' …) and indexed through UAX#29 + LowerCase +
+    // ASCIIFolding; searching the unaccented 'table' must read the folded
+    // posting list with BM25 stats identical to the unaccented corpus —
+    // the oracle re-accents in SQL and folds with DuckDB strip_accents.
+    "ft_ascii_fold" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getFolded(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("table"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // HTMLStripCharFilter under the hard oracle (reference: lucene/analysis/
+    // common/src/java/org/apache/lucene/analysis/charfilter/
+    // HTMLStripCharFilter.jflex): the corpus is wrapped in deterministic
+    // markup (document shell, <b>-tagged 'table', an &amp; entity) and the
+    // char filter must remove ALL of it before tokenization — a leaked
+    // 'html'/'body'/'class'/'b'/'amp' token would inflate doc lengths and
+    // shift every norm; the oracle strips the same markup in SQL.
+    "ft_html_strip" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getHtml(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("table"), 10).toDF()
         .join(DocsIndex.docIdMap(index), "docId")
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
@@ -2136,6 +2223,19 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(tk, x -> regexp_matches(x, '^w.ndow$$'))) > 0
          |ORDER BY doc_id""".stripMargin,
+    // leading wildcard *able == any token with suffix 'able'
+    "ft_rev_wildcard" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> x LIKE '%able')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // collapse on source, min-len selector, docId-asc tiebreak
+    "ft_collapse_min" ->
+      s"""SELECT source, doc_id, n_tokens FROM (
+         |  SELECT source, doc_id, len(tk) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY len(tk), doc_id) AS rnk
+         |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'vector')
+         |) WHERE rnk = 1 ORDER BY source""".stripMargin,
     "ft_match_sloppy" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(generate_series(1, len(tk)),
@@ -2696,6 +2796,25 @@ object FulltextQueries {
          |SELECT doc_id, round(s, 4) AS score FROM (
          |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // accent-then-fold BM25: the oracle re-applies the engine's deterministic
+    // accenting and folds with strip_accents — token stream, df, norms and
+    // scores must all match the unfolded engine-side chain
+    "ft_ascii_fold" ->
+      s"""${PRELUDE.replace(TOKS, ACC_TOKS)}
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    ${bmSql(idfSql(dfSql("table")), tfSql("table"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // wrap-in-markup then strip: tags + entities removed in SQL exactly as
+    // the engine's HTMLStripCharFilter must remove them pre-tokenization
+    "ft_html_strip" ->
+      s"""${PRELUDE.replace(TOKS, HTML_TOKS)}
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    ${bmSql(idfSql(dfSql("table")), tfSql("table"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // stemmed-index BM25: the query term 'tables' drops its plural s on the

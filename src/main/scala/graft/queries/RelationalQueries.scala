@@ -46,6 +46,23 @@ object RelationalQueries {
         .orderBy(desc("cnt"), asc("bucket"))
         .limit(5)
     }),
+    // Multi-select faceting — JSON facet domain excludeTags (reference:
+    // solr/core/src/java/org/apache/solr/search/facet/FacetRequest.java
+    // domain filter handling + solr/core/src/java/org/apache/solr/request/
+    // SimpleFacets.java:~getFacetFieldCounts excludeTags): the base query
+    // selects priority='1-URGENT' (tagged) AND totalprice>=100000, but the
+    // facet over priority EXCLUDES its own tag — every priority bucket is
+    // counted against the price filter only, so the UI can show what
+    // selecting each other priority WOULD return. One scan, two aggregates
+    // via conditional counting — no second pass over the fact table.
+    "q_facet_exclude" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders")
+        .filter(col("o_totalprice") >= 100000)
+        .groupBy(col("o_orderpriority").as("bucket"))
+        .agg(count(lit(1)).as("cnt_excl_tag"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("cnt_selected"))
+        .orderBy("bucket")
+    }),
     // facet range: numeric gap buckets (FacetRange)
     "q_facet_range" -> ((spark, sfDir) => {
       t(spark, sfDir, "orders")
@@ -1432,6 +1449,11 @@ object RelationalQueries {
     "q_facet_field" ->
       """SELECT o_orderpriority AS bucket, count(*) AS cnt FROM orders
         |GROUP BY 1 ORDER BY cnt DESC, bucket LIMIT 5""".stripMargin,
+    "q_facet_exclude" ->
+      """SELECT o_orderpriority AS bucket, count(*) AS cnt_excl_tag,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS cnt_selected
+        |FROM orders WHERE o_totalprice >= 100000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_facet_range" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,

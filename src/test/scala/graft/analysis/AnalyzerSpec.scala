@@ -139,4 +139,46 @@ class AnalyzerSpec extends AnyFunSuite {
     // non-mapped text passes through untouched
     assert(termPos(a, "fast table") == Seq(("fast", 0), ("table", 1)))
   }
+
+  test("ASCIIFolding: NFD accents strip, Latin specials map by table") {
+    // NFD-decomposable diacritics (ASCIIFoldingFilter.java foldToASCII arms)
+    assert(Analyzer.foldAscii("tablé") == "table")
+    assert(Analyzer.foldAscii("qüery") == "query")
+    assert(Analyzer.foldAscii("señor") == "senor")
+    assert(Analyzer.foldAscii("çédille") == "cedille")
+    assert(Analyzer.foldAscii("å") == "a")
+    // table-mapped specials (not NFD-decomposable)
+    assert(Analyzer.foldAscii("æon") == "aeon")
+    assert(Analyzer.foldAscii("høst") == "host")
+    assert(Analyzer.foldAscii("straße") == "strasse")
+    assert(Analyzer.foldAscii("þorn") == "thorn")
+    assert(Analyzer.foldAscii("łódź") == "lodz")
+    assert(Analyzer.foldAscii("œuvre") == "oeuvre")
+    // pure-ASCII fast path returns the same instance
+    val s = "plain ascii"
+    assert(Analyzer.foldAscii(s) eq s)
+    // full chain: UAX#29 keeps the accented letter in-token, then folds
+    assert(terms(Analyzers.folding, "the TABLÉ and qüery") ==
+      Seq("the", "table", "and", "query"))
+  }
+
+  test("HTMLStrip: tags blanked, entities decoded, offsets preserved") {
+    // equal-length padding: offsets point into the ORIGINAL markup
+    val html = "<p class=\"x\">big <b>table</b></p>"
+    val toks = Analyzers.htmlStrip.analyze(html).toList
+    assert(toks.map(_.term) == List("big", "table"))
+    val t = toks(1)
+    assert(html.substring(t.startOffset, t.endOffset) == "table")
+    // entities decode (named + decimal + hex); unknown entities pass through
+    assert(Analyzer.htmlStripPreserve("a &amp; b").split("\\s+").toList == List("a", "&", "b"))
+    assert(Analyzer.htmlStripPreserve("a &amp; b").length == "a &amp; b".length)
+    assert(Analyzer.htmlStripPreserve("x &lt;tag&gt; y").contains('<'))
+    assert(terms(Analyzers.htmlStrip, "q &amp; a &#65; &unknown; z") ==
+      Seq("q", "a", "a", "unknown", "z"))
+    // unterminated '<' left alone; tokenizer just breaks on it
+    assert(terms(Analyzers.htmlStrip, "a < b") == Seq("a", "b"))
+    // doc lengths exclude ALL markup: invert counts only text tokens
+    val (_, len) = Analyzers.htmlStrip.invert("<html><body class=\"c\">one two</body></html> &amp;")
+    assert(len == 2)
+  }
 }
