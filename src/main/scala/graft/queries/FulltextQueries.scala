@@ -1114,6 +1114,24 @@ object FulltextQueries {
         .orderBy(desc("fscore"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("fscore"))
     }),
+    // DistanceFeatureQuery (reference: lucene/core/src/java/org/apache/
+    // lucene/document/LongPoint.java newDistanceFeatureQuery +
+    // LongDistanceFeatureQuery: score = weight · pivot/(pivot + |value −
+    // origin|) — the recency/proximity boost). Rides the bool tree as a
+    // SHOULD leg next to BM25, contribution bounded by weight (Lucene keeps
+    // block-max applicable for exactly this reason). Feature value here is
+    // the doc's stable id (the "timestamp"), origin 2500, pivot 500: docs
+    // near id 2500 get up to +3.0. Exact integer distance, one division.
+    "ft_distance_feature" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .withColumn("fscore",
+          round(col("score")
+            + lit(3.0) * 500.0 / (lit(500.0) + abs(col("doc_id") - 2500).cast("double")), 4))
+        .orderBy(desc("fscore"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("fscore"))
+    }),
     // CombinedFieldQuery / BM25F (see DocsIndex.getCombined scaladoc): the
     // title field (source label, weight 2) and the body score as ONE virtual
     // field — per-term tf and the norm both accumulate across fields, which
@@ -2859,6 +2877,17 @@ object FulltextQueries {
          |        + 2.0 * CAST(dlen AS DOUBLE) / (CAST(dlen AS DOUBLE) + 60.0), 4) AS fscore
          |FROM (
          |  SELECT dl.doc_id, len(dl.tk) AS dlen, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // DistanceFeatureQuery: round4(BM25) + 3·500/(500+|doc_id−2500|)
+    "ft_distance_feature" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4)
+         |        + 3.0 * 500.0 / (500.0 + abs(doc_id - 2500)), 4) AS fscore
+         |FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
          |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
          |  FROM dl, st
          |) WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,

@@ -1101,6 +1101,85 @@ object RelationalQueries {
         .selectExpr("day", "k", "round(cdf, 4) AS cdf_r")
         .orderBy("day")
     }),
+    // Sample covariance (Solr math cov, reference: solr/solrj/src/java/org/
+    // apache/solr/client/solrj/io/eval/CovarianceEvaluator.java → commons-
+    // math Covariance, n−1 denominator) over paired daily click/view counts.
+    // cov = (n·Σxy − Σx·Σy) / (n·(n−1)): numerator and denominator are both
+    // exact BIGINTs from one grouped agg + one scalar agg, so the single
+    // IEEE division is bit-identical cross-engine — no float accumulation.
+    "q_cov" -> ((spark, sfDir) => {
+      val daily = t(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("x"),
+          count(when(col("event_type") === "view", 1)).as("y"))
+      daily.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("n",
+          "CAST(n * sxy - sx * sy AS DOUBLE) / (n * (n - 1)) AS cov")
+    }),
+    // Derivative of the linear interpolation (Solr math derivative(lerp(x)),
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // DerivativeEvaluator.java over LerpEvaluator.java — the derivative of a
+    // piecewise-linear interpolant is the per-segment slope): on the unit
+    // hourly grid the slope is the exact integer forward difference. One
+    // windowed lead over the 32-point series — no collect, no UDF.
+    "q_derivative" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("h")
+      val series = hourly
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .filter(col("n") < 32).select("n", "x")
+      val w2 = Window.orderBy("n")
+      series.withColumn("dy", lead(col("x"), 1).over(w2) - col("x"))
+        .filter(col("dy").isNotNull)
+        .select(col("n"), col("dy").cast("long").as("dy"))
+        .orderBy("n")
+    }),
+    // Definite integral of the linear interpolant (Solr math integrate,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // IntegrateEvaluator.java — Romberg over the interpolated function; for
+    // a piecewise-linear interpolant the trapezoid rule IS exact): total =
+    // (2·Σx − x_first − x_last)/2 — exact BIGINT numerator, one division.
+    "q_integrate" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("h")
+      val series = hourly
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .filter(col("n") < 32).select("n", "x")
+      val mx = series.agg(max("n").as("mx"))
+      series.crossJoin(broadcast(mx))
+        .agg(max("mx").as("m"),
+          (sum(col("x")) * 2
+            - sum(when(col("n") === 0, col("x")).otherwise(0))
+            - sum(when(col("n") === col("mx"), col("x")).otherwise(0))).as("num"))
+        .selectExpr("m", "CAST(num AS DOUBLE) / 2 AS integral")
+    }),
+    // Binomial CDF (Solr math binomialDistribution + cumulativeProbability,
+    // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // BinomialDistributionEvaluator.java, CumulativeProbabilityEvaluator.java
+    // → commons-math BinomialDistribution): P(X ≤ 5), n = 16 trials, p =
+    // clicks/(clicks+views) (one exact division). Zero libm: (1−p)^16 is a
+    // 16-step sequential product fold and each successive PMF term is
+    // t_i = t_{i−1}·(17−i)/i·(p/(1−p)) — identical op order in DuckDB.
+    "q_binomial" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .agg(count(when(col("event_type") === "click", 1)).as("c"),
+          count(when(col("event_type") === "view", 1)).as("v"))
+        .selectExpr("CAST(c AS DOUBLE) / (c + v) AS p")
+        .selectExpr("p",
+          "aggregate(sequence(1, 16), CAST(1.0 AS DOUBLE), (acc, i) -> acc * (1.0 - p)) AS t0")
+        .selectExpr("round(p, 4) AS p_r",
+          "round(aggregate(sequence(1, 5), array(t0, t0), " +
+            "(acc, i) -> array(acc[0] * (17 - i) / i * (p / (1.0 - p)), " +
+            "acc[1] + acc[0] * (17 - i) / i * (p / (1.0 - p))))[1], 4) AS cdf5")
+    }),
     // G-test of independence (Solr math gtestDataSet, reference: solr/solrj/
     // src/java/org/apache/solr/client/solrj/io/eval/GTestDataSetEvaluator.java
     // → commons-math GTest: G = 2·Σ O·ln(O/E), E = rowTot·colTot/N) over the
@@ -2009,6 +2088,56 @@ object RelationalQueries {
         |                   acc[2] + acc[1] * (CAST(s AS DOUBLE) / n) / x[1]])[2] AS cdf
         |  FROM daily, m)
         |SELECT day, k, round(cdf, 4) AS cdf_r FROM c ORDER BY day""".stripMargin,
+    "q_cov" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    count(*) FILTER (event_type = 'click') AS x,
+        |    count(*) FILTER (event_type = 'view') AS y
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY day)
+        |SELECT count(*) AS n,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+        |    / (count(*) * (count(*) - 1)) AS cov
+        |FROM daily""".stripMargin,
+    "q_derivative" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY h),
+        |series AS (
+        |  SELECT n, x FROM (
+        |    SELECT row_number() OVER (ORDER BY h) - 1 AS n, x FROM hourly)
+        |  WHERE n < 32)
+        |SELECT n, dy FROM (
+        |  SELECT n, lead(x) OVER (ORDER BY n) - x AS dy FROM series)
+        |WHERE dy IS NOT NULL ORDER BY n""".stripMargin,
+    "q_integrate" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY h),
+        |series AS (
+        |  SELECT n, x FROM (
+        |    SELECT row_number() OVER (ORDER BY h) - 1 AS n, x FROM hourly)
+        |  WHERE n < 32),
+        |mx AS (SELECT max(n) AS mx FROM series)
+        |SELECT max(mx) AS m,
+        |  CAST(2 * sum(x) - sum(CASE WHEN n = 0 THEN x ELSE 0 END)
+        |       - sum(CASE WHEN n = mx THEN x ELSE 0 END) AS DOUBLE) / 2 AS integral
+        |FROM series, mx""".stripMargin,
+    "q_binomial" ->
+      """WITH c AS (
+        |  SELECT count(*) FILTER (event_type = 'click') AS c,
+        |         count(*) FILTER (event_type = 'view') AS v FROM events),
+        |p AS (SELECT CAST(c AS DOUBLE) / (c + v) AS p FROM c),
+        |t AS (SELECT p, list_reduce(
+        |        list_concat([CAST(1.0 AS DOUBLE)],
+        |          list_transform(generate_series(1, 16), i -> CAST(0.0 AS DOUBLE))),
+        |        (acc, x) -> acc * (1.0 - p)) AS t0 FROM p)
+        |SELECT round(p, 4) AS p_r,
+        |  round(list_reduce(
+        |    list_concat([[t0, t0]],
+        |      list_transform(generate_series(1, 5), i -> [CAST(i AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+        |    (acc, x) -> [acc[1] * (17 - x[1]) / x[1] * (p / (1.0 - p)),
+        |                 acc[2] + acc[1] * (17 - x[1]) / x[1] * (p / (1.0 - p))])[2], 4) AS cdf5
+        |FROM t""".stripMargin,
     "q_gtest" ->
       """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
