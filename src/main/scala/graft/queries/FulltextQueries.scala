@@ -1474,6 +1474,32 @@ object FulltextQueries {
     // stored text, pick the top-5 terms by tf*idf (minTermFreq=2,
     // minDocFreq=5 — the MLT defaults) with df from the real term dictionary,
     // then run the interesting-terms OR query through the scored engine
+    // MLT interestingTerms=details (reference: lucene/queries/src/java/org/
+    // apache/lucene/queries/mlt/MoreLikeThis.java retrieveInterestingTerms
+    // :~820 + Solr MoreLikeThisHandler's interestingTerms=details): the
+    // top-5 (term, tf, df, tf·idf) rows MLT selected from doc 42 — the same
+    // plan-time selection ft_mlt executes, surfaced as the API output.
+    // df comes from the real term dictionary (termStats, 1 row per term).
+    "ft_mlt_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val srcText = DocsIndex.documents(spark, sfDir)
+        .filter(col("doc_id") === 42).select("text").as[String].collect()
+      val tf = graft.analysis.Analyzers.simple.analyze(srcText.head)
+        .toSeq.groupBy(_.term).map { case (t, ts) => t -> ts.size }
+      val cand = tf.filter(_._2 >= 2).keys.toSeq.sorted
+      val dfMap = index.termStats.filter($"term".isin(cand: _*)).collect()
+        .map(t => t.term -> t.docFreq).toMap
+      val n = index.fieldStats.docCount
+      val top = cand.flatMap { t =>
+        dfMap.get(t).filter(_ >= 5).map { df =>
+          (t, tf(t).toLong, df, tf(t) * math.log(1 + (n - df + 0.5) / (df + 0.5)))
+        }
+      }.sortBy { case (t, _, _, s) => (-s, t) }.take(5)
+      spark.createDataFrame(top).toDF("term", "tf", "df", "sc")
+        .orderBy(desc("sc"), asc("term"))
+        .selectExpr("term", "tf", "df", "round(sc, 4) AS score")
+    }),
     "ft_mlt" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, searcher) = DocsIndex.get(spark, sfDir)
@@ -3047,6 +3073,20 @@ object FulltextQueries {
          |  FROM (SELECT unnest($TOKS) AS tok FROM documents))
          |WHERE len(term) BETWEEN 3 AND 8
          |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    // the same top-5 selection as ft_mlt, surfaced with tf/df/score details
+    "ft_mlt_terms" ->
+      s"""$PRELUDE,
+         |bg AS (SELECT tok AS term, count(*) AS df
+         |       FROM (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks) GROUP BY tok),
+         |srctf AS (SELECT tok AS term, count(*) AS tf
+         |          FROM (SELECT unnest(tk) AS tok FROM toks WHERE doc_id = 42) GROUP BY tok)
+         |SELECT term, tf, df, round(sc, 4) AS score FROM (
+         |  SELECT s.term, s.tf, bg.df,
+         |    s.tf * ln(1 + (st.n - bg.df + 0.5) / (bg.df + 0.5)) AS sc
+         |  FROM srctf s JOIN bg USING (term), st
+         |  WHERE s.tf >= 2 AND bg.df >= 5
+         |  ORDER BY sc DESC, s.term LIMIT 5)
+         |ORDER BY sc DESC, term""".stripMargin,
     "ft_mlt" ->
       s"""$PRELUDE,
          |bg AS (SELECT tok AS term, count(*) AS df

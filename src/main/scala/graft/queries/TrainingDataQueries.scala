@@ -345,6 +345,38 @@ object TrainingDataQueries {
           when(col("en_hits") * 20 >= col("n_toks"), "en").otherwise("unk"))
         .orderBy("doc_id")
     }),
+    // Real n-gram-profile language ID (the Cavnar–Trenkle / Solr langid
+    // shape; reference: solr/contrib/langid/src/java/org/apache/solr/update/
+    // processor/LanguageIdentifierUpdateProcessor.java over profile-based
+    // detectors): per-lang character-trigram profiles (top-50 by corpus
+    // count) trained on the deterministic doc_id%5==0 split, held-out docs
+    // classified by the exact-integer dot product of their trigram counts
+    // against each profile (tie → lang asc). Output = the confusion matrix.
+    // Scale shape: profiles are built on a SAMPLE and stay tiny (≤50 rows ×
+    // langs → broadcast); classification is a map-side trigram count + a
+    // broadcast join + one per-doc argmax window — no all-pairs anything.
+    "td_langid_ngram" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+        .filter(length(col("lt")) >= 3)
+      val tri = d.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))")).as("tri"))
+      val train = tri.filter(col("doc_id") % 5 === 0)
+        .groupBy("lang", "tri").agg(count(lit(1)).as("pc"))
+      val w = Window.partitionBy("lang").orderBy(desc("pc"), asc("tri"))
+      val prof = train.withColumn("r", row_number().over(w)).filter(col("r") <= 50)
+        .select(col("lang").as("plang"), col("tri"), col("pc"))
+      val test = tri.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("dc"))
+      val scored = test.join(broadcast(prof), "tri")
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(sum(col("dc") * col("pc")).as("score"))
+      val w2 = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
+      scored.withColumn("r", row_number().over(w2)).filter(col("r") === 1)
+        .groupBy(col("lang"), col("plang").as("pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred")
+    }),
     "td_quality" -> ((spark, sfDir) => {
       docs(spark, sfDir)
         .select(col("doc_id"), col("text"), expr(TOKS).as("tk"))
@@ -1861,6 +1893,29 @@ object TrainingDataQueries {
     "td_knn_lsh" -> knnLshOracle,
     "td_dedup_embed" -> dedupEmbedOracle,
     "td_knn_join" -> knnJoinOracle,
+    "td_langid_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS lt FROM documents
+        |           WHERE length(lower(text)) >= 3),
+        |tri AS (SELECT doc_id, lang,
+        |          unnest(list_transform(generate_series(1, length(lt) - 2),
+        |                                i -> substr(lt, i, 3))) AS tri
+        |        FROM d),
+        |train AS (SELECT lang, tri, count(*) AS pc FROM tri
+        |          WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, tri, pc FROM (
+        |           SELECT lang, tri, pc,
+        |             row_number() OVER (PARTITION BY lang ORDER BY pc DESC, tri) AS r
+        |           FROM train) WHERE r <= 50),
+        |test AS (SELECT doc_id, lang, tri, count(*) AS dc FROM tri
+        |         WHERE doc_id % 5 <> 0 GROUP BY 1, 2, 3),
+        |scored AS (SELECT doc_id, lang, plang, sum(dc * pc) AS score
+        |           FROM test JOIN prof USING (tri) GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, lang, plang FROM (
+        |           SELECT doc_id, lang, plang,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS r
+        |           FROM scored) WHERE r = 1)
+        |SELECT lang, plang AS pred, count(*) AS cnt FROM best
+        |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
     "td_langid" ->
       s"""SELECT doc_id, len(tk) AS n_toks,
          |  len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) AS en_hits,
