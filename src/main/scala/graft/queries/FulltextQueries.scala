@@ -2129,6 +2129,108 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("lang"), col("score"))
+    }),
+    // WordBreakSpellChecker.suggestWordBreaks (reference: lucene/suggest/
+    // src/java/org/apache/lucene/search/spell/WordBreakSpellChecker.java
+    // :87-141 generateBreakUpSuggestions): a compound input term is split
+    // at every position; a break survives iff BOTH halves are dictionary
+    // terms with docFreq >= minSuggestionFrequency (1). numberBreaks=1
+    // (one split into two words — the recursive multi-break is out of
+    // scope, documented). The candidate walk is dictionary-first: the
+    // split pairs (O(len) per input, plan-time literals exactly like
+    // Lucene's enumeration over the query term) broadcast against
+    // termStats (ONE row per term) — the blocks table is never touched;
+    // at 100 TB the dictionary join is a broadcast-hash probe.
+    "ft_word_break" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val inputs = Seq("rowscan", "fasttable", "xyzzy")
+      val cands = inputs.flatMap(in => (1 until in.length).map(i =>
+        (in, in.substring(0, i), in.substring(i))))
+      val candDf = cands.toDF("input", "left_part", "right_part")
+      val ts = index.termStats.toDF().select(col("term"), col("docFreq"))
+      val lefts = ts
+        .join(broadcast(candDf.select("left_part").distinct()),
+          col("term") === col("left_part"))
+        .select(col("left_part"), col("docFreq").as("df_left"))
+      val rights = ts
+        .join(broadcast(candDf.select("right_part").distinct()),
+          col("term") === col("right_part"))
+        .select(col("right_part"), col("docFreq").as("df_right"))
+      candDf.join(broadcast(lefts), "left_part")
+        .join(broadcast(rights), "right_part")
+        .select(col("input"), col("left_part"), col("right_part"),
+          col("df_left"), col("df_right"))
+        .orderBy("input", "left_part")
+    }),
+    // WordBreakSpellChecker.suggestWordCombinations (same reference
+    // :143-199): adjacent query terms are concatenated; a combination is
+    // suggested iff the joined word is a dictionary term with docFreq >=
+    // minSuggestionFrequency. 'val'+'ue' -> value, 'ta'+'ble' -> table;
+    // 'big'+'data' -> bigdata is NOT in the dictionary and must drop out.
+    // Same dictionary-first shape: plan-time pair literals, one broadcast
+    // semi-probe of termStats.
+    "ft_word_combine" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val pairs = Seq(("val", "ue"), ("ta", "ble"), ("big", "data"))
+      val candDf = pairs.map(p => (p._1, p._2, p._1 + p._2))
+        .toDF("left_in", "right_in", "combined")
+      index.termStats.toDF().select(col("term"), col("docFreq"))
+        .join(broadcast(candDf), col("term") === col("combined"))
+        .select(col("left_in"), col("right_in"), col("combined"),
+          col("docFreq").as("df"))
+        .orderBy("combined")
+    }),
+    // SpanMultiTermQueryWrapper (reference: lucene/core/src/java/org/
+    // apache/lucene/search/spans/SpanMultiTermQueryWrapper.java:40-98):
+    // a multi-term query (prefix ta*) rewritten to a SpanOr over its
+    // dictionary expansions, then composed as a clause of a SpanNear.
+    // Expansion is dictionary-first (termStats, one row per term, parquet
+    // prefix pushdown via scanPrefilter) — never the blocks table; the
+    // expanded slot rides the existing SpanOrNearScorer or-merge.
+    "ft_span_prefix" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val pq = graft.search.PrefixQ("ta")
+      val exps = index.termStats
+        .filter(graft.search.Query.scanPrefilter(pq))
+        .filter(ts => ts.term.startsWith("ta"))
+        .map(_.term).orderBy("value").limit(128)
+        .collect()
+      val q = graft.search.SpanOrNearQ(
+        Seq(Seq("query"), exps.toSeq), 3, inOrder = true)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // Boosted SynonymQuery (reference: lucene/core/src/java/org/apache/
+    // lucene/search/SynonymQuery.java:75-109 Builder#addTerm(Term, float),
+    // FreqBoostTermScorer :389-421): one pseudo-term with SynonymQ's
+    // blended df/ttf stats, but the per-doc frequency is Σ boost_i · tf_i
+    // ('spark' at 1.0 stacked with a down-weighted 'query' at 0.5 — the
+    // weighted-synonym shape analyzers emit for expanded terms). Boosts
+    // are float-and-double-exact (1.0, 0.5) so the double twin is
+    // bit-identical to the oracle.
+    "ft_search_synboost" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.SynonymBoostQ(Seq(("spark", 1.0f), ("query", 0.5f)))
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // Solr TermsComponent terms.regex (reference: solr/core/src/java/org/
+    // apache/solr/handler/component/TermsComponent.java:~135-180 regex
+    // filtering of the terms enumeration): dictionary walk filtered by a
+    // regular expression, ranked by docFreq desc then term — termStats
+    // only (1 row per term), the postings are never read.
+    "ft_terms_regex" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats.toDF()
+        .filter(col("term").rlike("^[a-z]{3}$"))
+        .select(col("term"), col("docFreq").as("df"))
+        .orderBy(desc("df"), asc("term")).limit(10)
     })
   )
 
@@ -3488,6 +3590,68 @@ object FulltextQueries {
          |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
          |  FROM scored)
          |WHERE rn <= 2
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // boosted synonym: blended freq = tf_spark * 1.0 + tf_query * 0.5 in
+    // the engine's clause order; same pseudo-term df as ft_search_synonym
+    "ft_search_synboost" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_syn,
+         |    CASE WHEN tf_syn = 0 THEN 0.0
+         |         ELSE ln(1 + (st.n - df_syn + 0.5) / (df_syn + 0.5))
+         |              * (tf_syn * (1.2 + 1))
+         |              / (tf_syn + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END AS s
+         |  FROM (
+         |    SELECT doc_id, dlq,
+         |      CAST(1.0 AS DOUBLE) * ${tfSql("spark")}
+         |        + CAST(0.5 AS DOUBLE) * ${tfSql("query")} AS tf_syn,
+         |      least(${dfSql("spark")} + ${dfSql("query")}, (SELECT count(*) FROM toks)) AS df_syn
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf_syn > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // word-break: every split position of each input; keep splits where
+    // both halves are dictionary terms (df = count of docs containing)
+    "ft_word_break" ->
+      s"""WITH dict AS (
+         |  SELECT tok AS term, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY tok),
+         |inp(input) AS (VALUES ('rowscan'), ('fasttable'), ('xyzzy')),
+         |series AS (SELECT unnest(generate_series(1, 12)) AS i),
+         |cand AS (
+         |  SELECT input, substr(input, 1, i) AS left_part,
+         |         substr(input, i + 1) AS right_part
+         |  FROM inp, series WHERE i < len(input))
+         |SELECT input, left_part, right_part, l.df AS df_left, r.df AS df_right
+         |FROM cand
+         |JOIN dict l ON l.term = cand.left_part
+         |JOIN dict r ON r.term = cand.right_part
+         |ORDER BY input, left_part""".stripMargin,
+    // word-combine: adjacent pair concatenations that are dictionary terms
+    "ft_word_combine" ->
+      s"""WITH dict AS (
+         |  SELECT tok AS term, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY tok),
+         |inp(left_in, right_in) AS (VALUES ('val', 'ue'), ('ta', 'ble'), ('big', 'data'))
+         |SELECT left_in, right_in, left_in || right_in AS combined, df
+         |FROM inp JOIN dict ON dict.term = inp.left_in || inp.right_in
+         |ORDER BY combined""".stripMargin,
+    // span near with a prefix-expanded slot: a 'query' occurrence followed
+    // within gap 3 by any ta*-prefixed token
+    "ft_span_prefix" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'query'
+         |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
+         |        j -> tk[j] LIKE 'ta%')) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // terms.regex: dictionary terms matching the regex, by df desc
+    "ft_terms_regex" ->
+      s"""SELECT term, df FROM (
+         |  SELECT tok AS term, count(DISTINCT doc_id) AS df
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY tok)
+         |WHERE regexp_matches(term, '^[a-z]{3}$$')
+         |ORDER BY df DESC, term LIMIT 10""".stripMargin
   )
 }

@@ -1353,6 +1353,46 @@ object RelationalQueries {
           .cast("long").as("worker"))
         .groupBy("worker").agg(count(lit(1)).as("cnt"))
         .orderBy("worker")
+    }),
+    // Correlation MATRIX (Solr math corr(matrix), reference: solr/solrj/
+    // src/java/org/apache/solr/client/solrj/io/eval/CorrelationEvaluator
+    // .java — matrix mode computes pairwise Pearson over the columns of a
+    // matrix): ONE distributed agg collects exact BIGINT moments for all
+    // three columns simultaneously (map-side combined — a single pass over
+    // the fact table no matter how many columns), then each upper-triangle
+    // cell is a fixed shared-text expression over those sums. At 100 TB
+    // this stays one scan + one 10-value reduce.
+    "q_corr_matrix" -> ((spark, sfDir) => {
+      val m = t(spark, sfDir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(round(l_extendedprice) AS BIGINT) AS x2",
+        "CAST(round(l_discount * 100) AS BIGINT) AS x3")
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+          sum(col("x1") * col("x1")).as("q11"),
+          sum(col("x2") * col("x2")).as("q22"),
+          sum(col("x3") * col("x3")).as("q33"),
+          sum(col("x1") * col("x2")).as("q12"),
+          sum(col("x1") * col("x3")).as("q13"),
+          sum(col("x2") * col("x3")).as("q23"))
+      m.selectExpr(
+        s"stack(3, 'x1:x2', ${corrCellExpr(1, 2)}, " +
+          s"'x1:x3', ${corrCellExpr(1, 3)}, " +
+          s"'x2:x3', ${corrCellExpr(2, 3)}) AS (pair, corr)")
+        .orderBy("pair")
+    }),
+    // normalizeSum (Solr math, reference: solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/eval/NormalizeSumEvaluator.java — scale a
+    // vector so it sums to 1): per-lang doc counts over the corpus, each
+    // divided once by the exact total — a single IEEE division on exact
+    // BIGINT operands, identical in both engines. One grouped agg + one
+    // 1-row broadcast.
+    "q_normalize" -> ((spark, sfDir) => {
+      val counts = t(spark, sfDir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      counts.crossJoin(broadcast(counts.agg(sum("cnt").as("tot"))))
+        .selectExpr("lang", "CAST(cnt AS DOUBLE) / tot AS share")
+        .orderBy("lang")
     })
   )
 
@@ -1441,6 +1481,14 @@ object RelationalQueries {
       "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)"
   private val covExpr =
     "round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4)"
+
+  /** One correlation-matrix cell over the pooled exact moments
+    * (n, s_i, q_ij) — shared text per (i, j) so both engines run the
+    * identical IEEE op sequence (CorrelationEvaluator matrix mode). */
+  private def corrCellExpr(i: Int, j: Int): String =
+    s"round((CAST(n AS DOUBLE) * q$i$j - CAST(s$i AS DOUBLE) * s$j) / " +
+      s"(sqrt(CAST(n AS DOUBLE) * q$i$i - CAST(s$i AS DOUBLE) * s$i) * " +
+      s"sqrt(CAST(n AS DOUBLE) * q$j$j - CAST(s$j AS DOUBLE) * s$j)), 4)"
 
   /** Welch's t over per-group exact sums (n, s=Σx, q=Σx²): t =
     * (m1−m2)/sqrt(v1/n1 + v2/n2), v from the sum-of-squares identity —
@@ -2256,6 +2304,28 @@ object RelationalQueries {
         |GROUP BY i.c ORDER BY n""".stripMargin,
     "q_hash_partition" ->
       s"""SELECT $hashWorkerExpr AS worker, count(*) AS cnt
-         |FROM orders GROUP BY worker ORDER BY worker""".stripMargin
+         |FROM orders GROUP BY worker ORDER BY worker""".stripMargin,
+    "q_corr_matrix" ->
+      s"""WITH m AS (
+         |  SELECT count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+         |    sum(x1 * x1) AS q11, sum(x2 * x2) AS q22, sum(x3 * x3) AS q33,
+         |    sum(x1 * x2) AS q12, sum(x1 * x3) AS q13, sum(x2 * x3) AS q23
+         |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |               CAST(round(l_extendedprice) AS BIGINT) AS x2,
+         |               CAST(round(l_discount * 100) AS BIGINT) AS x3
+         |        FROM lineitem))
+         |SELECT pair, corr FROM (
+         |  SELECT 'x1:x2' AS pair, ${corrCellExpr(1, 2)} AS corr FROM m
+         |  UNION ALL
+         |  SELECT 'x1:x3' AS pair, ${corrCellExpr(1, 3)} AS corr FROM m
+         |  UNION ALL
+         |  SELECT 'x2:x3' AS pair, ${corrCellExpr(2, 3)} AS corr FROM m)
+         |ORDER BY pair""".stripMargin,
+    "q_normalize" ->
+      """SELECT lang, CAST(cnt AS DOUBLE) / tot AS share FROM
+        |  (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |  (SELECT count(*) AS tot FROM documents)
+        |ORDER BY lang""".stripMargin
   )
 }

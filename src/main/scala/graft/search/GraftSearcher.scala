@@ -237,6 +237,25 @@ object ScorerBuilder {
         new SynonymScorer(tis, scorer, dScorer)
       }
 
+    case SynonymBoostQ(termBoosts) =>
+      val present = termBoosts.filter { case (t, _) =>
+        termBlocks.contains(t) && ctx.docFreq.contains(t) }
+      if (present.isEmpty) EmptyScorer
+      else {
+        // same pseudo-term stats as SynonymQ (SynonymQuery.java:199-218);
+        // the boosts only blend the per-doc frequency
+        val df = math.min(present.map(p => ctx.docFreq(p._1)).sum, ctx.stats.docCount)
+        val ttf = present.map(p => ctx.ttfOf(p._1)).sum
+        val scorer = ctx.sim.scorer(boost, df, ttf, ctx.stats)
+        val dScorer =
+          if (ctx.doubleMode) ctx.sim.doubleScorer(boost.toDouble, df, ttf, ctx.stats)
+          else null
+        val tis = present.map { case (t, _) => new TermIterator(termBlocks(t),
+          ctx.sim.scorer(1f, ctx.docFreq(t), ctx.ttfOf(t), ctx.stats),
+          lo, hi, null, ctx.counters, live) }.toArray
+        new SynonymBoostScorer(tis, present.map(_._2).toArray, scorer, dScorer)
+      }
+
     case BlendedTermQ(terms, tieBreak) =>
       val present = terms.filter(t => termBlocks.contains(t) && ctx.docFreq.contains(t))
       if (present.isEmpty) EmptyScorer

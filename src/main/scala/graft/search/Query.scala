@@ -174,6 +174,12 @@ final case class ConstSetQ(terms: Seq[String]) extends Query
 /** Terms scored as one pseudo-term (reference:
   * lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:55-218). */
 final case class SynonymQ(terms: Seq[String]) extends Query
+/** SynonymQuery with per-term boosts (reference: lucene/core/src/java/org/
+  * apache/lucene/search/SynonymQuery.java:75-109 `Builder#addTerm(Term,
+  * float)` — 0 < boost <= 1; at scoring the blended frequency is
+  * Σ boost_i · tf_i, `FreqBoostTermScorer` :389-421), sharing [[SynonymQ]]'s
+  * pseudo-term df/ttf blending. */
+final case class SynonymBoostQ(terms: Seq[(String, Float)]) extends Query
 /** BlendedTermQuery (reference:
   * lucene/core/src/java/org/apache/lucene/search/BlendedTermQuery.java:
   * each term is scored as a TermQuery whose df/ttf are REPLACED by the
@@ -257,6 +263,7 @@ object Query {
     case SpanContainingQ(big, little) => big.spanTerms.toSet + little
     case SpanFirstQ(t, _) => Set(t)
     case SynonymQ(ts) => ts.toSet
+    case SynonymBoostQ(ts) => ts.map(_._1).toSet
     case BlendedTermQ(ts, _) => ts.toSet
     case ConstSetQ(ts) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(terms).toSet

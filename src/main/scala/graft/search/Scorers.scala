@@ -532,6 +532,51 @@ final class SynonymScorer(
   }
 }
 
+/** SynonymQuery with per-term boosts: the blended frequency at a doc is
+  * Σ boost_i · tf_i accumulated in FLOAT in clause order — verbatim
+  * `FreqBoostTermScorer.freq()` (reference: lucene/core/src/java/org/
+  * apache/lucene/search/SynonymQuery.java:389-421); the double twin
+  * accumulates the identical clause order in double for the oracle. */
+final class SynonymBoostScorer(
+    subs: Array[TermIterator],
+    boosts: Array[Float],
+    scorer: SimScorer,
+    dScorer: DoubleSimScorer = null) extends DocScorer {
+  private val union = new DisjunctionSumScorer(subs.map(s => s: DocScorer))
+  override def docId: Long = union.docId
+  override def cost: Long = union.cost
+  override val maxScore: Float = scorer.maxScore
+  override def nextDoc(): Long = union.nextDoc()
+  override def advance(target: Long): Long = union.advance(target)
+  override def score(): Float = {
+    var freq = 0f
+    var norm = 0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == union.docId) {
+        freq += boosts(i) * subs(i).freq
+        norm = subs(i).norm
+      }
+      i += 1
+    }
+    scorer.score(freq, norm)
+  }
+  override def scoreD(): Double = {
+    if (dScorer == null) return score().toDouble
+    var freq = 0d
+    var norm = 0
+    var i = 0
+    while (i < subs.length) {
+      if (subs(i).docId == union.docId) {
+        freq += boosts(i).toDouble * subs(i).freq
+        norm = subs(i).norm
+      }
+      i += 1
+    }
+    dScorer.score(freq, norm)
+  }
+}
+
 /** Max-of-disjuncts: score = max + tieBreak * Σ(other matching clauses),
   * float loop verbatim from `DisjunctionMaxScorer.score` (reference:
   * lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java). */
