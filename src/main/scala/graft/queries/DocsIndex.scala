@@ -250,10 +250,18 @@ object DocsIndex {
         graft.streaming.IncrementalIndexer.commitBatch(b0, 0L, dir, cfg, 1L << 20)
         graft.streaming.IncrementalIndexer.commitBatch(b1, 1L, dir, cfg, 1L << 20)
         graft.index.SegmentMerger.compact(spark, dir, cfg, maxSegments = 1, mergeFactor = 2)
+        dirs.put(s"${System.identityHashCode(spark)}#$sfDir#incr", dir)
         val idx = graft.index.IndexStore.open(spark, dir)
         idx.blocks.count()
         (idx, new GraftSearcher(idx, Analyzers.simple))
       })
+
+  /** The incremental build's on-disk dir (commit-point access for the
+    * TopicStream delta-pull — q_topic). Forces the build if not cached. */
+  def incrementalDir(spark: SparkSession, sfDir: String): String = {
+    getIncremental(spark, sfDir)
+    dirs.get(s"${System.identityHashCode(spark)}#$sfDir#incr")
+  }
 
   /** Map the documents table onto the engine's input shape (input_hint):
     * one logical repo, path <- zero-padded doc_id, commit <- source,

@@ -2231,6 +2231,47 @@ object FulltextQueries {
         .filter(col("term").rlike("^[a-z]{3}$"))
         .select(col("term"), col("docFreq").as("df"))
         .orderBy(desc("df"), asc("term")).limit(10)
+    }),
+    // TopicStream checkpointed delta pull (reference: solr/solrj/src/java/
+    // org/apache/solr/client/solrj/io/stream/TopicStream.java:63-130 — a
+    // topic persists the max _version_ seen per shard; each pull returns
+    // only query matches with version greater than the checkpoint). The
+    // version analog is the ingest-ordered docId. Pull 1 runs against the
+    // FIRST commit point (generation 0 = micro-batch 1 of the incremental
+    // build) and checkpoints that commit's high-water mark — the index
+    // max version, not the matched subset, exactly as TopicStream's
+    // initial checkpoint does; pull 2 runs against HEAD and emits only the
+    // matches beyond the checkpoint.
+    "q_topic" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getIncremental(spark, sfDir)
+      val dir = DocsIndex.incrementalDir(spark, sfDir)
+      val idx0 = graft.index.IndexStore.openAt(spark, dir, 0L)
+      val s0 = new graft.search.GraftSearcher(idx0, graft.analysis.Analyzers.simple)
+      val qs = "merge AND vector"
+      // pull 1: the first batch's full match set, then checkpoint
+      s0.matchesDS(s0.parse(qs)).toDF("docId").count()
+      val ckpt = idx0.docs.toDF().agg(max(col("docId"))).head().getLong(0)
+      // pull 2: only versions beyond the checkpoint
+      searcher.matchesDS(searcher.parse(qs)).toDF("docId")
+        .filter(col("docId") > ckpt)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // BlendedInfixSuggester (reference: lucene/suggest/src/java/org/apache/
+    // lucene/search/suggest/analyzing/BlendedInfixSuggester.java:60-140,
+    // BlenderType.POSITION_LINEAR calculateCoefficient: coefficient =
+    // 1 - 0.10 · position of the matched token): suggestions = the corpus
+    // docs, weight = n_chars, matched token = 'table'; blended score =
+    // weight · (1 − 0.1·(pos−1)) with the 0-based position — a map-only
+    // scan (position from one vectorized array_position), top-10 heap.
+    "ft_blended_infix" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .withColumn("pos", expr("array_position(tk, 'table')"))
+        .filter(col("pos") > 0)
+        .selectExpr("doc_id",
+          "CAST(n_chars AS DOUBLE) * (1.0 - 0.1 * CAST(pos - 1 AS DOUBLE)) AS blended")
+        .orderBy(desc("blended"), asc("doc_id")).limit(10)
     })
   )
 
@@ -3652,6 +3693,22 @@ object FulltextQueries {
          |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
          |  GROUP BY tok)
          |WHERE regexp_matches(term, '^[a-z]{3}$$')
-         |ORDER BY df DESC, term LIMIT 10""".stripMargin
+         |ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // topic pull 2: matches whose version (docId = ingest order) exceeds
+    // the batch-1 checkpoint (= half the corpus, the first commit's
+    // high-water mark)
+    "q_topic" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE doc_id > (SELECT count(*) / 2 - 1 FROM documents)
+         |  AND list_contains(tk, 'merge') AND list_contains(tk, 'vector')
+         |ORDER BY doc_id""".stripMargin,
+    // blended infix: weight · (1 − 0.1·(first 'table' position − 1))
+    "ft_blended_infix" ->
+      s"""SELECT doc_id,
+         |  CAST(n_chars AS DOUBLE) * (1.0 - 0.1 * CAST(pos - 1 AS DOUBLE)) AS blended
+         |FROM (SELECT doc_id, n_chars, list_position($TOKS, 'table') AS pos
+         |      FROM documents)
+         |WHERE pos > 0
+         |ORDER BY blended DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -1199,36 +1199,7 @@ object TrainingDataQueries {
     // literals — the classic Spark iterative-ML pattern, checkpointable
     // per-iteration for the resumability contract.
     "td_train_logit" -> ((spark, sfDir) => {
-      val terms = Seq("data", "hash", "join")
-      val alpha = 0.01
-      val d = docs(spark, sfDir)
-        .select(col("doc_id"), (col("lang") === "en").cast("double").as("y"),
-          expr(TOKS).as("tk"))
-      val nDocs = d.count()
-      val tf = d.select(col("doc_id"), col("y"), explode(col("tk")).as("tok"))
-        .filter(col("tok").isin(terms: _*))
-        .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
-      val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // idf = ln(N/(df+1)) (FeaturesSelectionStream.java:372), micro-quantized
-      val idfq = terms.map(t =>
-        math.floor(math.log(nDocs.toDouble / (dfs(t) + 1)) * 1e6) / 1e6)
-      val xCols = terms.zip(idfq).zipWithIndex.map { case ((t, i), j) =>
-        expr(s"max(CASE WHEN tok = '$t' THEN floor($i * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END)")
-          .as(s"x${j + 1}")
-      }
-      val vec = tf.groupBy("doc_id", "y").agg(xCols.head, xCols.tail: _*).cache()
-      var w = Array(1.0, 1.0, 1.0, 1.0)
-      for (_ <- 1 to 3) {
-        val sig = logitSigExpr(w(0).toString, w(1).toString, w(2).toString, w(3).toString)
-        val g = vec.selectExpr(
-          s"CAST(floor(($sig - y) * 1e8) AS BIGINT) AS g0",
-          s"CAST(floor(($sig - y) * x1 * 1e8) AS BIGINT) AS g1",
-          s"CAST(floor(($sig - y) * x2 * 1e8) AS BIGINT) AS g2",
-          s"CAST(floor(($sig - y) * x3 * 1e8) AS BIGINT) AS g3")
-          .agg(sum("g0"), sum("g1"), sum("g2"), sum("g3")).head()
-        w = w.indices.map(j => w(j) - alpha * (g.getLong(j).toDouble / 1e8)).toArray
-      }
+      val (vec, w) = logitTrain(spark, sfDir)
       val sigF = logitSigExpr(w(0).toString, w(1).toString, w(2).toString, w(3).toString)
       vec.selectExpr("y", s"$sigF AS sig")
         .agg(
@@ -1242,6 +1213,30 @@ object TrainingDataQueries {
         .withColumn("w1_r", round(lit(w(1)), 6))
         .withColumn("w2_r", round(lit(w(2)), 6))
         .withColumn("w3_r", round(lit(w(3)), 6))
+    }),
+    // Solr `classify()` stream (reference: solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/stream/ClassifyStream.java:40-120 — applies a
+    // train()-ed logistic model to a stream of documents, emitting each
+    // doc's probability (probability_d) and class assignment): the model is
+    // the same deterministic 3-iteration batch-GD fit as td_train_logit
+    // (weights are a pure function of the corpus), applied to EVERY fifth
+    // document — including docs with none of the feature terms, whose
+    // feature vector is all-zero (sigmoid(w0), exactly as ClassifyStream
+    // scores term-free docs). Probabilities are floored to 1e-8 integers;
+    // the weights re-enter as literals, so classification is one map-only
+    // vectorized projection — at 100 TB the model broadcast + scan shape.
+    "td_classify" -> ((spark, sfDir) => {
+      val (vec, w) = logitTrain(spark, sfDir)
+      val sigF = logitSigExpr(w(0).toString, w(1).toString, w(2).toString, w(3).toString)
+      val all = docs(spark, sfDir).select(col("doc_id"))
+      all.join(vec.select(col("doc_id"), col("x1"), col("x2"), col("x3")),
+          Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("x1", "x2", "x3"))
+        .filter(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id",
+          s"CAST(floor(($sigF) * 1e8) AS BIGINT) AS prob_micro8",
+          s"($sigF >= 0.5) AS label")
+        .orderBy("doc_id")
     })
   )
 
@@ -1340,6 +1335,46 @@ object TrainingDataQueries {
     * side and CTE columns on the oracle side; the op sequence is identical. */
   private def logitSigExpr(w0: String, w1: String, w2: String, w3: String): String =
     s"(1.0 / (1.0 + exp(-($w0 * 1.0 + $w1 * x1 + $w2 * x2 + $w3 * x3))))"
+
+  /** The shared deterministic batch-GD logistic training behind
+    * td_train_logit / td_classify (see td_train_logit's scaladoc for the
+    * reference citations and the documented per-doc→batch deviation):
+    * returns the cached feature frame (doc_id, y, x1..x3 — docs containing
+    * ≥1 feature term) and the weight vector after 3 iterations. */
+  private def logitTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, Array[Double]) = {
+    val terms = Seq("data", "hash", "join")
+    val alpha = 0.01
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").cast("double").as("y"),
+        expr(TOKS).as("tk"))
+    val nDocs = d.count()
+    val tf = d.select(col("doc_id"), col("y"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // idf = ln(N/(df+1)) (FeaturesSelectionStream.java:372), micro-quantized
+    val idfq = terms.map(t =>
+      math.floor(math.log(nDocs.toDouble / (dfs(t) + 1)) * 1e6) / 1e6)
+    val xCols = terms.zip(idfq).zipWithIndex.map { case ((t, i), j) =>
+      expr(s"max(CASE WHEN tok = '$t' THEN floor($i * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END)")
+        .as(s"x${j + 1}")
+    }
+    val vec = tf.groupBy("doc_id", "y").agg(xCols.head, xCols.tail: _*).cache()
+    var w = Array(1.0, 1.0, 1.0, 1.0)
+    for (_ <- 1 to 3) {
+      val sig = logitSigExpr(w(0).toString, w(1).toString, w(2).toString, w(3).toString)
+      val g = vec.selectExpr(
+        s"CAST(floor(($sig - y) * 1e8) AS BIGINT) AS g0",
+        s"CAST(floor(($sig - y) * x1 * 1e8) AS BIGINT) AS g1",
+        s"CAST(floor(($sig - y) * x2 * 1e8) AS BIGINT) AS g2",
+        s"CAST(floor(($sig - y) * x3 * 1e8) AS BIGINT) AS g3")
+        .agg(sum("g0"), sum("g1"), sum("g2"), sum("g3")).head()
+      w = w.indices.map(j => w(j) - alpha * (g.getLong(j).toDouble / 1e8)).toArray
+    }
+    (vec, w)
+  }
 
   /** 128-perm / 16-band oracle, generated from the same parameters the
     * Spark query uses (band-key concat equality == per-column equality for
@@ -2080,46 +2115,68 @@ object TrainingDataQueries {
          |SELECT term, xc + nc AS doc_freq, $igainScoreExpr, $igainIdfExpr
          |FROM pt, tot
          |ORDER BY score_r DESC, term ASC LIMIT 10""".stripMargin,
-    "td_train_logit" -> {
-      val sig = (p: String) => logitSigExpr(s"$p.w0", s"$p.w1", s"$p.w2", s"$p.w3")
-      def grads(p: String) =
-        s"""SELECT
-           |  $p.w0 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w0,
-           |  $p.w1 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * x1 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w1,
-           |  $p.w2 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * x2 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w2,
-           |  $p.w3 - 0.01 * (CAST(sum(CAST(floor((${sig(p)} - y) * x3 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w3
-           |FROM vec, $p GROUP BY $p.w0, $p.w1, $p.w2, $p.w3""".stripMargin
-      s"""WITH d AS (
-         |  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y, $TOKS AS tk
-         |  FROM documents),
-         |nd AS (SELECT count(*) AS n FROM d),
-         |tf AS (
-         |  SELECT doc_id, y, tok, count(*) AS tf
-         |  FROM (SELECT doc_id, y, unnest(tk) AS tok FROM d)
-         |  WHERE tok IN ('data', 'hash', 'join') GROUP BY doc_id, y, tok),
-         |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         |idf AS (
-         |  SELECT tok, floor(ln(CAST(n AS DOUBLE) / (df + 1)) * 1e6) / 1e6 AS idfq
-         |  FROM dfs, nd),
-         |vec AS (
-         |  SELECT doc_id, y,
-         |    max(CASE WHEN tok = 'data' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x1,
-         |    max(CASE WHEN tok = 'hash' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x2,
-         |    max(CASE WHEN tok = 'join' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x3
-         |  FROM tf JOIN idf USING (tok) GROUP BY doc_id, y),
-         |i0 AS (SELECT 1.0 AS w0, 1.0 AS w1, 1.0 AS w2, 1.0 AS w3),
-         |i1 AS (${grads("i0")}),
-         |i2 AS (${grads("i1")}),
-         |i3 AS (${grads("i2")})
+    "td_train_logit" ->
+      s"""$logitOracleWith
          |SELECT count(*) AS n_docs,
-         |  CAST(sum(CAST(floor(abs(${sig("i3")} - y) * 1e8) AS BIGINT)) AS BIGINT) AS error_micro8,
-         |  CAST(sum(CASE WHEN y = 1 AND ${sig("i3")} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |  CAST(sum(CASE WHEN y = 0 AND ${sig("i3")} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |  CAST(sum(CASE WHEN y = 0 AND ${sig("i3")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-         |  CAST(sum(CASE WHEN y = 1 AND ${sig("i3")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CAST(floor(abs(${logitOracleSig("i3")} - y) * 1e8) AS BIGINT)) AS BIGINT) AS error_micro8,
+         |  CAST(sum(CASE WHEN y = 1 AND ${logitOracleSig("i3")} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN y = 0 AND ${logitOracleSig("i3")} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN y = 0 AND ${logitOracleSig("i3")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN y = 1 AND ${logitOracleSig("i3")} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          |  round(any_value(i3.w0), 6) AS w0_r, round(any_value(i3.w1), 6) AS w1_r,
          |  round(any_value(i3.w2), 6) AS w2_r, round(any_value(i3.w3), 6) AS w3_r
-         |FROM vec, i3""".stripMargin
-    }
+         |FROM vec, i3""".stripMargin,
+    // classify: same trained weights applied to every fifth doc, zero
+    // vectors for docs without feature terms
+    "td_classify" ->
+      s"""$logitOracleWith,
+         |vecall AS (
+         |  SELECT d.doc_id,
+         |    coalesce(v.x1, 0) AS x1, coalesce(v.x2, 0) AS x2, coalesce(v.x3, 0) AS x3
+         |  FROM d LEFT JOIN vec v USING (doc_id))
+         |SELECT doc_id,
+         |  CAST(floor((${logitOracleSig("i3")}) * 1e8) AS BIGINT) AS prob_micro8,
+         |  ${logitOracleSig("i3")} >= 0.5 AS label
+         |FROM vecall, i3 WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
   )
+
+  /** sigmoid over a weight CTE `p`'s columns (oracle side of
+    * [[logitSigExpr]]). */
+  private def logitOracleSig(p: String): String =
+    logitSigExpr(s"$p.w0", s"$p.w1", s"$p.w2", s"$p.w3")
+
+  /** The shared td_train_logit/td_classify oracle prelude: feature vectors
+    * + the unrolled 3-iteration batch-GD weight CTEs (i0..i3), mirroring
+    * [[logitTrain]]'s op order exactly. */
+  private lazy val logitOracleWith: String = {
+    def grads(p: String) =
+      s"""SELECT
+         |  $p.w0 - 0.01 * (CAST(sum(CAST(floor((${logitOracleSig(p)} - y) * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w0,
+         |  $p.w1 - 0.01 * (CAST(sum(CAST(floor((${logitOracleSig(p)} - y) * x1 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w1,
+         |  $p.w2 - 0.01 * (CAST(sum(CAST(floor((${logitOracleSig(p)} - y) * x2 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w2,
+         |  $p.w3 - 0.01 * (CAST(sum(CAST(floor((${logitOracleSig(p)} - y) * x3 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8) AS w3
+         |FROM vec, $p GROUP BY $p.w0, $p.w1, $p.w2, $p.w3""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y, $TOKS AS tk
+       |  FROM documents),
+       |nd AS (SELECT count(*) AS n FROM d),
+       |tf AS (
+       |  SELECT doc_id, y, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, y, unnest(tk) AS tok FROM d)
+       |  WHERE tok IN ('data', 'hash', 'join') GROUP BY doc_id, y, tok),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |idf AS (
+       |  SELECT tok, floor(ln(CAST(n AS DOUBLE) / (df + 1)) * 1e6) / 1e6 AS idfq
+       |  FROM dfs, nd),
+       |vec AS (
+       |  SELECT doc_id, y,
+       |    max(CASE WHEN tok = 'data' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x1,
+       |    max(CASE WHEN tok = 'hash' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x2,
+       |    max(CASE WHEN tok = 'join' THEN floor(idfq * (1 + ln(CAST(tf AS DOUBLE))) * 1e6) / 1e6 ELSE 0 END) AS x3
+       |  FROM tf JOIN idf USING (tok) GROUP BY doc_id, y),
+       |i0 AS (SELECT 1.0 AS w0, 1.0 AS w1, 1.0 AS w2, 1.0 AS w3),
+       |i1 AS (${grads("i0")}),
+       |i2 AS (${grads("i1")}),
+       |i3 AS (${grads("i2")})""".stripMargin
+  }
 }
