@@ -2257,6 +2257,35 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // FeatureField log scoring function (reference: lucene/core/src/java/
+    // org/apache/lucene/document/FeatureField.java LogFunction — score =
+    // weight · ln(scale + featureValue), the unbounded companion of the
+    // saturation function ft_feature_sat pins; newLogQuery :214-240): BM25
+    // plus a 2·ln(1 + len) static-feature leg. ln over an exact integer
+    // operand is the same shared-text discipline the BM25 idf already
+    // relies on. Unbounded function ⇒ every match scored, like Lucene.
+    "ft_feature_log" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("fscore",
+          round(col("score")
+            + lit(2.0) * log(lit(1.0) + col("len").cast("double")), 4))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("fscore"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("fscore"))
+    }),
+    // group.ngroups (reference: solr/core/src/java/org/apache/solr/search/
+    // grouping/distributed/command/SearchGroupsFieldCommand.java — the
+    // matched-group count the grouped response carries next to matches):
+    // one distinct-count + one count over the match set, map-side partial.
+    "ft_group_ngroups" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("vector OR table")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .agg(countDistinct(col("lang")).as("n_groups"),
+          count(lit(1)).as("n_matches"))
+    }),
     // BlendedInfixSuggester (reference: lucene/suggest/src/java/org/apache/
     // lucene/search/suggest/analyzing/BlendedInfixSuggester.java:60-140,
     // BlenderType.POSITION_LINEAR calculateCoefficient: coefficient =
@@ -3702,6 +3731,22 @@ object FulltextQueries {
          |WHERE doc_id > (SELECT count(*) / 2 - 1 FROM documents)
          |  AND list_contains(tk, 'merge') AND list_contains(tk, 'vector')
          |ORDER BY doc_id""".stripMargin,
+    // feature log leg: round4(BM25) + 2·ln(1 + len)
+    "ft_feature_log" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4)
+         |        + 2.0 * ln(1.0 + CAST(dlen AS DOUBLE)), 4) AS fscore
+         |FROM (
+         |  SELECT dl.doc_id, len(dl.tk) AS dlen, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // grouped-response header counts over the match set
+    "ft_group_ngroups" ->
+      s"""SELECT count(DISTINCT lang) AS n_groups, count(*) AS n_matches
+         |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')""".stripMargin,
     // blended infix: weight · (1 − 0.1·(first 'table' position − 1))
     "ft_blended_infix" ->
       s"""SELECT doc_id,

@@ -1381,6 +1381,48 @@ object RelationalQueries {
           s"'x2:x3', ${corrCellExpr(2, 3)}) AS (pair, corr)")
         .orderBy("pair")
     }),
+    // loess local regression (Solr math `loess`, reference: solr/solrj/
+    // src/java/org/apache/solr/client/solrj/io/eval/LoessEvaluator.java →
+    // commons-math LoessInterpolator.smooth): for each point of the
+    // 32-hour click series, a tricube-weighted linear fit over its 7
+    // nearest neighbours (bandwidth 7/32; the commons-math denominator is
+    // the distance to the farthest window point), evaluated at the point.
+    // Zero robustness iterations (Solr's default robustIterations=0... the
+    // evaluator exposes them but the default smooth() path is one pass).
+    // Exactness: tricube weights are floor(·1e4) integers (u³ is ONE IEEE
+    // division of exact cubes), all five weighted moments are exact BIGINT
+    // sums, the fitted intercept is ONE division of exact operands — the
+    // established cross-engine discipline. Scale shape: the window pair
+    // expansion is a bounded 7-way fan-out (a windowed frame at scale),
+    // one grouped agg — never a collect.
+    "q_loess" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("h")
+      val series = hourly
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .filter(col("n") < 32).select("n", "x")
+      val a = series.select(col("n").as("i"))
+      val b = series.select(col("n").as("j"), col("x").as("yj"))
+      a.join(b, expr(
+          "j BETWEEN greatest(0, least(i - 3, 25)) AND greatest(0, least(i - 3, 25)) + 6"))
+        .selectExpr("i", "j - i AS xr", "yj",
+          "abs(j - i) AS d",
+          "greatest(i - greatest(0, least(i - 3, 25)), greatest(0, least(i - 3, 25)) + 6 - i) AS dmax")
+        .withColumn("u3",
+          expr("CAST(d * d * d AS DOUBLE) / CAST(dmax * dmax * dmax AS DOUBLE)"))
+        .withColumn("wq",
+          expr("CAST(floor((1.0 - u3) * (1.0 - u3) * (1.0 - u3) * 1e4) AS BIGINT)"))
+        .groupBy("i")
+        .agg(sum("wq").as("sw"), sum(expr("wq * xr")).as("sx"),
+          sum(expr("wq * yj")).as("sy"), sum(expr("wq * xr * xr")).as("sxx"),
+          sum(expr("wq * xr * yj")).as("sxy"))
+        .selectExpr("i AS n",
+          "CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(sw * sxx - sx * sx AS DOUBLE) AS loess")
+        .orderBy("n")
+    }),
     // normalizeSum (Solr math, reference: solr/solrj/src/java/org/apache/
     // solr/client/solrj/io/eval/NormalizeSumEvaluator.java — scale a
     // vector so it sums to 1): per-lang doc counts over the corpus, each
@@ -2326,6 +2368,35 @@ object RelationalQueries {
       """SELECT lang, CAST(cnt AS DOUBLE) / tot AS share FROM
         |  (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |  (SELECT count(*) AS tot FROM documents)
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    "q_loess" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY h),
+        |series AS (
+        |  SELECT n, x FROM (
+        |    SELECT row_number() OVER (ORDER BY h) - 1 AS n, x FROM hourly)
+        |  WHERE n < 32),
+        |pairs AS (
+        |  SELECT a.n AS i, b.n - a.n AS xr, b.x AS yj,
+        |    abs(b.n - a.n) AS d,
+        |    greatest(a.n - greatest(0, least(a.n - 3, 25)),
+        |             greatest(0, least(a.n - 3, 25)) + 6 - a.n) AS dmax
+        |  FROM series a JOIN series b
+        |    ON b.n BETWEEN greatest(0, least(a.n - 3, 25))
+        |           AND greatest(0, least(a.n - 3, 25)) + 6),
+        |wts AS (
+        |  SELECT i, xr, yj,
+        |    CAST(floor((1.0 - u3) * (1.0 - u3) * (1.0 - u3) * 1e4) AS BIGINT) AS wq
+        |  FROM (SELECT i, xr, yj,
+        |          CAST(d * d * d AS DOUBLE) / CAST(dmax * dmax * dmax AS DOUBLE) AS u3
+        |        FROM pairs)),
+        |mom AS (
+        |  SELECT i, sum(wq) AS sw, sum(wq * xr) AS sx, sum(wq * yj) AS sy,
+        |    sum(wq * xr * xr) AS sxx, sum(wq * xr * yj) AS sxy
+        |  FROM wts GROUP BY i)
+        |SELECT i AS n,
+        |  CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(sw * sxx - sx * sx AS DOUBLE) AS loess
+        |FROM mom ORDER BY n""".stripMargin
   )
 }
