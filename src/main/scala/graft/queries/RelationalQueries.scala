@@ -1423,6 +1423,167 @@ object RelationalQueries {
           "CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(sw * sxx - sx * sx AS DOUBLE) AS loess")
         .orderBy("n")
     }),
+    // describe (Solr math, reference: solr/solrj/src/java/org/apache/solr/
+    // client/solrj/io/eval/DescribeEvaluator.java:50-65 — commons-math
+    // DescriptiveStatistics dump: N/min/max/sum/sumsq/mean/var/popVar/
+    // stdev/geometricMean/skewness/kurtosis). All raw moments are EXACT
+    // BIGINT sums (one hash agg, map-side partials); mean is one division
+    // of exact operands; variance/skew/kurtosis reuse the q_skewness
+    // central-moment expression tree (identical text on the oracle side);
+    // geometricMean = exp(mean ln) over micro-nat integer log sums — the
+    // established cross-engine ln discipline. round4 on the non-exact
+    // outputs. One aggregate pass; scales as a plain agg.
+    "q_describe" -> ((spark, sfDir) => {
+      val m = t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"))
+        .agg(count(lit(1)).as("n0"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          sum(col("x")).as("s1l"), sum(expr("x*x")).as("s2l"),
+          sum(expr("x*x*x")).as("s3l"), sum(expr("x*x*x*x")).as("s4l"),
+          sum(expr("CAST(floor(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)"))
+            .as("lnq"))
+      val n = col("n0").cast("double")
+      val s1 = col("s1l").cast("double"); val s2 = col("s2l").cast("double")
+      val s3 = col("s3l").cast("double"); val s4 = col("s4l").cast("double")
+      val mean = s1 / n
+      val c2 = s2 - mean * s1
+      val c3 = s3 - (lit(3.0) * mean) * s2 + ((lit(2.0) * mean) * mean) * s1
+      val c4 = s4 - (lit(4.0) * mean) * s3 + ((lit(6.0) * mean) * mean) * s2 -
+        (((lit(3.0) * mean) * mean) * mean) * s1
+      val v = c2 / (n - lit(1.0))
+      val skew = (n / ((n - lit(1.0)) * (n - lit(2.0)))) * c3 / (v * sqrt(v))
+      val kurt = (n * (n + lit(1.0)) / (((n - lit(1.0)) * (n - lit(2.0))) * (n - lit(3.0)))) *
+        c4 / (v * v) -
+        (lit(3.0) * (n - lit(1.0))) * (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))
+      m.select(col("n0").as("n"), col("min_x"), col("max_x"),
+        col("s1l").as("sum_x"), col("s2l").as("sumsq_x"),
+        mean.as("mean_x"),
+        round(v, 4).as("var_samp_x"), round(c2 / n, 4).as("var_pop_x"),
+        round(sqrt(v), 4).as("stdev_x"),
+        round(exp((col("lnq").cast("double") / lit(1e6)) / n), 4)
+          .as("geo_mean_x"),
+        round(skew, 4).as("skewness_x"), round(kurt, 4).as("kurtosis_x"))
+    }),
+    // mode (Solr math, reference: solr/solrj/src/java/org/apache/solr/
+    // client/solrj/io/eval/ModeEvaluator.java:50-57 → commons-math
+    // StatUtils.mode — ALL values tied at the max frequency, ascending):
+    // per-returnflag value counts, window max per group, keep the ties.
+    // Exact integer counts; one groupBy + one window. Scales: the window
+    // partitions by group key, never a global single partition.
+    "q_mode" -> ((spark, sfDir) => {
+      val c = t(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+        .groupBy("l_returnflag", "x").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+      c.withColumn("mx", max(col("cnt")).over(w))
+        .filter(col("cnt") === col("mx"))
+        .select(col("l_returnflag"), col("x").as("mode_x"), col("cnt"))
+        .orderBy("l_returnflag", "mode_x")
+    }),
+    // frequencyTable (Solr math, reference: solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/eval/FrequencyTableEvaluator.java:61-85 —
+    // commons-math Frequency bins: per distinct value, count / cumFreq /
+    // pct / cumPct in value order): exact integer counts and cumulative
+    // sums; pct and cumPct are single IEEE divisions of exact operands.
+    // The cumulative window runs over ~50 distinct values (the AGGREGATED
+    // table), not the raw rows — single-partition cost is bounded by the
+    // value cardinality at any scale.
+    "q_freq_table" -> ((spark, sfDir) => {
+      val c = t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("value"))
+        .groupBy("value").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      c.withColumn("cum_freq", sum(col("cnt")).over(w))
+        .withColumn("tot", sum(col("cnt")).over(wall))
+        .select(col("value"), col("cnt"),
+          col("cum_freq"),
+          (col("cnt").cast("double") / col("tot").cast("double")).as("pct"),
+          (col("cum_freq").cast("double") / col("tot").cast("double"))
+            .as("cum_pct"))
+        .orderBy("value")
+    }),
+    // meanDifference (Solr math, reference: solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/eval/MeanDifferenceEvaluator.java:50-53 →
+    // commons-math StatUtils.meanDifference = mean of paired differences):
+    // per-day click vs view counts are the pairs; the difference sum is an
+    // exact BIGINT, the mean is ONE division. Two grouped aggs, map-side
+    // partials.
+    "q_mean_diff" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("a") - col("b")).as("diff_sum"))
+        .select(col("n_days"), col("diff_sum"),
+          (col("diff_sum").cast("double") / col("n_days").cast("double"))
+            .as("mean_diff"))
+    }),
+    // markovChain (Solr math, reference: solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/eval/MarkovChainEvaluator.java:56-108 — a
+    // transition matrix drives EnumeratedIntegerDistribution sampling).
+    // sample() is RNG; the deterministic law it draws from is the matrix
+    // itself, so the oracle pins (a) the estimated transition matrix from
+    // per-user event sequences (exact counts, ONE division per cell) and
+    // (b) the two-step distribution from state 'click' — each path term
+    // P(click,s)·P(s,t) is a product of two exact-operand divisions,
+    // micro-quantized to floor(1e9·x) integers before the sum so the
+    // addition order can never perturb the result. Transitions come from
+    // one lag window per user (bounded per-key state); two grouped aggs.
+    "q_markov" -> ((spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("s"))
+        .withColumn("t", lead(col("s"), 1).over(w))
+        .filter(col("t").isNotNull)
+      val cnt = pairs.groupBy("s", "t").agg(count(lit(1)).as("c"))
+      val rw = Window.partitionBy("s")
+      val p = cnt.withColumn("rt", sum(col("c")).over(rw))
+        .select(col("s"), col("t"),
+          (col("c").cast("double") / col("rt").cast("double")).as("p"))
+      val from = p.filter(col("s") === "click")
+        .select(col("t").as("mid"), col("p").as("p1"))
+      val step2 = from.join(p.select(col("s").as("mid"), col("t"),
+          col("p").as("p2")), "mid")
+        .groupBy("t")
+        .agg(sum(expr("CAST(floor(p1 * p2 * 1e9) AS BIGINT)")).as("micro"))
+        .select(col("t").as("state"),
+          (col("micro").cast("double") / lit(1e9)).as("p_two_step"))
+      p.filter(col("s") === "click").select(col("t").as("state"),
+          col("p").as("p_one_step"))
+        .join(step2, "state")
+        .select(col("state"), col("p_one_step"), col("p_two_step"))
+        .orderBy("state")
+    }),
+    // geometricDistribution + cumulativeProbability (Solr math, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // GeometricDistributionEvaluator.java:36-41 → commons-math
+    // GeometricDistribution: CDF(k) = 1 − (1−p)^(k+1)): p is the observed
+    // purchase share (one division of exact counts); the power is an
+    // explicit multiplication chain — zero libm, identical fold order in
+    // DuckDB, exactly the q_binomial discipline.
+    "q_geometric" -> ((spark, sfDir) => {
+      val base = t(spark, sfDir, "events")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k"))
+        .selectExpr(
+          "1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS q")
+      base.selectExpr(
+          """stack(6,
+            | 0, 1.0 - q,
+            | 1, 1.0 - q*q,
+            | 2, 1.0 - q*q*q,
+            | 3, 1.0 - q*q*q*q,
+            | 4, 1.0 - q*q*q*q*q,
+            | 5, 1.0 - q*q*q*q*q*q) AS (k, cdf)""".stripMargin)
+        .orderBy("k")
+    }),
     // normalizeSum (Solr math, reference: solr/solrj/src/java/org/apache/
     // solr/client/solrj/io/eval/NormalizeSumEvaluator.java — scale a
     // vector so it sums to 1): per-lang doc counts over the corpus, each
@@ -2369,6 +2530,106 @@ object RelationalQueries {
         |  (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |  (SELECT count(*) AS tot FROM documents)
         |ORDER BY lang""".stripMargin,
+    "q_describe" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    min(CAST(l_quantity AS BIGINT)) AS min_x,
+        |    max(CAST(l_quantity AS BIGINT)) AS max_x,
+        |    CAST(sum(l_quantity) AS BIGINT) AS s1l,
+        |    CAST(sum(l_quantity * l_quantity) AS BIGINT) AS s2l,
+        |    CAST(sum(l_quantity * l_quantity * l_quantity) AS BIGINT) AS s3l,
+        |    CAST(sum(l_quantity * l_quantity * l_quantity * l_quantity) AS BIGINT) AS s4l,
+        |    CAST(sum(floor(ln(CAST(l_quantity AS DOUBLE)) * 1e6)) AS BIGINT) AS lnq
+        |  FROM lineitem
+        |), d AS (
+        |  SELECT *, CAST(n0 AS DOUBLE) AS n,
+        |    CAST(s1l AS DOUBLE) AS s1, CAST(s2l AS DOUBLE) AS s2,
+        |    CAST(s3l AS DOUBLE) AS s3, CAST(s4l AS DOUBLE) AS s4,
+        |    CAST(s1l AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean FROM m
+        |), c AS (
+        |  SELECT *, s2 - mean * s1 AS c2,
+        |    s3 - (3.0 * mean) * s2 + ((2.0 * mean) * mean) * s1 AS c3,
+        |    s4 - (4.0 * mean) * s3 + ((6.0 * mean) * mean) * s2
+        |       - (((3.0 * mean) * mean) * mean) * s1 AS c4
+        |  FROM d
+        |), v AS (SELECT *, c2 / (n - 1.0) AS vr FROM c)
+        |SELECT n0 AS n, min_x, max_x, s1l AS sum_x, s2l AS sumsq_x,
+        |  mean AS mean_x,
+        |  round(vr, 4) AS var_samp_x, round(c2 / n, 4) AS var_pop_x,
+        |  round(sqrt(vr), 4) AS stdev_x,
+        |  round(exp((CAST(lnq AS DOUBLE) / 1e6) / n), 4) AS geo_mean_x,
+        |  round((n / ((n - 1.0) * (n - 2.0))) * c3 / (vr * sqrt(vr)), 4) AS skewness_x,
+        |  round((n * (n + 1.0) / (((n - 1.0) * (n - 2.0)) * (n - 3.0))) * c4 / (vr * vr)
+        |    - (3.0 * (n - 1.0)) * (n - 1.0) / ((n - 2.0) * (n - 3.0)), 4) AS kurtosis_x
+        |FROM v""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, x AS mode_x, cnt FROM (
+        |  SELECT *, max(cnt) OVER (PARTITION BY l_returnflag) AS mx FROM c)
+        |WHERE cnt = mx ORDER BY l_returnflag, mode_x""".stripMargin,
+    "q_freq_table" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS value, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT value, cnt, cum_freq,
+        |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS pct,
+        |  CAST(cum_freq AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_pct
+        |FROM (
+        |  SELECT value, cnt,
+        |    sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq,
+        |    sum(cnt) OVER () AS tot
+        |  FROM c)
+        |ORDER BY value""".stripMargin,
+    "q_mean_diff" ->
+      """WITH days AS (
+        |  SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(a - b) AS BIGINT) AS diff_sum,
+        |  CAST(sum(a - b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_diff
+        |FROM days""".stripMargin,
+    "q_markov" ->
+      """WITH pairs AS (
+        |  SELECT s, t FROM (
+        |    SELECT event_type AS s,
+        |      lead(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS t
+        |    FROM events)
+        |  WHERE t IS NOT NULL),
+        |cnt AS (SELECT s, t, count(*) AS c FROM pairs GROUP BY s, t),
+        |p AS (
+        |  SELECT s, t,
+        |    CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY s) AS DOUBLE) AS p
+        |  FROM cnt),
+        |step2 AS (
+        |  SELECT b.t AS state,
+        |    CAST(sum(CAST(floor(a.p * b.p * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+        |      AS p_two_step
+        |  FROM p a JOIN p b ON a.t = b.s
+        |  WHERE a.s = 'click' GROUP BY b.t)
+        |SELECT p.t AS state, p.p AS p_one_step, step2.p_two_step
+        |FROM p JOIN step2 ON p.t = step2.state
+        |WHERE p.s = 'click' ORDER BY state""".stripMargin,
+    "q_geometric" ->
+      """WITH base AS (
+        |  SELECT 1.0 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q
+        |  FROM events)
+        |SELECT k, cdf FROM base, (VALUES (0), (1), (2), (3), (4), (5)) ks(k),
+        |LATERAL (SELECT CASE k
+        |  WHEN 0 THEN 1.0 - q
+        |  WHEN 1 THEN 1.0 - q*q
+        |  WHEN 2 THEN 1.0 - q*q*q
+        |  WHEN 3 THEN 1.0 - q*q*q*q
+        |  WHEN 4 THEN 1.0 - q*q*q*q*q
+        |  ELSE 1.0 - q*q*q*q*q*q END AS cdf) x
+        |ORDER BY k""".stripMargin,
     "q_loess" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
