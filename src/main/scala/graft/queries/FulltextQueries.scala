@@ -2286,6 +2286,35 @@ object FulltextQueries {
         .agg(countDistinct(col("lang")).as("n_groups"),
           count(lit(1)).as("n_matches"))
     }),
+    // PhraseWildcardQuery (GraftSearcher.phraseWildcard scaladoc —
+    // sandbox PhraseWildcardQuery.java:44-70): phrase "fast s*" — the
+    // prefix slot expands against the dictionary (6 terms here), then
+    // union-postings exact adjacency like MultiPhraseQuery
+    "ft_phrase_wildcard" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.phraseWildcard(
+        Seq(graft.search.TermQ("fast"), graft.search.PrefixQ("s")))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // Lucene XML query syntax (XmlQueryParser scaladoc — CoreParser.java
+    // wiring + builders): a BooleanQuery with must / boosted-should /
+    // filter clauses parsed from XML, scored through the standard ReqOpt
+    // path: s = bm25(merge) + 0·key (FILTER) + 2-boosted bm25(stream)
+    "ft_xmlqp" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.XmlQueryParser.parse(
+        """<BooleanQuery>
+          |  <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+          |  <Clause occurs="should"><TermQuery boost="2.0">stream</TermQuery></Clause>
+          |  <Clause occurs="filter"><TermQuery>key</TermQuery></Clause>
+          |</BooleanQuery>""".stripMargin)
+      searcher.searchDoubleDS(q, 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // BlendedInfixSuggester (reference: lucene/suggest/src/java/org/apache/
     // lucene/search/suggest/analyzing/BlendedInfixSuggester.java:60-140,
     // BlenderType.POSITION_LINEAR calculateCoefficient: coefficient =
@@ -3747,6 +3776,29 @@ object FulltextQueries {
       s"""SELECT count(DISTINCT lang) AS n_groups, count(*) AS n_matches
          |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')""".stripMargin,
+    // phrase with a wildcard position: 'fast' immediately before any s* term
+    "ft_phrase_wildcard" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(range(1, len(tk)),
+         |      i -> tk[i] = 'fast' AND tk[i+1] LIKE 's%')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // XML-parsed boolean: must merge + filter key (0-score gate) +
+    // 2-boosted should stream; ReqOptSum parenthesization like ft_common_terms
+    "ft_xmlqp" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_m, tf_k,
+         |    ${bmSql(idfSql(dfSql("merge")), "tf_m")}
+         |     + (CASE WHEN tf_s = 0 THEN 0.0
+         |             ELSE (2.0 * ${idfSql(dfSql("stream"))}) * (tf_s * (1.2 + 1))
+         |                  / (tf_s + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END) AS s
+         |  FROM (
+         |    SELECT doc_id, dlq, ${tfSql("merge")} AS tf_m,
+         |      ${tfSql("stream")} AS tf_s, ${tfSql("key")} AS tf_k
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf_m > 0 AND tf_k > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // blended infix: weight · (1 − 0.1·(first 'table' position − 1))
     "ft_blended_infix" ->
       s"""SELECT doc_id,

@@ -501,6 +501,43 @@ final class GraftSearcher(
     }))
   }
 
+  /** PhraseWildcardQuery (reference:
+    * lucene/sandbox/src/java/org/apache/lucene/search/PhraseWildcardQuery.java:44-70):
+    * a phrase whose positions may be multi-term queries. The reference
+    * resolves single terms first, then expands each multi-term SEQUENTIALLY,
+    * stopping immediately when a position has no matching term, and bounds
+    * the total expansions (`maxMultiTermExpansions`). Here each multi-term
+    * expands against `index.termStats` — the same dictionary-first scan
+    * scoringRewrite uses (1 row per term, scan-prefilter pushdown) — and the
+    * expanded slots match like MultiPhraseQuery (union postings per slot +
+    * exact adjacency), which PhraseWildcardQuery's own scaladoc declares
+    * rank-equivalent (:55-60). The fold short-circuits on an empty slot, so
+    * later multi-terms are never expanded — the reference's early stop. */
+  def phraseWildcard(slots: Seq[Query], maxExpansions: Int = 1024): Query = {
+    import spark.implicits._
+    val expanded = slots.foldLeft(Option(Vector.empty[Seq[String]])) {
+      (acc, slot) => acc.flatMap { v =>
+        slot match {
+          case TermQ(t) =>
+            Some(v :+ Seq(t))
+          case mt: MultiTermQ =>
+            val mtB = mt
+            val terms = index.termStats
+              .filter(Query.scanPrefilter(mt))
+              .filter(ts => mtB.matches(ts.term))
+              .map(_.term)
+              .orderBy("value")
+              .limit(maxExpansions)
+              .as[String].collect()
+            if (terms.isEmpty) None else Some(v :+ terms.toSeq)
+          case other => throw new IllegalArgumentException(
+            s"phraseWildcard slots must be TermQ or MultiTermQ, got $other")
+        }
+      }
+    }
+    expanded.map(Query.multiPhrase).getOrElse(MatchNoneQ)
+  }
+
   /** CommonTermsQuery (reference:
     * lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:123-180
     * `buildQuery`): terms whose docFreq exceeds `maxTermFrequency * docCount`

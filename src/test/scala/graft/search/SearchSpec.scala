@@ -65,6 +65,56 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SurroundParser.parse("3w(a)"))
   }
 
+  test("XML query parser maps CoreParser elements to the AST") {
+    assert(XmlQueryParser.parse("<TermQuery>Foo</TermQuery>") == TermQ("foo"))
+    assert(XmlQueryParser.parse("<TermQuery boost=\"2.5\">a</TermQuery>") ==
+      BoostQ(TermQ("a"), 2.5f))
+    assert(XmlQueryParser.parse("<MatchAllDocsQuery/>") == MatchAllQ)
+    assert(XmlQueryParser.parse(
+      "<TermsQuery minimumNumberShouldMatch=\"2\">a b C</TermsQuery>") ==
+      BoolQ(should = Seq(TermQ("a"), TermQ("b"), TermQ("c")),
+        minShouldMatch = 2))
+    assert(XmlQueryParser.parse(
+      """<BooleanQuery>
+        |  <Clause occurs="must"><TermQuery>a</TermQuery></Clause>
+        |  <Clause occurs="should"><TermQuery>b</TermQuery></Clause>
+        |  <Clause occurs="mustNot"><TermQuery>c</TermQuery></Clause>
+        |  <Clause occurs="filter"><TermQuery>d</TermQuery></Clause>
+        |</BooleanQuery>""".stripMargin) ==
+      BoolQ(must = Seq(TermQ("a"), BoostQ(TermQ("d"), 0f)),
+        should = Seq(TermQ("b")), mustNot = Seq(TermQ("c"))))
+    assert(XmlQueryParser.parse(
+      """<DisjunctionMaxQuery tieBreaker="0.3">
+        |  <TermQuery>a</TermQuery><TermQuery>b</TermQuery>
+        |</DisjunctionMaxQuery>""".stripMargin) ==
+      DisMaxQ(Seq(TermQ("a"), TermQ("b")), 0.3f))
+    assert(XmlQueryParser.parse(
+      """<SpanNear slop="2" inOrder="true">
+        |  <SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm>
+        |</SpanNear>""".stripMargin) ==
+      SpanNearQ(Seq("a", "b"), 2, inOrder = true))
+    assert(XmlQueryParser.parse(
+      "<SpanFirst end=\"3\"><SpanTerm>a</SpanTerm></SpanFirst>") ==
+      SpanFirstQ("a", 3))
+    intercept[IllegalArgumentException](
+      XmlQueryParser.parse("<FooQuery>a</FooQuery>"))
+    intercept[IllegalArgumentException](XmlQueryParser.parse(
+      "<SpanNear><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>"))
+  }
+
+  test("phraseWildcard expands multi-term slots against the dictionary") {
+    // 'fast s*' — expansion must early-stop to MatchNone on an empty slot
+    val q = searcher.phraseWildcard(Seq(TermQ("fast"), PrefixQ("s")))
+    q match {
+      case SpanOrNearQ(slots, 0, true) =>
+        assert(slots.head == Seq("fast"))
+        assert(slots(1).nonEmpty && slots(1).forall(_.startsWith("s")))
+      case other => fail(s"expected SpanOrNearQ, got $other")
+    }
+    assert(searcher.phraseWildcard(
+      Seq(TermQ("fast"), PrefixQ("zzzz"))) == MatchNoneQ)
+  }
+
   test("distributed pruned top-k is rank- and score-identical to the exhaustive oracle") {
     for (q <- querySet) {
       val ast = searcher.parse(q)
