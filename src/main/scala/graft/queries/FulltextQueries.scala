@@ -1833,6 +1833,18 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // SpanPositionRangeQuery (Query.SpanPosRangeQ scaladoc): 'merge'
+    // occurrences restricted to positions [5, 20) — start >= 5 AND
+    // end (p+1) <= 20; freq = qualifying occurrences, scored through the
+    // standard double path
+    "ft_span_posrange" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.searchDoubleDS(graft.search.SpanPosRangeQ("merge", 5, 20), 10)
+        .toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // term vector reconstruction (IndexReader.getTermVector; reference:
     // lucene/core/src/java/org/apache/lucene/index/TermVectorsReader.java
     // semantics): one doc's (term, tf, positions) triples decoded from the
@@ -2285,6 +2297,47 @@ object FulltextQueries {
         .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
         .agg(countDistinct(col("lang")).as("n_groups"),
           count(lit(1)).as("n_matches"))
+    }),
+    // BloomFilteringPostingsFormat term-existence filter (reference:
+    // lucene/codecs/src/java/org/apache/lucene/codecs/bloom/
+    // BloomFilteringPostingsFormat.java + FuzzySet.java:66-71,161 —
+    // contains() answers NO or MAYBE, never YES; DefaultBloomFilterFactory
+    // sizes for ~10% saturation). Here: a 4096-bit filter over the term
+    // dictionary, two md5-derived probes per term (FuzzySet uses one murmur
+    // probe; the structure and the NO/MAYBE contract are identical, the
+    // hash family is portable to SQL). The filter is a distinct over
+    // (term x 2 bits) — at scale a bitmap aggregate riding termStats —
+    // broadcast to the probe side. A Bloom filter can never false-negative:
+    // the oracle recomputes the same bits and the maybe >= in_dict
+    // invariant is checked row-for-row by value equality.
+    "ft_bloom_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def bit(src: String) =
+        s"(((instr('0123456789abcdef', substr($src, 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 2, 1)) - 1)) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 3, 1)) - 1))"
+      val dict = index.termStats.toDF().select(col("term"))
+      val bits = dict.selectExpr(s"${bit("md5(term)")} AS bit")
+        .union(dict.selectExpr(s"${bit("md5(term || '#b')")} AS bit"))
+        .distinct()
+      val cands = Seq("vector", "table", "merge", "stream", "dup", "hash",
+        "window", "spark", "zebra", "quux", "flink", "duck", "presto",
+        "beam", "iceberg", "arrow").toDF("candidate")
+      cands.selectExpr("candidate",
+          s"${bit("md5(candidate)")} AS b1",
+          s"${bit("md5(candidate || '#b')")} AS b2")
+        .join(broadcast(bits.withColumnRenamed("bit", "b1")
+          .withColumn("m1", lit(1L))), Seq("b1"), "left")
+        .join(broadcast(bits.withColumnRenamed("bit", "b2")
+          .withColumn("m2", lit(1L))), Seq("b2"), "left")
+        .join(broadcast(dict.withColumnRenamed("term", "candidate")
+          .withColumn("d0", lit(1L))), Seq("candidate"), "left")
+        .select(col("candidate"),
+          coalesce(col("d0"), lit(0L)).as("in_dict"),
+          (coalesce(col("m1"), lit(0L)) * coalesce(col("m2"), lit(0L)))
+            .as("bloom_maybe"))
+        .orderBy("candidate")
     }),
     // PhraseWildcardQuery (GraftSearcher.phraseWildcard scaladoc —
     // sandbox PhraseWildcardQuery.java:44-70): phrase "fast s*" — the
@@ -3470,6 +3523,19 @@ object FulltextQueries {
          |WHERE len(list_filter(generate_series(1, least(len(tk), 10)),
          |        i -> tk[i] = 'spark')) > 0
          |ORDER BY doc_id""".stripMargin,
+    // span position range [5,20): SQL 1-indexed i in [start+1, end]
+    "ft_span_posrange" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf,
+         |    ${bmSql(idfSql(dfSql("merge")), "tf")} AS s
+         |  FROM (
+         |    SELECT doc_id, dlq,
+         |      len(list_filter(generate_series(6, least(len(tk), 20)),
+         |          i -> tk[i] = 'merge')) AS tf
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // one doc's term vector: tf + 0-based positions per distinct token
     "ft_term_vector" ->
       s"""WITH d AS (SELECT $TOKS AS tk FROM documents WHERE doc_id = 42)
@@ -3776,6 +3842,31 @@ object FulltextQueries {
       s"""SELECT count(DISTINCT lang) AS n_groups, count(*) AS n_matches
          |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')""".stripMargin,
+    // Bloom term filter: same bit arithmetic over the distinct-token dict
+    "ft_bloom_terms" -> {
+      def bit(src: String) =
+        s"(((instr('0123456789abcdef', substr($src, 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 2, 1)) - 1)) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 3, 1)) - 1))"
+      s"""WITH dict AS (
+         |  SELECT DISTINCT unnest(tk) AS term
+         |  FROM (SELECT $TOKS AS tk FROM documents)),
+         |bits AS (
+         |  SELECT DISTINCT bit FROM (
+         |    SELECT ${bit("md5(term)")} AS bit FROM dict
+         |    UNION ALL
+         |    SELECT ${bit("md5(term || '#b')")} AS bit FROM dict)),
+         |cands AS (SELECT unnest(['vector','table','merge','stream','dup',
+         |  'hash','window','spark','zebra','quux','flink','duck','presto',
+         |  'beam','iceberg','arrow']) AS candidate)
+         |SELECT candidate,
+         |  CASE WHEN candidate IN (SELECT term FROM dict) THEN 1 ELSE 0 END
+         |    AS in_dict,
+         |  CASE WHEN ${bit("md5(candidate)")} IN (SELECT bit FROM bits)
+         |        AND ${bit("md5(candidate || '#b')")} IN (SELECT bit FROM bits)
+         |       THEN 1 ELSE 0 END AS bloom_maybe
+         |FROM cands ORDER BY candidate""".stripMargin
+    },
     // phrase with a wildcard position: 'fast' immediately before any s* term
     "ft_phrase_wildcard" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

@@ -738,6 +738,33 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // Deterministic epoch shuffle + train/val/test split (the data-ordering
+    // stage every LLM pipeline runs before training; the reference's seeded
+    // analog is RandomStream, solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/stream/RandomStream.java). Both the 8/1/1 split and the
+    // within-split order are pure functions of doc_id (md5-derived), so the
+    // shuffle is reproducible across runs and cluster sizes. Map-only
+    // assignment; the rank window partitions by split — at scale the sort
+    // key IS the hash (a range partition over (split, h)), never a global
+    // single-partition window over raw rows.
+    "td_split_shuffle" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir).select(col("doc_id"))
+        .withColumn("h",
+          md5(concat(col("doc_id").cast("string"), lit("#shuffle42"))))
+        .withColumn("b", expr(
+          "((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+            "(instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 10"))
+        .withColumn("split", when(col("b") <= 7, "train")
+          .when(col("b") === 8, "val").otherwise("test"))
+      val w = Window.partitionBy("split").orderBy("h", "doc_id")
+      d.withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("split_cnt",
+          count(lit(1)).over(Window.partitionBy("split")))
+        .filter(col("pos") <= 5)
+        .select(col("split"), col("pos"), col("doc_id"), col("split_cnt"))
+        .orderBy("split", "pos")
+    }),
     // k-means clustering (Solr streaming-expressions ML `kmeans`, reference:
     // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // KmeansEvaluator.java): deterministic variant — embeddings quantized to
@@ -1842,6 +1869,26 @@ object TrainingDataQueries {
         |WHERE (doc_id * 2654435761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 300 WHEN lang = 'de' THEN 500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    "td_split_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#shuffle42') AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 10 AS b
+        |    FROM d)),
+        |r AS (
+        |  SELECT split, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY split ORDER BY h, doc_id)
+        |      AS BIGINT) AS pos,
+        |    count(*) OVER (PARTITION BY split) AS split_cnt
+        |  FROM s)
+        |SELECT split, pos, doc_id, split_cnt FROM r
+        |WHERE pos <= 5 ORDER BY split, pos""".stripMargin,
     // same quantization, seeding, and fold shapes as the engine: pass-1
     // distances are exact BIGINTs, means are single IEEE divisions of exact
     // sums, pass-2 distances are sequential double folds

@@ -198,7 +198,11 @@ object ScorerBuilder {
           inOrder || flat.distinct.size != flat.size, scorer, dScorer)
       }
 
-    case SpanFirstQ(t, end) =>
+    case sq @ (_: SpanFirstQ | _: SpanPosRangeQ) =>
+      val (t, start, end) = sq match {
+        case SpanFirstQ(t0, e) => (t0, 0, e)
+        case SpanPosRangeQ(t0, s0, e) => (t0, s0, e)
+      }
       (ctx.docFreq.get(t), termBlocks.get(t)) match {
         case (Some(df), Some(blocks)) if df > 0 =>
           val scorer = ctx.sim.scorer(boost, df, ctx.ttfOf(t), ctx.stats)
@@ -208,7 +212,7 @@ object ScorerBuilder {
           new SpanFirstScorer(
             new TermIterator(blocks, ctx.sim.scorer(1f, df, ctx.ttfOf(t), ctx.stats),
               lo, hi, null, ctx.counters, live),
-            end, scorer, dScorer)
+            start, end, scorer, dScorer)
         case _ => EmptyScorer
       }
 

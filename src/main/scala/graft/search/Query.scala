@@ -82,6 +82,13 @@ final case class SpanContainingQ(big: SpanNearQ, little: String) extends Query
   * condition is p + 1 <= end. freq counts qualifying occurrences. */
 final case class SpanFirstQ(term: String, end: Int) extends Query
 
+/** SpanPositionRangeQuery (reference:
+  * lucene/core/src/java/org/apache/lucene/search/spans/SpanPositionRangeQuery.java
+  * `acceptPosition`: keep spans with startPosition >= start AND
+  * endPosition <= end — SpanFirstQuery is the start=0 special case). */
+final case class SpanPosRangeQ(term: String, start: Int, end: Int)
+  extends Query
+
 /** Max-of-disjuncts scoring: score = max + tieBreak * Σ(other matching
   * clauses) (reference:
   * lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java). */
@@ -262,6 +269,7 @@ object Query {
     case SpanNotQ(inc, excl) => inc.spanTerms.toSet + excl
     case SpanContainingQ(big, little) => big.spanTerms.toSet + little
     case SpanFirstQ(t, _) => Set(t)
+    case SpanPosRangeQ(t, _, _) => Set(t)
     case SynonymQ(ts) => ts.toSet
     case SynonymBoostQ(ts) => ts.map(_._1).toSet
     case BlendedTermQ(ts, _) => ts.toSet
@@ -280,7 +288,7 @@ object Query {
     * posIn opened only when FieldInfo has positions AND the caller asks). */
   def needsPositions(q: Query): Boolean = q match {
     case _: PhraseQ | _: SpanNearQ | _: SpanOrNearQ | _: SpanNotQ |
-         _: SpanContainingQ | _: SpanFirstQ => true
+         _: SpanContainingQ | _: SpanFirstQ | _: SpanPosRangeQ => true
     case BoolQ(m, s, n, _) => (m ++ s ++ n).exists(needsPositions)
     case DisMaxQ(ds, _) => ds.exists(needsPositions)
     case BoostQ(sub, _) => needsPositions(sub)

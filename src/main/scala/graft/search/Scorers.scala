@@ -1063,6 +1063,7 @@ final class SpanOrNearScorer(
   * occurrences (p + 1 <= end). */
 final class SpanFirstScorer(
     term: TermIterator,
+    start: Int,
     end: Int,
     scorer: SimScorer,
     dScorer: DoubleSimScorer = null) extends DocScorer {
@@ -1089,7 +1090,10 @@ final class SpanFirstScorer(
     val ps = term.positionsOfCurrent()
     var c = 0
     var i = 0
-    while (i < ps.length && ps(i) + 1 <= end) { c += 1; i += 1 }
+    while (i < ps.length && ps(i) + 1 <= end) {
+      if (ps(i) >= start) c += 1
+      i += 1
+    }
     c
   }
 

@@ -110,6 +110,11 @@ object XmlQueryParser {
       val kids = spanTerms(e)
       require(kids.size == 1, "SpanFirst takes one SpanTerm child")
       SpanFirstQ(kids.head, attrI(e, "end", 1))
+    case "SpanPositionRange" =>
+      // builders/SpanPositionRangeBuilder.java:37-48 (start/end attrs)
+      val kids = spanTerms(e)
+      require(kids.size == 1, "SpanPositionRange takes one SpanTerm child")
+      SpanPosRangeQ(kids.head, attrI(e, "start", 0), attrI(e, "end", 1))
     case other =>
       throw new IllegalArgumentException(s"unsupported XML query element: <$other>")
   })
