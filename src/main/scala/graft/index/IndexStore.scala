@@ -214,6 +214,34 @@ object IndexStore {
     next
   }
 
+  /** MultiPassIndexSplitter (reference:
+    * lucene/misc/src/java/org/apache/lucene/index/MultiPassIndexSplitter.java
+    * — each output part is the SAME index viewed through a
+    * `FakeDeleteIndexReader`: in-memory fake deletes hide every other
+    * part's documents; nothing is copied or re-encoded). Zero data
+    * movement here too: every part shares the docs/blocks/termStats
+    * Datasets and differs only in its tombstone overlay. Collection stats
+    * keep counting hidden docs exactly like the reference (fake deletes
+    * never touch segment stats). `keeps(i)` = the docIds part i retains;
+    * its tombstones = all docs minus keeps(i), plus any real deletes. The
+    * anti-join is one keyed shuffle per part — the same cost shape at any
+    * scale, never a rewrite of the postings. */
+  def split(index: GraftIndex, keeps: Seq[Dataset[Long]]): Seq[GraftIndex] = {
+    import index.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    keeps.map { keep =>
+      val hidden = index.docs.select(col("docId")).as[Long]
+        .join(keep.toDF("_k"), col("docId") === col("_k"), "left_anti")
+        .select(col("docId")).as[Long]
+      val dels =
+        if (index.hasDeletes) hidden.union(index.deletes).distinct()
+        else hidden
+      new GraftIndex(index.spark, index.docs, index.blocks, index.termStats,
+        index.fieldStats, dels, hasDeletes = true, index.indexSort,
+        index.sortRunBases, index.docValues)
+    }
+  }
+
   /** Current numeric docvalues (empty if none committed). */
   def readDocValues(spark: SparkSession, indexDir: String, m: Manifest): Dataset[DocValueRow] = {
     import spark.implicits._

@@ -1290,6 +1290,53 @@ object FulltextQueries {
           col("len").cast("long").as("n_tokens"))
         .orderBy("lang", "rnk")
     }),
+    // MultiPassIndexSplitter (IndexStore.split scaladoc — lucene/misc/.../
+    // index/MultiPassIndexSplitter.java FakeDeleteIndexReader): the index
+    // split into 2 parts by doc_id parity, zero data movement (each part =
+    // the same segment tables + a tombstone overlay). Every part answers
+    // the same query independently; the labeled union must equal the full
+    // match set — the splitter's correctness contract.
+    "ft_index_split" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val map = DocsIndex.docIdMap(index)
+      val keeps = (0 until 2).map(p =>
+        map.filter(col("doc_id") % 2 === p).select("docId").as[Long])
+      val parts = graft.index.IndexStore.split(index, keeps)
+      val q = searcher.parse("vector AND table")
+      parts.zipWithIndex.map { case (pidx, p) =>
+        new graft.search.GraftSearcher(pidx, graft.analysis.Analyzers.simple)
+          .matchesDS(q).toDF("docId").withColumn("part", lit(p.toLong))
+      }.reduce(_ unionByName _)
+        .join(map, "docId")
+        .select(col("part"), col("doc_id"))
+        .orderBy("part", "doc_id")
+    }),
+    // Grouping with SEPARATE groupSort and withinGroupSort (reference:
+    // lucene/grouping/src/java/org/apache/lucene/search/grouping/
+    // TopGroupsCollector.java — groups ranked by their best hit's score,
+    // docs inside each group by their own sort; TopGroups.java carries
+    // both sorts): top-2 lang groups by max BM25 of 'vector', top-2 docs
+    // within each by (score desc, docId asc). Group heads are one grouped
+    // agg; the within-group rank windows partition by group key.
+    "ft_group_sort" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val heads = scored.groupBy("lang").agg(max(col("score")).as("head"))
+        .orderBy(desc("head"), asc("lang")).limit(2)
+        .withColumn("grp_rank", row_number()
+          .over(Window.orderBy(desc("head"), asc("lang"))).cast("long"))
+      val w = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+      scored.join(broadcast(heads.select("lang", "grp_rank")), "lang")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("grp_rank"), col("lang"), col("rnk"), col("doc_id"),
+          col("score"))
+        .orderBy("grp_rank", "rnk")
+    }),
     // SignificantTermsStream: terms over-represented in the 'spark' match set
     // vs the whole corpus (score = ln of the doc-frequency lift). fg counts
     // come from decoding the REAL posting blocks and semi-joining the match
@@ -3523,6 +3570,34 @@ object FulltextQueries {
          |WHERE len(list_filter(generate_series(1, least(len(tk), 10)),
          |        i -> tk[i] = 'spark')) > 0
          |ORDER BY doc_id""".stripMargin,
+    // split parts partition the match set by doc_id parity, losslessly
+    "ft_index_split" ->
+      s"""SELECT doc_id % 2 AS part, doc_id
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector') AND list_contains(tk, 'table')
+         |ORDER BY part, doc_id""".stripMargin,
+    // grouped by best-hit score, within-group by (score, doc_id)
+    "ft_group_sort" ->
+      s"""$PRELUDE,
+         |sc AS (
+         |  SELECT dl.doc_id, round(s, 4) AS score FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st) dl WHERE tf > 0),
+         |lbl AS (SELECT sc.doc_id, sc.score, d.lang
+         |        FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |hr AS (
+         |  SELECT lang, CAST(row_number() OVER (ORDER BY head DESC, lang)
+         |    AS BIGINT) AS grp_rank
+         |  FROM (SELECT lang, max(score) AS head FROM lbl GROUP BY lang
+         |        ORDER BY head DESC, lang LIMIT 2)),
+         |r AS (
+         |  SELECT hr.grp_rank, lbl.lang, lbl.doc_id, lbl.score,
+         |    CAST(row_number() OVER (PARTITION BY lbl.lang
+         |      ORDER BY lbl.score DESC, lbl.doc_id) AS BIGINT) AS rnk
+         |  FROM lbl JOIN hr ON lbl.lang = hr.lang)
+         |SELECT grp_rank, lang, rnk, doc_id, score FROM r
+         |WHERE rnk <= 2 ORDER BY grp_rank, rnk""".stripMargin,
     // span position range [5,20): SQL 1-indexed i in [start+1, end]
     "ft_span_posrange" ->
       s"""$PRELUDE

@@ -1584,6 +1584,59 @@ object RelationalQueries {
             | 5, 1.0 - q*q*q*q*q*q) AS (k, cdf)""".stripMargin)
         .orderBy("k")
     }),
+    // rank transform (Solr math `rank`, reference: solr/solrj/src/java/org/
+    // apache/solr/client/solrj/io/eval/RankEvaluator.java → commons-math
+    // NaturalRanking, ties averaged): the mannWhitney half-unit discipline
+    // standalone — 2·rank stays an exact BIGINT (2·cum + c + 1), the
+    // averaged rank is ONE division by 2. One grouped agg + one cumulative
+    // window over the aggregated value table (bounded by value cardinality).
+    "q_rank" -> ((spark, sfDir) => {
+      val byVal = t(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .selectExpr("CAST(floor(value * 100) AS BIGINT) AS cents")
+        .groupBy("cents").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byVal.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+        .selectExpr("cents", "c",
+          "CAST(2 * cum + c + 1 AS DOUBLE) / 2.0 AS avg_rank")
+        .orderBy("cents").limit(20)
+    }),
+    // vector norms (Solr math l1norm / linfnorm / norm, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // L1NormEvaluator.java, LInfNormEvaluator.java, NormEvaluator.java →
+    // commons-math L1/LInf/L2): over floor(x*1000)-quantized embeddings —
+    // L1 and L∞ are exact BIGINTs, L2 is round4(sqrt of an exact sum).
+    // Map-only per row.
+    "q_vector_norms" -> ((spark, sfDir) => {
+      t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+        .select(col("vec_id"),
+          aggregate(col("v"), lit(0L), (a, x) => a + abs(x)).as("l1"),
+          aggregate(col("v"), lit(0L), (a, x) => greatest(a, abs(x)))
+            .as("linf"),
+          round(sqrt(aggregate(col("v"), lit(0L), (a, x) => a + x * x)
+            .cast("double")), 4).as("l2"))
+        .orderBy("vec_id")
+    }),
+    // Solr date math (operators/DateMath scaladoc — reference: solr/core/
+    // src/java/org/apache/solr/util/DateMathParser.java:46-68 — NOW with
+    // left-to-right +N/-N adds and /unit round-down, UTC): six expressions
+    // against a fixed anchor, each a pure typed map like the analyzer chain
+    // (no UDF registration, no driver loop); output epoch seconds so both
+    // engines hash integers
+    "q_datemath" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val anchor = java.time.Instant.parse("2024-03-15T13:45:30Z")
+      Seq("NOW/DAY", "NOW/HOUR+30MINUTES", "NOW+6MONTHS+3DAYS/DAY",
+          "NOW-1YEAR/MONTH", "NOW+90DAYS", "NOW/YEAR").toDS()
+        .map(e =>
+          (e, graft.operators.DateMath.eval(anchor, e).getEpochSecond))
+        .toDF("expr", "epoch_s")
+        .orderBy("expr")
+    }),
     // normalizeSum (Solr math, reference: solr/solrj/src/java/org/apache/
     // solr/client/solrj/io/eval/NormalizeSumEvaluator.java — scale a
     // vector so it sums to 1): per-lang doc counts over the corpus, each
@@ -2530,6 +2583,41 @@ object RelationalQueries {
         |  (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |  (SELECT count(*) AS tot FROM documents)
         |ORDER BY lang""".stripMargin,
+    "q_rank" ->
+      """WITH byval AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    count(*) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY cents)
+        |SELECT cents, c,
+        |  CAST(2 * cum + c + 1 AS DOUBLE) / 2.0 AS avg_rank
+        |FROM (
+        |  SELECT cents, c, coalesce(sum(c) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM byval)
+        |ORDER BY cents LIMIT 20""".stripMargin,
+    "q_vector_norms" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 5)
+        |SELECT vec_id,
+        |  list_sum(list_transform(v, x -> abs(x))) AS l1,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS linf,
+        |  round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)), 4) AS l2
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q_datemath" ->
+      """WITH a AS (SELECT TIMESTAMP '2024-03-15 13:45:30' AS t)
+        |SELECT expr, CAST(epoch(v) AS BIGINT) AS epoch_s FROM (
+        |  SELECT 'NOW/DAY' AS expr, date_trunc('day', t) AS v FROM a
+        |  UNION ALL SELECT 'NOW/HOUR+30MINUTES',
+        |    date_trunc('hour', t) + INTERVAL 30 MINUTE FROM a
+        |  UNION ALL SELECT 'NOW+6MONTHS+3DAYS/DAY',
+        |    date_trunc('day', t + INTERVAL 6 MONTH + INTERVAL 3 DAY) FROM a
+        |  UNION ALL SELECT 'NOW-1YEAR/MONTH',
+        |    date_trunc('month', t - INTERVAL 1 YEAR) FROM a
+        |  UNION ALL SELECT 'NOW+90DAYS', t + INTERVAL 90 DAY FROM a
+        |  UNION ALL SELECT 'NOW/YEAR', date_trunc('year', t) FROM a
+        |) ORDER BY expr""".stripMargin,
     "q_describe" ->
       """WITH m AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n0,
