@@ -1290,6 +1290,17 @@ object FulltextQueries {
           col("len").cast("long").as("n_tokens"))
         .orderBy("lang", "rnk")
     }),
+    // FuzzyLikeThisQuery (GraftSearcher.fuzzyLikeThis scaladoc — sandbox
+    // FuzzyLikeThisQuery.java, ignoreTF mode): three misspelled words,
+    // each fuzzy-matched against the dictionary; docs score the sum of
+    // matched variants' boost²·idf
+    "ft_fuzzy_like_this" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.fuzzyLikeThis(Seq("joib", "tabel", "vektor"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // MultiPassIndexSplitter (IndexStore.split scaladoc — lucene/misc/.../
     // index/MultiPassIndexSplitter.java FakeDeleteIndexReader): the index
     // split into 2 parts by doc_id parity, zero data movement (each part =
@@ -3570,6 +3581,38 @@ object FulltextQueries {
          |WHERE len(list_filter(generate_series(1, least(len(tk), 10)),
          |        i -> tk[i] = 'spark')) > 0
          |ORDER BY doc_id""".stripMargin,
+    // fuzzy-like-this: variants by damerau distance, shared per-word idf
+    "ft_fuzzy_like_this" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |stc AS (SELECT count(*) AS n FROM toks),
+         |dict AS (
+         |  SELECT term, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(tk)) AS term FROM toks)
+         |  GROUP BY term),
+         |words AS (SELECT unnest(['joib', 'tabel', 'vektor']) AS src),
+         |vars AS (
+         |  SELECT w.src, d.term, d.df,
+         |    1.0 - CAST(damerau_levenshtein(w.src, d.term) AS DOUBLE)
+         |          / least(length(w.src), length(d.term)) AS b
+         |  FROM words w JOIN dict d
+         |    ON damerau_levenshtein(w.src, d.term) <= 1),
+         |wdf AS (
+         |  SELECT src,
+         |    coalesce(max(CASE WHEN term = src THEN df END),
+         |             CAST(sum(df) AS BIGINT) // count(*)) AS src_df
+         |  FROM vars GROUP BY src),
+         |scored AS (
+         |  SELECT v.term,
+         |    CAST(floor(v.b * v.b *
+         |      (ln((stc.n + 1.0) / (wdf.src_df + 1.0)) + 1.0) * 1e6)
+         |      AS BIGINT) AS micro
+         |  FROM vars v JOIN wdf ON v.src = wdf.src, stc),
+         |hits AS (
+         |  SELECT t.doc_id, sum(s.micro) AS m
+         |  FROM toks t JOIN scored s ON list_contains(t.tk, s.term)
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(m AS DOUBLE) / 1e6 AS score
+         |FROM hits ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // split parts partition the match set by doc_id parity, losslessly
     "ft_index_split" ->
       s"""SELECT doc_id % 2 AS part, doc_id

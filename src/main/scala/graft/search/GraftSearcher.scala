@@ -542,6 +542,53 @@ final class GraftSearcher(
     expanded.map(Query.multiPhrase).getOrElse(MatchNoneQ)
   }
 
+  /** FuzzyLikeThisQuery, ignoreTF mode (reference:
+    * lucene/sandbox/src/java/org/apache/lucene/sandbox/queries/FuzzyLikeThisQuery.java
+    * — addTerms :188-247, rewrite :277-340, ignoreTF ConstantScore :261-265):
+    * per source word, fuzzy variants enumerate off the dictionary
+    * (transpositions=true, matching the FuzzyTermsEnum call :207) with
+    * similarity boost 1 − dist/min(len); all variants of a word share one
+    * idf whose df is the word's own docFreq, or the INTEGER-AVERAGED variant
+    * df when the word is absent (:230-233); the ranking score is
+    * boost² · ClassicSimilarity.idf = ln((N+1)/(df+1)) + 1 (:240). A doc
+    * scores the SUM of its matched variants' scores (the SHOULD-of-
+    * constant-score-variants shape the rewrite builds). Scores are
+    * micro-quantized to floor(1e6·s) integers before the per-doc sum, so
+    * the addition order across variants can never perturb the result —
+    * the double-precision oracle recomputes every step. One dictionary
+    * scan per word + one postings fetch per variant (a k-clause
+    * disjunction's cost shape). */
+  def fuzzyLikeThis(words: Seq[String], maxEdits: Int = 1): DataFrame = {
+    import spark.implicits._
+    val n = fieldStats.docCount
+    val variantRows: Seq[(String, Long)] = words.flatMap { w =>
+      val fq = FuzzyQ(w, maxEdits, 0, transpositions = true)
+      val fqB = fq
+      val variants = index.termStats
+        .filter(Query.scanPrefilter(fq))
+        .filter(ts => fqB.matches(ts.term))
+        .map(ts => (ts.term, ts.docFreq))
+        .collect().sortBy(_._1).toSeq
+      if (variants.isEmpty) Nil
+      else {
+        val dfSrc = variants.find(_._1 == w).map(_._2)
+          .getOrElse(variants.map(_._2).sum / variants.length)
+        val idf = math.log((n + 1).toDouble / (dfSrc + 1).toDouble) + 1.0
+        variants.map { case (t, _) =>
+          val b = 1.0 - Query.damerauLevenshtein(w, t).toDouble /
+            math.min(w.length, t.length).toDouble
+          (t, math.floor(b * b * idf * 1e6).toLong)
+        }
+      }
+    }
+    import org.apache.spark.sql.functions.{col, lit, sum => sqlSum}
+    variantRows.map { case (t, micro) =>
+      matchesDS(TermQ(t)).toDF("docId").withColumn("micro", lit(micro))
+    }.reduce(_ unionByName _)
+      .groupBy("docId")
+      .agg((sqlSum(col("micro")).cast("double") / lit(1e6)).as("score"))
+  }
+
   /** CommonTermsQuery (reference:
     * lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:123-180
     * `buildQuery`): terms whose docFreq exceeds `maxTermFrequency * docCount`
