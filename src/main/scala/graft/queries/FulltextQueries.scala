@@ -553,6 +553,24 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("popularity"))
     }),
+    // IndexOrDocValuesQuery / numeric range over docvalues (reference:
+    // lucene/core/src/java/org/apache/lucene/search/IndexOrDocValuesQuery.java
+    // — a range verified against the doc-values when it rides another
+    // query's match set, instead of a points scan; sandbox
+    // IndexSortSortedNumericDocValuesRangeQuery.java is the sorted-index
+    // variant): 'merge' matches filtered to popularity ∈ [40, 200] off the
+    // gen-stacked dv table (latest generation wins, like ft_dv_update).
+    // The dv join is keyed on docId — a verify-per-candidate, never a scan.
+    "ft_dv_range" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithDocValues(spark, sfDir)
+      searcher.matchesDS(graft.search.TermQ("merge")).toDF("docId")
+        .join(index.docValues.toDF().filter(col("field") === "popularity")
+          .select(col("docId"), col("value")), "docId")
+        .filter(col("value") >= 40 && col("value") <= 200)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("value").as("popularity"))
+        .orderBy("doc_id")
+    }),
     // query-time join (lucene/join JoinUtil.createJoinQuery): select every
     // doc whose join-field value (the source label, stored in `commit`)
     // occurs among the docs matching the from-query — from-side values are a
@@ -2690,6 +2708,17 @@ object FulltextQueries {
     "ft_match_docvalues" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') AND len(tk) BETWEEN 50 AND 80
+         |ORDER BY doc_id""".stripMargin,
+    // dv range rides the match set; popularity = the stacked-gen CASE
+    "ft_dv_range" ->
+      s"""SELECT doc_id, popularity FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN 1000000 + doc_id
+         |         WHEN doc_id % 5 = 0 THEN 777
+         |         ELSE len(tk) END AS popularity, tk
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |WHERE list_contains(tk, 'merge')
+         |  AND popularity BETWEEN 40 AND 200
          |ORDER BY doc_id""".stripMargin,
     "ft_join" ->
       """SELECT doc_id FROM documents
