@@ -571,6 +571,24 @@ object FulltextQueries {
         .select(col("doc_id"), col("value").as("popularity"))
         .orderBy("doc_id")
     }),
+    // DocValuesStats collector (reference: lucene/misc/src/java/org/
+    // apache/lucene/misc/search/DocValuesStats.java + DocValuesStatsCollector
+    // — count/min/max/sum/mean/variance of a numeric dv over a query's
+    // match set): one distributed agg of exact BIGINT moments over the
+    // match-set∙dv join; mean and sample variance are shared expression
+    // text (identical IEEE sequence on identical exact operands).
+    "ft_dv_stats" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithDocValues(spark, sfDir)
+      searcher.matchesDS(graft.search.TermQ("merge")).toDF("docId")
+        .join(index.docValues.toDF().filter(col("field") === "popularity")
+          .select(col("docId"), col("value")), "docId")
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+          max("value").as("max_v"), sum("value").as("s"),
+          sum(expr("value * value")).as("q"))
+        .selectExpr("n", "min_v", "max_v", "s",
+          "round(CAST(s AS DOUBLE) / n, 4) AS mean_v",
+          "round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 4) AS var_v")
+    }),
     // query-time join (lucene/join JoinUtil.createJoinQuery): select every
     // doc whose join-field value (the source label, stored in `commit`)
     // occurs among the docs matching the from-query — from-side values are a
@@ -2720,6 +2738,19 @@ object FulltextQueries {
          |WHERE list_contains(tk, 'merge')
          |  AND popularity BETWEEN 40 AND 200
          |ORDER BY doc_id""".stripMargin,
+    // DocValuesStats over the 'merge' match set; popularity = the same
+    // stacked-gen CASE as ft_dv_range
+    "ft_dv_stats" ->
+      s"""SELECT count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+         |  sum(v) AS s,
+         |  round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_v,
+         |  round((CAST(sum(v * v) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * sum(v) / count(*)) / (count(*) - 1), 4) AS var_v
+         |FROM (
+         |  SELECT CASE WHEN doc_id % 10 = 0 THEN 1000000 + doc_id
+         |       WHEN doc_id % 5 = 0 THEN 777
+         |       ELSE len(tk) END AS v
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'merge'))""".stripMargin,
     "ft_join" ->
       """SELECT doc_id FROM documents
         |WHERE source IN (SELECT source FROM documents

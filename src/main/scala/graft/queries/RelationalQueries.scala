@@ -857,6 +857,78 @@ object RelationalQueries {
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // HistogramEvaluator.java): two agg passes (bounds, then bin counts via
     // a broadcast of the 1-row bounds), never a collect. Bin arithmetic is
+    // Spearman's rank correlation (Solr math `spearmansCorr`, reference:
+    // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // SpearmansCorrelationEvaluator.java → commons-math
+    // SpearmansCorrelation = Pearson over tie-averaged ranks): ranks kept
+    // in exact half-units (2·rank is a BIGINT — the q_rank discipline),
+    // centered by the exact constant n+1 (the mean of 2·rank) so every
+    // moment stays inside BIGINT / a double's 53-bit mantissa; the final
+    // formula is ONE shared text over three exact sums. The rank windows
+    // run over the grouped VALUE tables (small however big the fact
+    // table); rows join back distributed.
+    "q_spearman" -> ((spark, sfDir) => {
+      def rows = t(spark, sfDir, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) AS x",
+          "CAST(round(l_extendedprice) AS BIGINT) AS y")
+      // fresh scan per rank table: distinct attribute lineage keeps the
+      // join-back clear of Spark's ambiguous-self-join check
+      def rankTab(c: String, out: String): DataFrame = {
+        val byVal = rows.groupBy(c).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+        byVal.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+          .selectExpr(c, s"2 * cum + c + 1 AS $out")
+      }
+      rows.join(rankTab("x", "rx2"), "x").join(rankTab("y", "ry2"), "y")
+        .crossJoin(broadcast(rows.agg((count(lit(1)) + lit(1L)).as("np1"))))
+        .selectExpr("rx2 - np1 AS dx", "ry2 - np1 AS dy")
+        .agg(sum(expr("dx * dy")).as("sdxy"),
+          sum(expr("dx * dx")).as("sdx2"),
+          sum(expr("dy * dy")).as("sdy2"))
+        .selectExpr(s"$spearmanExpr AS spearman")
+    }),
+    // Kendall's tau-b (Solr math `kendallsCorr`, reference: solr/solrj/
+    // src/java/org/apache/solr/client/solrj/io/eval/
+    // KendallsCorrelationEvaluator.java → commons-math
+    // KendallsCorrelation): 24 hourly (count, cents) points ⇒ the O(n²)
+    // pair sweep is a bounded 276-row self-join over the POST-AGG series,
+    // never a collect; concordant−discordant and both tie-pair counts are
+    // exact BIGINTs, tau-b = two sqrts + one division of shared text.
+    "q_kendall" -> ((spark, sfDir) => {
+      val s = t(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .selectExpr("hour(ts) AS h", "CAST(floor(value * 100) AS BIGINT) AS cents")
+        .groupBy("h").agg(count(lit(1)).as("x"), sum("cents").as("y"))
+      val a = s.selectExpr("h AS h1", "x AS x1", "y AS y1")
+      val b = s.selectExpr("h AS h2", "x AS x2", "y AS y2")
+      a.join(b, col("h1") < col("h2"))
+        .agg(
+          sum(expr("CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 " +
+            "WHEN (x1 - x2) * (y1 - y2) < 0 THEN -1 ELSE 0 END")).as("cmd"),
+          count(lit(1)).as("n0"),
+          sum(expr("CASE WHEN x1 = x2 THEN 1 ELSE 0 END")).as("n1"),
+          sum(expr("CASE WHEN y1 = y2 THEN 1 ELSE 0 END")).as("n2"))
+        .selectExpr("cmd", s"$kendallExpr AS tau_b")
+    }),
+    // distance-radius filter (`LatLonPoint.newDistanceQuery`, reference:
+    // lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java +
+    // LatLonPointDistanceQuery — a bounding-box prune then per-point
+    // haversine verify): the conservative-superset box predicate is the
+    // parquet min/max prune analogue (scan-pushed, semantics-neutral);
+    // the verify reuses q_geodist's shared-text haversine. Box bounds:
+    // Δlat = r/111.045 ≤ 13.6°, Δlon = asin(sin(r/R)/cos(lat₀)) ≤ 20.8°,
+    // widened to ±14.9/±22 for slack.
+    "q_geo_radius" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
+        .filter(col("lat").between(33.95, 63.75) &&
+          col("lon").between(-19.65, 24.35))
+        .withColumn("dist_km",
+          expr(s"floor(${havSql("lat", "lon", "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE)"))
+        .filter(col("dist_km") <= 1500.0)
+        .select("c_custkey", "dist_km")
+        .orderBy(asc("c_custkey"))
+    }),
     // exact double on small ints — identical in both engines.
     "q_hist" -> ((spark, sfDir) => {
       val x = t(spark, sfDir, "lineitem")
@@ -1746,6 +1818,17 @@ object RelationalQueries {
       s"(sqrt(CAST(n AS DOUBLE) * q$i$i - CAST(s$i AS DOUBLE) * s$i) * " +
       s"sqrt(CAST(n AS DOUBLE) * q$j$j - CAST(s$j AS DOUBLE) * s$j)), 4)"
 
+  /** Spearman over centered half-unit ranks (dx = 2·rank − (n+1), exact
+    * BIGINT): ρ = Σdxdy / (√Σdx²·√Σdy²) — ONE shared text. */
+  private val spearmanExpr =
+    "round(CAST(sdxy AS DOUBLE) / " +
+      "(sqrt(CAST(sdx2 AS DOUBLE)) * sqrt(CAST(sdy2 AS DOUBLE))), 4)"
+
+  /** Kendall tau-b over exact pair counts: (C−D)/√((n0−n1)(n0−n2)). */
+  private val kendallExpr =
+    "round(CAST(cmd AS DOUBLE) / " +
+      "(sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))), 4)"
+
   /** Welch's t over per-group exact sums (n, s=Σx, q=Σx²): t =
     * (m1−m2)/sqrt(v1/n1 + v2/n2), v from the sum-of-squares identity —
     * shared expression text so Spark and DuckDB run the identical IEEE op
@@ -2228,6 +2311,39 @@ object RelationalQueries {
          |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
          |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
          |               CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem))""".stripMargin,
+    "q_spearman" ->
+      s"""WITH rows_ AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+         |  rx AS (SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx2
+         |    FROM (SELECT x, count(*) AS c FROM rows_ GROUP BY x)),
+         |  ry AS (SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry2
+         |    FROM (SELECT y, count(*) AS c FROM rows_ GROUP BY y)),
+         |  np AS (SELECT count(*) + 1 AS np1 FROM rows_),
+         |  d AS (SELECT rx2 - np1 AS dx, ry2 - np1 AS dy
+         |    FROM rows_ JOIN rx USING (x) JOIN ry USING (y), np)
+         |SELECT $spearmanExpr AS spearman FROM (
+         |  SELECT sum(dx * dy) AS sdxy, sum(dx * dx) AS sdx2,
+         |    sum(dy * dy) AS sdy2 FROM d)""".stripMargin,
+    "q_kendall" ->
+      s"""WITH s AS (SELECT hour(ts) AS h, count(*) AS x,
+         |    sum(CAST(floor(value * 100) AS BIGINT)) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY h),
+         |  p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |    FROM s a JOIN s b ON a.h < b.h)
+         |SELECT cmd, $kendallExpr AS tau_b FROM (
+         |  SELECT sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1
+         |      WHEN (x1 - x2) * (y1 - y2) < 0 THEN -1 ELSE 0 END) AS cmd,
+         |    count(*) AS n0,
+         |    sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS n1,
+         |    sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS n2 FROM p)""".stripMargin,
+    "q_geo_radius" ->
+      s"""SELECT c_custkey,
+         |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km
+         |FROM customer
+         |WHERE floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) <= 1500.0
+         |ORDER BY c_custkey""".stripMargin,
     "q_ttest" ->
       s"""SELECT n1, n2, $ttestExpr AS t_stat FROM
          |  (SELECT count(*) AS n1, sum(x) AS s1, sum(x * x) AS q1 FROM

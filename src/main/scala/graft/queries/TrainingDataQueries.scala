@@ -160,6 +160,38 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
         .orderBy("h")
     }),
+    // Solr SignatureUpdateProcessor with TextProfileSignature (reference:
+    // solr/core/src/java/org/apache/solr/update/processor/
+    // TextProfileSignature.java:66-137, the Nutch page-profile dedup hash):
+    // letter-or-digit token runs lowercased, length > 2 kept, counts
+    // quantized down to multiples of QUANT = round(maxFreq·0.01) (floored
+    // at 2 when maxFreq > 1, else 1), below-QUANT tokens dropped, profile
+    // = "tok cnt" lines sorted by count DESC, MD5 of the profile text.
+    // The reference's tie order within equal counts is HashMap iteration
+    // order (nondeterministic across JVMs); we pin ties to term ASC so
+    // signatures are reproducible across runs and cluster sizes — a
+    // documented strengthening. All arithmetic is exact DECIMAL/BIGINT;
+    // one token explode + two map-side-combinable shuffles per doc key.
+    "td_signature" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnts = docs(spark, sfDir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), explode(expr(TOKS)).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val q = cnts
+        .withColumn("maxf", max("cnt").over(Window.partitionBy("doc_id")))
+        .withColumn("quant", expr(
+          "CASE WHEN floor(maxf * 0.01 + 0.5) >= 2 " +
+            "THEN CAST(floor(maxf * 0.01 + 0.5) AS BIGINT) " +
+            "WHEN maxf > 1 THEN 2 ELSE 1 END"))
+        .withColumn("qcnt", expr("(cnt DIV quant) * quant"))
+        .filter(col("qcnt") >= col("quant"))
+      q.groupBy("doc_id")
+        .agg(md5(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(named_struct('nq', -qcnt, 'tok', tok))), " +
+            "s -> concat(s.tok, ' ', CAST(-s.nq AS STRING)))"))).as("sig"))
+        .orderBy("doc_id")
+    }),
     // MinHash -> banded LSH candidates (equi-joins, the scale path)
     // -> exact-Jaccard verify at >= 0.8 (candidate/verify pattern).
     // Contract demo config: 4 perms / 2 bands of 2.
@@ -1665,6 +1697,25 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // TextProfileSignature replicated in SQL: same tokenization, same
+    // DECIMAL-exact quantization, same "tok cnt" newline profile, same md5
+    "td_signature" ->
+      s"""WITH cnts AS (
+         |  SELECT doc_id, tok, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest($TOKS) AS tok FROM documents
+         |    WHERE doc_id < 40)
+         |  WHERE length(tok) >= 3 GROUP BY doc_id, tok),
+         |q AS (
+         |  SELECT doc_id, tok, (cnt // quant) * quant AS qcnt, quant FROM (
+         |    SELECT *, CASE WHEN floor(maxf * 0.01 + 0.5) >= 2
+         |        THEN CAST(floor(maxf * 0.01 + 0.5) AS BIGINT)
+         |        WHEN maxf > 1 THEN 2 ELSE 1 END AS quant
+         |    FROM (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS maxf
+         |          FROM cnts)))
+         |SELECT doc_id,
+         |  md5(string_agg(tok || ' ' || qcnt, chr(10)
+         |    ORDER BY qcnt DESC, tok)) AS sig
+         |FROM q WHERE qcnt >= quant GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // CMS accuracy contract: exact heavy-hitter counts plus the guarantee
     // verdict — the oracle asserts the bound the sketch must meet, the
     // engine computes its side from the real d×w counters
