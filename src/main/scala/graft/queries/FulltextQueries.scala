@@ -589,6 +589,49 @@ object FulltextQueries {
           "round(CAST(s AS DOUBLE) / n, 4) AS mean_v",
           "round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 4) AS var_v")
     }),
+    // FunctionScoreQuery.boostByQuery (reference: lucene/queries/src/java/
+    // org/apache/lucene/queries/function/FunctionScoreQuery.java:101-104 —
+    // score of the main query multiplied by boostValue wherever the boost
+    // query also matches, unchanged elsewhere): the boost match set rides
+    // the same distributed scatter as a left join; x2.0 is an exact IEEE
+    // doubling of the already-4-decimal score, so the final round4 is
+    // reproducible bit-for-bit in the oracle.
+    "ft_boost_by_query" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val base = searcher.scoreAllDoubleDS(searcher.parse("merge")).toDF("docId", "s")
+      val boost = searcher.matchesDS(graft.search.TermQ("table")).toDF("docId")
+        .withColumn("hit", lit(1))
+      base.join(boost, Seq("docId"), "left")
+        .withColumn("score", round4Col(col("s") *
+          when(col("hit").isNotNull, lit(2.0)).otherwise(lit(1.0))))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // InetAddressPoint 1-D range query (reference: lucene/misc/src/java/
+    // org/apache/lucene/document/InetAddressPoint.java — IPs encoded to
+    // sortable bytes, ranges compared in the encoded domain): each doc
+    // carries a deterministic synthetic IPv4 (the ft_dv_range stacked-gen
+    // discipline); the engine round-trips dotted-string -> octets ->
+    // sortable u32 exactly like the codec's encode, then applies the range
+    // over the term match set. All integer arithmetic.
+    "ft_ip_range" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val withIp = searcher.matchesDS(graft.search.TermQ("hash")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .withColumn("ip", concat_ws(".", lit(10),
+          (col("doc_id") * 7919) % 256, (col("doc_id") * 104729) % 256,
+          col("doc_id") % 256))
+      val p = split(col("ip"), "\\.")
+      withIp
+        .withColumn("ipnum",
+          p.getItem(0).cast("long") * lit(16777216L) +
+            p.getItem(1).cast("long") * lit(65536L) +
+            p.getItem(2).cast("long") * lit(256L) + p.getItem(3).cast("long"))
+        .filter(col("ipnum").between(171966464L, 180355071L))
+        .select(col("doc_id"), col("ip"))
+        .orderBy("doc_id")
+    }),
     // query-time join (lucene/join JoinUtil.createJoinQuery): select every
     // doc whose join-field value (the source label, stored in `commit`)
     // occurs among the docs matching the from-query — from-side values are a
@@ -2751,6 +2794,33 @@ object FulltextQueries {
          |       ELSE len(tk) END AS v
          |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |  WHERE list_contains(tk, 'merge'))""".stripMargin,
+    // boostByQuery: BM25('merge') doubled where 'table' also matches
+    "ft_boost_by_query" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4) * (CASE WHEN list_contains(tk, 'table')
+         |    THEN 2.0 ELSE 1.0 END), 4) AS score
+         |FROM (
+         |  SELECT dl.doc_id, dl.tk, ${tfSql("merge")} AS tf,
+         |    ${bmSql(idfSql(dfSql("merge")), tfSql("merge"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // InetAddressPoint range [10.64.0.0, 10.191.255.255] over the 'hash'
+    // match set; same dotted-string -> u32 decode as the engine
+    "ft_ip_range" ->
+      s"""SELECT doc_id, ip FROM (
+         |  SELECT doc_id,
+         |    '10.' || ((doc_id * 7919) % 256) || '.' ||
+         |    ((doc_id * 104729) % 256) || '.' || (doc_id % 256) AS ip
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'hash'))
+         |WHERE CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         |    + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         |    + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         |    + CAST(string_split(ip, '.')[4] AS BIGINT)
+         |  BETWEEN 171966464 AND 180355071
+         |ORDER BY doc_id""".stripMargin,
     "ft_join" ->
       """SELECT doc_id FROM documents
         |WHERE source IN (SELECT source FROM documents

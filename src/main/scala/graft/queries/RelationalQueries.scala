@@ -857,6 +857,30 @@ object RelationalQueries {
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // HistogramEvaluator.java): two agg passes (bounds, then bin counts via
     // a broadcast of the 1-row bounds), never a collect. Bin arithmetic is
+    // [subquery] doc transformer (reference: solr/core/src/java/org/apache/
+    // solr/response/transform/SubQueryAugmenterFactory.java:52-66 — attach
+    // to every parent result doc the top-N rows of a second query keyed by
+    // a parent field): parents = top-5 orders by price, children = each
+    // parent's top-3 lineitems. The tiny parent set broadcasts; the child
+    // query runs ONE distributed window over the semi-joined fact slice —
+    // never a per-parent loop, which is the scale trap the reference's
+    // per-doc re-execution would hit at 100 TB.
+    "q_subquery" -> ((spark, sfDir) => {
+      val parents = t(spark, sfDir, "orders")
+        .selectExpr("o_orderkey",
+          "CAST(floor(o_totalprice * 100) AS BIGINT) AS ocents")
+        .orderBy(desc("ocents"), asc("o_orderkey")).limit(5)
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(desc("lcents"), asc("l_linenumber"))
+      t(spark, sfDir, "lineitem")
+        .selectExpr("l_orderkey AS o_orderkey", "l_linenumber",
+          "CAST(floor(l_extendedprice * 100) AS BIGINT) AS lcents")
+        .join(broadcast(parents.select("o_orderkey")), "o_orderkey")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .selectExpr("o_orderkey", "rn", "CAST(l_linenumber AS BIGINT) AS l_linenumber", "lcents")
+        .orderBy("o_orderkey", "rn")
+    }),
     // Spearman's rank correlation (Solr math `spearmansCorr`, reference:
     // solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // SpearmansCorrelationEvaluator.java → commons-math
@@ -2311,6 +2335,20 @@ object RelationalQueries {
          |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
          |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
          |               CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem))""".stripMargin,
+    "q_subquery" ->
+      """WITH p AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS ocents
+        |  FROM orders ORDER BY ocents DESC, o_orderkey LIMIT 5),
+        |c AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS lcents
+        |  FROM lineitem)
+        |SELECT o_orderkey, rn, l_linenumber, lcents FROM (
+        |  SELECT c.o_orderkey, c.l_linenumber, c.lcents,
+        |    row_number() OVER (PARTITION BY c.o_orderkey
+        |      ORDER BY c.lcents DESC, c.l_linenumber) AS rn
+        |  FROM c JOIN p USING (o_orderkey))
+        |WHERE rn <= 3 ORDER BY o_orderkey, rn""".stripMargin,
     "q_spearman" ->
       s"""WITH rows_ AS (SELECT CAST(l_quantity AS BIGINT) AS x,
          |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),

@@ -160,6 +160,25 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
         .orderBy("h")
     }),
+    // Sliding-window sequence chunking for LM training prep (the standard
+    // stride-overlap split: window 128 tokens, stride 64, so consecutive
+    // chunks share half their context — the shape every pretraining
+    // pipeline applies before packing). One explode per doc keyed by the
+    // chunk start offset: map-only, no shuffle, embarrassingly parallel at
+    // 100 TB. Emits per-chunk bounds + edge tokens so the oracle pins the
+    // exact slicing arithmetic (1-based, tail clamped, never empty).
+    "td_chunk" -> ((spark, sfDir) => {
+      docs(spark, sfDir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), expr(TOKS).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .withColumn("start", explode(expr("sequence(1, size(tk), 64)")))
+        .withColumn("chunk", expr("slice(tk, start, 128)"))
+        .selectExpr("doc_id", "CAST((start - 1) DIV 64 AS BIGINT) AS chunk_idx",
+          "CAST(size(chunk) AS BIGINT) AS n_tok",
+          "element_at(chunk, 1) AS head_tok",
+          "element_at(chunk, -1) AS tail_tok")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // Solr SignatureUpdateProcessor with TextProfileSignature (reference:
     // solr/core/src/java/org/apache/solr/update/processor/
     // TextProfileSignature.java:66-137, the Nutch page-profile dedup hash):
@@ -1697,6 +1716,17 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // stride-64/window-128 chunking: same 1-based slice, same tail clamp
+    "td_chunk" ->
+      s"""SELECT doc_id, (start - 1) // 64 AS chunk_idx,
+         |  len(tk[start : start + 127]) AS n_tok,
+         |  tk[start] AS head_tok,
+         |  tk[least(len(tk), start + 127)] AS tail_tok
+         |FROM (
+         |  SELECT doc_id, tk, unnest(generate_series(1, len(tk), 64)) AS start
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id < 200)
+         |  WHERE len(tk) > 0)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // TextProfileSignature replicated in SQL: same tokenization, same
     // DECIMAL-exact quantization, same "tok cnt" newline profile, same md5
     "td_signature" ->
