@@ -185,6 +185,15 @@ final case class Analyzer(
       * `abc a def`, not `abcadef`) — entities at word boundaries, the
       * overwhelmingly common case, behave identically. */
     htmlStrip: Boolean = false,
+    /** `CommonGramsFilter` (reference: lucene/analysis/common/src/java/org/
+      * apache/lucene/analysis/commongrams/CommonGramsFilter.java): unigrams
+      * pass through unchanged; every adjacent pair whose FIRST or SECOND
+      * member is a common word additionally emits the gram `a_b`
+      * (GRAM_TYPE, '_' separator :47) STACKED at the first member's
+      * position (posIncrement 0 — :139-149), so grams never inflate the
+      * discountOverlaps field length and phrase queries over stopword pairs
+      * collapse to one cheap term lookup (CommonGramsQueryFilter). */
+    commonWords: Set[String] = Set.empty,
     /** `ASCIIFoldingFilter` subset (reference: lucene/analysis/common/src/
       * java/org/apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.java:
       * foldToASCII) applied per-term after LowerCaseFilter: NFD-decomposable
@@ -325,10 +334,27 @@ final case class Analyzer(
         }
       }
     }
-    if (shingleSize <= 1) base
-    else base.sliding(shingleSize).withPartial(false).map { w =>
+    if (shingleSize > 1) base.sliding(shingleSize).withPartial(false).map { w =>
       Token(w.iterator.map(_.term).mkString("_"),
         w.head.position, w.head.startOffset, w.last.endOffset)
+    }
+    else if (commonWords.isEmpty) base
+    else {
+      // CommonGramsFilter: interleave each gram right after its first
+      // member so positions stay nondecreasing for invert's length count.
+      val toks = base.toArray
+      toks.iterator.zipWithIndex.flatMap { case (a, i) =>
+        val gram =
+          if (i + 1 < toks.length) {
+            val b = toks(i + 1)
+            if ((commonWords.contains(a.term) || commonWords.contains(b.term)) &&
+                b.position == a.position + 1)
+              Iterator.single(
+                Token(a.term + "_" + b.term, a.position, a.startOffset, b.endOffset))
+            else Iterator.empty
+          } else Iterator.empty
+        Iterator.single(a) ++ gram
+      }
     }
   }
 
@@ -533,6 +559,12 @@ object Analyzers {
     * merged surface forms. */
   val synonymSlowFast: Analyzer =
     Analyzer(simple = true, synonyms = Map("slow" -> "fast"))
+
+  /** `CommonGramsFilter` over the SQL-expressible tokenizer with the
+    * corpus's two stopwords as common words — stopword-adjacent bigrams
+    * stack beside the unigrams so a phrase like "the table" executes as one
+    * term lookup (`ft_commongrams`). */
+  val commonGrams: Analyzer = Analyzer(simple = true, commonWords = Set("a", "the"))
 
   /** UAX#29 tokenizer + LowerCase + ASCIIFolding — the accent-insensitive
     * chain (Lucene's ASCIIFoldingFilterFactory in a standard chain). The

@@ -137,6 +137,19 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.shingle2))
       })
 
+  /** CommonGramsFilter chain ({a, the} as common words): unigrams plus
+    * stopword-adjacent bigrams stacked at the first member's position —
+    * the index behind `ft_commongrams`, where a stopword phrase runs as a
+    * single gram-term lookup instead of a positional phrase. */
+  def getCommonGrams(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#cg", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.commonGrams))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.commonGrams))
+      })
+
   /** Same corpus rewritten into camelCase compound identifiers (adjacent
     * token pairs joined as `t1` + capitalize(`t2`); an odd trailing token
     * stays bare) and indexed through the WordDelimiterGraphFilter chain

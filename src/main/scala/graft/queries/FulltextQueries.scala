@@ -162,6 +162,23 @@ object FulltextQueries {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Decoded (docId, term, position) rows for the given terms, straight
+    * off the real posting blocks — the position source for the automaton /
+    * fragment operators. */
+  private def termPos(spark: SparkSession, index: graft.index.GraftIndex,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    index.blocks.filter(col("term").isin(terms: _*)).as[BlockRow]
+      .flatMap { b =>
+        val eb = b.toEncodedBlock
+        val docs = PostingsCodec.decodeDocs(eb)
+        val freqs = PostingsCodec.decodeFreqs(eb)
+        val poss = PostingsCodec.decodePositions(eb, freqs)
+        docs.indices.iterator.flatMap(i =>
+          poss(i).iterator.map(p => (docs(i), b.term, p.toLong)))
+      }.toDF("docId", "term", "p")
+  }
+
   private def matchDF(spark: SparkSession, sfDir: String, q: String): DataFrame = {
     val (index, searcher) = DocsIndex.get(spark, sfDir)
     searcher.matchesDS(searcher.parse(q)).toDF("docId")
@@ -588,6 +605,64 @@ object FulltextQueries {
         .selectExpr("n", "min_v", "max_v", "s",
           "round(CAST(s AS DOUBLE) / n, 4) AS mean_v",
           "round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 4) AS var_v")
+    }),
+    // CommonGramsQueryFilter execution (reference: lucene/analysis/common/
+    // src/java/org/apache/lucene/analysis/commongrams/
+    // CommonGramsQueryFilter.java — a phrase containing a common word
+    // rewrites to the single gram term, so the stopword phrase "the table"
+    // is ONE postings lookup instead of a positional intersection against
+    // the corpus's highest-df term): BM25 over the gram's real tf/df with
+    // the unigram doc length (grams are stacked, discountOverlaps).
+    "ft_commongrams" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getCommonGrams(spark, sfDir)
+      searcher.searchDoubleDS(graft.search.TermQ("the_table"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // TermAutomatonQuery (reference: lucene/sandbox/src/java/org/apache/
+    // lucene/search/TermAutomatonQuery.java — an automaton over terms at
+    // positions; here the two accepted paths are `merge query` and
+    // `merge table query`, i.e. an optional middle state): positions decode
+    // off the real posting blocks; each path is a per-doc equi-join on
+    // (docId, consecutive positions) — never a full-text rescan.
+    "ft_term_automaton" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val pos = termPos(spark, index, Seq("merge", "table", "query"))
+      val m = pos.filter(col("term") === "merge").select(col("docId"), col("p").as("pm"))
+      val t = pos.filter(col("term") === "table").select(col("docId").as("dt"), col("p").as("pt"))
+      val q = pos.filter(col("term") === "query").select(col("docId").as("dq"), col("p").as("pq"))
+      val direct = m.join(q, col("docId") === col("dq") && col("pq") === col("pm") + 1)
+        .select("docId")
+      val via = m.join(t, col("docId") === col("dt") && col("pt") === col("pm") + 1)
+        .join(q, col("docId") === col("dq") && col("pq") === col("pm") + 2)
+        .select("docId")
+      direct.union(via).distinct()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // FastVectorHighlighter fragment selection (reference: lucene/
+    // highlighter/src/java/org/apache/lucene/search/vectorhighlight/
+    // FieldPhraseList.java + BaseFragListBuilder.java — fragments anchor at
+    // match positions and score by the sum of contained phrase boosts,
+    // boost 1 per occurrence): per doc, the best 20-position window
+    // anchored at a hit of {merge, table}, ties to the earliest start.
+    // Candidate windows come from a positions self-join (bounded by
+    // per-doc hit counts), the per-doc argmax is one window function.
+    "ft_fvh_fragment" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val pos = termPos(spark, index, Seq("merge", "table"))
+        .select(col("docId"), col("p").as("s"))
+      val b = pos.select(col("docId").as("d2"), col("s").as("p2"))
+      val counts = pos.join(b,
+          col("docId") === col("d2") && col("p2").between(col("s"), col("s") + 19))
+        .groupBy("docId", "s").agg(count(lit(1)).as("n_match"))
+      val w = Window.partitionBy("docId").orderBy(desc("n_match"), asc("s"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("n_match"), asc("doc_id")).limit(10)
+        .selectExpr("doc_id", "CAST(s AS BIGINT) AS frag_start", "n_match")
     }),
     // FunctionScoreQuery.boostByQuery (reference: lucene/queries/src/java/
     // org/apache/lucene/queries/function/FunctionScoreQuery.java:101-104 —
@@ -2794,6 +2869,51 @@ object FulltextQueries {
          |       ELSE len(tk) END AS v
          |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |  WHERE list_contains(tk, 'merge'))""".stripMargin,
+    // CommonGrams: BM25 of the gram 'the_table' — tf = adjacent-pair count,
+    // df = docs containing the pair, doc length = unigram count (stacked
+    // grams are discountOverlaps overlaps)
+    "ft_commongrams" ->
+      s"""$PRELUDE,
+         |pt AS (SELECT doc_id, dlq,
+         |    len(list_filter(range(1, len(tk)),
+         |      i -> tk[i] = 'the' AND tk[i+1] = 'table')) AS tf
+         |  FROM dl),
+         |pst AS (SELECT count(*) FILTER (WHERE tf > 0) AS df FROM pt)
+         |SELECT doc_id,
+         |  round(ln(1 + (st.n - pst.df + 0.5) / (pst.df + 0.5)) * (tf * (1.2 + 1))
+         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)), 4) AS score
+         |FROM pt, st, pst WHERE tf > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // automaton paths 'merge query' | 'merge table query' over 0-based
+    // positions (the engine's position base)
+    "ft_term_automaton" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = 'merge' AND tk[i+1] = 'query')) > 0
+         |   OR len(list_filter(range(1, len(tk) - 1),
+         |    i -> tk[i] = 'merge' AND tk[i+1] = 'table' AND tk[i+2] = 'query')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // best 20-position fragment anchored at a {merge, table} hit; 0-based
+    // positions; ties -> earliest start, then doc_id
+    "ft_fvh_fragment" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, i - 1 AS p FROM (
+         |    SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS i
+         |    FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE t IN ('merge', 'table')),
+         |cnt AS (
+         |  SELECT a.doc_id, a.p AS s, count(*) AS n_match
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         |    AND b.p BETWEEN a.p AND a.p + 19
+         |  GROUP BY a.doc_id, a.p),
+         |best AS (
+         |  SELECT doc_id, s, n_match,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_match DESC, s) AS rn
+         |  FROM cnt)
+         |SELECT doc_id, CAST(s AS BIGINT) AS frag_start, n_match
+         |FROM best WHERE rn = 1
+         |ORDER BY n_match DESC, doc_id LIMIT 10""".stripMargin,
     // boostByQuery: BM25('merge') doubled where 'table' also matches
     "ft_boost_by_query" ->
       s"""$PRELUDE

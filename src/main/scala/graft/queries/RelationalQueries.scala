@@ -857,6 +857,28 @@ object RelationalQueries {
     // reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
     // HistogramEvaluator.java): two agg passes (bounds, then bin counts via
     // a broadcast of the 1-row bounds), never a collect. Bin arithmetic is
+    // BBox overlap-ratio relevancy (reference: lucene/spatial-extras/src/
+    // java/org/apache/lucene/spatial/bbox/BBoxOverlapRatioValueSource.java:
+    // 34-40 — score = queryRatio * qtp + targetRatio * (1 - qtp) with
+    // qtp = 0.25 default): boxes live on an integer grid (the stacked-gen
+    // discipline), so intersection/areas are exact BIGINTs and the score is
+    // ONE shared expression text of two divisions. Map-only over the scan;
+    // the i > 0 prune is the pushable analogue of the spatial tree filter.
+    "q_bbox_overlap" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .selectExpr("c_custkey",
+          "c_custkey % 97 AS minx", "(c_custkey * 13) % 89 AS miny",
+          "5 + c_custkey % 37 AS w", "5 + (c_custkey * 3) % 31 AS h")
+        .selectExpr("c_custkey",
+          "greatest(0, least(minx + w, 70) - greatest(minx, 20)) * " +
+            "greatest(0, least(miny + h, 60) - greatest(miny, 10)) AS i",
+          "w * h AS ad")
+        .filter(col("i") > 0)
+        .selectExpr("c_custkey",
+          "round(0.25 * (CAST(i AS DOUBLE) / 2500.0) " +
+            "+ 0.75 * (CAST(i AS DOUBLE) / CAST(ad AS DOUBLE)), 4) AS score")
+        .orderBy(desc("score"), asc("c_custkey")).limit(10)
+    }),
     // [subquery] doc transformer (reference: solr/core/src/java/org/apache/
     // solr/response/transform/SubQueryAugmenterFactory.java:52-66 — attach
     // to every parent result doc the top-N rows of a second query keyed by
@@ -2335,6 +2357,21 @@ object RelationalQueries {
          |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
          |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
          |               CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem))""".stripMargin,
+    "q_bbox_overlap" ->
+      """WITH b AS (SELECT c_custkey,
+        |    c_custkey % 97 AS minx, (c_custkey * 13) % 89 AS miny,
+        |    5 + c_custkey % 37 AS w, 5 + (c_custkey * 3) % 31 AS h
+        |  FROM customer),
+        |o AS (SELECT c_custkey,
+        |    greatest(0, least(minx + w, 70) - greatest(minx, 20)) *
+        |      greatest(0, least(miny + h, 60) - greatest(miny, 10)) AS i,
+        |    w * h AS ad
+        |  FROM b)
+        |SELECT c_custkey,
+        |  round(0.25 * (CAST(i AS DOUBLE) / 2500.0)
+        |    + 0.75 * (CAST(i AS DOUBLE) / CAST(ad AS DOUBLE)), 4) AS score
+        |FROM o WHERE i > 0
+        |ORDER BY score DESC, c_custkey LIMIT 10""".stripMargin,
     "q_subquery" ->
       """WITH p AS (SELECT o_orderkey,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS ocents

@@ -181,4 +181,19 @@ class AnalyzerSpec extends AnyFunSuite {
     val (_, len) = Analyzers.htmlStrip.invert("<html><body class=\"c\">one two</body></html> &amp;")
     assert(len == 2)
   }
+
+  test("CommonGramsFilter: grams stack at first member's position, unigrams intact") {
+    val cg = Analyzers.commonGrams
+    // 'the' is common: both neighbors gram; 'a' common at the end too
+    assert(termPos(cg, "scan the table a") == Seq(
+      ("scan", 0), ("scan_the", 0), ("the", 1), ("the_table", 1),
+      ("table", 2), ("table_a", 2), ("a", 3)))
+    // no common word -> pure unigrams
+    assert(termPos(cg, "scan table") == Seq(("scan", 0), ("table", 1)))
+    // stacked grams don't inflate the discountOverlaps length
+    val (byTerm, len) = cg.invert("the table the")
+    assert(len == 3)
+    assert(byTerm("the_table")._1 == 1 && byTerm("the_table")._2 == Seq(0))
+    assert(byTerm("table_the")._1 == 1 && byTerm("table_the")._2 == Seq(1))
+  }
 }
