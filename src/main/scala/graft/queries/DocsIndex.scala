@@ -394,19 +394,23 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.simple))
       })
 
-  /** Per-task build telemetry of a dedicated (cached) corpus build — the
-    * lineage + postings/sec rows the encode stage records per shuffle task
-    * ([[graft.index.TaskBuildMetric]]), persisted with the segment. */
-  def buildMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = s"${System.identityHashCode(spark)}#$sfDir#bm"
-    val dir = dirs.computeIfAbsent(key, _ => {
+  /** Committed on-disk index dir for the plain corpus (cached per session) —
+    * the directory surface for out-of-band index tools (CheckIndex, build
+    * telemetry) that read the persisted segment layout rather than the
+    * in-memory Dataset handles. */
+  def committedDir(spark: SparkSession, sfDir: String): String =
+    dirs.computeIfAbsent(s"${System.identityHashCode(spark)}#$sfDir#bm", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-docsbm-").toString
       graft.index.IndexStore.buildAndCommit(files(spark, sfDir), d,
         IndexConfig(analyzer = Analyzers.simple))
       d
     })
-    spark.read.parquet(s"$dir/seg-00000/buildmetrics")
-  }
+
+  /** Per-task build telemetry of a dedicated (cached) corpus build — the
+    * lineage + postings/sec rows the encode stage records per shuffle task
+    * ([[graft.index.TaskBuildMetric]]), persisted with the segment. */
+  def buildMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${committedDir(spark, sfDir)}/seg-00000/buildmetrics")
 
   /** Corpus indexed through the index-time synonym chain
     * (`Analyzers.synonymSlowFast` — SynonymGraphFilter semantics: every

@@ -2510,6 +2510,48 @@ object FulltextQueries {
         .agg(countDistinct(col("lang")).as("n_groups"),
           count(lit(1)).as("n_matches"))
     }),
+    // CheckIndex tool analog (reference: lucene/core/src/java/org/apache/
+    // lucene/index/CheckIndex.java:447-703 checkSegment — walk every
+    // segment's postings/norms/stored fields and cross-check counts).
+    // Runs graft.index.CheckIndex over a COMMITTED on-disk index (manifest
+    // recount, docId uniqueness, full block decode, impact-frontier
+    // domination, termStats re-aggregation — every stage a distributed
+    // pass) and reports the integrity totals. The oracle recounts
+    // doc/term/token totals independently from the raw text, and `problems`
+    // must equal the literal 0 — any integrity violation the checker finds
+    // turns the row red.
+    "ft_check_index" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val dir = DocsIndex.committedDir(spark, sfDir)
+      val rep = graft.index.CheckIndex.check(spark, dir)
+      val m = graft.index.IndexStore.readManifest(dir).get
+      Seq((rep.docs, rep.terms, m.sumTotalTermFreq, rep.problems.size.toLong))
+        .toDF("doc_count", "term_count", "sum_ttf", "problems")
+    }),
+    // BM25 hard-negative mining — the standard retrieval-training prep
+    // (dense-retriever pipelines mine "hard negatives": top-ranked lexical
+    // hits that are NOT labeled positive; cf. the BM25-negatives recipe in
+    // DPR/RocketQA-style training). Positives here = docs matching the
+    // marker term 'table'; for each query term the engine scores its FULL
+    // match set through the real posting/BM25 path (scoreAllDoubleDS),
+    // anti-joins the positive match set (shuffle-safe: the positive set is
+    // never collected or broadcast by hand — at 100 TB both sides scale
+    // out), and keeps the top-5 per query. Oracle recomputes every score
+    // bit-for-bit via the shared dlq CTE.
+    "td_mine_negatives" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val pos = searcher.matchesDS(searcher.parse("table")).toDF("docId")
+      val perQuery = Seq("merge", "spark", "window").map { t =>
+        searcher.scoreAllDoubleDS(searcher.parse(t)).toDF()
+          .join(pos, Seq("docId"), "left_anti")
+          .join(DocsIndex.docIdMap(index), "docId")
+          .withColumn("q", lit(t))
+          .orderBy(desc("score"), asc("doc_id")).limit(5)
+          .select(col("q"), col("doc_id"), col("score"))
+      }
+      perQuery.reduce(_.unionAll(_))
+        .orderBy(asc("q"), desc("score"), asc("doc_id"))
+    }),
     // BloomFilteringPostingsFormat term-existence filter (reference:
     // lucene/codecs/src/java/org/apache/lucene/codecs/bloom/
     // BloomFilteringPostingsFormat.java + FuzzySet.java:66-71,161 —
@@ -4210,6 +4252,33 @@ object FulltextQueries {
       s"""SELECT count(DISTINCT lang) AS n_groups, count(*) AS n_matches
          |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')""".stripMargin,
+    // CheckIndex totals recounted from raw text; problems pinned to 0
+    "ft_check_index" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT (SELECT count(*) FROM toks) AS doc_count,
+         |       (SELECT count(DISTINCT t)
+         |        FROM (SELECT unnest(tk) AS t FROM toks)) AS term_count,
+         |       (SELECT CAST(sum(len(tk)) AS BIGINT) FROM toks) AS sum_ttf,
+         |       CAST(0 AS BIGINT) AS problems""".stripMargin,
+    // hard negatives: per query term, top-5 BM25 among docs NOT containing
+    // the positive marker 'table' — rank on the round4'd score like the
+    // ft_search family
+    "td_mine_negatives" -> {
+      def leg(t: String) =
+        s"""(SELECT '$t' AS q, doc_id, round(s, 4) AS score FROM (
+           |  SELECT dl.doc_id, ${tfSql(t)} AS tf, ${tfSql("table")} AS ptf,
+           |    ${bmSql(idfSql(dfSql(t)), tfSql(t))} AS s
+           |  FROM dl, st)
+           | WHERE tf > 0 AND ptf = 0 ORDER BY score DESC, doc_id LIMIT 5)""".stripMargin
+      s"""$PRELUDE
+         |SELECT * FROM (
+         |${leg("merge")}
+         |UNION ALL
+         |${leg("spark")}
+         |UNION ALL
+         |${leg("window")}
+         |) ORDER BY q, score DESC, doc_id""".stripMargin
+    },
     // Bloom term filter: same bit arithmetic over the distinct-token dict
     "ft_bloom_terms" -> {
       def bit(src: String) =

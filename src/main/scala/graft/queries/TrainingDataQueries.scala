@@ -160,6 +160,57 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
         .orderBy("h")
     }),
+    // Cross-batch Bloom dedup — the incremental-ingest shape: batch A (even
+    // doc_ids) is "already ingested"; its near-dup keys (first-6-token
+    // prefix, the cheap content fingerprint) populate a Bloom filter; batch
+    // B (odd doc_ids) probes the filter and only Bloom-MAYBE candidates pay
+    // the exact verify join. The filter is md5-bit-portable (same 4096-bit /
+    // two-probe construction as ft_bloom_terms) so the oracle reproduces
+    // the exact candidate set INCLUDING false positives, and the verify
+    // flag pins the no-false-negative contract row-for-row. At 100 TB the
+    // bit set is a distinct over (key x 2) riding the batch-A scan,
+    // broadcast to the probe side; the verify join touches only candidates
+    // (a vanishing fraction of batch B) instead of batch-B-sized shuffles.
+    "td_bloom_dedup" -> ((spark, sfDir) => {
+      def bit(src: String) =
+        s"(((instr('0123456789abcdef', substr($src, 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 2, 1)) - 1)) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 3, 1)) - 1))"
+      val keyed = docs(spark, sfDir).selectExpr("doc_id",
+        s"array_join(slice($TOKS, 1, 6), ' ') AS p")
+      val batchA = keyed.filter(col("doc_id") % 2 === 0)
+      val bits = batchA.selectExpr(s"${bit("md5(p)")} AS bit")
+        .union(batchA.selectExpr(s"${bit("md5(p || '#b')")} AS bit"))
+        .distinct()
+      val aKeys = batchA.select(col("p")).distinct().withColumn("dup", lit(1L))
+      keyed.filter(col("doc_id") % 2 === 1)
+        .selectExpr("doc_id", "p",
+          s"${bit("md5(p)")} AS b1", s"${bit("md5(p || '#b')")} AS b2")
+        .join(broadcast(bits.withColumnRenamed("bit", "b1")), Seq("b1"))
+        .join(broadcast(bits.withColumnRenamed("bit", "b2")), Seq("b2"))
+        .join(broadcast(aKeys), Seq("p"), "left")
+        .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+    // Domain-mixture weights with temperature flattening (the multilingual /
+    // multi-domain sampling recipe: p_i ∝ n_i^alpha with alpha = 0.5, so
+    // low-resource domains are up-sampled relative to their raw share).
+    // One tiny post-agg window over the per-lang counts — the heavy work is
+    // the single map-side-combined count shuffle; sqrt keeps the oracle
+    // bit-safe (IEEE-exact in both engines) and round(…,6) absorbs the
+    // sum-order ulp.
+    "td_mixture_weights" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      docs(spark, sfDir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("share",
+          round(col("cnt").cast("double") / sum(col("cnt")).over(w).cast("double"), 6))
+        .withColumn("weight",
+          round(sqrt(col("cnt").cast("double"))
+            / sum(sqrt(col("cnt").cast("double"))).over(w), 6))
+        .select(col("lang"), col("cnt"), col("share"), col("weight"))
+        .orderBy("lang")
+    }),
     // Sliding-window sequence chunking for LM training prep (the standard
     // stride-overlap split: window 128 tokens, stride 64, so consecutive
     // chunks share half their context — the shape every pretraining
@@ -1839,6 +1890,38 @@ object TrainingDataQueries {
     "td_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // same 4096-bit / two-probe Bloom over batch-A prefix keys, probed by
+    // batch B, with the exact-verify flag
+    "td_bloom_dedup" -> {
+      def bit(src: String) =
+        s"(((instr('0123456789abcdef', substr($src, 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 2, 1)) - 1)) * 16 + " +
+          s"(instr('0123456789abcdef', substr($src, 3, 1)) - 1))"
+      s"""WITH key AS (SELECT doc_id, array_to_string(list_slice(
+         |    regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 6), ' ') AS p
+         |  FROM documents),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  SELECT ${bit("md5(p)")} AS bit FROM key WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT ${bit("md5(p || '#b')")} FROM key WHERE doc_id % 2 = 0)),
+         |akeys AS (SELECT DISTINCT p FROM key WHERE doc_id % 2 = 0)
+         |SELECT k.doc_id,
+         |  CAST(CASE WHEN a.p IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM key k
+         |LEFT JOIN akeys a ON a.p = k.p
+         |WHERE k.doc_id % 2 = 1
+         |  AND ${bit("md5(k.p)")} IN (SELECT bit FROM bits)
+         |  AND ${bit("md5(k.p || '#b')")} IN (SELECT bit FROM bits)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // temperature-flattened mixture: share = n/N, weight = sqrt(n)/sum(sqrt)
+    "td_mixture_weights" ->
+      """SELECT lang, count(*) AS cnt,
+        |  round(CAST(count(*) AS DOUBLE)
+        |        / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share,
+        |  round(sqrt(CAST(count(*) AS DOUBLE))
+        |        / sum(sqrt(CAST(count(*) AS DOUBLE))) OVER (), 6) AS weight
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "td_dedup_minhash_lsh" -> lshPairsOracle,
     // transitive closure of the verified pairs (recursive CTE), cluster
     // label = smallest reachable doc_id — exactly what min-label
