@@ -75,6 +75,38 @@ object IndexStore {
     Files.writeString(Paths.get(dir, "commits", f"manifest-${m.generation}%05d.json"), json)
   }
 
+  /** Segment replication — the replicator module (reference:
+    * lucene/replicator/src/java/org/apache/lucene/replicator/
+    * IndexRevision.java:43-71 — a revision = exactly the commit point's file
+    * set; ReplicationClient copies those files then publishes the commit).
+    * Copies what the CURRENT manifest references (segments, tombstones,
+    * docvalues) and commits the replica manifest LAST, so a reader opening
+    * the replica never observes a partial revision. Files are
+    * generation-suffixed and immutable, so a re-replication after new
+    * commits copies only new generations over the same tree. */
+  def replicate(srcDir: String, dstDir: String): Unit = {
+    val m = readManifest(srcDir).getOrElse(
+      throw new IllegalStateException(s"no manifest at $srcDir"))
+    def copyTree(rel: String): Unit = {
+      val src = Paths.get(srcDir, rel)
+      if (Files.exists(src)) {
+        val walk = Files.walk(src)
+        try walk.forEach { p =>
+          val t = Paths.get(dstDir, rel).resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else {
+            Files.createDirectories(t.getParent)
+            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally walk.close()
+      }
+    }
+    m.segments.foreach(s => copyTree(s.name))
+    if (m.hasDeletes) copyTree(s"deletes/del-${m.delGen}")
+    if (m.dvGen >= 0) copyTree(s"docvalues/dv-${m.dvGen}")
+    writeManifest(dstDir, m)
+  }
+
   /** Open a historical commit point (time travel): the index exactly as it
     * was at `generation` — pre-delete tombstones, pre-merge segments,
     * pre-update docvalues. */

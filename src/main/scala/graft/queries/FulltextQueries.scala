@@ -2510,6 +2510,115 @@ object FulltextQueries {
         .agg(countDistinct(col("lang")).as("n_groups"),
           count(lit(1)).as("n_matches"))
     }),
+    // MemoryIndex percolation scoring (reference: lucene/memory/src/java/
+    // org/apache/lucene/index/memory/MemoryIndex.java:77-118 — a single-doc
+    // in-memory index; search() scores a query against THAT doc alone, so
+    // collection stats collapse to docCount=1, df=1, avgdl=dl). The
+    // percolation shape: every row is its own index, evaluated map-only via
+    // the REAL analyzer + SmallFloat norm quantization + BM25 components —
+    // embarrassingly parallel at 100 TB (no global stats, no shuffle until
+    // the final top-k). Query 'spark table' = disjunction sum, term order
+    // fixed so the FP sum order matches the oracle.
+    "ft_memory_index" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val qTerms = Seq("spark", "table")
+      DocsIndex.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = graft.analysis.Analyzers.simple.analyze(text).map(_.term).toArray
+          val dl = toks.length.toDouble
+          val dlq = graft.codec.SmallFloat
+            .byte4ToInt(graft.codec.SmallFloat.intToByte4(toks.length)).toDouble
+          var s = 0.0
+          var any = false
+          qTerms.foreach { t =>
+            val tf = toks.count(_ == t).toDouble
+            if (tf > 0) {
+              any = true
+              s += math.log(1 + 0.5 / 1.5) *
+                (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dlq / dl))
+            }
+          }
+          (id, TopK.round4(s), any)
+        }
+        .filter(_._3).map(r => (r._1, r._2)).toDF("doc_id", "score")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+    }),
+    // Replicator module (reference: lucene/replicator/src/java/org/apache/
+    // lucene/replicator/IndexRevision.java:43-71 + ReplicationClient — a
+    // revision is the commit point's exact file set; the client copies the
+    // files then publishes the commit). IndexStore.replicate copies the
+    // manifest-referenced segment/tombstone/docvalues trees and commits the
+    // replica manifest LAST; the replica then serves the same BM25 top-k
+    // through the normal search path, which the oracle recomputes from raw
+    // text — replication fidelity under the hard signal.
+    "ft_replica_search" -> ((spark, sfDir) => {
+      val src = DocsIndex.committedDir(spark, sfDir)
+      val dst = java.nio.file.Files.createTempDirectory("graft-replica-").toString
+      graft.index.IndexStore.replicate(src, dst)
+      val idx = graft.index.IndexStore.open(spark, dst)
+      val searcher = new graft.search.GraftSearcher(idx, graft.analysis.Analyzers.simple)
+      searcher.searchDoubleDS(searcher.parse("stream"), 10).toDF()
+        .join(DocsIndex.docIdMap(idx), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // TermVectorComponent (reference: solr/core/src/java/org/apache/solr/
+    // handler/component/TermVectorComponent.java:246-320 — per-document term
+    // vectors with tf and collection df). The term-keyed index answers a
+    // doc-keyed question, so this is the UNINVERT shape: decode blocks,
+    // keep rows for the requested docs, join df off termStats. The full
+    // blocks scan is the honest cost of uninverting a term-keyed store —
+    // production term vectors are stored doc-keyed at write time (as Lucene
+    // .tvd does); flagged here as the read-path fallback.
+    "ft_termvectors" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val wanted = DocsIndex.docIdMap(index)
+        .filter(col("doc_id").isin(1L, 2L, 3L))
+      val ids = wanted.select(col("docId")).as[Long].collect().toSet
+      val bc = spark.sparkContext.broadcast(ids)
+      val lo = ids.min; val hi = ids.max
+      index.blocks
+        .filter(col("firstDocId") <= hi && col("lastDocId") >= lo)
+        .as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val ds = PostingsCodec.decodeDocs(eb)
+          val fs = PostingsCodec.decodeFreqs(eb)
+          ds.iterator.zip(fs.iterator).collect {
+            case (d, f) if bc.value.contains(d) => (d, b.term, f.toLong)
+          }
+        }.toDF("docId", "term", "tf")
+        .groupBy(col("docId"), col("term")).agg(sum(col("tf")).as("tf"))
+        .join(index.termStats.toDF().select(col("term"), col("docFreq").as("docfreq")), "term")
+        .join(wanted, "docId")
+        .select(col("doc_id"), col("term"), col("tf"), col("docfreq"))
+        .orderBy("doc_id", "term")
+    }),
+    // ExternalFileField function query (reference: solr/core/src/java/org/
+    // apache/solr/schema/ExternalFileField.java:33-60 — per-doc float values
+    // living OUTSIDE the index in a keyed file, reloaded per commit, usable
+    // only in function queries). The external file here is a real CSV
+    // written then re-read (key=uniqueKey, value=eff); Solr loads it into a
+    // per-core array keyed by uniqueKey — the distributed analog is a
+    // broadcast join of the (tiny-per-executor) keyed values against the
+    // scored match set. fscore = BM25 * eff.
+    "ft_external_file" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val effDir = java.nio.file.Files.createTempDirectory("graft-eff-").toString
+      DocsIndex.documents(spark, sfDir).select(col("doc_id"))
+        .withColumn("eff", (col("doc_id") * 7 % 13 + 1).cast("double"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(effDir)
+      val eff = spark.read.option("header", "true")
+        .schema("doc_id LONG, eff DOUBLE").csv(effDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(broadcast(eff), "doc_id")
+        .withColumn("fscore", round(col("score") * col("eff"), 4))
+        .orderBy(desc("fscore"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("fscore"))
+    }),
     // CheckIndex tool analog (reference: lucene/core/src/java/org/apache/
     // lucene/index/CheckIndex.java:447-703 checkSegment — walk every
     // segment's postings/norms/stored fields and cross-check counts).
@@ -4252,6 +4361,51 @@ object FulltextQueries {
       s"""SELECT count(DISTINCT lang) AS n_groups, count(*) AS n_matches
          |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table')""".stripMargin,
+    // MemoryIndex: single-doc collection stats — docCount=1, df=1, avgdl=dl
+    "ft_memory_index" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |m AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+         |  CASE WHEN len(tk) < 24 THEN len(tk)
+         |       WHEN len(tk) - 24 < 8 THEN len(tk)
+         |       ELSE 24 + (((len(tk) - 24) >> (length(format('{:b}', len(tk) - 24)) - 4))
+         |                  << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq,
+         |  len(list_filter(tk, x -> x = 'spark')) AS tf1,
+         |  len(list_filter(tk, x -> x = 'table')) AS tf2
+         |  FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id, tf1 + tf2 AS anytf,
+         |    (CASE WHEN tf1 = 0 THEN 0.0 ELSE ln(1 + 0.5 / 1.5)
+         |       * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dlq / dl)) END
+         |   + CASE WHEN tf2 = 0 THEN 0.0 ELSE ln(1 + 0.5 / 1.5)
+         |       * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dlq / dl)) END) AS s
+         |  FROM m)
+         |WHERE anytf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // replica serves the identical BM25 top-k the oracle recomputes
+    "ft_replica_search" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("stream")} AS tf,
+         |    ${bmSql(idfSql(dfSql("stream")), tfSql("stream"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // per-doc term vectors with collection df
+    "ft_termvectors" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |tv AS (SELECT doc_id, term, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(tk) AS term FROM toks WHERE doc_id IN (1, 2, 3))
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS docfreq FROM
+         |  (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1)
+         |SELECT tv.doc_id, tv.term, tv.tf, df.docfreq
+         |FROM tv JOIN df USING (term) ORDER BY doc_id, term""".stripMargin,
+    // external keyed values: eff = doc_id*7 % 13 + 1, fscore = BM25 * eff
+    "ft_external_file" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(round(s, 4) * (doc_id * 7 % 13 + 1), 4) AS fscore FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
     // CheckIndex totals recounted from raw text; problems pinned to 0
     "ft_check_index" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents)
