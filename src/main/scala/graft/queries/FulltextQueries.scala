@@ -201,6 +201,44 @@ object FulltextQueries {
   private def round5Col(c: Column): Column =
     floor(c * lit(100000.0) + lit(0.5)).cast("double") / lit(100000.0)
 
+  /** MultipleAdditiveTreesModel node (reference: solr/contrib/ltr/src/java/
+    * org/apache/solr/ltr/model/MultipleAdditiveTreesModel.java:124-183):
+    * a split routes `feature(i) <= threshold + NODE_SPLIT_SLACK` left, else
+    * right; the model score is Σ weightᵗ · treeᵗ(features). ONE tree
+    * definition generates BOTH the Spark Column and the oracle SQL CASE, so
+    * the traversal arithmetic agrees by construction. */
+  private sealed trait LtrNode
+  private case class LtrLeaf(value: Double) extends LtrNode
+  private case class LtrSplit(feat: Int, threshold: Float,
+      left: LtrNode, right: LtrNode) extends LtrNode
+
+  /** NODE_SPLIT_SLACK = 1E-6f added in FLOAT (MultipleAdditiveTreesModel
+    * .java:124,151), then widened once — the exact double both engines
+    * compare the feature against. */
+  private def ltrThresh(t: Float): Double = (t + 1e-6f).toDouble
+
+  /** Weighted trees over features f0 = first-pass BM25 (round4'd), f1 =
+    * raw doc token length, f2 = lang=='en' flag. Tree 3 is the reference
+    * example's degenerate single-leaf tree. */
+  private val ltrTrees: Seq[(Double, LtrNode)] = Seq(
+    1.0 -> LtrSplit(0, 0.38f, LtrLeaf(-1.0),
+             LtrSplit(1, 56.0f, LtrLeaf(2.5), LtrLeaf(1.25))),
+    2.0 -> LtrSplit(2, 0.5f, LtrLeaf(0.25), LtrLeaf(0.75)),
+    0.5 -> LtrLeaf(-0.5))
+
+  private def ltrCol(n: LtrNode, f: Seq[Column]): Column = n match {
+    case LtrLeaf(v) => lit(v)
+    case LtrSplit(i, t, l, r) =>
+      when(f(i) <= lit(ltrThresh(t)), ltrCol(l, f)).otherwise(ltrCol(r, f))
+  }
+  private def ltrSql(n: LtrNode, f: Seq[String]): String = n match {
+    case LtrLeaf(v) => v.toString
+    case LtrSplit(i, t, l, r) =>
+      s"(CASE WHEN ${f(i)} <= ${ltrThresh(t)} THEN ${ltrSql(l, f)} ELSE ${ltrSql(r, f)} END)"
+  }
+  private def ltrModelSql(f: Seq[String]): String =
+    ltrTrees.map { case (w, n) => s"$w * ${ltrSql(n, f)}" }.mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- index internals, oracle-verified at the token level ----
     // FunctionRangeQParser {!frange l u} (reference: solr/core/src/java/
@@ -2746,6 +2784,67 @@ object FulltextQueries {
         .selectExpr("doc_id",
           "CAST(n_chars AS DOUBLE) * (1.0 - 0.1 * CAST(pos - 1 AS DOUBLE)) AS blended")
         .orderBy(desc("blended"), asc("doc_id")).limit(10)
+    }),
+    // LTR MultipleAdditiveTreesModel re-rank (solr/contrib/ltr/src/java/
+    // org/apache/solr/ltr/model/MultipleAdditiveTreesModel.java:124-183;
+    // the GBT/LambdaMART shape, distinct from ft_ltr's LinearModel): the
+    // tree ensemble is driver-side model state broadcast into ONE
+    // vectorized CASE projection over the reRankDocs window (top-50) —
+    // at 100 TB the model ships with the plan, no per-doc JVM dispatch.
+    "ft_ltr_trees" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val first = searcher.searchDouble(searcher.parse("vector"), 50)
+      val firstDF = spark.createDataFrame(first.toSeq.map(h => (h.docId, h.score)))
+        .toDF("docId", "s1")
+      val feats = firstDF
+        .join(index.docs.toDF().select(col("docId"), col("len"), col("lang")), "docId")
+      val f = Seq(col("s1"), col("len").cast("double"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)))
+      val model = ltrTrees.map { case (w, n) => lit(w) * ltrCol(n, f) }.reduce(_ + _)
+      feats.withColumn("model", round4Col(model))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("model"), asc("doc_id")).limit(20)
+        .select(col("doc_id"), col("model"))
+    }),
+    // Association facets (lucene/facet/src/java/org/apache/lucene/facet/
+    // taxonomy/TaxonomyFacetSumIntAssociations.java + FloatAssociationFacetField):
+    // each doc carries an int association (n_chars) and a float association
+    // (n_chars/64 — an exact binary fraction, so the distributed sum is
+    // order-independent) on its taxonomy path source/lang; sums aggregate
+    // at BOTH taxonomy levels. One rollup = one shuffle, map-side partials.
+    "ft_facet_assoc" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .rollup(col("source"), col("lang"))
+        .agg(sum(col("n_chars")).as("int_assoc"),
+          sum(col("n_chars").cast("double") / lit(64.0)).as("float_assoc"))
+        .filter(col("source").isNotNull)
+        .withColumn("path", when(col("lang").isNull, col("source"))
+          .otherwise(concat(col("source"), lit("/"), col("lang"))))
+        .orderBy("path")
+        .select(col("path"), col("int_assoc"), col("float_assoc"))
+    }),
+    // LongRange field relation queries (lucene/core/src/java/org/apache/
+    // lucene/document/LongRange.java + RangeFieldQuery.QueryType:
+    // INTERSECTS / WITHIN / CONTAINS / CROSSES): doc range = [n_chars,
+    // n_chars + doc_id%128], query range = [250, 310]. The BKD-tree
+    // analog is the parquet min/max pushdown on the two range endpoint
+    // columns; the four relations are one aggregate pass (map-side
+    // partials), unpivoted via stack.
+    "ft_range_field" -> ((spark, sfDir) => {
+      val r = DocsIndex.documents(spark, sfDir)
+        .select(col("n_chars").as("lo"),
+          (col("n_chars") + col("doc_id") % 128).as("hi"))
+      val (ql, qh) = (lit(250L), lit(310L))
+      val within = col("lo") >= ql && col("hi") <= qh
+      val contains = col("lo") <= ql && col("hi") >= qh
+      val intersects = col("lo") <= qh && col("hi") >= ql
+      r.agg(
+        sum(when(intersects, 1L).otherwise(0L)).as("i"),
+        sum(when(within, 1L).otherwise(0L)).as("w"),
+        sum(when(contains, 1L).otherwise(0L)).as("c"),
+        sum(when(intersects && !within && !contains, 1L).otherwise(0L)).as("x"))
+        .selectExpr("stack(4, 'CONTAINS', c, 'CROSSES', x, " +
+          "'INTERSECTS', i, 'WITHIN', w) AS (relation, n)")
     })
   )
 
@@ -4488,6 +4587,51 @@ object FulltextQueries {
          |FROM (SELECT doc_id, n_chars, list_position($TOKS, 'table') AS pos
          |      FROM documents)
          |WHERE pos > 0
-         |ORDER BY blended DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY blended DESC, doc_id LIMIT 10""".stripMargin,
+    // tree-ensemble re-rank: same first-pass window as ft_ltr, then the
+    // generated CASE cascade — thresholds carry the reference's float
+    // NODE_SPLIT_SLACK, serialized once from the shared Scala constants
+    "ft_ltr_trees" ->
+      s"""$PRELUDE,
+         |first AS (
+         |  SELECT doc_id, s1 FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s1
+         |    FROM dl, st)
+         |  WHERE tf > 0 ORDER BY s1 DESC, doc_id LIMIT 50),
+         |feats AS (
+         |  SELECT f.doc_id, f.s1, CAST(len(t.tk) AS DOUBLE) AS dlen,
+         |    CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS langf
+         |  FROM first f JOIN toks t ON f.doc_id = t.doc_id
+         |  JOIN documents d ON f.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  round(${ltrModelSql(Seq("s1", "dlen", "langf"))}, 4) AS model
+         |FROM feats ORDER BY model DESC, doc_id LIMIT 20""".stripMargin,
+    // association facets: grouping sets = the two taxonomy levels;
+    // n_chars/64 is an exact binary fraction so both engines sum it exactly
+    "ft_facet_assoc" ->
+      s"""SELECT CASE WHEN lang IS NULL THEN source
+         |            ELSE source || '/' || lang END AS path,
+         |  int_assoc, float_assoc FROM (
+         |  SELECT source, lang, sum(n_chars) AS int_assoc,
+         |    sum(n_chars / 64.0) AS float_assoc
+         |  FROM documents GROUP BY GROUPING SETS ((source), (source, lang)))
+         |ORDER BY path""".stripMargin,
+    // range-field relations over [n_chars, n_chars + doc_id%128] vs [250,310]
+    "ft_range_field" ->
+      s"""WITH r AS (SELECT n_chars AS lo, n_chars + (doc_id % 128) AS hi
+         |           FROM documents),
+         |c AS (SELECT
+         |  sum(CASE WHEN lo <= 310 AND hi >= 250 THEN 1 ELSE 0 END) AS i,
+         |  sum(CASE WHEN lo >= 250 AND hi <= 310 THEN 1 ELSE 0 END) AS w,
+         |  sum(CASE WHEN lo <= 250 AND hi >= 310 THEN 1 ELSE 0 END) AS ct,
+         |  sum(CASE WHEN lo <= 310 AND hi >= 250
+         |           AND NOT (lo >= 250 AND hi <= 310)
+         |           AND NOT (lo <= 250 AND hi >= 310) THEN 1 ELSE 0 END) AS x
+         |  FROM r)
+         |SELECT 'CONTAINS' AS relation, ct AS n FROM c
+         |UNION ALL SELECT 'CROSSES', x FROM c
+         |UNION ALL SELECT 'INTERSECTS', i FROM c
+         |UNION ALL SELECT 'WITHIN', w FROM c""".stripMargin
   )
 }

@@ -1366,6 +1366,29 @@ object TrainingDataQueries {
           s"CAST(floor(($sigF) * 1e8) AS BIGINT) AS prob_micro8",
           s"($sigF >= 0.5) AS label")
         .orderBy("doc_id")
+    }),
+    // MinHash query-time search (solr/core/src/java/org/apache/solr/search/
+    // MinHashQParser.java + lucene/analysis/common/src/java/org/apache/
+    // lucene/analysis/minhash/MinHashFilter.java): the query doc's 16-perm
+    // signature becomes 16 hash-term lookups against the signature
+    // "inverted index" (one row per (perm, hash, doc)); sim = matched/16,
+    // gated at sim >= 0.25 (the parser's min_should_match fraction). Scale
+    // shape: the query signature is 16 rows BROADCAST into an equi-join —
+    // the corpus side streams, exactly like the parser's TermQueries.
+    "ft_minhash_query" -> ((spark, sfDir) => {
+      val sig = minhashSig(docs(spark, sfDir), 16)
+      val postings = sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map(i => col(s"h$i")): _*)).as(Seq("perm", "h")))
+      val qsig = postings.filter(col("doc_id") === 44)
+        .select(col("perm").as("qperm"), col("h").as("qh"))
+      postings
+        .join(broadcast(qsig), col("perm") === col("qperm") && col("h") === col("qh"))
+        .filter(col("doc_id") =!= 44)
+        .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+        .filter(col("matched") >= 4)
+        .withColumn("sim", col("matched").cast("double") / lit(16.0))
+        .orderBy(desc("matched"), asc("doc_id"))
+        .select(col("doc_id"), col("matched"), col("sim"))
     })
   )
 
@@ -2348,7 +2371,27 @@ object TrainingDataQueries {
          |SELECT doc_id,
          |  CAST(floor((${logitOracleSig("i3")}) * 1e8) AS BIGINT) AS prob_micro8,
          |  ${logitOracleSig("i3")} >= 0.5 AS label
-         |FROM vecall, i3 WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+         |FROM vecall, i3 WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+    // min_hash qparser: 16-perm signature match count vs the query doc 44,
+    // same md5 hash family as the dedup oracles; sim >= 4/16
+    "ft_minhash_query" -> {
+      val aggs = (0 until 16).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+      val m = (0 until 16)
+        .map(i => s"(CASE WHEN a.h$i = q.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(tk)-1),
+         |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE len(tk) >= 2),
+         |sig AS (SELECT doc_id, $aggs
+         |        FROM (SELECT doc_id, unnest(bg) AS s FROM sh) GROUP BY doc_id),
+         |q AS (SELECT * FROM sig WHERE doc_id = 44)
+         |SELECT doc_id, matched, matched / 16.0 AS sim FROM (
+         |  SELECT a.doc_id, $m AS matched FROM sig a, q WHERE a.doc_id <> 44)
+         |WHERE matched >= 4
+         |ORDER BY matched DESC, doc_id""".stripMargin
+    }
   )
 
   /** sigmoid over a weight CTE `p`'s columns (oracle side of
