@@ -2845,6 +2845,89 @@ object FulltextQueries {
         sum(when(intersects && !within && !contains, 1L).otherwise(0L)).as("x"))
         .selectExpr("stack(4, 'CONTAINS', c, 'CROSSES', x, " +
           "'INTERSECTS', i, 'WITHIN', w) AS (relation, n)")
+    }),
+    // TREC-style retrieval quality evaluation (lucene/benchmark/src/java/
+    // org/apache/lucene/benchmark/quality/QualityStats.java:80-127,283-289):
+    // rank the top-20 for 'vector', judge relevance with the engine's own
+    // conjunction ('vector AND table' = the judgment set), then compute
+    // P@5/P@10 (= numGood/n at rank n), AP (Σ p_i at relevant ranks /
+    // maxGoodPoints, :121-123), MRR (1/r of first relevant iff r<=5,
+    // :87-89,283), recall (numGood/maxGoodPoints). The AP partial sums are
+    // accumulated as floor(p·1e8) BIGINTs so the distributed sum is
+    // order-independent; every other value is a single IEEE division.
+    "ft_eval_metrics" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val hits = searcher.searchDouble(searcher.parse("vector"), 20)
+      val ranked = spark.createDataFrame(
+        hits.toSeq.sortBy(h => (-h.score, h.docId)).zipWithIndex
+          .map { case (h, i) => (h.docId, i + 1L) }).toDF("docId", "rank")
+      val rel = searcher.matchesDS(searcher.parse("vector AND table"))
+        .toDF("docId").withColumn("isRel", lit(1L))
+      val maxGood = rel.count().toDouble
+      val w = org.apache.spark.sql.expressions.Window.orderBy("rank")
+      val scored = ranked.join(rel, Seq("docId"), "left")
+        .withColumn("g", coalesce(col("isRel"), lit(0L)))
+        .withColumn("ng", sum("g").over(w))
+        .withColumn("p", col("ng").cast("double") / col("rank").cast("double"))
+      scored.agg(
+        max(when(col("rank") === 5, col("p"))).as("p_at_5"),
+        max(when(col("rank") === 10, col("p"))).as("p_at_10"),
+        (sum(when(col("g") === 1, floor(col("p") * lit(1e8)).cast("long"))
+          .otherwise(lit(0L))).cast("double") / lit(1e8) / lit(maxGood)).as("map"),
+        coalesce(max(when(col("g") === 1 && col("rank") <= 5,
+          lit(1.0) / col("rank").cast("double"))), lit(0.0)).as("mrr"),
+        (max(col("ng")).cast("double") / lit(maxGood)).as("recall"))
+        .selectExpr("stack(5, 'map', map, 'mrr', mrr, 'p_at_10', p_at_10, " +
+          "'p_at_5', p_at_5, 'recall', recall) AS (metric, value)")
+        .orderBy("metric")
+    }),
+    // strdist() function query (solr/core/src/java/org/apache/solr/search/
+    // ValueSourceParser.java:402 with dist=edit -> lucene/suggest/src/java/
+    // org/apache/lucene/search/spell/LevenshteinDistance.java:106:
+    // sim = 1 - lev / max(len_a, len_b)): nearest dictionary terms to the
+    // misspelling 'tabel'. Dictionary-FIRST scan — one row per term off
+    // index.termStats, never the 128x-larger blocks table.
+    "ft_strdist" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats.toDF().select(col("term"))
+        .withColumn("lev", levenshtein(col("term"), lit("tabel")))
+        .withColumn("sim", lit(1.0) -
+          col("lev").cast("double") / greatest(length(col("term")), lit(5)).cast("double"))
+        .filter(col("sim") >= 0.6)
+        .orderBy(desc("sim"), asc("term")).limit(10)
+        .select(col("term"), col("sim"))
+    }),
+    // ToParentBlockJoinSortField (lucene/join/src/java/org/apache/lucene/
+    // search/join/ToParentBlockJoinSortField.java:39 — sort PARENTS by the
+    // min of a child field over each parent's child block): parents matched
+    // through a child hit on 'vector', ordered by min child token length.
+    // Child match set + one grouped agg; the parent sort is a top-N.
+    "ft_block_join_sort" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val docs = index.docs.toDF()
+      val childHits = searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+      docs.join(childHits, "docId")
+        .groupBy(col("commit").as("parent"))
+        .agg(min("len").as("min_child_len"), count(lit(1)).as("child_hits"))
+        .orderBy(asc("min_child_len"), asc("parent"))
+        .limit(10)
+        .select(col("parent"), col("min_child_len"), col("child_hits"))
+    }),
+    // JoinUtil ScoreMode.Max (lucene/join/src/java/org/apache/lucene/search/
+    // join/ScoreMode.java:37, TermsIncludingScoreQuery svalue max): from-side
+    // 'group' scores aggregated per join key with MAX — order-independent,
+    // so no integer-units discipline needed — then mapped onto the to-side.
+    "ft_join_scored_max" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val from = searcher.scoreAllDoubleDS(searcher.parse("group")).toDF("docId", "s")
+        .join(index.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .groupBy("commit").agg(max("s").as("score"))
+      index.docs.toDF().select(col("docId"), col("commit"))
+        .join(broadcast(from), "commit")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
     })
   )
 
@@ -4632,6 +4715,79 @@ object FulltextQueries {
          |SELECT 'CONTAINS' AS relation, ct AS n FROM c
          |UNION ALL SELECT 'CROSSES', x FROM c
          |UNION ALL SELECT 'INTERSECTS', i FROM c
-         |UNION ALL SELECT 'WITHIN', w FROM c""".stripMargin
+         |UNION ALL SELECT 'WITHIN', w FROM c""".stripMargin,
+    // quality eval: ranked top-20, judgments = the conjunction match set;
+    // AP partial sums in floor(p*1e8) BIGINTs (order-independent), every
+    // other metric a single IEEE division — bit-equal across engines
+    "ft_eval_metrics" ->
+      s"""$PRELUDE,
+         |ranked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |    FROM dl, st)
+         |  WHERE tf > 0 ORDER BY s DESC, doc_id LIMIT 20),
+         |rel AS (SELECT doc_id FROM toks
+         |        WHERE list_contains(tk, 'vector') AND list_contains(tk, 'table')),
+         |mg AS (SELECT count(*) AS maxgood FROM rel),
+         |sc AS (
+         |  SELECT r.rank, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS g,
+         |    sum(CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END)
+         |      OVER (ORDER BY r.rank) AS ng
+         |  FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id),
+         |pp AS (SELECT rank, g, ng, CAST(ng AS DOUBLE) / rank AS p FROM sc),
+         |m AS (SELECT
+         |  max(CASE WHEN rank = 5 THEN p END) AS p_at_5,
+         |  max(CASE WHEN rank = 10 THEN p END) AS p_at_10,
+         |  CAST(sum(CASE WHEN g = 1 THEN CAST(floor(p * 1e8) AS BIGINT)
+         |               ELSE 0 END) AS DOUBLE) / 1e8
+         |    / (SELECT maxgood FROM mg) AS map,
+         |  coalesce(max(CASE WHEN g = 1 AND rank <= 5
+         |                    THEN CAST(1.0 AS DOUBLE) / rank END),
+         |           CAST(0.0 AS DOUBLE)) AS mrr,
+         |  CAST(max(ng) AS DOUBLE) / (SELECT maxgood FROM mg) AS recall
+         |  FROM pp)
+         |SELECT metric, value FROM (
+         |  SELECT 'map' AS metric, map AS value FROM m
+         |  UNION ALL SELECT 'mrr', mrr FROM m
+         |  UNION ALL SELECT 'p_at_10', p_at_10 FROM m
+         |  UNION ALL SELECT 'p_at_5', p_at_5 FROM m
+         |  UNION ALL SELECT 'recall', recall FROM m)
+         |ORDER BY metric""".stripMargin,
+    // strdist edit similarity = 1 - lev / max(len, 5) over the DISTINCT
+    // dictionary (termStats analog = distinct tokens)
+    "ft_strdist" ->
+      s"""WITH dict AS (
+         |  SELECT DISTINCT unnest(tk) AS term
+         |  FROM (SELECT $TOKS AS tk FROM documents)),
+         |d AS (SELECT term,
+         |  CAST(1.0 AS DOUBLE) - CAST(levenshtein(term, 'tabel') AS DOUBLE)
+         |    / greatest(len(term), 5) AS sim
+         |  FROM dict)
+         |SELECT term, sim FROM d WHERE sim >= 0.6
+         |ORDER BY sim DESC, term LIMIT 10""".stripMargin,
+    // parents with >=1 child hit, sorted by min child token length
+    "ft_block_join_sort" ->
+      s"""WITH ch AS (
+         |  SELECT source AS parent, len(tk) AS clen
+         |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'vector'))
+         |SELECT parent, min(clen) AS min_child_len,
+         |  count(*) AS child_hits
+         |FROM ch GROUP BY parent
+         |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // join ScoreMode.Max: per-key max of round4'd from-side scores
+    "ft_join_scored_max" ->
+      s"""$PRELUDE,
+         |scored AS (
+         |  SELECT dl.doc_id, ${tfSql("group")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("group")), tfSql("group"))}, 4) AS s
+         |  FROM dl, st),
+         |fv AS (
+         |  SELECT d.source, max(sc.s) AS score
+         |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  WHERE sc.tf > 0 GROUP BY d.source)
+         |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }
