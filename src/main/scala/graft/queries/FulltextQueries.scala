@@ -2913,6 +2913,56 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // PhrasesIdentificationComponent (solr/core/src/java/org/apache/solr/
+    // handler/component/PhrasesIdentificationComponent.java:933-1084): score
+    // every contiguous sub-phrase of the query 'table hash value' with the
+    // Bayesian model P(words|phrase)·(P(phrase)−maxWrapperP) −
+    // P(words|¬phrase)·(1−(P(phrase)−maxWrapperP)), where
+    // P(words|phrase)=shingle_ttf/min(word_ttf), P(words|¬phrase)=
+    // shingle_ttf/max(word_ttf), P(phrase)=conj(input)/conj(words); then
+    // scaled by 1/(1+maxQueryLen−maxIndexedLen) and conj(input)/maxSubConj
+    // (:1075-1081). Stats come off the REAL indexes: word ttf from
+    // termStats, bigram ttf from the shingle index's termStats, conjunction
+    // doc counts from the engine's AND scatter. maxIndexedPositionLength=2
+    // (bigram shingles), maxQueryPositionLength=3; singles score 0.0
+    // (:971-973). Scores emitted as floor(s·1e6) micro-units so the
+    // negative-capable doubles compare exactly.
+    "ft_phrases_ident" -> ((spark, sfDir) => {
+      val words = Seq("table", "hash", "value")
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val (shIndex, _) = DocsIndex.getShingled(spark, sfDir)
+      val ttf = index.termStats.filter(col("term").isin(words: _*))
+        .collect().map(t => t.term -> t.totalTermFreq).toMap
+      val bigrams = words.sliding(2).map(_.mkString("_")).toSeq
+      val bttf = shIndex.termStats.filter(col("term").isin(bigrams: _*))
+        .collect().map(t => t.term -> t.totalTermFreq).toMap
+        .withDefaultValue(0L)
+      def conj(ts: Seq[String]): Long =
+        searcher.matchesDS(searcher.parse(ts.mkString(" AND "))).count()
+      val c12 = conj(words.slice(0, 2)); val c23 = conj(words.slice(1, 3))
+      val c123 = conj(words)
+      val scale = 1.0 / (1 + 3 - 2)
+      // one bigram sub-phrase's words_score given the input's conj count
+      def sub(bg: String, w1: String, w2: String, inputConj: Long): Double = {
+        val pTtf = bttf(bg).toDouble
+        val wConj = if (bg == "table_hash") c12 else c23
+        val pp = inputConj.toDouble / wConj
+        pTtf / math.min(ttf(w1), ttf(w2)) * pp -
+          pTtf / math.max(ttf(w1), ttf(w2)) * (1.0 - pp)
+      }
+      val bg1 = sub("table_hash", "table", "hash", c12) * scale * (c12.toDouble / c12)
+      val bg2 = sub("hash_value", "hash", "value", c23) * scale * (c23.toDouble / c23)
+      val tri = (sub("table_hash", "table", "hash", c123) +
+        sub("hash_value", "hash", "value", c123)) * scale *
+        (c123.toDouble / math.max(math.max(c12, c23), c123))
+      val rows = Seq(
+        ("table", 1, 0L), ("hash", 1, 0L), ("value", 1, 0L),
+        ("table hash", 2, math.floor(bg1 * 1e6).toLong),
+        ("hash value", 2, math.floor(bg2 * 1e6).toLong),
+        ("table hash value", 3, math.floor(tri * 1e6).toLong))
+      spark.createDataFrame(rows).toDF("phrase", "plen", "score_micro6")
+        .orderBy("phrase")
+    }),
     // JoinUtil ScoreMode.Max (lucene/join/src/java/org/apache/lucene/search/
     // join/ScoreMode.java:37, TermsIncludingScoreQuery svalue max): from-side
     // 'group' scores aggregated per join key with MAX — order-independent,
@@ -4776,6 +4826,53 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // phrase-identification Bayesian model recomputed from raw text: word
+    // ttfs, bigram shingle ttfs, conjunction doc counts; expression tree
+    // parenthesized exactly like the Scala side (single IEEE ops on exact
+    // integer inputs), emitted as floor(s*1e6) micro-units
+    "ft_phrases_ident" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |s AS (SELECT
+         |  CAST((SELECT sum(len(list_filter(tk, x -> x = 'table'))) FROM t) AS BIGINT) AS t1,
+         |  CAST((SELECT sum(len(list_filter(tk, x -> x = 'hash'))) FROM t) AS BIGINT) AS t2,
+         |  CAST((SELECT sum(len(list_filter(tk, x -> x = 'value'))) FROM t) AS BIGINT) AS t3,
+         |  CAST((SELECT sum(len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = 'table' AND tk[i+1] = 'hash'))) FROM t) AS BIGINT) AS bg1,
+         |  CAST((SELECT sum(len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = 'hash' AND tk[i+1] = 'value'))) FROM t) AS BIGINT) AS bg2,
+         |  CAST((SELECT count(*) FROM t WHERE list_contains(tk, 'table')
+         |    AND list_contains(tk, 'hash')) AS BIGINT) AS c12,
+         |  CAST((SELECT count(*) FROM t WHERE list_contains(tk, 'hash')
+         |    AND list_contains(tk, 'value')) AS BIGINT) AS c23,
+         |  CAST((SELECT count(*) FROM t WHERE list_contains(tk, 'table')
+         |    AND list_contains(tk, 'hash') AND list_contains(tk, 'value')) AS BIGINT) AS c123),
+         |sc AS (SELECT
+         |  (CAST(bg1 AS DOUBLE) / least(t1, t2) * (CAST(c12 AS DOUBLE) / c12)
+         |   - CAST(bg1 AS DOUBLE) / greatest(t1, t2)
+         |     * (CAST(1.0 AS DOUBLE) - CAST(c12 AS DOUBLE) / c12))
+         |    * CAST(0.5 AS DOUBLE) * (CAST(c12 AS DOUBLE) / c12) AS fb1,
+         |  (CAST(bg2 AS DOUBLE) / least(t2, t3) * (CAST(c23 AS DOUBLE) / c23)
+         |   - CAST(bg2 AS DOUBLE) / greatest(t2, t3)
+         |     * (CAST(1.0 AS DOUBLE) - CAST(c23 AS DOUBLE) / c23))
+         |    * CAST(0.5 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c23) AS fb2,
+         |  ((CAST(bg1 AS DOUBLE) / least(t1, t2) * (CAST(c123 AS DOUBLE) / c12)
+         |    - CAST(bg1 AS DOUBLE) / greatest(t1, t2)
+         |      * (CAST(1.0 AS DOUBLE) - CAST(c123 AS DOUBLE) / c12))
+         |   + (CAST(bg2 AS DOUBLE) / least(t2, t3) * (CAST(c123 AS DOUBLE) / c23)
+         |    - CAST(bg2 AS DOUBLE) / greatest(t2, t3)
+         |      * (CAST(1.0 AS DOUBLE) - CAST(c123 AS DOUBLE) / c23)))
+         |    * CAST(0.5 AS DOUBLE)
+         |    * (CAST(c123 AS DOUBLE) / greatest(greatest(c12, c23), c123)) AS ftri
+         |  FROM s)
+         |SELECT phrase, plen, CAST(floor(score * 1e6) AS BIGINT) AS score_micro6
+         |FROM (
+         |  SELECT 'table' AS phrase, 1 AS plen, CAST(0.0 AS DOUBLE) AS score
+         |  UNION ALL SELECT 'hash', 1, CAST(0.0 AS DOUBLE)
+         |  UNION ALL SELECT 'value', 1, CAST(0.0 AS DOUBLE)
+         |  UNION ALL SELECT 'table hash', 2, fb1 FROM sc
+         |  UNION ALL SELECT 'hash value', 2, fb2 FROM sc
+         |  UNION ALL SELECT 'table hash value', 3, ftri FROM sc)
+         |ORDER BY phrase""".stripMargin,
     // join ScoreMode.Max: per-key max of round4'd from-side scores
     "ft_join_scored_max" ->
       s"""$PRELUDE,

@@ -1767,6 +1767,63 @@ object RelationalQueries {
       counts.crossJoin(broadcast(counts.agg(sum("cnt").as("tot"))))
         .selectExpr("lang", "CAST(cnt AS DOUBLE) / tot AS share")
         .orderBy("lang")
+    }),
+    // Solr Analytics component expression request (solr/contrib/analytics/
+    // src/java/org/apache/solr/analytics/AnalyticsExpression.java; mapping
+    // functions DivideFunction/SubtractFunction/IfFunction/ComparisonFunction
+    // over reductions SumFunction/CountFunction/MaxFunction/MinFunction/
+    // UniqueFunction, grouped by a value facet): mean = div(sum,count) as a
+    // single IEEE division of the exact integer-cents sum; spread =
+    // sub(max,min); unique = countDistinct; label = if(gt(count,1000),...).
+    // One hash aggregation, map-side partials — the whole expression tree
+    // folds into the agg projection.
+    "q_analytics_expr" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (sum(expr(cents)).cast("double") / count(lit(1))).as("mean_cents"),
+          (max(expr(cents)) - min(expr(cents))).as("spread_cents"),
+          countDistinct("l_suppkey").as("uniq_supp"),
+          when(count(lit(1)) > 1000, lit("big")).otherwise(lit("small"))
+            .as("size_label"))
+        .orderBy("l_returnflag")
+    }),
+    // CurrencyFieldType with asymmetric exchange rates (solr/core/src/java/
+    // org/apache/solr/schema/CurrencyFieldType.java:54 +
+    // FileExchangeRateProvider / currency.xml semantics — USD->EUR and
+    // EUR->USD are INDEPENDENT rates, not reciprocals): order totals stored
+    // in USD cents, range-filtered in EUR. The rate table is a 2-row
+    // broadcast; conversion = BIGINT cents x BIGINT rate-micros, exact.
+    "q_currency" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val rates = Seq(("USD", "EUR", 882000L), ("EUR", "USD", 1120000L))
+        .toDF("from_cur", "to_cur", "rate_micro")
+      t(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("usd_cents"))
+        .crossJoin(broadcast(rates.filter(col("from_cur") === "USD" &&
+          col("to_cur") === "EUR")))
+        .withColumn("eur_micros", col("usd_cents") * col("rate_micro"))
+        .filter(col("eur_micros") >= lit(8800000000000L) &&
+          col("eur_micros") < lit(8900000000000L))
+        .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
+        .orderBy("o_orderkey")
+    }),
+    // DataImportHandler transformer chain (solr/contrib/dataimporthandler/
+    // src/java/org/apache/solr/handler/dataimport/RegexTransformer.java +
+    // TemplateTransformer.java + DateFormatTransformer.java): each event row
+    // passes through regex field extraction, a ${...} template, and a date
+    // reformat — all map-only vectorized projections, zero shuffles.
+    "q_dih_transform" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .filter(col("event_id") % 199 === 0)
+        .select(
+          col("event_id"),
+          regexp_extract(col("event_type"), "^([a-z]{3})", 1).as("etype3"),
+          concat(lit("evt-"), col("event_type"), lit("-"),
+            col("user_id").cast("string")).as("tmpl"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("ts_hour"))
+        .orderBy("event_id")
     })
   )
 
@@ -2937,6 +2994,34 @@ object RelationalQueries {
         |  FROM wts GROUP BY i)
         |SELECT i AS n,
         |  CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(sw * sxx - sx * sx AS DOUBLE) AS loess
-        |FROM mom ORDER BY n""".stripMargin
+        |FROM mom ORDER BY n""".stripMargin,
+    "q_analytics_expr" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS mean_cents,
+        |  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    - min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS spread_cents,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS uniq_supp,
+        |  CASE WHEN count(*) > 1000 THEN 'big' ELSE 'small' END AS size_label
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_currency" ->
+      """WITH rates(from_cur, to_cur, rate_micro) AS (
+        |  VALUES ('USD', 'EUR', 882000), ('EUR', 'USD', 1120000))
+        |SELECT o_orderkey, usd_cents, usd_cents * rate_micro AS eur_micros
+        |FROM (SELECT o_orderkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS usd_cents
+        |      FROM orders),
+        |  (SELECT rate_micro FROM rates
+        |   WHERE from_cur = 'USD' AND to_cur = 'EUR')
+        |WHERE usd_cents * rate_micro >= 8800000000000
+        |  AND usd_cents * rate_micro < 8900000000000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dih_transform" ->
+      """SELECT event_id,
+        |  regexp_extract(event_type, '^([a-z]{3})', 1) AS etype3,
+        |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
+        |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
+        |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin
   )
 }
