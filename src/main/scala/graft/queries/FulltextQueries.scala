@@ -2913,6 +2913,54 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // Monitor presearcher pruning made observable (lucene/monitor/src/java/
+    // org/apache/lucene/monitor/TermFilteredPresearcher.java — queries are
+    // indexed by a minimal covering term disjunction so most never run per
+    // doc): for the same standing set as ft_monitor, count CANDIDATE docs
+    // (term prefilter hit) vs CONFIRMED matches per query. At 100 TB this
+    // is the difference between running every registered query on every
+    // doc and running ~df(term)/N of them — the candidate/matched ratio IS
+    // the pruning evidence.
+    "ft_monitor_presearch" -> ((spark, sfDir) => {
+      val standing = Seq(
+        "q_bool" -> graft.search.BoolQ(
+          must = Seq(graft.search.TermQ("spark")),
+          mustNot = Seq(graft.search.TermQ("vector"))),
+        "q_phrase" -> graft.search.PhraseQ(Seq("big", "table"), Seq(0, 1)),
+        "q_vector" -> graft.search.TermQ("vector"))
+      graft.streaming.QueryMonitor
+        .presearchBatch(DocsIndex.files(spark, sfDir), standing,
+          graft.analysis.Analyzers.simple)
+        .toDF()
+        .groupBy(col("queryName"))
+        .agg(count(lit(1)).as("candidates"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("matched"))
+        .withColumnRenamed("queryName", "query_name")
+        .orderBy("query_name")
+    }),
+    // group.query grouping (solr/core/src/java/org/apache/solr/search/
+    // Grouping.java — inner class CommandQuery: each group.query defines a
+    // bucket; hits of the MAIN query are ranked within each bucket): main
+    // query 'vector', buckets = matches of 'table' vs the rest, top-2 per
+    // bucket. Match set + score set off the real scatter; the per-bucket
+    // top-k is one window.
+    "ft_group_query" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scores = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s")
+      val inGrp = searcher.matchesDS(searcher.parse("table")).toDF("docId")
+        .withColumn("grp", lit("q:table"))
+      val outGrp = index.docs.toDF().select(col("docId"))
+        .join(inGrp.select("docId"), Seq("docId"), "left_anti")
+        .withColumn("grp", lit("q:not_table"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(desc("s"), asc("doc_id"))
+      scores.join(inGrp.unionByName(outGrp), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("grp"), col("doc_id"), col("s").as("score"))
+        .orderBy(asc("grp"), desc("score"), asc("doc_id"))
+    }),
     // PhrasesIdentificationComponent (solr/core/src/java/org/apache/solr/
     // handler/component/PhrasesIdentificationComponent.java:933-1084): score
     // every contiguous sub-phrase of the query 'table hash value' with the
@@ -4826,6 +4874,43 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // presearcher: candidates = docs containing the extracted term
+    // ({spark} for the bool's must, {table} for the phrase — the
+    // longer/heavier term, {vector} for the term query); matched = the
+    // full query semantics
+    "ft_monitor_presearch" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT query_name, candidates, matched FROM (
+         |  SELECT 'q_bool' AS query_name,
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'spark')) AS candidates,
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'spark')
+         |       AND NOT list_contains(tk, 'vector')) AS matched
+         |  UNION ALL SELECT 'q_phrase',
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'table')),
+         |    (SELECT count(*) FROM t WHERE len(list_filter(range(1, len(tk)),
+         |       i -> tk[i] = 'big' AND tk[i+1] = 'table')) > 0)
+         |  UNION ALL SELECT 'q_vector',
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')),
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')))
+         |ORDER BY query_name""".stripMargin,
+    // group.query: bucket membership by 'table' containment, BM25 'vector'
+    // ranking, top-2 per bucket
+    "ft_group_query" ->
+      s"""$PRELUDE,
+         |sc AS (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS score
+         |  FROM dl, st),
+         |g AS (
+         |  SELECT sc.doc_id, sc.score,
+         |    CASE WHEN list_contains(t.tk, 'table') THEN 'q:table'
+         |         ELSE 'q:not_table' END AS grp
+         |  FROM sc JOIN toks t ON sc.doc_id = t.doc_id WHERE sc.tf > 0),
+         |r AS (SELECT grp, doc_id, score,
+         |        row_number() OVER (PARTITION BY grp
+         |          ORDER BY score DESC, doc_id) AS rn FROM g)
+         |SELECT grp, doc_id, score FROM r WHERE rn <= 2
+         |ORDER BY grp, score DESC, doc_id""".stripMargin,
     // phrase-identification Bayesian model recomputed from raw text: word
     // ttfs, bigram shingle ttfs, conjunction doc counts; expression tree
     // parenthesized exactly like the Scala side (single IEEE ops on exact

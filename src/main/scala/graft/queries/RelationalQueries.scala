@@ -1809,6 +1809,31 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // facet.pivot with per-bucket stats (solr/core/src/java/org/apache/solr/
+    // handler/component/PivotFacetHelper.java + FieldFacetStats.java: each
+    // pivot bucket carries a stats.field block): two-level pivot
+    // source>lang, each bucket with count / sum / mean of n_chars. One hash
+    // aggregation; the mean is a single IEEE division of exact integers.
+    "q_pivot_stats" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").as("sum_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("mean_chars"))
+        .orderBy("source", "lang")
+    }),
+    // date-field stats (solr/core/src/java/org/apache/solr/handler/
+    // component/SortedDateStatsValues.java / StatsValuesFactory date stats:
+    // min/max/mean over a date field): epoch-microsecond discipline — the
+    // BIGINT sum is exact, the mean one IEEE division.
+    "q_stats_date" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("sec", expr("us DIV 1000000"))
+        .agg(count(lit(1)).as("cnt"),
+          min("us").as("min_us"), max("us").as("max_us"),
+          (sum("sec").cast("double") / count(lit(1))).as("mean_s"))
+    }),
     // DataImportHandler transformer chain (solr/contrib/dataimporthandler/
     // src/java/org/apache/solr/handler/dataimport/RegexTransformer.java +
     // TemplateTransformer.java + DateFormatTransformer.java): each event row
@@ -3017,6 +3042,16 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot_stats" ->
+      """SELECT source, lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "q_stats_date" ->
+      """SELECT count(*) AS cnt,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+        |  CAST(sum(epoch_us(ts) // 1000000) AS DOUBLE) / count(*) AS mean_s
+        |FROM events""".stripMargin,
     "q_dih_transform" ->
       """SELECT event_id,
         |  regexp_extract(event_type, '^([a-z]{3})', 1) AS etype3,

@@ -169,6 +169,74 @@ object QueryMonitor {
     }
   }
 
+  /** One presearch outcome: the query was a CANDIDATE for the doc (its
+    * extracted term disjunction intersected the doc's tokens); `matched`
+    * says whether the full matcher then confirmed it. */
+  final case class PresearchEvent(path: String, queryName: String, matched: Boolean)
+
+  /** TermFilteredPresearcher term extraction (reference: lucene/monitor/
+    * src/java/org/apache/lucene/monitor/TermFilteredPresearcher.java +
+    * QueryAnalyzer.java; default weightor TermWeightor.java:37,139-151:
+    * weight(t) = 4 − 3·e^(−0.3·min(len,31)), longer terms weigh more):
+    * a conjunction keeps only its single best-weighted child's term set, a
+    * disjunction unions all children — the minimal covering disjunction
+    * that's guaranteed to be present in any matching doc. Ties break toward
+    * the lexicographically greater term (deterministic stand-in for
+    * Lucene's hash tiebreak). Empty set = ANYTOKEN: the query can't be
+    * term-filtered and every doc stays a candidate. */
+  def presearchTerms(q0: Query): Set[String] = {
+    def weight(t: String): Double =
+      4.0 - 3.0 * math.exp(-0.3 * math.min(t.length, 31))
+    def setKey(s: Set[String]): (Double, String) =
+      (if (s.isEmpty) Double.MinValue else s.map(weight).min,
+        s.toSeq.sorted.mkString(","))
+    def go(q: Query): Set[String] = q match {
+      case TermQ(t) => Set(t)
+      case SynonymQ(ts) => ts.toSet
+      case ConstSetQ(ts) => ts.toSet
+      case BoostQ(sub, _) => go(sub)
+      case DisMaxQ(ds, _) =>
+        val sets = ds.map(go)
+        if (sets.exists(_.isEmpty)) Set.empty else sets.flatten.toSet
+      case PhraseQ(ts, _, _) => Set(ts.maxBy(t => (weight(t), t)))
+      case BoolQ(must, _, _, _) if must.nonEmpty =>
+        must.map(go).filter(_.nonEmpty) match {
+          case Seq() => Set.empty
+          case nonEmpty => nonEmpty.maxBy(setKey)
+        }
+      case BoolQ(_, should, _, _) if should.nonEmpty =>
+        val sets = should.map(go)
+        if (sets.exists(_.isEmpty)) Set.empty else sets.flatten.toSet
+      case _ => Set.empty
+    }
+    go(Query.rewrite(q0))
+  }
+
+  /** Presearch + match in one pass: per (doc, query), emit an event iff the
+    * query is a candidate for the doc (term prefilter hit, or ANYTOKEN).
+    * The caller aggregates candidates vs confirmed matches — the
+    * Presearcher's pruning ratio made observable. */
+  def presearchBatch(
+      docs: Dataset[CodeFile],
+      queries: Seq[(String, Query)],
+      analyzer: Analyzer): Dataset[PresearchEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (n, q) =>
+      (n, Query.rewrite(q), presearchTerms(q))
+    }
+    docs.mapPartitions { it =>
+      it.flatMap { f =>
+        val (byTerm, _) = analyzer.invert(f.content)
+        val tfMap = byTerm.map { case (t, (_, poss)) => t -> poss.toArray }
+        qs.iterator.collect {
+          case (name, q, pre) if pre.isEmpty || pre.exists(tfMap.contains) =>
+            PresearchEvent(f.path, name, matches(q, tfMap))
+        }
+      }
+    }
+  }
+
   /** Streaming surface: attach the standing queries to a document stream;
     * the result streams (repo, path, commit, queryName) match events. */
   def attach(
