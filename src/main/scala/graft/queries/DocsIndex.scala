@@ -246,6 +246,44 @@ object DocsIndex {
         (idx, new GraftSearcher(idx, Analyzers.simple))
       })
 
+  /** DocValues corpus taken through TWO Solr-style atomic update batches
+    * (reference: solr/core/src/java/org/apache/solr/update/processor/
+    * AtomicUpdateDocumentMerger.java:100-124 — 'set' overwrites the stored
+    * value, 'inc' reads the CURRENT value and adds): gen1 sets
+    * popularity=111 where doc_id%7==0, gen2 incs popularity+=7 for docs
+    * matching 'spark'. The inc batch reads the post-set generation — the
+    * RTG + merge + write-new-generation flow, each batch one distributed
+    * latest-wins union. */
+  def getAtomic(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#dvatomic", _ => {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-docsatomic-").toString
+        graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
+          IndexConfig(analyzer = Analyzers.simple))
+        val idx0 = graft.index.IndexStore.open(spark, dir)
+        val base = idx0.docs.toDF()
+          .select($"docId", lit("popularity").as("field"), $"len".cast("long").as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, base)
+        val ids = docIdMap(idx0)
+        val setBatch = ids.filter($"doc_id" % 7 === 0)
+          .select($"docId", lit("popularity").as("field"), lit(111L).as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, setBatch)
+        val idx1 = graft.index.IndexStore.open(spark, dir)
+        val searcher1 = new GraftSearcher(idx1, Analyzers.simple)
+        val sparkDocs = searcher1.matchesDS(graft.search.TermQ("spark")).toDF("mDocId")
+        val incBatch = idx1.docValues.toDF().filter($"field" === "popularity")
+          .join(sparkDocs, $"docId" === $"mDocId")
+          .select($"docId", $"field", ($"value" + 7L).as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, incBatch)
+        val idx = graft.index.IndexStore.open(spark, dir)
+        idx.blocks.count()
+        (idx, new GraftSearcher(idx, Analyzers.simple))
+      })
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -2913,6 +2913,40 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // Index-stats function queries (solr/core/src/java/org/apache/solr/
+    // search/ValueSourceParser.java:646-670 — docfreq(), totaltermfreq()/
+    // ttf(), plus ClassicSimilarity idf = ln((docCount+1)/(docFreq+1))+1):
+    // per-term stats straight off the termStats dictionary (one row per
+    // term — never the blocks table), idf emitted as floor(idf·1e6).
+    "ft_func_docfreq" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val terms = Seq("big", "spark", "table", "vector")
+      val n = index.docs.count()
+      index.termStats.toDF().filter(col("term").isin(terms: _*))
+        .withColumn("maxdoc", lit(n))
+        .withColumn("idf_micro6",
+          floor((log(lit((n + 1).toDouble) / (col("docFreq").cast("double") + lit(1.0)))
+            + lit(1.0)) * lit(1e6)).cast("long"))
+        .select(col("term"), col("docFreq").as("docfreq"),
+          col("totalTermFreq").as("ttf"), col("maxdoc"), col("idf_micro6"))
+        .orderBy("term")
+    }),
+    // Atomic updates (solr/core/src/java/org/apache/solr/update/processor/
+    // AtomicUpdateDocumentMerger.java:100-124,435,480 — set/inc merged
+    // against the CURRENT stored document): popularity taken through a set
+    // batch then an inc batch (DocsIndex.getAtomic), read back through a
+    // real 'merge' query. Latest-generation resolution is the same
+    // gen-stacked docvalues path as ft_dv_update.
+    "ft_atomic_update" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getAtomic(spark, sfDir)
+      searcher.matchesDS(graft.search.TermQ("merge")).toDF("docId")
+        .join(index.docValues.toDF().filter(col("field") === "popularity")
+          .select(col("docId"), col("value").as("popularity")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("popularity"), asc("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("popularity"))
+    }),
     // Monitor presearcher pruning made observable (lucene/monitor/src/java/
     // org/apache/lucene/monitor/TermFilteredPresearcher.java — queries are
     // indexed by a minimal covering term disjunction so most never run per
@@ -4874,6 +4908,33 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // docfreq/ttf off the token stream; maxdoc = corpus size; idf =
+    // ln((n+1)/(df+1)) + 1 in micro-units
+    "ft_func_docfreq" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |n AS (SELECT count(*) AS n FROM t),
+         |tok AS (SELECT doc_id, unnest(tk) AS tm FROM t),
+         |q AS (SELECT unnest(['big', 'spark', 'table', 'vector']) AS term),
+         |s AS (
+         |  SELECT q.term, count(DISTINCT tok.doc_id) AS docfreq,
+         |    count(*) AS ttf
+         |  FROM q JOIN tok ON tok.tm = q.term GROUP BY q.term)
+         |SELECT term, docfreq, ttf, n.n AS maxdoc,
+         |  CAST(floor((ln(CAST(n.n + 1 AS DOUBLE)
+         |    / (CAST(docfreq AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |    + CAST(1.0 AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro6
+         |FROM s, n ORDER BY term""".stripMargin,
+    // atomic set (doc_id%7 -> 111) then inc (+7 where 'spark' present) over
+    // the base popularity = token count; read back on the 'merge' match set
+    "ft_atomic_update" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |p AS (SELECT doc_id, tk,
+         |  (CASE WHEN doc_id % 7 = 0 THEN 111 ELSE len(tk) END)
+         |  + (CASE WHEN list_contains(tk, 'spark') THEN 7 ELSE 0 END)
+         |    AS popularity
+         |  FROM t)
+         |SELECT doc_id, popularity FROM p WHERE list_contains(tk, 'merge')
+         |ORDER BY popularity DESC, doc_id LIMIT 10""".stripMargin,
     // presearcher: candidates = docs containing the extracted term
     // ({spark} for the bool's must, {table} for the phrase — the
     // longer/heavier term, {vector} for the term query); matched = the

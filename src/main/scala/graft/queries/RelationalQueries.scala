@@ -1809,6 +1809,28 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // facet paging params (solr FacetParams facet.mincount / facet.offset /
+    // facet.limit / facet.missing, applied by solr/core/src/java/org/apache/
+    // solr/request/SimpleFacets.java to the count-sorted bucket list):
+    // facet over NULLIF(lang,'en') — 'en' plays the missing-value role —
+    // mincount=2, skip 1 bucket, take 3 (count desc / value asc), plus the
+    // missing row appended like Solr's NamedList missing entry.
+    "q_facet_params" -> ((spark, sfDir) => {
+      val d = t(spark, sfDir, "documents")
+        .withColumn("fv", expr("nullif(lang, 'en')"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), asc("fv"))
+      val page = d.filter(col("fv").isNotNull)
+        .groupBy("fv").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") > 1 && col("pos") <= 4)
+        .select(col("fv").as("val"), col("cnt"), col("pos"))
+      val missing = d.filter(col("fv").isNull)
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("__missing__").as("val"), col("cnt"), lit(99).as("pos"))
+      page.unionByName(missing).orderBy("pos", "val")
+    }),
     // facet.pivot with per-bucket stats (solr/core/src/java/org/apache/solr/
     // handler/component/PivotFacetHelper.java + FieldFacetStats.java: each
     // pivot bucket carries a stats.field block): two-level pivot
@@ -3042,6 +3064,16 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_facet_params" ->
+      """WITH d AS (SELECT nullif(lang, 'en') AS fv FROM documents),
+        |b AS (SELECT fv, count(*) AS cnt FROM d WHERE fv IS NOT NULL
+        |      GROUP BY fv HAVING count(*) >= 2),
+        |p AS (SELECT fv AS val, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, fv) AS pos FROM b)
+        |SELECT val, cnt, pos FROM p WHERE pos > 1 AND pos <= 4
+        |UNION ALL
+        |SELECT '__missing__', count(*), 99 FROM d WHERE fv IS NULL
+        |ORDER BY pos, val""".stripMargin,
     "q_pivot_stats" ->
       """SELECT source, lang, count(*) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -1389,6 +1389,41 @@ object TrainingDataQueries {
         .withColumn("sim", col("matched").cast("double") / lit(16.0))
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
+    }),
+    // Cluster labeling (solr/contrib/clustering/src/java/org/apache/solr/
+    // handler/clustering/carrot2/CarrotClusteringEngine.java — document
+    // clustering surfaces per-cluster labels; label salience here = term
+    // LIFT, the cluster's tf share over the corpus tf share): same
+    // deterministic Lloyd pass as td_kmeans over the paired embeddings,
+    // then top-3 terms per cluster by lift with support >= 5, lift in
+    // floor(x·1e6) micro-units of exact integer inputs. Scale shape:
+    // assignment is map-only against a k×dims broadcast; the label agg is
+    // one (cluster, term) shuffle with map-side partials.
+    "td_cluster_labels" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      val c0 = seedCentroids(e)
+      val a1 = e.withColumn("cl", assignNearestL(c0))
+      val means = lloydMeans(a1, 4)
+      val asg = a1.drop("cl").withColumn("cl", assignNearestD(means))
+        .select(col("vec_id").as("doc_id"), col("cl"))
+      val tok = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr(TOKS)).as("term"))
+      val tot = tok.count()
+      val joined = tok.join(asg, "doc_id")
+      val ct = joined.groupBy("cl", "term").agg(count(lit(1)).as("ctf"))
+      val ctot = joined.groupBy("cl").agg(count(lit(1)).as("ctot"))
+      val tt = tok.groupBy("term").agg(count(lit(1)).as("ttf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cl").orderBy(desc("lift_micro6"), asc("term"))
+      ct.join(broadcast(ctot), "cl").join(tt, "term")
+        .filter(col("ctf") >= 5)
+        .withColumn("lift_micro6",
+          floor(col("ctf").cast("double") * lit(tot) / col("ttf") / col("ctot")
+            * lit(1e6)).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
+        .orderBy("cluster", "rn")
     })
   )
 
@@ -2391,7 +2426,55 @@ object TrainingDataQueries {
          |  SELECT a.doc_id, $m AS matched FROM sig a, q WHERE a.doc_id <> 44)
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
-    }
+    },
+    // cluster labels: td_kmeans's exact CTE chain for the assignments, then
+    // lift = (ctf * tot) / (ttf * ctot) in micro-units, top-3 per cluster
+    "td_cluster_labels" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+         |a1 AS (
+         |  SELECT vec_id, v, cl FROM (
+         |    SELECT e.vec_id, e.v, c0.cid AS cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(e.v)),
+         |          i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) ASC, c0.cid ASC) AS rn
+         |    FROM e CROSS JOIN c0)
+         |  WHERE rn = 1),
+         |m AS (
+         |  SELECT cl, i, CAST(sum(v[i]) AS DOUBLE) / count(*) AS mu
+         |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1,
+         |    (SELECT len(v) FROM e LIMIT 1))) AS i) gs
+         |  GROUP BY cl, i),
+         |c1 AS (SELECT cl AS cid, list(mu ORDER BY i) AS c FROM m GROUP BY cl),
+         |a2 AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, c1.cid AS cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(e.v)),
+         |          i -> (CAST(e.v[i] AS DOUBLE) - c1.c[i])
+         |             * (CAST(e.v[i] AS DOUBLE) - c1.c[i]))) ASC, c1.cid ASC) AS rn
+         |    FROM e CROSS JOIN c1)
+         |  WHERE rn = 1),
+         |tok AS (SELECT doc_id, unnest($TOKS) AS term
+         |        FROM (SELECT doc_id, text FROM documents)),
+         |tot AS (SELECT count(*) AS tot FROM tok),
+         |j AS (SELECT a2.cl, tok.term FROM tok JOIN a2 ON tok.doc_id = a2.vec_id),
+         |ct AS (SELECT cl, term, count(*) AS ctf FROM j GROUP BY cl, term),
+         |ctt AS (SELECT cl, count(*) AS ctot FROM j GROUP BY cl),
+         |tt AS (SELECT term, count(*) AS ttf FROM tok GROUP BY term),
+         |l AS (SELECT ct.cl, ct.term,
+         |  CAST(floor(CAST(ct.ctf AS DOUBLE) * tot.tot / tt.ttf / ctt.ctot
+         |    * 1e6) AS BIGINT) AS lift_micro6
+         |  FROM ct JOIN ctt ON ct.cl = ctt.cl JOIN tt ON ct.term = tt.term, tot
+         |  WHERE ct.ctf >= 5),
+         |r AS (SELECT cl, term, lift_micro6,
+         |  row_number() OVER (PARTITION BY cl
+         |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
+         |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
+         |ORDER BY cluster, rn""".stripMargin
   )
 
   /** sigmoid over a weight CTE `p`'s columns (oracle side of
