@@ -2913,6 +2913,67 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // TopTermsScoringBooleanQueryRewrite (lucene/core/src/java/org/apache/
+    // lucene/search/MultiTermQuery.java:114-140 + TopTermsRewrite.java:
+    // 202-207 — the SCORING rewrite for multi-term queries: keep the top
+    // `size` expanded terms in a priority queue ordered by (boost, then
+    // SMALLER term wins ties), emit a BooleanQuery of SHOULD TermQueries):
+    // prefix s* with size=4 expands dictionary-first off termStats (constant
+    // boost -> first 4 terms in term order), each doc scores the SUM of its
+    // per-term BM25 — summed in exact 1e4-units so the distributed
+    // disjunction is order-independent.
+    "ft_prefix_scored" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      import spark.implicits._
+      val expanded = index.termStats.toDF().filter(col("term").startsWith("s"))
+        .orderBy("term").limit(4).select("term").as[String].collect().toSeq
+      expanded.map(t =>
+        searcher.scoreAllDoubleDS(graft.search.TermQ(t)).toDF("docId", "s"))
+        .reduce(_ unionByName _)
+        .groupBy("docId")
+        .agg((sum(round(col("s") * 10000).cast("long")).cast("double") / 10000.0)
+          .as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(15)
+        .select(col("doc_id"), col("score"))
+    }),
+    // DirectSpellChecker (lucene/suggest/src/java/org/apache/lucene/search/
+    // spell/DirectSpellChecker.java:60,303-320,458 — suggestions straight
+    // off the term dictionary, no side index; score =
+    // LuceneLevenshteinDistance.java:106 `1 - d/min(len)`, transposition-
+    // counting; order = SuggestWordScoreComparator: score desc, docFreq
+    // desc, term asc): top-5 for the misspelling 'tble' with maxEdits=2 and
+    // prefix=1. Dictionary-first — one row per term off termStats.
+    "ft_spell_direct" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      import spark.implicits._
+      val q = "tble"
+      index.termStats.as[graft.index.TermStatsRow]
+        .flatMap { ts =>
+          val d = graft.search.Query.damerauLevenshtein(ts.term, q)
+          if (ts.term != q && ts.term.startsWith("t") && d <= 2)
+            Some((ts.term, ts.docFreq,
+              1.0 - d.toDouble / math.min(ts.term.length, q.length)))
+          else None
+        }.toDF("term", "docfreq", "score")
+        .orderBy(desc("score"), desc("docfreq"), asc("term")).limit(5)
+    }),
+    // DocumentValueSourceDictionary suggester weights (lucene/suggest/src/
+    // java/org/apache/lucene/search/suggest/DocumentValueSourceDictionary
+    // .java:38-70 — suggestion entries read from stored documents, each
+    // weighted by a value-source EXPRESSION instead of a stored weight
+    // field): entry = the doc's first-two-token phrase, weight =
+    // 2·n_chars − doc_id%7, duplicate entries keep the max weight;
+    // completions for the typed prefix 'ta'.
+    "ft_suggest_expr" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .withColumn("entry", expr(
+          "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 2), ' ')"))
+        .withColumn("weight", lit(2L) * col("n_chars") - col("doc_id") % 7)
+        .filter(col("entry").startsWith("ta"))
+        .groupBy("entry").agg(max("weight").as("weight"))
+        .orderBy(desc("weight"), asc("entry")).limit(10)
+    }),
     // Index-stats function queries (solr/core/src/java/org/apache/solr/
     // search/ValueSourceParser.java:646-670 — docfreq(), totaltermfreq()/
     // ttf(), plus ClassicSimilarity idf = ln((docCount+1)/(docFreq+1))+1):
@@ -4908,6 +4969,47 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // scoring rewrite: first-4 s* terms in term order (constant boost ties
+    // break toward the smaller term), per-doc disjunction sum in 1e4 units
+    "ft_prefix_scored" -> {
+      val terms = Seq("scan", "slow", "small", "sort")
+      val legs = terms.map(t =>
+        s"""SELECT dl.doc_id,
+           |    CAST(round(round(${bmSql(idfSql(dfSql(t)), tfSql(t))}, 4) * 10000)
+           |      AS BIGINT) AS su
+           |  FROM dl, st WHERE ${tfSql(t)} > 0""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""$PRELUDE,
+         |u AS (
+         |  $legs)
+         |SELECT doc_id, CAST(sum(su) AS DOUBLE) / 10000.0 AS score
+         |FROM u GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+    // DirectSpellChecker: transposition-counting distance <= 2, exact first
+    // char, score = 1 - d/min(len), order (score desc, docfreq desc, term)
+    "ft_spell_direct" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |dict AS (
+         |  SELECT term, count(DISTINCT doc_id) AS docfreq
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY term)
+         |SELECT term, docfreq,
+         |  CAST(1.0 AS DOUBLE)
+         |    - CAST(damerau_levenshtein(term, 'tble') AS DOUBLE)
+         |      / least(len(term), 4) AS score
+         |FROM dict
+         |WHERE term <> 'tble' AND term LIKE 't%'
+         |  AND damerau_levenshtein(term, 'tble') <= 2
+         |ORDER BY score DESC, docfreq DESC, term LIMIT 5""".stripMargin,
+    // suggester entries = first-two-token phrases, expression weights,
+    // max-dedup, prefix 'ta'
+    "ft_suggest_expr" ->
+      s"""SELECT entry, max(weight) AS weight FROM (
+         |  SELECT array_to_string(list_slice($TOKS, 1, 2), ' ') AS entry,
+         |    2 * n_chars - doc_id % 7 AS weight
+         |  FROM documents)
+         |WHERE entry LIKE 'ta%'
+         |GROUP BY entry ORDER BY weight DESC, entry LIMIT 10""".stripMargin,
     // docfreq/ttf off the token stream; maxdoc = corpus size; idf =
     // ln((n+1)/(df+1)) + 1 in micro-units
     "ft_func_docfreq" ->

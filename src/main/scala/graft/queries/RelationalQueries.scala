@@ -1809,6 +1809,28 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // date-range faceting with a date-math gap (solr/core/src/java/org/
+    // apache/solr/handler/component/RangeFacetProcessor.java +
+    // RangeFacetRequest date ranges with gap=+7DAYS and
+    // FacetParams.FacetRangeOther BEFORE/AFTER): weekly buckets over
+    // [2024-01-08, 2024-01-22) plus the before/after counts — one
+    // conditional-aggregate scan, map-side partials.
+    "q_facet_daterange" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events")
+        .withColumn("tst", col("ts").cast("timestamp"))
+      val in = e.filter(col("tst") >= lit("2024-01-08") &&
+          col("tst") < lit("2024-01-22"))
+        .groupBy(date_format(date_trunc("week", col("tst")), "yyyy-MM-dd")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val before = e.filter(col("tst") < lit("2024-01-08"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("__before__").as("bucket"), col("cnt"))
+      val after = e.filter(col("tst") >= lit("2024-01-22"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("__after__").as("bucket"), col("cnt"))
+      in.unionByName(before).unionByName(after).orderBy("bucket")
+    }),
     // facet paging params (solr FacetParams facet.mincount / facet.offset /
     // facet.limit / facet.missing, applied by solr/core/src/java/org/apache/
     // solr/request/SimpleFacets.java to the count-sorted bucket list):
@@ -3064,6 +3086,19 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_facet_daterange" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
+        |  count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+        |GROUP BY bucket
+        |UNION ALL
+        |SELECT '__before__', count(*) FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08'
+        |UNION ALL
+        |SELECT '__after__', count(*) FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-22'
+        |ORDER BY bucket""".stripMargin,
     "q_facet_params" ->
       """WITH d AS (SELECT nullif(lang, 'en') AS fv FROM documents),
         |b AS (SELECT fv, count(*) AS cnt FROM d WHERE fv IS NOT NULL
