@@ -1809,6 +1809,104 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // predict() model application (solr/solrj/src/java/org/apache/solr/
+    // client/solrj/io/eval/PredictEvaluator.java — apply a fitted
+    // regression to new observations): the q_ols normal-equation solve
+    // re-fit on the EVEN-orderkey half, predictions for the first 5
+    // held-out rows as c0 + c1·x1 + c2·x2. Moments are exact BIGINTs; the
+    // coefficient and prediction expression trees are identical in both
+    // engines, so the doubles agree bit-for-bit; floor to cents.
+    "q_predict" -> ((spark, sfDir) => {
+      val li = t(spark, sfDir, "lineitem")
+      val m = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_quantity").cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n0"),
+          sum("x1").as("a1"), sum("x2").as("a2"),
+          sum(col("x1") * col("x1")).as("a11"),
+          sum(col("x1") * col("x2")).as("a12"),
+          sum(col("x2") * col("x2")).as("a22"),
+          sum("y").as("b0"), sum(col("x1") * col("y")).as("b1"),
+          sum(col("x2") * col("y")).as("b2"))
+      val n = col("n0").cast("double")
+      val s1 = col("a1").cast("double"); val s2 = col("a2").cast("double")
+      val s11 = col("a11").cast("double"); val s12 = col("a12").cast("double")
+      val s22 = col("a22").cast("double")
+      val t0 = col("b0").cast("double"); val t1 = col("b1").cast("double")
+      val t2 = col("b2").cast("double")
+      val d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+      val coef = m.select(
+        ((t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2) + s2 * (t1 * s12 - s11 * t2)) / d).as("c0"),
+        ((n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2) + s2 * (s1 * t2 - t1 * s2)) / d).as("c1"),
+        ((n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s12 - s11 * s2)) / d).as("c2"))
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"))
+        .orderBy("l_orderkey", "l_linenumber").limit(5)
+        .crossJoin(broadcast(coef))
+        .withColumn("pred_cents",
+          floor(col("c0") + col("c1") * col("x1").cast("double")
+            + col("c2") * col("x2").cast("double")).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("pred_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // Temporal evaluator family (solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/TemporalEvaluatorYear.java, -Quarter, -Month, -Week,
+    // -DayOfYear, -Hour): one map-only projection of calendar parts.
+    "q_temporal" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .filter(col("event_id") % 1999 === 0)
+        .withColumn("tst", col("ts").cast("timestamp"))
+        .select(col("event_id"), year(col("tst")).as("yy"),
+          quarter(col("tst")).as("qq"), month(col("tst")).as("mm"),
+          weekofyear(col("tst")).as("wk"),
+          dayofyear(col("tst")).as("doy"), hour(col("tst")).as("hh"))
+        .orderBy("event_id")
+    }),
+    // termVectors + topFeatures (solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/TermVectorsEvaluator.java:168-174 — tf-idf cell =
+    // sqrt(tf) · (ln((numDocs+1)/(df+1)) + 1); TopFeaturesEvaluator takes
+    // the per-row top columns): doc×term matrix over the doc_id%50 sample,
+    // top-3 features per doc. Exact integer tf/df; one shuffle each.
+    "q_termvectors_tfidf" -> ((spark, sfDir) => {
+      val sub = t(spark, sfDir, "documents").filter(col("doc_id") % 50 === 0)
+      val tok = sub.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      val nn = sub.count()
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf_micro6"), asc("term"))
+      tf.join(broadcast(dfc), "term")
+        .withColumn("tfidf_micro6",
+          floor(sqrt(col("tf").cast("double"))
+            * (log(lit((nn + 1).toDouble) / (col("df") + lit(1)).cast("double"))
+              + lit(1.0)) * lit(1e6)).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tfidf_micro6"))
+        .orderBy("doc_id", "rn")
+    }),
+    // Matrix reductions (solr/solrj/src/java/org/apache/solr/client/solrj/
+    // io/eval/SumRowsEvaluator.java, SumColumnsEvaluator.java,
+    // GrandSumEvaluator.java over a lang×source count matrix): all three
+    // reductions from ONE grouped count via conditional re-aggregation.
+    "q_matrix_sums" -> ((spark, sfDir) => {
+      val cells = t(spark, sfDir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      val rows = cells.groupBy(col("lang").as("label"))
+        .agg(sum("c").as("total")).withColumn("kind", lit("row"))
+      val cols = cells.groupBy(col("source").as("label"))
+        .agg(sum("c").as("total")).withColumn("kind", lit("col"))
+      val grand = cells.agg(sum("c").as("total"))
+        .select(lit("all").as("label"), col("total"), lit("grand").as("kind"))
+      rows.unionByName(cols).unionByName(grand)
+        .select(col("kind"), col("label"), col("total"))
+        .orderBy("kind", "label")
+    }),
     // date-range faceting with a date-math gap (solr/core/src/java/org/
     // apache/solr/handler/component/RangeFacetProcessor.java +
     // RangeFacetRequest date ranges with gap=+7DAYS and
@@ -3086,6 +3184,74 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_predict" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+        |    CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+        |    CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS t0,
+        |    CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS t1,
+        |    CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS t2
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |               CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+        |               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem WHERE l_orderkey % 2 = 0)
+        |), d AS (
+        |  SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |         + s2 * (s1 * s12 - s11 * s2) AS det FROM m
+        |), coef AS (
+        |  SELECT
+        |    (t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2) + s2 * (t1 * s12 - s11 * t2)) / det AS c0,
+        |    (n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2) + s2 * (s1 * t2 - t1 * s2)) / det AS c1,
+        |    (n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s12 - s11 * s2)) / det AS c2
+        |  FROM d
+        |), test AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_orderkey % 2 = 1
+        |  ORDER BY l_orderkey, l_linenumber LIMIT 5)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(c0 + c1 * CAST(x1 AS DOUBLE) + c2 * CAST(x2 AS DOUBLE))
+        |    AS BIGINT) AS pred_cents
+        |FROM test, coef ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_temporal" ->
+      """SELECT event_id, year(ts) AS yy, quarter(ts) AS qq, month(ts) AS mm,
+        |  weekofyear(ts) AS wk, dayofyear(ts) AS doy, hour(ts) AS hh
+        |FROM events WHERE event_id % 1999 = 0 ORDER BY event_id""".stripMargin,
+    "q_termvectors_tfidf" ->
+      """WITH sub AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS tk
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |n AS (SELECT count(*) AS n FROM sub),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM sub),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(floor(sqrt(CAST(tf.tf AS DOUBLE))
+        |      * (ln(CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE)) * 1e6) AS BIGINT) AS tfidf_micro6
+        |  FROM tf JOIN df ON tf.term = df.term, n),
+        |r AS (SELECT doc_id, term, tfidf_micro6,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_micro6 DESC, term) AS rn FROM sc)
+        |SELECT doc_id, rn, term, tfidf_micro6 FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+    "q_matrix_sums" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source)
+        |SELECT kind, label, total FROM (
+        |  SELECT 'row' AS kind, lang AS label, CAST(sum(c) AS BIGINT) AS total
+        |  FROM cells GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'col', source, CAST(sum(c) AS BIGINT) FROM cells GROUP BY source
+        |  UNION ALL
+        |  SELECT 'grand', 'all', CAST(sum(c) AS BIGINT) FROM cells)
+        |ORDER BY kind, label""".stripMargin,
     "q_facet_daterange" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
         |  count(*) AS cnt

@@ -52,6 +52,44 @@ class QueryMonitorSpec extends AnyFunSuite {
     }
   }
 
+  test("presearcher term extraction follows the weightor/conjunction rules") {
+    // conjunction keeps the single best-weighted (longest) child
+    assert(QueryMonitor.presearchTerms(
+      BoolQ(must = Seq(TermQ("if"), TermQ("indexwriter")))) == Set("indexwriter"))
+    // mustNot never contributes; must wins over it
+    assert(QueryMonitor.presearchTerms(
+      BoolQ(must = Seq(TermQ("segment")), mustNot = Seq(TermQ("buffer")))) ==
+      Set("segment"))
+    // phrase keeps its longest term
+    assert(QueryMonitor.presearchTerms(
+      PhraseQ(Seq("foo", "barbaz"), Seq(0, 1))) == Set("barbaz"))
+    // disjunction unions all children
+    assert(QueryMonitor.presearchTerms(
+      BoolQ(should = Seq(TermQ("a"), TermQ("b")))) == Set("a", "b"))
+    // a multi-term child can't be term-filtered -> ANYTOKEN (empty)
+    assert(QueryMonitor.presearchTerms(
+      BoolQ(should = Seq(TermQ("a"), PrefixQ("ind")))).isEmpty)
+  }
+
+  test("presearcher never loses a match (candidates are a superset)") {
+    val matched = QueryMonitor.matchBatch(docs, queries, Analyzers.standard)
+      .collect().groupBy(_.queryName)
+      .map { case (k, v) => k -> v.map(_.path).toSet }
+    val pre = QueryMonitor.presearchBatch(docs, queries, Analyzers.standard)
+      .collect().groupBy(_.queryName)
+    for ((name, _) <- queries) {
+      val evs = pre.getOrElse(name, Array.empty[QueryMonitor.PresearchEvent])
+      val cand = evs.map(_.path).toSet
+      val conf = evs.filter(_.matched).map(_.path).toSet
+      val expect = matched.getOrElse(name, Set.empty)
+      assert(conf == expect, s"'$name': confirmed set diverged from matchBatch")
+      assert(expect.subsetOf(cand), s"'$name': presearch dropped a match")
+    }
+    // and it actually prunes: a term query's candidates < corpus size
+    val termCand = pre("term").length
+    assert(termCand < nDocs)
+  }
+
   test("runs as a Structured Streaming stage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
