@@ -279,6 +279,13 @@ object DocsIndex {
           .select($"docId", $"field", ($"value" + 7L).as("value"))
           .as[graft.index.DocValueRow]
         graft.index.IndexStore.updateNumericDocValues(spark, dir, incBatch)
+        // a PARTIAL field: 'boost' exists only on docs matching 'vector' —
+        // the FieldExistsQuery / sortMissingLast surface
+        val boostBatch = searcher1.matchesDS(graft.search.TermQ("vector")).toDF("mDocId")
+          .join(ids, $"docId" === $"mDocId")
+          .select($"docId", lit("boost").as("field"), ($"doc_id" % 100).as("value"))
+          .as[graft.index.DocValueRow]
+        graft.index.IndexStore.updateNumericDocValues(spark, dir, boostBatch)
         val idx = graft.index.IndexStore.open(spark, dir)
         idx.blocks.count()
         (idx, new GraftSearcher(idx, Analyzers.simple))

@@ -2913,6 +2913,59 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // FieldExistsQuery over docvalues (lucene/core/src/java/org/apache/
+    // lucene/search/DocValuesFieldExistsQuery.java — match docs that HAVE a
+    // value for a field): the atomic index's partial 'boost' field; exists
+    // vs missing bucket counts + the existing values' exact sum. The dv
+    // table IS the match iterator — one aggregate over it, one anti-join
+    // for the missing side.
+    "ft_dv_exists" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.getAtomic(spark, sfDir)
+      val boost = index.docValues.toDF().filter(col("field") === "boost")
+        .select(col("docId"), col("value"))
+      val ex = boost.agg(count(lit(1)).as("cnt"), sum("value").as("sum_boost"))
+        .select(lit("exists").as("bucket"), col("cnt"), col("sum_boost"))
+      val miss = index.docs.toDF().select(col("docId"))
+        .join(boost.select("docId"), Seq("docId"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("missing").as("bucket"), col("cnt"), lit(0L).as("sum_boost"))
+      ex.unionByName(miss).orderBy("bucket")
+    }),
+    // Sort by docvalues with sortMissingLast (lucene/core/src/java/org/
+    // apache/lucene/search/SortField.java setMissingValue; Solr schema
+    // sortMissingLast=true): 'merge' hits ordered by the partial 'boost'
+    // dv descending, docs WITHOUT the field sorting last (missing → -1 on
+    // both engines — avoids cross-engine null canon), docId tiebreak.
+    "ft_dv_sort_missing" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getAtomic(spark, sfDir)
+      val boost = index.docValues.toDF().filter(col("field") === "boost")
+        .select(col("docId"), col("value").as("b"))
+      searcher.matchesDS(graft.search.TermQ("merge")).toDF("docId")
+        .join(boost, Seq("docId"), "left")
+        .withColumn("boost", coalesce(col("b"), lit(-1L)))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("boost"), asc("doc_id")).limit(12)
+        .select(col("doc_id"), col("boost"))
+    }),
+    // LTR feature-logger transformer (solr/contrib/ltr/src/java/org/apache/
+    // solr/ltr/response/transform/LTRFeatureLoggerTransformerFactory.java —
+    // [features] returns the extracted feature vector per result doc): the
+    // ft_ltr/ft_ltr_trees feature set (first-pass BM25, doc length, lang
+    // flag) logged for the top-10 of 'vector'. Feature extraction is the
+    // same broadcast-join projection the models consume.
+    "ft_ltr_features" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val first = searcher.searchDouble(searcher.parse("vector"), 10)
+      val firstDF = spark.createDataFrame(first.toSeq.map(h => (h.docId, h.score)))
+        .toDF("docId", "f_s1")
+      firstDF
+        .join(index.docs.toDF().select(col("docId"), col("len"), col("lang")), "docId")
+        .withColumn("f_len", col("len").cast("long"))
+        .withColumn("f_lang", when(col("lang") === "en", 1L).otherwise(0L))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("f_s1"), asc("doc_id"))
+        .select(col("doc_id"), col("f_s1"), col("f_len"), col("f_lang"))
+    }),
     // TopTermsScoringBooleanQueryRewrite (lucene/core/src/java/org/apache/
     // lucene/search/MultiTermQuery.java:114-140 + TopTermsRewrite.java:
     // 202-207 — the SCORING rewrite for multi-term queries: keep the top
@@ -4969,6 +5022,39 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // exists/missing buckets over the partial boost dv (= 'vector' docs)
+    "ft_dv_exists" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT bucket, cnt, sum_boost FROM (
+         |  SELECT 'exists' AS bucket, count(*) AS cnt,
+         |    CAST(sum(doc_id % 100) AS BIGINT) AS sum_boost
+         |  FROM t WHERE list_contains(tk, 'vector')
+         |  UNION ALL
+         |  SELECT 'missing', count(*), 0
+         |  FROM t WHERE NOT list_contains(tk, 'vector'))
+         |ORDER BY bucket""".stripMargin,
+    // merge hits by boost desc (missing = -1 sorts last), docId tiebreak
+    "ft_dv_sort_missing" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN list_contains(tk, 'vector') THEN doc_id % 100
+         |       ELSE -1 END AS boost
+         |FROM t WHERE list_contains(tk, 'merge')
+         |ORDER BY boost DESC, doc_id LIMIT 12""".stripMargin,
+    // feature logger: the ft_ltr feature join surfaced as output columns
+    "ft_ltr_features" ->
+      s"""$PRELUDE,
+         |first AS (
+         |  SELECT doc_id, s1 FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s1
+         |    FROM dl, st)
+         |  WHERE tf > 0 ORDER BY s1 DESC, doc_id LIMIT 10)
+         |SELECT f.doc_id, f.s1 AS f_s1, CAST(len(t.tk) AS BIGINT) AS f_len,
+         |  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS f_lang
+         |FROM first f JOIN toks t ON f.doc_id = t.doc_id
+         |JOIN documents d ON f.doc_id = d.doc_id
+         |ORDER BY f_s1 DESC, f.doc_id""".stripMargin,
     // scoring rewrite: first-4 s* terms in term order (constant boost ties
     // break toward the smaller term), per-doc disjunction sum in 1e4 units
     "ft_prefix_scored" -> {

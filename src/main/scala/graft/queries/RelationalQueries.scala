@@ -674,6 +674,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("sum_key"))
         .orderBy("n_regionkey")
     }),
+    // JSON-lines source (Solr JsonLoader, reference: solr/core/src/java/org/
+    // apache/solr/handler/loader/JsonLoader.java — document ingestion from
+    // JSON): round-trip a projection through JSON lines on disk with an
+    // explicit schema (no sampling inference pass at scale), aggregate from
+    // the JSON scan; the oracle reads the same rows from parquet.
+    "q_json" -> ((spark, sfDir) => {
+      val p = s"/tmp/graft-json-docs-${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/_SUCCESS")))
+        t(spark, sfDir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").json(p)
+      spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(p)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     // JDBC source (JDBCStream, reference: solr/solrj/src/java/org/apache/
     // solr/client/solrj/io/stream/JDBCStream.java): round-trip a projection
     // through an embedded Derby database (the JDBC endpoint this sandbox can
@@ -2524,6 +2540,9 @@ object RelationalQueries {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
         |  o_orderpriority AS prio, count(*) AS cnt
         |FROM orders GROUP BY 1, 2 ORDER BY price_bucket, prio""".stripMargin,
+    "q_json" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_csv" ->
       """SELECT n_regionkey, count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
