@@ -2913,6 +2913,43 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // ord()/rord() function queries (solr/core/src/java/org/apache/solr/
+    // search/function/OrdFieldSource.java:44-52 — field values numbered
+    // lexicographically starting at 1; ReverseOrdFieldSource = numValues −
+    // ord + 1): ordinals over the lang dictionary, broadcast onto a doc
+    // sample. The sorted-distinct dictionary is tiny; the doc side never
+    // shuffles.
+    "ft_func_ord" -> ((spark, sfDir) => {
+      val d = DocsIndex.documents(spark, sfDir)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("lang")
+      val ords = d.select("lang").distinct()
+        .withColumn("ord", row_number().over(w))
+      val nv = ords.count()
+      d.filter(col("doc_id") % 37 === 0)
+        .join(broadcast(ords), "lang")
+        .withColumn("rord", lit(nv) - col("ord") + lit(1))
+        .select(col("doc_id"), col("lang"), col("ord"), col("rord"))
+        .orderBy("doc_id")
+    }),
+    // Cross-core query-time join (solr/core/src/java/org/apache/solr/search/
+    // JoinQParserPlugin.java — {!join fromIndex=other from=f to=f}: the
+    // match set of a DIFFERENT core's query projected through a key field
+    // onto this core): from-core = the stemmed index ('tables' stems to
+    // 'table'), key = source label, to-core = the main corpus further
+    // filtered by 'merge'. The from-side key set is distinct + broadcast.
+    "ft_join_from_index" -> ((spark, sfDir) => {
+      val (sIdx, sSearcher) = DocsIndex.getStemmed(spark, sfDir)
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val fromKeys = sSearcher.matchesDS(sSearcher.parse("tables")).toDF("docId")
+        .join(sIdx.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .select("commit").distinct()
+      searcher.matchesDS(searcher.parse("merge")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("commit")), "docId")
+        .join(broadcast(fromKeys), "commit")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // FieldExistsQuery over docvalues (lucene/core/src/java/org/apache/
     // lucene/search/DocValuesFieldExistsQuery.java — match docs that HAVE a
     // value for a field): the atomic index's partial 'boost' field; exists
@@ -5022,6 +5059,27 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // ord = dense position in the sorted lang dictionary (1-based), rord
+    // reversed
+    "ft_func_ord" ->
+      s"""WITH o AS (
+         |  SELECT lang, row_number() OVER (ORDER BY lang) AS ord,
+         |    count(*) OVER () AS nv
+         |  FROM (SELECT DISTINCT lang FROM documents))
+         |SELECT d.doc_id, d.lang, o.ord, o.nv - o.ord + 1 AS rord
+         |FROM documents d JOIN o ON d.lang = o.lang
+         |WHERE d.doc_id % 37 = 0 ORDER BY d.doc_id""".stripMargin,
+    // cross-core join: stemmed-core 'tables'->'table' match set keyed on
+    // source, projected onto main-core 'merge' matches
+    "ft_join_from_index" ->
+      s"""WITH fr AS (
+         |  SELECT DISTINCT source FROM (
+         |    SELECT source, $STEM_TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'table')),
+         |t AS (SELECT doc_id, source, $TOKS AS tk FROM documents)
+         |SELECT t.doc_id FROM t JOIN fr ON t.source = fr.source
+         |WHERE list_contains(t.tk, 'merge')
+         |ORDER BY t.doc_id""".stripMargin,
     // exists/missing buckets over the partial boost dv (= 'vector' docs)
     "ft_dv_exists" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)

@@ -1390,6 +1390,39 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Token-count distribution report (the corpus-profiling stage of a
+    // training-data pipeline; percentile machinery = Solr stats component
+    // percentiles, solr/core/src/java/org/apache/solr/handler/component/
+    // StatsValuesFactory.java): interpolated p50/p90/p99 over per-doc token
+    // counts + exact mean and max. One narrow shuffle on the counts.
+    "td_token_dist" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .select(expr(s"size($TOKS)").cast("long").as("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.9)").as("p90"),
+          expr("percentile(n, 0.99)").as("p99"),
+          (sum("n").cast("double") / count(lit(1))).as("mean_tokens"),
+          max("n").as("max_tokens"))
+    }),
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-ES reservoir:
+    // key = ln(u)/w, keep the k largest keys — the data-mixing sampler a
+    // training pipeline uses to draw documents proportionally to length;
+    // Solr's RandomStream is the unweighted analog, solr/solrj/src/java/
+    // org/apache/solr/client/solrj/io/stream/RandomStream.java): u is an
+    // exact md5-derived rational in (0,1) so both engines compute identical
+    // doubles; keys ordered in floor(1e9·) micro-units. Map-only + one
+    // top-k — reproducible across runs and cluster sizes.
+    "td_sample_weighted" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          expr("(CAST(conv(substring(md5(CAST(doc_id AS STRING) || '#es'), 1, 8), 16, 10) AS DOUBLE) + 1.0) / 4294967296.0")
+            .as("u"))
+        .withColumn("key_nano",
+          floor(log(col("u")) / col("n_chars").cast("double") * lit(1e9)).cast("long"))
+        .orderBy(desc("key_nano"), asc("doc_id")).limit(20)
+        .select(col("doc_id"), col("n_chars"), col("key_nano"))
+    }),
     // Cluster labeling (solr/contrib/clustering/src/java/org/apache/solr/
     // handler/clustering/carrot2/CarrotClusteringEngine.java — document
     // clustering surfaces per-cluster labels; label salience here = term
@@ -2427,6 +2460,25 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // interpolated percentiles (quantile_cont = Spark `percentile`), exact
+    // mean/max over per-doc token counts
+    "td_token_dist" ->
+      s"""SELECT count(*) AS n_docs,
+         |  quantile_cont(n, 0.5) AS p50,
+         |  quantile_cont(n, 0.9) AS p90,
+         |  quantile_cont(n, 0.99) AS p99,
+         |  CAST(sum(n) AS DOUBLE) / count(*) AS mean_tokens,
+         |  CAST(max(n) AS BIGINT) AS max_tokens
+         |FROM (SELECT CAST(len($TOKS) AS BIGINT) AS n FROM documents)""".stripMargin,
+    // A-ES weighted sample: same md5-rational u, ln(u)/w keys in nano units
+    "td_sample_weighted" ->
+      s"""SELECT doc_id, n_chars, key_nano FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(floor(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#es'), 1, 8))::UBIGINT AS DOUBLE) + 1.0)
+         |      / 4294967296.0)
+         |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |  FROM documents)
+         |ORDER BY key_nano DESC, doc_id LIMIT 20""".stripMargin,
     // cluster labels: td_kmeans's exact CTE chain for the assignments, then
     // lift = (ctf * tot) / (ttf * ctot) in micro-units, top-3 per cluster
     "td_cluster_labels" ->
