@@ -2913,6 +2913,49 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // Collection statistics surface (lucene/core/src/java/org/apache/
+    // lucene/search/CollectionStatistics.java — docCount, sumTotalTermFreq,
+    // and the avgdl BM25 derives from them; Solr exposes them via
+    // LukeRequestHandler): the index's fieldStats row against the oracle's
+    // recount. avgdl is the same single IEEE division Bm25.scala performs.
+    "ft_field_stats" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val fs = index.fieldStats
+      spark.createDataFrame(Seq(
+        (fs.docCount, fs.sumTotalTermFreq,
+          fs.sumTotalTermFreq.toDouble / fs.docCount)))
+        .toDF("doc_count", "sum_ttf", "avgdl")
+    }),
+    // group.limit + group.offset within-group paging (solr/core/src/java/
+    // org/apache/solr/search/Grouping.java:groupOffset/docsPerGroup —
+    // skip N docs INSIDE each group, then take the page): lang groups over
+    // the 'vector' match set ranked by BM25, within-group rows 2..3.
+    "ft_group_offset" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "score")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1 && col("rn") <= 3)
+        .select(col("lang"), col("rn"), col("doc_id"), col("score"))
+        .orderBy("lang", "rn")
+    }),
+    // Sort by a compiled expression (lucene/expressions/src/java/org/
+    // apache/lucene/expressions/Expression.java getSortField — an
+    // expression over doc fields AS the sort key, not a score rescore):
+    // 'merge' matches ordered by len*2 + doc_id%5 descending. The
+    // expression folds into the projection; the sort is one TakeOrdered.
+    "ft_sort_expr" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(searcher.parse("merge")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .withColumn("sort_key", col("len").cast("long") * 2 + col("doc_id") % 5)
+        .orderBy(desc("sort_key"), asc("doc_id")).limit(12)
+        .select(col("doc_id"), col("sort_key"))
+    }),
     // ord()/rord() function queries (solr/core/src/java/org/apache/solr/
     // search/function/OrdFieldSource.java:44-52 — field values numbered
     // lexicographically starting at 1; ReverseOrdFieldSource = numValues −
@@ -5059,6 +5102,33 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // collection stats recounted from the raw token stream
+    "ft_field_stats" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS doc_count,
+         |  CAST(sum(len(tk)) AS BIGINT) AS sum_ttf,
+         |  CAST(CAST(sum(len(tk)) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+         |FROM t""".stripMargin,
+    // within-group rows 2..3 of the lang-grouped scored match set
+    "ft_group_offset" ->
+      s"""$PRELUDE,
+         |sc AS (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS score
+         |  FROM dl, st),
+         |g AS (SELECT sc.doc_id, sc.score, d.lang
+         |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id WHERE sc.tf > 0),
+         |r AS (SELECT lang, doc_id, score,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY score DESC, doc_id) AS rn FROM g)
+         |SELECT lang, rn, doc_id, score FROM r WHERE rn > 1 AND rn <= 3
+         |ORDER BY lang, rn""".stripMargin,
+    // expression sort key len*2 + doc_id%5 over the merge match set
+    "ft_sort_expr" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT doc_id, CAST(len(tk) * 2 + doc_id % 5 AS BIGINT) AS sort_key
+         |FROM t WHERE list_contains(tk, 'merge')
+         |ORDER BY sort_key DESC, doc_id LIMIT 12""".stripMargin,
     // ord = dense position in the sorted lang dictionary (1-based), rord
     // reversed
     "ft_func_ord" ->

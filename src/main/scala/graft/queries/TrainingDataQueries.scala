@@ -1390,6 +1390,26 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Train/val vocabulary coverage (the OOV-rate check a pipeline runs
+    // before committing a tokenizer vocab; split discipline = the same
+    // deterministic doc_id buckets as td_split_shuffle): vocab = train-split
+    // tokens with count >= 600 (the frequency cutoff a BPE trainer applies),
+    // OOV = val-split occurrences outside it. Exact integers; the bounded
+    // vocab broadcasts, the val side streams.
+    "td_oov_rate" -> ((spark, sfDir) => {
+      val tok = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr(TOKS)).as("tok"))
+      val vocab = tok.filter(col("doc_id") % 10 < 8)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 600)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      tok.filter(col("doc_id") % 10 >= 8)
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .agg(count(lit(1)).as("val_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+        .withColumn("oov_rate",
+          col("oov_tokens").cast("double") / col("val_tokens"))
+    }),
     // Token-count distribution report (the corpus-profiling stage of a
     // training-data pipeline; percentile machinery = Solr stats component
     // percentiles, solr/core/src/java/org/apache/solr/handler/component/
@@ -2460,6 +2480,21 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // OOV: frequency-cutoff train vocab, val occurrences outside it
+    "td_oov_rate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($TOKS) AS tok
+         |  FROM (SELECT doc_id, text FROM documents)),
+         |vocab AS (
+         |  SELECT tok FROM tok WHERE doc_id % 10 < 8
+         |  GROUP BY tok HAVING count(*) >= 600)
+         |SELECT count(*) AS val_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS oov_rate
+         |FROM (SELECT tok FROM tok WHERE doc_id % 10 >= 8) t
+         |LEFT JOIN vocab v ON t.tok = v.tok""".stripMargin,
     // interpolated percentiles (quantile_cont = Spark `percentile`), exact
     // mean/max over per-doc token counts
     "td_token_dist" ->
