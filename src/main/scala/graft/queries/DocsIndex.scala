@@ -291,6 +291,26 @@ object DocsIndex {
         (idx, new GraftSearcher(idx, Analyzers.simple))
       })
 
+  /** MappingCharFilter chain (reference: lucene/analysis/common/src/java/
+    * org/apache/lucene/analysis/charfilter/MappingCharFilter.java +
+    * NormalizeCharMap — longest-match character rewrite BEFORE the
+    * tokenizer): rules big=>large, slow=>sluggish applied as the char-level
+    * pre-pass; the oracle performs the identical regexp_replace in SQL.
+    * Neither target surface exists as a raw corpus token, so the mapped
+    * terms' postings are exactly the sources'. */
+  def getMapped(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#map", _ => {
+        import spark.implicits._
+        val mapped = files(spark, sfDir).map(f => f.copy(content = f.content
+          .replaceAll("\\bbig\\b", "large")
+          .replaceAll("\\bslow\\b", "sluggish")))
+        val index = IndexBuilder.build(mapped,
+          IndexConfig(analyzer = Analyzers.simple))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.simple))
+      })
+
   /** Corpus committed through the NRT path: two `IncrementalIndexer`
     * micro-batches (disjoint docId strides) then a full compaction into one
     * segment — the batch-build/merge-equivalence evidence behind

@@ -2913,6 +2913,31 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // MappingCharFilter (lucene/analysis/common/src/java/org/apache/lucene/
+    // analysis/charfilter/MappingCharFilter.java + NormalizeCharMap —
+    // char-level rewrite before tokenization): the mapped index
+    // (big=>large) scored for 'large'; tf/df/norms all reflect the
+    // rewritten stream, which the oracle recomputes from the same
+    // regexp_replace.
+    "ft_mapping_charfilter" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getMapped(spark, sfDir)
+      searcher.searchDoubleDS(graft.search.TermQ("large"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // Compound sort (lucene/core/src/java/org/apache/lucene/search/Sort.java
+    // — multi-SortField: primary field asc, secondary score desc, docId
+    // tiebreak; TopFieldCollector compares fields in order): 'vector' hits
+    // sorted (lang asc, score desc, doc_id asc), top-12.
+    "ft_sort_compound" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "score")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(asc("lang"), desc("score"), asc("doc_id")).limit(12)
+        .select(col("lang"), col("doc_id"), col("score"))
+    }),
     // Collection statistics surface (lucene/core/src/java/org/apache/
     // lucene/search/CollectionStatistics.java — docCount, sumTotalTermFreq,
     // and the avgdl BM25 derives from them; Solr exposes them via
@@ -5102,6 +5127,29 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // mapped-stream BM25: the same char rewrite in SQL, then the standard
+    // scored-search oracle shape
+    "ft_mapping_charfilter" -> {
+      val mapToks = "regexp_extract_all(lower(regexp_replace(regexp_replace(" +
+        "text, '\\bbig\\b', 'large', 'g'), '\\bslow\\b', 'sluggish', 'g')), '[a-z0-9]+')"
+      s"""${PRELUDE.replace(TOKS, mapToks)}
+         |SELECT doc_id, score FROM (
+         |  SELECT dl.doc_id, ${tfSql("large")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("large")), tfSql("large"))}, 4) AS score
+         |  FROM dl, st)
+         |WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+    // compound (lang asc, score desc, doc_id) over the scored match set
+    "ft_sort_compound" ->
+      s"""$PRELUDE,
+         |sc AS (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS score
+         |  FROM dl, st)
+         |SELECT d.lang, sc.doc_id, sc.score
+         |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |WHERE sc.tf > 0
+         |ORDER BY d.lang, sc.score DESC, sc.doc_id LIMIT 12""".stripMargin,
     // collection stats recounted from the raw token stream
     "ft_field_stats" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)

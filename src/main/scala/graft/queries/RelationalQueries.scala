@@ -1825,6 +1825,23 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // ordinal(k) reduction (solr/contrib/analytics/src/java/org/apache/
+    // solr/analytics/function/reduction/OrdinalFunction.java — the k-th
+    // smallest value of an expression per facet bucket): 3rd-smallest
+    // quantity per return flag, duplicates counted (row 3 of the sorted
+    // multiset). One window over the grouped sort.
+    "q_ordinal" -> ((spark, sfDir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(asc("q"), asc("l_orderkey"), asc("l_linenumber"))
+      t(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("l_returnflag"), col("q").as("ordinal3_qty"))
+        .orderBy("l_returnflag")
+    }),
     // predict() model application (solr/solrj/src/java/org/apache/solr/
     // client/solrj/io/eval/PredictEvaluator.java — apply a fitted
     // regression to new observations): the q_ols normal-equation solve
@@ -3203,6 +3220,14 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_ordinal" ->
+      """SELECT l_returnflag, ordinal3_qty FROM (
+        |  SELECT l_returnflag, q AS ordinal3_qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY q, l_orderkey, l_linenumber) AS rn
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |          l_orderkey, l_linenumber FROM lineitem))
+        |WHERE rn = 3 ORDER BY l_returnflag""".stripMargin,
     "q_predict" ->
       """WITH m AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -1390,6 +1390,25 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Deterministic domain interleaving (the batch-diversity data-ordering
+    // stage: round-robin across domains so consecutive training examples
+    // never cluster by source; the ordered twin of td_split_shuffle's
+    // hash shuffle): global order = (rank within lang, lang) — each lang's
+    // docs keep a stable internal order (doc_id) and domains alternate.
+    // One window per domain + one global sort; no collect.
+    "td_interleave" -> ((spark, sfDir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rr", row_number().over(w))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            asc("rr"), asc("lang"), asc("doc_id"))))
+        .filter(col("pos") <= 24)
+        .select(col("pos"), col("lang"), col("doc_id"))
+        .orderBy("pos")
+    }),
     // Train/val vocabulary coverage (the OOV-rate check a pipeline runs
     // before committing a tokenizer vocab; split discipline = the same
     // deterministic doc_id buckets as td_split_shuffle): vocab = train-split
@@ -2480,6 +2499,15 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // interleave: (per-lang rank, lang, doc_id) global order, first 24
+    "td_interleave" ->
+      s"""SELECT pos, lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (ORDER BY rr, lang, doc_id) AS pos
+         |  FROM (SELECT lang, doc_id,
+         |          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rr
+         |        FROM documents))
+         |WHERE pos <= 24 ORDER BY pos""".stripMargin,
     // OOV: frequency-cutoff train vocab, val occurrences outside it
     "td_oov_rate" ->
       s"""WITH tok AS (
