@@ -2913,6 +2913,26 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // SpanMultiTermQueryWrapper over a FUZZY query (lucene/core/src/java/
+    // org/apache/lucene/search/spans/SpanMultiTermQueryWrapper.java — a
+    // multi-term query as a span position source): 'hash' followed within
+    // slop 3 by any dictionary term at damerau distance <= 1 from 'tble'
+    // (fuzzy prefix 1). Expansion is dictionary-first off termStats; the
+    // span leg is the same OR-slot execution as ft_span_prefix.
+    "ft_span_fuzzy" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val variants = index.termStats
+        .filter(ts => ts.term.startsWith("t") &&
+          graft.search.Query.damerauLevenshtein(ts.term, "tble") <= 1)
+        .map(_.term).orderBy("value").limit(128)
+        .collect()
+      val q = graft.search.SpanOrNearQ(
+        Seq(Seq("hash"), variants.toSeq), 3, inOrder = true)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // MappingCharFilter (lucene/analysis/common/src/java/org/apache/lucene/
     // analysis/charfilter/MappingCharFilter.java + NormalizeCharMap —
     // char-level rewrite before tokenization): the mapped index
@@ -5127,6 +5147,15 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // ordered span: 'hash' then a damerau<=1 't'-prefixed variant of 'tble'
+    // within the slop-3 window
+    "ft_span_fuzzy" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'hash'
+         |  AND len(list_filter(generate_series(i + 1, least(len(tk), i + 4)),
+         |        j -> tk[j] LIKE 't%'
+         |          AND damerau_levenshtein(tk[j], 'tble') <= 1)) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
     // mapped-stream BM25: the same char rewrite in SQL, then the standard
     // scored-search oracle shape
     "ft_mapping_charfilter" -> {

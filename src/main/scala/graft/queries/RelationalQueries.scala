@@ -1825,6 +1825,50 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // Regression goodness-of-fit (solr/solrj/src/java/org/apache/solr/
+    // client/solrj/io/eval/RegressionEvaluator.java exposes RSquared; RSS/
+    // TSS from the fitted OLS): per-row residuals against the q_ols
+    // coefficients, squared residuals floored to BIGINTs so the distributed
+    // sums are order-independent; R² = 1 − RSS/TSS.
+    "q_residuals" -> ((spark, sfDir) => {
+      val li = t(spark, sfDir, "lineitem")
+      val m = li
+        .select(col("l_quantity").cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n0"),
+          sum("x1").as("a1"), sum("x2").as("a2"),
+          sum(col("x1") * col("x1")).as("a11"),
+          sum(col("x1") * col("x2")).as("a12"),
+          sum(col("x2") * col("x2")).as("a22"),
+          sum("y").as("b0"), sum(col("x1") * col("y")).as("b1"),
+          sum(col("x2") * col("y")).as("b2"))
+      val n = col("n0").cast("double")
+      val s1 = col("a1").cast("double"); val s2 = col("a2").cast("double")
+      val s11 = col("a11").cast("double"); val s12 = col("a12").cast("double")
+      val s22 = col("a22").cast("double")
+      val t0 = col("b0").cast("double"); val t1 = col("b1").cast("double")
+      val t2 = col("b2").cast("double")
+      val d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+      val coef = m.select(
+        ((t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2) + s2 * (t1 * s12 - s11 * t2)) / d).as("c0"),
+        ((n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2) + s2 * (s1 * t2 - t1 * s2)) / d).as("c1"),
+        ((n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s12 - s11 * s2)) / d).as("c2"),
+        (t0 / n).as("ybar"))
+      li.select(col("l_quantity").cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .crossJoin(broadcast(coef))
+        .withColumn("r", col("y").cast("double") -
+          (col("c0") + col("c1") * col("x1").cast("double")
+            + col("c2") * col("x2").cast("double")))
+        .withColumn("t", col("y").cast("double") - col("ybar"))
+        .agg(sum(floor(col("r") * col("r")).cast("long")).as("rss_f"),
+          sum(floor(col("t") * col("t")).cast("long")).as("tss_f"))
+        .withColumn("r2",
+          lit(1.0) - col("rss_f").cast("double") / col("tss_f").cast("double"))
+        .select(col("rss_f"), col("tss_f"), col("r2"))
+    }),
     // ordinal(k) reduction (solr/contrib/analytics/src/java/org/apache/
     // solr/analytics/function/reduction/OrdinalFunction.java — the k-th
     // smallest value of an expression per facet bucket): 3rd-smallest
@@ -3220,6 +3264,45 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_residuals" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+        |    CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+        |    CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS t0,
+        |    CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS t1,
+        |    CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS t2
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |               CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+        |               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |), d AS (
+        |  SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |         + s2 * (s1 * s12 - s11 * s2) AS det FROM m
+        |), coef AS (
+        |  SELECT
+        |    (t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2) + s2 * (t1 * s12 - s11 * t2)) / det AS c0,
+        |    (n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2) + s2 * (s1 * t2 - t1 * s2)) / det AS c1,
+        |    (n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s12 - s11 * s2)) / det AS c2,
+        |    t0 / n AS ybar
+        |  FROM d
+        |), res AS (
+        |  SELECT
+        |    CAST(y AS DOUBLE)
+        |      - (c0 + c1 * CAST(x1 AS DOUBLE) + c2 * CAST(x2 AS DOUBLE)) AS r,
+        |    CAST(y AS DOUBLE) - ybar AS t
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |               CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+        |               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem), coef)
+        |SELECT rss_f, tss_f,
+        |  CAST(1.0 AS DOUBLE) - CAST(rss_f AS DOUBLE) / CAST(tss_f AS DOUBLE) AS r2
+        |FROM (SELECT CAST(sum(CAST(floor(r * r) AS BIGINT)) AS BIGINT) AS rss_f,
+        |             CAST(sum(CAST(floor(t * t) AS BIGINT)) AS BIGINT) AS tss_f
+        |      FROM res)""".stripMargin,
     "q_ordinal" ->
       """SELECT l_returnflag, ordinal3_qty FROM (
         |  SELECT l_returnflag, q AS ordinal3_qty,

@@ -1390,6 +1390,24 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Class-balance report + inverse-frequency loss weights (the label-
+    // audit stage before classifier training; sklearn's 'balanced' recipe
+    // w_c = n / (k·n_c) — the class-prior correction the reference's
+    // classifiers fold into their priors, lucene/classification/src/java/
+    // org/apache/lucene/classification/SimpleNaiveBayesClassifier.java
+    // docCount ratios): per-label counts over the embeddings labels, one
+    // grouped agg + a broadcast total; weight is one IEEE division of
+    // exact integers.
+    "td_class_weights" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).select(col("label"))
+      val k = e.select("label").distinct().count()
+      val counts = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+      counts.crossJoin(broadcast(counts.agg(sum("cnt").as("n"))))
+        .withColumn("weight",
+          col("n").cast("double") / (lit(k) * col("cnt")).cast("double"))
+        .select(col("label"), col("cnt"), col("weight"))
+        .orderBy("label")
+    }),
     // Deterministic domain interleaving (the batch-diversity data-ordering
     // stage: round-robin across domains so consecutive training examples
     // never cluster by source; the ordered twin of td_split_shuffle's
@@ -2499,6 +2517,14 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // class weights: w = n / (k * n_c) over embeddings labels
+    "td_class_weights" ->
+      s"""WITH c AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS k FROM c)
+         |SELECT label, cnt,
+         |  CAST(n AS DOUBLE) / CAST(k * cnt AS DOUBLE) AS weight
+         |FROM c, t ORDER BY label""".stripMargin,
     // interleave: (per-lang rank, lang, doc_id) global order, first 24
     "td_interleave" ->
       s"""SELECT pos, lang, doc_id FROM (
