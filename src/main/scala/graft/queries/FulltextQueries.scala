@@ -2913,6 +2913,24 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // MultiCollector (lucene/core/src/java/org/apache/lucene/search/
+    // MultiCollector.java — several collectors consume ONE scorer pass):
+    // top-5 hits AND a lang facet off the same 'vector' scored match set.
+    // Spark shape: both branches consume the same scored frame — one
+    // scatter, two cheap reductions.
+    "ft_multi_collect" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val hits = scored.orderBy(desc("s"), asc("doc_id")).limit(5)
+        .select(lit("hit").as("kind"), col("doc_id").cast("string").as("label"),
+          round(col("s") * 10000).cast("long").as("value"))
+      val facet = scored.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .select(lit("facet").as("kind"), col("lang").as("label"),
+          col("cnt").as("value"))
+      hits.unionByName(facet).orderBy("kind", "label")
+    }),
     // SpanMultiTermQueryWrapper over a FUZZY query (lucene/core/src/java/
     // org/apache/lucene/search/spans/SpanMultiTermQueryWrapper.java — a
     // multi-term query as a span position source): 'hash' followed within
@@ -5147,6 +5165,23 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // one scored pass, two reductions: top-5 hits (score in 1e4 units) +
+    // the lang facet
+    "ft_multi_collect" ->
+      s"""$PRELUDE,
+         |sc AS (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st),
+         |m AS (SELECT sc.doc_id, sc.s, d.lang
+         |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id WHERE sc.tf > 0)
+         |SELECT kind, label, value FROM (
+         |  SELECT 'hit' AS kind, CAST(doc_id AS VARCHAR) AS label,
+         |    CAST(round(s * 10000) AS BIGINT) AS value
+         |  FROM (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 5)
+         |  UNION ALL
+         |  SELECT 'facet', lang, count(*) FROM m GROUP BY lang)
+         |ORDER BY kind, label""".stripMargin,
     // ordered span: 'hash' then a damerau<=1 't'-prefixed variant of 'tble'
     // within the slop-3 window
     "ft_span_fuzzy" ->

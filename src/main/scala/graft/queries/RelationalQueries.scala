@@ -1825,6 +1825,45 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // getBarycenter / getCenter (solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/GetBarycenterEvaluator.java, GetCenterEvaluator.java —
+    // centroid of a 2-D point cloud + its enclosing spread): coordinate
+    // sums in exact centi-degree BIGINTs (means = single divisions), spread
+    // = max haversine from the centroid in floored centi-km (max is
+    // order-independent). One aggregate + one map-side distance pass.
+    "q_barycenter" -> ((spark, sfDir) => {
+      val pts = t(spark, sfDir, "customer")
+        .withColumn("latc", expr("(c_custkey * 7919) % 17000 - 8500"))
+        .withColumn("lonc", expr("(c_custkey * 104729) % 36000 - 18000"))
+      val c = pts.agg(count(lit(1)).as("n"),
+        sum("latc").as("slat"), sum("lonc").as("slon"))
+        .select(col("n"),
+          (col("slat").cast("double") / col("n") / 100.0).as("clat"),
+          (col("slon").cast("double") / col("n") / 100.0).as("clon"))
+      pts.withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
+        .crossJoin(broadcast(c))
+        .withColumn("d", expr(
+          s"floor(${havSql("lat", "lon", "clat", "clon")} * 100.0 + 0.5)"))
+        .groupBy("n", "clat", "clon")
+        .agg(max("d").cast("long").as("max_dist_centikm"))
+        .select(col("n"), col("clat"), col("clon"), col("max_dist_centikm"))
+    }),
+    // getArea over a data-defined polygon (solr/solrj/src/java/org/apache/
+    // solr/client/solrj/io/eval/GetAreaEvaluator.java — area of a 2-D
+    // region): the closed polyline through the first 5 customers' points in
+    // key order, shoelace formula on exact centi-degree integers — 2·area
+    // is an exact BIGINT, no floating point anywhere.
+    "q_poly_area" -> ((spark, sfDir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("c_custkey")
+      val pts = t(spark, sfDir, "customer")
+        .orderBy("c_custkey").limit(5)
+        .withColumn("x", expr("(c_custkey * 7919) % 17000 - 8500"))
+        .withColumn("y", expr("(c_custkey * 104729) % 36000 - 18000"))
+        .withColumn("i", row_number().over(w))
+      val nxt = pts.select(col("i").as("j"), col("x").as("xn"), col("y").as("yn"))
+      pts.join(nxt, pmod(col("i"), lit(5)) + 1 === col("j"))
+        .agg(abs(sum(col("x") * col("yn") - col("xn") * col("y"))).as("twice_area"))
+    }),
     // Regression goodness-of-fit (solr/solrj/src/java/org/apache/solr/
     // client/solrj/io/eval/RegressionEvaluator.java exposes RSquared; RSS/
     // TSS from the fitted OLS): per-row residuals against the q_ols
@@ -3264,6 +3303,34 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_barycenter" -> {
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    (c_custkey * 7919) % 17000 - 8500 AS latc,
+         |    (c_custkey * 104729) % 36000 - 18000 AS lonc
+         |  FROM customer),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CAST(sum(latc) AS BIGINT) AS DOUBLE) / count(*)
+         |    / CAST(100.0 AS DOUBLE) AS clat,
+         |  CAST(CAST(sum(lonc) AS BIGINT) AS DOUBLE) / count(*)
+         |    / CAST(100.0 AS DOUBLE) AS clon
+         |  FROM pts)
+         |SELECT n, clat, clon, CAST(max(d) AS BIGINT) AS max_dist_centikm
+         |FROM (
+         |  SELECT c.n, c.clat, c.clon,
+         |    floor(${havSql("p.lat", "p.lon", "c.clat", "c.clon")} * 100.0 + 0.5) AS d
+         |  FROM (SELECT $latSql AS lat, $lonSql AS lon FROM customer) p, c)
+         |GROUP BY n, clat, clon""".stripMargin
+    },
+    "q_poly_area" ->
+      """WITH pts AS (
+        |  SELECT (c_custkey * 7919) % 17000 - 8500 AS x,
+        |    (c_custkey * 104729) % 36000 - 18000 AS y,
+        |    row_number() OVER (ORDER BY c_custkey) AS i
+        |  FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5)),
+        |nxt AS (SELECT i AS j, x AS xn, y AS yn FROM pts)
+        |SELECT CAST(abs(sum(x * yn - xn * y)) AS BIGINT) AS twice_area
+        |FROM pts JOIN nxt ON (i % 5) + 1 = j""".stripMargin,
     "q_residuals" ->
       """WITH m AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -1390,6 +1390,24 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Pairwise distance matrix (solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/DistanceEvaluator.java with euclidean — the k×k
+    // distance matrix over a small vector set): the 4 seed vectors'
+    // pairwise euclidean distances; squared distances are exact BIGINT
+    // sums over the quantized embeddings, sqrt is a single
+    // correctly-rounded IEEE op, round4 before output.
+    "td_distance_matrix" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).filter(col("vec_id") < 4)
+        .select(col("vec_id"), quantCol.as("v"))
+      val b = e.select(col("vec_id").as("j"), col("v").as("w"))
+      e.crossJoin(broadcast(b))
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d))
+        .withColumn("dist", round(sqrt(col("d2").cast("double")), 4))
+        .select(col("vec_id").as("i"), col("j"), col("dist"))
+        .orderBy("i", "j")
+    }),
     // Class-balance report + inverse-frequency loss weights (the label-
     // audit stage before classifier training; sklearn's 'balanced' recipe
     // w_c = n / (k·n_c) — the class-prior correction the reference's
@@ -2517,6 +2535,16 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // 4x4 euclidean distance matrix over quantized seed vectors
+    "td_distance_matrix" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 4)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+        |    k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))) AS DOUBLE)), 4) AS dist
+        |FROM e a CROSS JOIN e b ORDER BY i, j""".stripMargin,
     // class weights: w = n / (k * n_c) over embeddings labels
     "td_class_weights" ->
       s"""WITH c AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label),
