@@ -2913,6 +2913,17 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // HighFreqTerms -t (lucene/misc/src/java/org/apache/lucene/misc/
+    // HighFreqTerms.java — top terms ranked by totalTermFreq instead of
+    // docFreq): straight off the termStats dictionary.
+    "ft_top_terms_ttf" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats
+        .select($"term", $"totalTermFreq".as("ttf"))
+        .orderBy(desc("ttf"), asc("term"))
+        .limit(20)
+    }),
     // MultiCollector (lucene/core/src/java/org/apache/lucene/search/
     // MultiCollector.java — several collectors consume ONE scorer pass):
     // top-5 hits AND a lang facet off the same 'vector' scored match set.
@@ -5165,6 +5176,11 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // top terms by total term frequency
+    "ft_top_terms_ttf" ->
+      s"""SELECT tok AS term, count(*) AS ttf
+         |FROM (SELECT unnest($TOKS) AS tok FROM documents)
+         |GROUP BY tok ORDER BY ttf DESC, term LIMIT 20""".stripMargin,
     // one scored pass, two reductions: top-5 hits (score in 1e4 units) +
     // the lang facet
     "ft_multi_collect" ->

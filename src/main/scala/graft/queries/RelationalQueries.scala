@@ -1825,6 +1825,39 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // Correlation significance (solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/CorrelationSignificanceEvaluator.java — the t-statistic
+    // t = r·sqrt((n−2)/(1−r²)) behind the correlation p-value): unrounded r
+    // over the exact q_corr moments, both emitted in floor-quantized units.
+    "q_corr_significance" -> ((spark, sfDir) => {
+      t(spark, sfDir, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) AS x",
+          "CAST(round(l_extendedprice) AS BIGINT) AS y")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .selectExpr(
+          s"CAST(floor(($rRawExpr) * 1e8) AS BIGINT) AS r_micro8",
+          s"CAST(floor((($rRawExpr) * sqrt((CAST(n AS DOUBLE) - 2.0) " +
+            s"/ (1.0 - ($rRawExpr) * ($rRawExpr)))) * 1e6) AS BIGINT) AS t_micro6")
+    }),
+    // Weibull CDF, shape k=2 (solr/solrj/src/java/org/apache/solr/client/
+    // solrj/io/eval/WeibullDistributionEvaluator.java +
+    // CumulativeProbabilityEvaluator.java): scale² fitted as the exact
+    // second moment of quantity, CDF(x) = 1 − e^(−x²/λ²) at five fixed
+    // points — x² exact integers, one division, one exp (bit-compatible
+    // cross-engine, same as the Poisson/logit rows).
+    "q_weibull" -> ((spark, sfDir) => {
+      val m = t(spark, sfDir, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) AS x")
+        .agg(count(lit(1)).as("n"), sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("CAST(sxx AS DOUBLE) / n AS lsq")
+      val xs = spark.range(1, 6).selectExpr("id * 10 AS x0")
+      xs.crossJoin(broadcast(m))
+        .selectExpr("x0",
+          "CAST(floor((1.0 - exp(-(CAST(x0 * x0 AS DOUBLE) / lsq))) * 1e8) AS BIGINT) AS cdf_micro8")
+        .orderBy("x0")
+    }),
     // getBarycenter / getCenter (solr/solrj/src/java/org/apache/solr/client/
     // solrj/io/eval/GetBarycenterEvaluator.java, GetCenterEvaluator.java —
     // centroid of a 2-D point cloud + its enclosing spread): coordinate
@@ -2189,6 +2222,13 @@ object RelationalQueries {
 
   /** Pearson / sample-covariance final math over exact BIGINT sums — ONE
     * text evaluated by both engines (CorrelationEvaluator semantics). */
+  /** Unrounded Pearson r over exact moments — the base of the significance
+    * t-statistic (shared text keeps both engines on one IEEE sequence). */
+  private val rRawExpr =
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+      "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+
   private val corrExpr =
     "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
       "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
@@ -3303,6 +3343,25 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_corr_significance" ->
+      s"""SELECT CAST(floor(($rRawExpr) * 1e8) AS BIGINT) AS r_micro8,
+         |  CAST(floor((($rRawExpr) * sqrt((CAST(n AS DOUBLE) - 2.0)
+         |    / (1.0 - ($rRawExpr) * ($rRawExpr)))) * 1e6) AS BIGINT) AS t_micro6
+         |FROM (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |               CAST(round(l_extendedprice) AS BIGINT) AS y
+         |        FROM lineitem))""".stripMargin,
+    "q_weibull" ->
+      """WITH m AS (
+        |  SELECT CAST(sum(x * x) AS DOUBLE) / count(*) AS lsq
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem)),
+        |xs AS (SELECT unnest(generate_series(1, 5)) * 10 AS x0)
+        |SELECT x0,
+        |  CAST(floor((1.0 - exp(-(CAST(x0 * x0 AS DOUBLE) / lsq))) * 1e8)
+        |    AS BIGINT) AS cdf_micro8
+        |FROM xs, m ORDER BY x0""".stripMargin,
     "q_barycenter" -> {
       s"""WITH pts AS (
          |  SELECT c_custkey,

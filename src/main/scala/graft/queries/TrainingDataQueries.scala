@@ -1390,6 +1390,22 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Prompt-prefix dedup (the opening-window duplicate check a pipeline
+    // runs on instruction data — docs sharing their first tokens are
+    // near-certain template duplicates; the prefix twin of td_dedup_exact's
+    // whole-content hash): key = the first-two-token opening, groups with
+    // >= 2 members reported with their keeper (min doc_id). One groupBy.
+    "td_dedup_prefix" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .select(col("doc_id"),
+          expr(s"array_join(slice($TOKS, 1, 2), ' ')").as("pref"))
+        .groupBy("pref")
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_doc"))
+        .filter(col("cnt") >= 2)
+        .orderBy(desc("cnt"), asc("pref"))
+        .limit(15)
+        .select(col("pref"), col("cnt"), col("keep_doc"))
+    }),
     // Pairwise distance matrix (solr/solrj/src/java/org/apache/solr/client/
     // solrj/io/eval/DistanceEvaluator.java with euclidean — the k×k
     // distance matrix over a small vector set): the 4 seed vectors'
@@ -2535,6 +2551,13 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // opening-bigram duplicate groups with keeper
+    "td_dedup_prefix" ->
+      s"""SELECT pref, cnt, keep_doc FROM (
+         |  SELECT array_to_string(list_slice($TOKS, 1, 2), ' ') AS pref,
+         |    count(*) AS cnt, min(doc_id) AS keep_doc
+         |  FROM documents GROUP BY 1)
+         |WHERE cnt >= 2 ORDER BY cnt DESC, pref LIMIT 15""".stripMargin,
     // 4x4 euclidean distance matrix over quantized seed vectors
     "td_distance_matrix" ->
       """WITH e AS (
