@@ -2913,6 +2913,43 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // edismax mm specification (solr/core/src/java/org/apache/solr/util/
+    // SolrPluginUtils.java calculateMinShouldMatch — conditional "2<75%"
+    // spec: all terms required up to 2 optional clauses, else 75%
+    // float-truncated): 4 SHOULD terms -> msm 3, evaluated by the engine's
+    // own mm parser feeding the real minShouldMatch scatter.
+    "ft_mm_spec" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val terms = Seq("vector", "table", "spark", "window")
+      val msm = graft.search.Query.calculateMinShouldMatch(terms.size, "2<75%")
+      val q = graft.search.BoolQ(
+        should = terms.map(graft.search.TermQ(_)), minShouldMatch = msm)
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // Mixed-operator parsing under the engine's precedence grammar
+    // (Query.scala:507 `or := and (OR and)*` — AND binds tighter than OR,
+    // the algebra users expect; DOCUMENTED deviation from Lucene's classic
+    // adjacent-occurrence model, lucene/queryparser/.../classic/
+    // QueryParserBase.java addClause, where 'a AND b OR c' yields
+    // +a +b c): 'spark AND vector OR customer' matches the conjunction
+    // UNION customer.
+    "ft_parser_precedence" -> ((spark, sfDir) =>
+      matchDF(spark, sfDir, "spark AND vector OR customer")),
+    // Pure-negative query handling (solr/core/src/java/org/apache/solr/
+    // search/QueryUtils.java fixNegativeQuery — Solr wraps a top-level
+    // negative in MatchAll so '-vector' means "everything except"):
+    // MatchAll anchored NOT through the real scatter (empty ranges still
+    // execute via the cogrouped MatchAll path).
+    "ft_pure_negative" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = graft.search.BoolQ(must = Seq(graft.search.MatchAllQ),
+        mustNot = Seq(graft.search.TermQ("vector")))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // HighFreqTerms -t (lucene/misc/src/java/org/apache/lucene/misc/
     // HighFreqTerms.java — top terms ranked by totalTermFreq instead of
     // docFreq): straight off the termStats dictionary.
@@ -5176,6 +5213,25 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // mm "2<75%" over 4 optional clauses -> at least 3 present
+    "ft_mm_spec" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE (CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(tk, 'window') THEN 1 ELSE 0 END) >= 3
+         |ORDER BY doc_id""".stripMargin,
+    // precedence grammar: (spark AND vector) OR customer
+    "ft_parser_precedence" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE (list_contains(tk, 'spark') AND list_contains(tk, 'vector'))
+         |   OR list_contains(tk, 'customer')
+         |ORDER BY doc_id""".stripMargin,
+    // everything except the negated term
+    "ft_pure_negative" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE NOT list_contains(tk, 'vector')
+         |ORDER BY doc_id""".stripMargin,
     // top terms by total term frequency
     "ft_top_terms_ttf" ->
       s"""SELECT tok AS term, count(*) AS ttf

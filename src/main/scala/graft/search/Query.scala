@@ -325,6 +325,38 @@ object Query {
   /** Plain Levenshtein distance — same semantics as Spark's / DuckDB's
     * `levenshtein()` (no transpositions), so fuzzy matching is
     * oracle-recomputable. */
+  /** edismax `mm` specification evaluator (reference: solr/core/src/java/
+    * org/apache/solr/util/SolrPluginUtils.java calculateMinShouldMatch:
+    * conditional `N<spec` segments apply their spec only when
+    * optionalClauses > N; percentages truncate through the same
+    * `(result*percent)*(1/100f)` float product; negatives mean "all but";
+    * the result clamps to [0, optionalClauseCount]). */
+  def calculateMinShouldMatch(optionalClauseCount: Int, spec0: String): Int = {
+    var result = optionalClauseCount
+    var spec = spec0.trim
+    if (spec.contains("<")) {
+      spec = spec.replaceAll("\\s*<\\s*", "<")
+      for (s <- spec.split("\\s+")) {
+        val parts = s.split("<", 2)
+        require(parts.length == 2, s"invalid mm spec segment: $s")
+        if (optionalClauseCount <= parts(0).toInt) return result
+        result = calculateMinShouldMatch(optionalClauseCount, parts(1))
+      }
+      result
+    } else {
+      if (spec.contains("%")) {
+        val percent = spec.substring(0, spec.length - 1).toInt
+        val calc = (result * percent) * (1 / 100f)
+        result = if (calc < 0) result + calc.toInt else calc.toInt
+      } else {
+        val calc = spec.toInt
+        result = if (calc < 0) result + calc else calc
+      }
+      if (optionalClauseCount < result) optionalClauseCount
+      else if (result < 0) 0 else result
+    }
+  }
+
   def levenshtein(a: String, b: String): Int = {
     if (a == b) return 0
     val n = b.length
