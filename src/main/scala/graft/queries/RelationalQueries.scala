@@ -408,6 +408,10 @@ object RelationalQueries {
     "q_stream_window" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.windowedCounts(spark, s"$sfDir/events.parquet")
         .orderBy("day", "event_type")),
+    // sliding windows: every event in exactly two 12h/6h windows
+    "q_stream_sliding" -> ((spark, sfDir) =>
+      graft.streaming.StreamAggregates.slidingCounts(spark, s"$sfDir/events.parquet")
+        .orderBy("wstart", "event_type")),
     // stream-static broadcast enrichment (StreamAggregates.enrichedCounts)
     "q_stream_enrich" -> ((spark, sfDir) =>
       graft.streaming.StreamAggregates.enrichedCounts(spark,
@@ -3343,6 +3347,15 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, event_type FROM events),
+        |w AS (
+        |  SELECT (es // 21600) * 21600 AS w1, event_type FROM e
+        |  UNION ALL
+        |  SELECT (es // 21600) * 21600 - 21600, event_type FROM e)
+        |SELECT strftime(make_timestamp(w1 * 1000000), '%Y-%m-%d %H') AS wstart,
+        |  event_type, count(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "q_corr_significance" ->
       s"""SELECT CAST(floor(($rRawExpr) * 1e8) AS BIGINT) AS r_micro8,
          |  CAST(floor((($rRawExpr) * sqrt((CAST(n AS DOUBLE) - 2.0)

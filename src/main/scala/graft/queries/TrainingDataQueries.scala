@@ -1390,6 +1390,38 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Distance-metric family over one vector pair (solr/solrj/src/java/org/
+    // apache/solr/client/solrj/io/eval/ManhattanEvaluator.java,
+    // ChebyshevDistanceEvaluator.java, CanberraEvaluator.java,
+    // EuclideanDistanceEvaluator.java): vec 0 vs vec 1 — manhattan and
+    // chebyshev are exact integer reductions; canberra's per-dim divisions
+    // are floor(1e6)-quantized before the (order-independent) integer sum;
+    // euclidean = round4(sqrt(exact)).
+    "td_distance_metrics" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).filter(col("vec_id") < 2)
+        .select(col("vec_id"), quantCol.as("v"))
+      val a = e.filter(col("vec_id") === 0).select(col("v").as("va"))
+      val b = e.filter(col("vec_id") === 1).select(col("v").as("vb"))
+      a.crossJoin(b)
+        .withColumn("manhattan", aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, d) => acc + d).cast("double"))
+        .withColumn("chebyshev", array_max(
+          zip_with(col("va"), col("vb"), (x, y) => abs(x - y))).cast("double"))
+        .withColumn("euclidean", round(sqrt(aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d).cast("double")), 4))
+        .withColumn("canberra_micro6", aggregate(
+          zip_with(col("va"), col("vb"), (x, y) =>
+            when(abs(x) + abs(y) === 0, 0L).otherwise(
+              floor(abs(x - y).cast("double") / (abs(x) + abs(y)).cast("double")
+                * lit(1e6)).cast("long"))),
+          lit(0L), (acc, d) => acc + d).cast("double"))
+        .selectExpr("stack(4, 'canberra_micro6', canberra_micro6, " +
+          "'chebyshev', chebyshev, 'euclidean', euclidean, " +
+          "'manhattan', manhattan) AS (metric, value)")
+        .orderBy("metric")
+    }),
     // Prompt-prefix dedup (the opening-window duplicate check a pipeline
     // runs on instruction data — docs sharing their first tokens are
     // near-certain template duplicates; the prefix twin of td_dedup_exact's
@@ -2551,6 +2583,33 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // metric family over the vec0/vec1 pair; same quantization discipline
+    "td_distance_metrics" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 2),
+        |p AS (SELECT a.v AS va, b.v AS vb
+        |      FROM e a, e b WHERE a.vec_id = 0 AND b.vec_id = 1),
+        |m AS (SELECT
+        |  CAST(list_sum(list_transform(generate_series(1, len(va)),
+        |    k -> abs(va[k] - vb[k]))) AS DOUBLE) AS manhattan,
+        |  CAST(list_max(list_transform(generate_series(1, len(va)),
+        |    k -> abs(va[k] - vb[k]))) AS DOUBLE) AS chebyshev,
+        |  round(sqrt(CAST(list_sum(list_transform(generate_series(1, len(va)),
+        |    k -> (va[k] - vb[k]) * (va[k] - vb[k]))) AS DOUBLE)), 4) AS euclidean,
+        |  CAST(list_sum(list_transform(generate_series(1, len(va)),
+        |    k -> CASE WHEN abs(va[k]) + abs(vb[k]) = 0 THEN 0
+        |         ELSE CAST(floor(CAST(abs(va[k] - vb[k]) AS DOUBLE)
+        |           / CAST(abs(va[k]) + abs(vb[k]) AS DOUBLE) * 1e6) AS BIGINT)
+        |         END)) AS DOUBLE) AS canberra_micro6
+        |  FROM p)
+        |SELECT metric, value FROM (
+        |  SELECT 'canberra_micro6' AS metric, canberra_micro6 AS value FROM m
+        |  UNION ALL SELECT 'chebyshev', chebyshev FROM m
+        |  UNION ALL SELECT 'euclidean', euclidean FROM m
+        |  UNION ALL SELECT 'manhattan', manhattan FROM m)
+        |ORDER BY metric""".stripMargin,
     // opening-bigram duplicate groups with keeper
     "td_dedup_prefix" ->
       s"""SELECT pref, cnt, keep_doc FROM (

@@ -66,6 +66,26 @@ object StreamAggregates {
     runToMemory(spark, agg, OutputMode.Complete())
   }
 
+  /** Sliding-window streaming aggregation (the overlapping-window variant
+    * of [[windowedCounts]] — Structured Streaming `window(ts, len, slide)`
+    * with len=2·slide, so every event lands in exactly two windows;
+    * reference analog: Solr TimeSeriesStream gaps are tumbling-only, the
+    * sliding shape is the Spark-native generalization): 12h windows
+    * sliding 6h, per event type. */
+  def slidingCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val agg = spark.readStream
+      .schema(schema)
+      .parquet(streamableDir(eventsPath))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("wstart"),
+        col("event_type"), col("cnt"))
+    runToMemory(spark, agg, OutputMode.Complete())
+  }
+
   /** Stream-static enrichment join (Solr `fetch` over a topic stream;
     * reference: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
     * FetchStream.java — batch lookup enrich of a flowing stream): each
