@@ -2913,6 +2913,18 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // terms.mincount / terms.maxcount (solr/core/src/java/org/apache/solr/
+    // handler/component/TermsComponent.java — dictionary listing bounded
+    // by document frequency): the mid-band of the dictionary, df in
+    // [100, 400], index order. One termStats scan — never blocks.
+    "ft_terms_bounds" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats
+        .filter($"docFreq" >= 100 && $"docFreq" <= 400)
+        .select($"term", $"docFreq".as("df"))
+        .orderBy("term")
+    }),
     // edismax mm specification (solr/core/src/java/org/apache/solr/util/
     // SolrPluginUtils.java calculateMinShouldMatch — conditional "2<75%"
     // spec: all terms required up to 2 optional clauses, else 75%
@@ -5213,6 +5225,12 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // dictionary mid-band by df bounds
+    "ft_terms_bounds" ->
+      s"""SELECT tok AS term, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |GROUP BY tok HAVING df BETWEEN 100 AND 400
+         |ORDER BY term""".stripMargin,
     // mm "2<75%" over 4 optional clauses -> at least 3 present
     "ft_mm_spec" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

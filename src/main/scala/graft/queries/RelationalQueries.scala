@@ -1829,6 +1829,23 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // facet2D (solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    // Facet2DStream.java — a two-dimensional facet grid where EACH
+    // dimension is independently limited to its top buckets, unlike pivot's
+    // nested drill): top-3 langs × top-2 sources by count, the grid
+    // restricted to the limited dimension values. Two tiny top-N broadcast
+    // sets prune the single grouped count.
+    "q_facet2d" -> ((spark, sfDir) => {
+      val d = t(spark, sfDir, "documents")
+      val topLang = d.groupBy("lang").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("lang")).limit(3).select("lang")
+      val topSrc = d.groupBy("source").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("source")).limit(2).select("source")
+      d.join(broadcast(topLang), "lang")
+        .join(broadcast(topSrc), "source")
+        .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "source")
+    }),
     // Correlation significance (solr/solrj/src/java/org/apache/solr/client/
     // solrj/io/eval/CorrelationSignificanceEvaluator.java — the t-statistic
     // t = r·sqrt((n−2)/(1−r²)) behind the correlation p-value): unrounded r
@@ -3347,6 +3364,17 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_facet2d" ->
+      """WITH tl AS (
+        |  SELECT lang FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+        |  ORDER BY c DESC, lang LIMIT 3),
+        |ts2 AS (
+        |  SELECT source FROM (SELECT source, count(*) AS c FROM documents GROUP BY source)
+        |  ORDER BY c DESC, source LIMIT 2)
+        |SELECT d.lang, d.source, count(*) AS cnt
+        |FROM documents d JOIN tl ON d.lang = tl.lang
+        |JOIN ts2 ON d.source = ts2.source
+        |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin,
     "q_stream_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, event_type FROM events),
         |w AS (

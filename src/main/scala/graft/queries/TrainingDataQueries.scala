@@ -1390,6 +1390,29 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Normalization-first exact dedup (the canonicalized twin of
+    // td_dedup_exact; Solr's SignatureUpdateProcessorFactory with
+    // Lookup3Signature over normalized field values, solr/update/processor/
+    // SignatureUpdateProcessorFactory.java): key = md5 of the
+    // lowercased, whitespace-collapsed, trimmed text — catches
+    // formatting-only duplicates byte-exact dedup misses.
+    "td_dedup_norm" -> ((spark, sfDir) => {
+      // deterministic formatting variants: every 25th doc re-enters
+      // uppercased with doubled spaces under a shifted id — the
+      // formatting-only duplicates the normalized signature must catch
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val variants = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(upper(col("text")), " ", "  ").as("text"))
+      d.unionByName(variants)
+        .withColumn("sig",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_doc"))
+        .filter(col("cnt") >= 2)
+        .orderBy(desc("cnt"), asc("sig"))
+        .select(col("sig"), col("cnt"), col("keep_doc"))
+    }),
     // Distance-metric family over one vector pair (solr/solrj/src/java/org/
     // apache/solr/client/solrj/io/eval/ManhattanEvaluator.java,
     // ChebyshevDistanceEvaluator.java, CanberraEvaluator.java,
@@ -2583,6 +2606,18 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // normalized-signature duplicate groups
+    "td_dedup_norm" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, replace(upper(text), ' ', '  ')
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT sig, cnt, keep_doc FROM (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS sig,
+        |    count(*) AS cnt, min(doc_id) AS keep_doc
+        |  FROM u GROUP BY 1)
+        |WHERE cnt >= 2 ORDER BY cnt DESC, sig""".stripMargin,
     // metric family over the vec0/vec1 pair; same quantization discipline
     "td_distance_metrics" ->
       """WITH e AS (
