@@ -2913,6 +2913,36 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // FeatureField sigmoid scoring (lucene/core/src/java/org/apache/lucene/
+    // document/FeatureField.java:80-84,482 — sigm(S) = w·S^a/(S^a + k^a);
+    // a=2, k=60, w=2 keeps every power an exact integer product, one
+    // division): the SHOULD-leg boost next to BM25, like ft_feature_sat's
+    // saturation twin.
+    "ft_feature_sigm" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF()
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("l2", (col("len").cast("long") * col("len")).cast("double"))
+        .withColumn("fscore",
+          round(col("score") + lit(2.0) * col("l2") / (col("l2") + lit(3600.0)), 4))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("fscore"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("fscore"))
+    }),
+    // Range query exploiting the SORTED index (lucene/sandbox/src/java/org/
+    // apache/lucene/search/IndexSortSortedNumericDocValuesRangeQuery.java —
+    // when the index sort matches the range field, the range resolves by
+    // binary search instead of a BKD scan): len ∈ [50, 80] against the
+    // length-sorted index; on disk the sorted segment's parquet row-group
+    // min/max on the sort column IS the binary search.
+    "ft_sorted_range" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.getSorted(spark, sfDir)
+      index.docs.toDF()
+        .filter(col("len") >= 50 && col("len") <= 80)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("len").cast("long").as("len"))
+        .orderBy("doc_id")
+    }),
     // terms.mincount / terms.maxcount (solr/core/src/java/org/apache/solr/
     // handler/component/TermsComponent.java — dictionary listing bounded
     // by document frequency): the mid-band of the dictionary, df in
@@ -5225,6 +5255,24 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // sigm leg: round4(BM25) + 2*len^2/(len^2+3600)
+    "ft_feature_sigm" ->
+      s"""$PRELUDE
+         |SELECT doc_id,
+         |  round(round(s, 4)
+         |    + 2.0 * CAST(len(tk) * len(tk) AS DOUBLE)
+         |      / (CAST(len(tk) * len(tk) AS DOUBLE) + 3600.0), 4) AS fscore
+         |FROM (
+         |  SELECT dl.doc_id, dl.tk, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st)
+         |WHERE tf > 0 ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // sorted-index range = plain filter on the sort field
+    "ft_sorted_range" ->
+      s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS len
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(tk) BETWEEN 50 AND 80
+         |ORDER BY doc_id""".stripMargin,
     // dictionary mid-band by df bounds
     "ft_terms_bounds" ->
       s"""SELECT tok AS term, count(DISTINCT doc_id) AS df

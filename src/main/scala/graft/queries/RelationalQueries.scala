@@ -1829,6 +1829,20 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("usd_cents"), col("eur_micros"))
         .orderBy("o_orderkey")
     }),
+    // SQL handler join (solr/core/src/java/org/apache/solr/handler/sql/
+    // SolrSchema.java + the Calcite SQL interface — Solr's /sql endpoint
+    // compiles JOIN/GROUP BY onto streaming expressions; here the ANSI text
+    // goes straight to Catalyst): segment revenue via orders⋈customer in
+    // integer cents.
+    "q_sql_join" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders").createOrReplaceTempView("v_orders")
+      t(spark, sfDir, "customer").createOrReplaceTempView("v_customer")
+      spark.sql(
+        """SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt,
+          |  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+          |FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)
+    }),
     // facet2D (solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
     // Facet2DStream.java — a two-dimensional facet grid where EACH
     // dimension is independently limited to its top buckets, unlike pivot's
@@ -3364,6 +3378,12 @@ object RelationalQueries {
         |WHERE usd_cents * rate_micro >= 8800000000000
         |  AND usd_cents * rate_micro < 8900000000000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_join" ->
+      """SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
     "q_facet2d" ->
       """WITH tl AS (
         |  SELECT lang FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
