@@ -1390,6 +1390,29 @@ object TrainingDataQueries {
         .orderBy(desc("matched"), asc("doc_id"))
         .select(col("doc_id"), col("matched"), col("sim"))
     }),
+    // Corpus token-distribution entropy (the dataset-diversity diagnostic
+    // next to td_perplexity's per-doc LM score; Shannon H = −Σ p·ln p over
+    // the unigram and bigram distributions): each term's −p·ln p is
+    // floor(1e9)-quantized so the distributed sum is order-independent;
+    // p = tf/total is a single division of exact integers.
+    "td_entropy" -> ((spark, sfDir) => {
+      val tok = docs(spark, sfDir)
+        .select(col("doc_id"), expr(TOKS).as("tk"))
+      val uni = tok.select(explode(col("tk")).as("g"))
+      val bi = tok.select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")).as("g"))
+        .filter(col("g").isNotNull)
+      def h(g: org.apache.spark.sql.DataFrame) = {
+        val tot = g.count()
+        g.groupBy("g").agg(count(lit(1)).as("c"))
+          .withColumn("p", col("c").cast("double") / lit(tot.toDouble))
+          .agg((sum(floor(-(col("p") * log(col("p"))) * lit(1e9)).cast("long"))
+            .cast("double") / lit(1e9)).as("h"))
+      }
+      h(uni).select(lit("unigram").as("dist"), col("h"))
+        .unionByName(h(bi).select(lit("bigram").as("dist"), col("h")))
+        .orderBy("dist")
+    }),
     // Normalization-first exact dedup (the canonicalized twin of
     // td_dedup_exact; Solr's SignatureUpdateProcessorFactory with
     // Lookup3Signature over normalized field values, solr/update/processor/
@@ -2606,6 +2629,28 @@ object TrainingDataQueries {
          |WHERE matched >= 4
          |ORDER BY matched DESC, doc_id""".stripMargin
     },
+    // Shannon entropy over unigram/bigram distributions, micro-nat sums
+    "td_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS g FROM tok),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |         i -> tk[i] || ' ' || tk[i+1])) AS g
+         |       FROM tok WHERE len(tk) >= 2),
+         |hu AS (
+         |  SELECT CAST(sum(CAST(floor(-(p * ln(p)) * 1e9) AS BIGINT)) AS DOUBLE)
+         |    / 1e9 AS h
+         |  FROM (SELECT CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         |        FROM (SELECT g, count(*) AS c FROM uni GROUP BY g),
+         |             (SELECT count(*) AS tot FROM uni))),
+         |hb AS (
+         |  SELECT CAST(sum(CAST(floor(-(p * ln(p)) * 1e9) AS BIGINT)) AS DOUBLE)
+         |    / 1e9 AS h
+         |  FROM (SELECT CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         |        FROM (SELECT g, count(*) AS c FROM bi GROUP BY g),
+         |             (SELECT count(*) AS tot FROM bi)))
+         |SELECT 'bigram' AS dist, h FROM hb
+         |UNION ALL SELECT 'unigram', h FROM hu
+         |ORDER BY dist""".stripMargin,
     // normalized-signature duplicate groups
     "td_dedup_norm" ->
       """WITH u AS (
