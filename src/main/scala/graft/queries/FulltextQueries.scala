@@ -239,6 +239,21 @@ object FulltextQueries {
   private def ltrModelSql(f: Seq[String]): String =
     ltrTrees.map { case (w, n) => s"$w * ${ltrSql(n, f)}" }.mkString(" + ")
 
+  /** Binary entropy + information-gain score as ONE SQL expression text
+    * shared by engine and oracle (IGainTermsQParserPlugin.java:176-207:
+    * score = H(pc) − (df/N·H(xc/df) + (1−df/N)·H((np−xc)/(N−df+1))),
+    * H(0)=H(1)=0). Operates over columns xc, dfq, np, nd. */
+  private def binEntropySql(p: String): String =
+    s"(CASE WHEN ($p) = 0 OR ($p) = 1 THEN 0.0 " +
+      s"ELSE (-1 * ($p) * ln($p)) + (-1 * (1.0 - ($p)) * ln(1.0 - ($p))) END)"
+  private val igainScoreSql: String = {
+    val pc = "(CAST(np AS DOUBLE) / nd)"
+    val ect = "(CAST(xc AS DOUBLE) / dfq)"
+    val enct = "(CAST(np - xc AS DOUBLE) / (nd - dfq + 1))"
+    s"(${binEntropySql(pc)} - ((dfq / nd) * ${binEntropySql(ect)} " +
+      s"+ (1.0 - dfq / nd) * ${binEntropySql(enct)}))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- index internals, oracle-verified at the token level ----
     // FunctionRangeQParser {!frange l u} (reference: solr/core/src/java/
@@ -2913,6 +2928,74 @@ object FulltextQueries {
         .limit(10)
         .select(col("parent"), col("min_child_len"), col("child_hits"))
     }),
+    // {!igain} information-gain feature terms (solr/core/src/java/org/
+    // apache/solr/search/IGainTermsQParserPlugin.java:156-207 — per-term
+    // IG of a binary class split, the feature selector behind Solr's text
+    // classification training): positive class = docs containing 'spark',
+    // per-term (xc, df) counted from the real match sets, the shared
+    // entropy expression evaluated identically in both engines; top-8.
+    "ft_igain_terms" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val pos = searcher.matchesDS(graft.search.TermQ("spark")).toDF("pDocId")
+      val np = pos.count()
+      val nd = index.docs.count()
+      val presence = DocsIndex.documents(spark, sfDir)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))).as("term"))
+      val posIds = pos.join(DocsIndex.docIdMap(index),
+        col("pDocId") === col("docId")).select(col("doc_id").as("pid"))
+      presence.join(posIds, col("doc_id") === col("pid"), "left")
+        .groupBy("term")
+        .agg(count(lit(1)).as("dfq"),
+          sum(when(col("pid").isNotNull, 1L).otherwise(0L)).as("xc"))
+        .withColumn("np", lit(np)).withColumn("nd", lit(nd.toDouble))
+        .selectExpr("term", "dfq",
+          s"CAST(floor(($igainScoreSql) * 1e9) AS BIGINT) AS igain_nano")
+        .orderBy(desc("igain_nano"), asc("term")).limit(8)
+    }),
+    // {!switch} parameter-routing parser (solr/core/src/java/org/apache/
+    // solr/search/SwitchQParserPlugin.java — picks a sub-query by a case
+    // label): case 'b' routes to the conjunction branch; the selected
+    // query runs on the real scatter.
+    "ft_switch" -> ((spark, sfDir) => {
+      val cases = Map(
+        "a" -> "vector",
+        "b" -> "table AND spark",
+        "default" -> "merge")
+      val selected = cases.getOrElse("b", cases("default"))
+      matchDF(spark, sfDir, selected)
+    }),
+    // {!maxscore} (solr/core/src/java/org/apache/solr/search/
+    // MaxScoreQParserPlugin.java — boolean syntax where SHOULD clauses
+    // contribute their MAX instead of the sum): per-doc max of the two
+    // clause scores — max is order-independent, no integer-units needed.
+    "ft_maxscore" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val legs = Seq("vector", "table").map(t =>
+        searcher.scoreAllDoubleDS(graft.search.TermQ(t)).toDF("docId", "s"))
+      legs.reduce(_ unionByName _)
+        .groupBy("docId").agg(max("s").as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(12)
+        .select(col("doc_id"), col("score"))
+    }),
+    // {!graphTerms} (solr/core/src/java/org/apache/solr/search/
+    // GraphTermsQParserPlugin.java — a terms filter that DROPS terms whose
+    // docFreq exceeds maxDocFreq, the frontier-pruning trick in graph
+    // traversals): the under-cap subset of the term set matches, the hubs
+    // are skipped. Dictionary-first df gate off termStats.
+    "ft_graph_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val wanted = Seq("vector", "table", "a", "the")
+      val kept = index.termStats
+        .filter($"term".isin(wanted: _*) && $"docFreq" <= 385)
+        .map(_.term).collect().toSeq
+      val q = graft.search.BoolQ(should = kept.map(graft.search.TermQ(_)))
+      searcher.matchesDS(q).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // FeatureField sigmoid scoring (lucene/core/src/java/org/apache/lucene/
     // document/FeatureField.java:80-84,482 — sigm(S) = w·S^a/(S^a + k^a);
     // a=2, k=60, w=2 keeps every power an exact integer product, one
@@ -5255,6 +5338,53 @@ object FulltextQueries {
          |  count(*) AS child_hits
          |FROM ch GROUP BY parent
          |ORDER BY min_child_len, parent LIMIT 10""".stripMargin,
+    // igain over the 'spark' class split, shared entropy expression
+    "ft_igain_terms" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($TOKS) AS tk FROM documents),
+         |stats AS (
+         |  SELECT CAST((SELECT count(*) FROM t
+         |               WHERE list_contains(tk, 'spark')) AS BIGINT) AS np,
+         |    CAST((SELECT count(*) FROM t) AS DOUBLE) AS nd),
+         |cnt AS (
+         |  SELECT term, count(*) AS dfq,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS xc
+         |  FROM (SELECT doc_id, unnest(tk) AS term,
+         |          list_contains(tk, 'spark') AS pos FROM t)
+         |  GROUP BY term)
+         |SELECT term, dfq,
+         |  CAST(floor(($igainScoreSql) * 1e9) AS BIGINT) AS igain_nano
+         |FROM cnt, stats
+         |ORDER BY igain_nano DESC, term LIMIT 8""".stripMargin,
+    // switch case 'b': the conjunction branch
+    "ft_switch" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'table') AND list_contains(tk, 'spark')
+         |ORDER BY doc_id""".stripMargin,
+    // max of the two clause scores per doc
+    "ft_maxscore" ->
+      s"""$PRELUDE,
+         |legs AS (
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("vector")} > 0
+         |  UNION ALL
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("table")), tfSql("table"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("table")} > 0)
+         |SELECT doc_id, max(s) AS score FROM legs GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // graphTerms: only under-cap terms survive ('a'/'the' are hubs)
+    "ft_graph_terms" ->
+      s"""WITH caps AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(DISTINCT doc_id) AS df
+         |    FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |    WHERE tok IN ('vector', 'table', 'a', 'the')
+         |    GROUP BY tok)
+         |  WHERE df <= 385)
+         |SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents) t
+         |WHERE EXISTS (SELECT 1 FROM caps WHERE list_contains(t.tk, caps.tok))
+         |ORDER BY doc_id""".stripMargin,
     // sigm leg: round4(BM25) + 2*len^2/(len^2+3600)
     "ft_feature_sigm" ->
       s"""$PRELUDE
