@@ -3490,6 +3490,33 @@ object FulltextQueries {
         .select(col("doc_id"), col("score"))
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
+    }),
+    // PathHierarchyTokenizer (lucene/analysis/common/src/java/org/apache/
+    // lucene/analysis/path/PathHierarchyTokenizer.java:30-49 — "/a/b/c" emits
+    // /a, /a/b, /a/b/c): each doc's lang/source/decile path expands to its
+    // prefix chain; facet counts per emitted path token. Map-side expansion
+    // (≤3 tokens/doc), one grouped count — no extra shuffle beyond the agg.
+    "ft_path_hierarchy" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .select(col("lang"), col("source"), (col("doc_id") % 10).as("dec"))
+        .select(explode(array(
+          col("lang"),
+          concat_ws("/", col("lang"), col("source")),
+          concat_ws("/", col("lang"), col("source"), col("dec")))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("path")).limit(15)
+    }),
+    // LengthFilter (lucene/analysis/common/src/java/org/apache/lucene/
+    // analysis/miscellaneous/LengthFilter.java:25-54 — accept(): keep tokens
+    // with min <= len <= max): the [3,5]-length band of the token stream,
+    // term totals over the filtered stream, top-12 by ttf.
+    "ft_length_filter" -> ((spark, sfDir) => {
+      DocsIndex.documents(spark, sfDir)
+        .select(explode(expr(
+          "filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
+            " t -> length(t) >= 3 AND length(t) <= 5)")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("ttf"))
+        .orderBy(desc("ttf"), asc("term")).limit(12)
     })
   )
 
@@ -5727,6 +5754,21 @@ object FulltextQueries {
          |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // path-hierarchy prefix chain, facet counts per emitted token
+    "ft_path_hierarchy" ->
+      """SELECT path, count(*) AS cnt FROM (
+        |  SELECT unnest([lang,
+        |                 lang || '/' || source,
+        |                 lang || '/' || source || '/' ||
+        |                   CAST(doc_id % 10 AS VARCHAR)]) AS path
+        |  FROM documents)
+        |GROUP BY path ORDER BY cnt DESC, path LIMIT 15""".stripMargin,
+    // length band [3,5] of the token stream, top terms by ttf
+    "ft_length_filter" ->
+      s"""SELECT term, count(*) AS ttf FROM (
+         |  SELECT unnest(list_filter($TOKS, t -> len(t) BETWEEN 3 AND 5)) AS term
+         |  FROM documents)
+         |GROUP BY term ORDER BY ttf DESC, term LIMIT 12""".stripMargin
   )
 }

@@ -2175,6 +2175,39 @@ object RelationalQueries {
             col("user_id").cast("string")).as("tmpl"),
           date_format(col("ts"), "yyyy-MM-dd HH").as("ts_hour"))
         .orderBy("event_id")
+    }),
+    // matrixMult (solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+    // MatrixMultiplyEvaluator.java): C = A·B as a distributed join-aggregate —
+    // A (event_type × user-bucket counts) joins B (user-bucket × event-bucket
+    // counts) on the contraction dimension, then Σ A[t,u]·B[u,j] per (t,j).
+    // This IS the scale shape for matmul: shuffle on the inner index only;
+    // all values are exact integer counts.
+    "q_matrix_mult" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+      val a = ev.groupBy(col("event_type").as("t"), (col("user_id") % 5).as("u"))
+        .agg(count(lit(1)).as("av"))
+      val b = ev.groupBy((col("user_id") % 5).as("u2"), (col("event_id") % 4).as("j"))
+        .agg(count(lit(1)).as("bv"))
+      a.join(b, col("u") === col("u2"))
+        .groupBy(col("t"), col("j"))
+        .agg(sum(col("av") * col("bv")).as("c"))
+        .orderBy("t", "j")
+    }),
+    // TriangularDistribution.cumulativeProbability (solr/solrj/.../io/eval/
+    // TriangularDistributionEvaluator.java + CumulativeProbabilityEvaluator
+    // .java; commons-math TriangularDistribution: F(x) = (x−a)²/((b−a)(c−a))
+    // below the mode, 1 − (b−x)²/((b−a)(b−c)) above). a=0, c=50, b=100 over
+    // x = n_chars % 101 keeps every term an exact BIGINT: nano-CDF =
+    // x²·200000 | 10⁹ − (100−x)²·200000 — no floats anywhere.
+    "q_triangular" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .select((col("n_chars") % 101).as("x"))
+        .distinct()
+        .select(col("x"),
+          when(col("x") <= 50, col("x") * col("x") * 200000L)
+            .otherwise(lit(1000000000L) - (lit(100) - col("x")) * (lit(100) - col("x")) * 200000L)
+            .as("cdf_nano"))
+        .orderBy("x")
     })
   )
 
@@ -3604,6 +3637,23 @@ object RelationalQueries {
         |  regexp_extract(event_type, '^([a-z]{3})', 1) AS etype3,
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
-        |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // C = A·B joined on the contraction dimension, exact integer counts
+    "q_matrix_mult" ->
+      """WITH a AS (
+        |  SELECT event_type AS t, user_id % 5 AS u, count(*) AS av
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id % 5 AS u, event_id % 4 AS j, count(*) AS bv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.t, b.j, CAST(sum(a.av * b.bv) AS BIGINT) AS c
+        |FROM a JOIN b ON a.u = b.u
+        |GROUP BY a.t, b.j ORDER BY a.t, b.j""".stripMargin,
+    // piecewise-quadratic triangular CDF in exact nano-units
+    "q_triangular" ->
+      """SELECT x, CAST(CASE WHEN x <= 50 THEN x * x * 200000
+        |  ELSE 1000000000 - (100 - x) * (100 - x) * 200000 END AS BIGINT) AS cdf_nano
+        |FROM (SELECT DISTINCT n_chars % 101 AS x FROM documents)
+        |ORDER BY x""".stripMargin
   )
 }
