@@ -63,6 +63,27 @@ object DocsIndex {
     (idx, new GraftSearcher(idx, Analyzers.simple))
   }
 
+  /** Delete-by-QUERY (Solr `deleteByQuery`, solr/core/src/java/org/apache/
+    * solr/update/DirectUpdateHandler2.java:440-520; the mechanism behind
+    * DocExpirationUpdateProcessorFactory's periodic `expire_at:[* TO NOW]`
+    * purge): the delete set is computed by running a real query against the
+    * committed index, then tombstoned through the same `.liv`-analog path as
+    * id-based deletes. */
+  def getWithQueryDeletes(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#delq", _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-docsdelq-").toString
+        graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
+          IndexConfig(analyzer = Analyzers.simple))
+        val idx0 = graft.index.IndexStore.open(spark, dir)
+        val searcher0 = new GraftSearcher(idx0, Analyzers.simple)
+        val toDelete = searcher0.matchesDS(searcher0.parse("slow AND hash"))
+        graft.index.IndexStore.deleteDocs(spark, dir, toDelete)
+        val idx = graft.index.IndexStore.open(spark, dir)
+        idx.blocks.count()
+        (idx, new GraftSearcher(idx, Analyzers.simple))
+      })
+
   /** Same corpus indexed with the engine-default UAX#29 analyzer
     * (`Analyzers.standard`, Analyzer.scala:38-133). The testdata text is
     * pure `[a-z0-9 ]` (verified by `ft_uax_search`'s oracle agreeing), so

@@ -3491,6 +3491,18 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
     }),
+    // deleteByQuery (solr/core/src/java/org/apache/solr/update/
+    // DirectUpdateHandler2.java:440-520; DocExpirationUpdateProcessorFactory's
+    // periodic expire purge runs through it): the delete set comes from a
+    // real query ('slow AND hash') against the committed index, tombstoned
+    // through the same .liv-analog path; a subsequent search honors them.
+    "ft_delete_by_query" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithQueryDeletes(spark, sfDir)
+      searcher.matchesDS(searcher.parse("table OR vector")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // PathHierarchyTokenizer (lucene/analysis/common/src/java/org/apache/
     // lucene/analysis/path/PathHierarchyTokenizer.java:30-49 — "/a/b/c" emits
     // /a, /a/b, /a/b/c): each doc's lang/source/decile path expands to its
@@ -5755,6 +5767,12 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // delete-by-query: survivors of the 'slow AND hash' purge
+    "ft_delete_by_query" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE (list_contains(tk, 'table') OR list_contains(tk, 'vector'))
+         |  AND NOT (list_contains(tk, 'slow') AND list_contains(tk, 'hash'))
+         |ORDER BY doc_id""".stripMargin,
     // path-hierarchy prefix chain, facet counts per emitted token
     "ft_path_hierarchy" ->
       """SELECT path, count(*) AS cnt FROM (

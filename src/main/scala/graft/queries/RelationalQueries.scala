@@ -2193,6 +2193,52 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // primes/factorial/binomialCoefficient (solr/solrj/.../io/eval/
+    // PrimesEvaluator.java:40-55 (next `size` primes via Primes.nextPrime),
+    // FactorialEvaluator.java, BinomialCoefficientEvaluator.java): i-th
+    // prime by trial division, i!, C(12,i) — all exact BIGINTs; the binomial
+    // divides factorials with INTEGER division so no float ever appears.
+    "q_primes" -> ((spark, sfDir) => {
+      val primesArr = "filter(sequence(2, 200), n -> " +
+        "size(filter(sequence(1, n), d -> d > 1 AND d < n AND n % d = 0)) = 0)"
+      t(spark, sfDir, "documents")
+        .select((col("doc_id") % 12 + 1).as("i")).distinct()
+        .selectExpr("i",
+          s"element_at($primesArr, CAST(i AS INT)) AS p",
+          "factorial(CAST(i AS INT)) AS fact",
+          "CAST(factorial(12) DIV (factorial(CAST(i AS INT)) * factorial(CAST(12 - i AS INT))) AS BIGINT) AS binom")
+        .orderBy("i")
+    }),
+    // Array-manipulation evaluators (solr/solrj/.../io/eval/
+    // LeftShiftEvaluator.java:39-52 (drop first N), ReverseEvaluator.java,
+    // CopyOfRangeEvaluator.java, IndexOfEvaluator.java, ValueAtEvaluator
+    // .java): per-doc token arrays through drop-2/last/slice[3..5]/position —
+    // all map-only projections over the token list.
+    "q_array_ops" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .selectExpr("doc_id",
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS tk")
+        .selectExpr("doc_id",
+          "element_at(tk, 3) AS after_lshift2",
+          "element_at(reverse(tk), 1) AS last_tok",
+          "array_join(slice(tk, 3, 3), ' ') AS mid_slice",
+          "CAST(array_position(tk, 'table') AS BIGINT) AS pos_table")
+        .orderBy("doc_id")
+    }),
+    // GammaDistribution integer-shape (Erlang) CDF (solr/solrj/.../io/eval/
+    // GammaDistributionEvaluator.java + CumulativeProbabilityEvaluator.java;
+    // commons-math GammaDistribution.cumulativeProbability — for integer
+    // shape k the regularized lower incomplete gamma closes to
+    // 1 − e^(−u)·Σ_{i<k} uⁱ/i!): k=3, θ=500, u = n_chars/θ a single exact
+    // division; ONE shared expression text both engines evaluate.
+    "q_erlang" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .select(col("n_chars").as("x")).distinct()
+        .selectExpr("x",
+          s"CAST(floor(($erlangCdfSql) * 1e9) AS BIGINT) AS cdf_nano")
+        .orderBy("x")
+    }),
     // TriangularDistribution.cumulativeProbability (solr/solrj/.../io/eval/
     // TriangularDistributionEvaluator.java + CumulativeProbabilityEvaluator
     // .java; commons-math TriangularDistribution: F(x) = (x−a)²/((b−a)(c−a))
@@ -2396,6 +2442,15 @@ object RelationalQueries {
     val y1 = s"($latC * $rad)"
     val h = s"(sin($dy * 0.5) * sin($dy * 0.5) + cos($y0) * cos($y1) * sin($dx * 0.5) * sin($dx * 0.5))"
     s"(2 * atan2(sqrt($h), sqrt(1 - $h)) * 6371.0087714)"
+  }
+
+  /** Erlang(k=3, θ=500) CDF as ONE expression text shared by both engines:
+    * u is a single IEEE division of exact integers, exp/mults mirror the
+    * same tree on both sides (see GammaDistributionEvaluator citation). */
+  private val erlangCdfSql: String = {
+    val u = "(CAST(x AS DOUBLE) / 500)"
+    s"(CAST(1.0 AS DOUBLE) - exp(-$u) * " +
+      s"(CAST(1.0 AS DOUBLE) + $u + ($u * $u) / CAST(2.0 AS DOUBLE)))"
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -3638,6 +3693,29 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // i-th prime by the same trial-division rule, i!, C(12,i) integer-div
+    "q_primes" ->
+      """WITH idx AS (SELECT DISTINCT doc_id % 12 + 1 AS i FROM documents),
+        |pr AS (SELECT list_filter(generate_series(2, 200), n ->
+        |  len(list_filter(generate_series(1, n), d -> d > 1 AND d < n AND n % d = 0)) = 0) AS ps)
+        |SELECT i, ps[CAST(i AS INT)] AS p,
+        |  CAST(factorial(CAST(i AS INT)) AS BIGINT) AS fact,
+        |  CAST(factorial(12) // (factorial(CAST(i AS INT)) * factorial(CAST(12 - i AS INT))) AS BIGINT) AS binom
+        |FROM idx, pr ORDER BY i""".stripMargin,
+    // drop-2 head / last / slice / position over the same token lists
+    "q_array_ops" ->
+      s"""SELECT doc_id, tk[3] AS after_lshift2,
+         |  list_reverse(tk)[1] AS last_tok,
+         |  array_to_string(list_slice(tk, 3, 5), ' ') AS mid_slice,
+         |  CAST(coalesce(list_position(tk, 'table'), 0) AS BIGINT) AS pos_table
+         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |      FROM documents WHERE doc_id % 97 = 0)
+         |ORDER BY doc_id""".stripMargin,
+    // Erlang k=3 CDF, the same shared expression text
+    "q_erlang" ->
+      s"""SELECT x, CAST(floor(($erlangCdfSql) * 1e9) AS BIGINT) AS cdf_nano
+         |FROM (SELECT DISTINCT n_chars AS x FROM documents)
+         |ORDER BY x""".stripMargin,
     // C = A·B joined on the contraction dimension, exact integer counts
     "q_matrix_mult" ->
       """WITH a AS (
