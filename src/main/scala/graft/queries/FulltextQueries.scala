@@ -3491,6 +3491,23 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
     }),
+    // PerFieldSimilarityWrapper (lucene/core/src/java/org/apache/lucene/
+    // search/similarities/PerFieldSimilarityWrapper.java:20-45 — each field
+    // scores under its own Similarity inside one query): BM25 leg ('vector')
+    // + ClassicSimilarity leg ('table'), each round4'd by its own scorer,
+    // summed per doc across a full-outer union of the two match sets.
+    "ft_perfield_sim" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val a = searcher.scoreAllDoubleDS(graft.search.TermQ("vector")).toDF("docId", "sa")
+      val b = searcher.withSimilarity(graft.search.ClassicSim)
+        .scoreAllDoubleDS(graft.search.TermQ("table")).toDF("docId", "sb")
+      a.join(b, Seq("docId"), "full_outer")
+        .select(col("docId"),
+          (coalesce(col("sa"), lit(0.0)) + coalesce(col("sb"), lit(0.0))).as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(12)
+        .select(col("doc_id"), col("score"))
+    }),
     // deleteByQuery (solr/core/src/java/org/apache/solr/update/
     // DirectUpdateHandler2.java:440-520; DocExpirationUpdateProcessorFactory's
     // periodic expire purge runs through it): the delete set comes from a
@@ -5767,6 +5784,20 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // per-field sims: BM25 leg + Classic leg, round4 each, per-doc sum
+    "ft_perfield_sim" ->
+      s"""$PRELUDE,
+         |legs AS (
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("vector")} > 0
+         |  UNION ALL
+         |  SELECT dl.doc_id,
+         |    round((ln((st.n + 1) / (${dfSql("table")} + 1.0)) + 1)
+         |      * sqrt(${tfSql("table")}) / sqrt(dlq), 4) AS s
+         |  FROM dl, st WHERE ${tfSql("table")} > 0)
+         |SELECT doc_id, sum(s) AS score FROM legs GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // delete-by-query: survivors of the 'slow AND hash' purge
     "ft_delete_by_query" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)

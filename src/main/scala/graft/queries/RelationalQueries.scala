@@ -2193,6 +2193,56 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // PriorityStream (solr/solrj/.../io/stream/PriorityStream.java:30-60 —
+    // a scheduler wrapping two topics: the high-priority stream is drained
+    // completely before any low-priority tuple is emitted): 'error' events
+    // outrank 'view' events; first 20 tuples of the combined drain order.
+    "q_priority" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .filter(col("event_type").isin("error", "view"))
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type") === "error", 0).otherwise(1).as("prio"))
+        .orderBy(asc("prio"), asc("event_id")).limit(20)
+        .select(col("event_id"), col("event_type"))
+    }),
+    // convexHull / getVertices / getArea (solr/solrj/.../io/eval/
+    // ConvexHullEvaluator.java, GetVerticesEvaluator.java,
+    // GetAreaEvaluator.java — commons-math ConvexHull2D over a point cloud):
+    // the ENGINE runs Andrew's monotone chain (strict turns, so collinear
+    // boundary points are not vertices) on integer points reduced to one
+    // group; the ORACLE independently derives the same vertex set by the
+    // O(n⁴) rule "a vertex is a point inside no closed triangle of three
+    // other points". 2·area rides along as an exact shoelace BIGINT.
+    "q_convex_hull" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val pts = t(spark, sfDir, "events")
+        .filter(col("event_type") === "signup" && col("event_id") % 127 === 0)
+        .select((col("user_id") % 23).as("x"), (col("event_id") % 19).as("y"))
+        .distinct().as[(Long, Long)]
+      val hull = pts.groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val ps = it.toArray.distinct.sortBy(p => (p._1, p._2))
+        def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+          (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+        def half(seq: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+          val h = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          for (p <- seq) {
+            while (h.length >= 2 && cross(h(h.length - 2), h(h.length - 1), p) <= 0)
+              h.remove(h.length - 1)
+            h += p
+          }
+          h.toSeq
+        }
+        val verts =
+          if (ps.length < 3) ps.toSeq
+          else half(ps.toSeq).dropRight(1) ++ half(ps.reverse.toSeq).dropRight(1)
+        val area2 = verts.indices.map { i =>
+          val a = verts(i); val b = verts((i + 1) % verts.length)
+          a._1 * b._2 - b._1 * a._2
+        }.sum.abs
+        verts.iterator.map { case (x, y) => (x, y, area2) }
+      }
+      hull.toDF("x", "y", "area2").orderBy("x", "y")
+    }),
     // primes/factorial/binomialCoefficient (solr/solrj/.../io/eval/
     // PrimesEvaluator.java:40-55 (next `size` primes via Primes.nextPrime),
     // FactorialEvaluator.java, BinomialCoefficientEvaluator.java): i-th
@@ -3693,6 +3743,40 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // high-priority topic drained fully before the low one
+    "q_priority" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type IN ('error', 'view')
+        |ORDER BY (CASE WHEN event_type = 'error' THEN 0 ELSE 1 END), event_id
+        |LIMIT 20""".stripMargin,
+    // vertex = inside no closed non-degenerate triangle of three other
+    // points; area via shoelace over the angle-ordered hull (atan2 is used
+    // only to SORT — every output value stays an exact BIGINT)
+    "q_convex_hull" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT user_id % 23 AS x, event_id % 19 AS y FROM events
+        |  WHERE event_type = 'signup' AND event_id % 127 = 0),
+        |hull AS (
+        |  SELECT x, y FROM pts p WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts a, pts b, pts c
+        |    WHERE (a.x <> p.x OR a.y <> p.y) AND (b.x <> p.x OR b.y <> p.y)
+        |      AND (c.x <> p.x OR c.y <> p.y)
+        |      AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) <> 0
+        |      AND (((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) >= 0
+        |        AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) >= 0
+        |        AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) >= 0)
+        |       OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) <= 0
+        |        AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) <= 0
+        |        AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) <= 0)))),
+        |cent AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+        |                CAST(sum(y) AS DOUBLE) / count(*) AS cy FROM hull),
+        |ord AS (SELECT x, y,
+        |  row_number() OVER (ORDER BY atan2(y - cy, x - cx)) AS rn,
+        |  count(*) OVER () AS m FROM hull, cent),
+        |ar AS (SELECT abs(sum(a.x * b.y - b.x * a.y)) AS area2
+        |       FROM ord a JOIN ord b ON b.rn = a.rn % a.m + 1)
+        |SELECT h.x, h.y, CAST(ar.area2 AS BIGINT) AS area2 FROM hull h, ar
+        |ORDER BY h.x, h.y""".stripMargin,
     // i-th prime by the same trial-division rule, i!, C(12,i) integer-div
     "q_primes" ->
       """WITH idx AS (SELECT DISTINCT doc_id % 12 + 1 AS i FROM documents),

@@ -1626,6 +1626,35 @@ object TrainingDataQueries {
         .filter(col("rn") <= 3)
         .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
         .orderBy("cluster", "rn")
+    }),
+    // ROUGE-2-style bigram multiset overlap (generation-eval metric over
+    // reference/candidate pairs; the bigram machinery mirrors the shingle
+    // path of td_dedup_minhash_lsh): pairs (r, r+250), overlap = Σ_g
+    // min(cnt_r, cnt_c), recall in exact micro-units by INTEGER division.
+    // Scale shape: bigram explode + two grouped counts + an equi-join on
+    // (pair, gram) — no cross join; holds at any corpus size.
+    "td_rouge_overlap" -> ((spark, sfDir) => {
+      val bg = docs(spark, sfDir)
+        .selectExpr("doc_id", s"$TOKS AS tk")
+        .filter(expr("size(tk) >= 2"))
+        .selectExpr("doc_id",
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) AS bgs")
+        .select(col("doc_id"), explode(col("bgs")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val r = bg.filter(col("doc_id") < 250 && col("doc_id") % 50 === 0)
+        .withColumnRenamed("doc_id", "ref_id").withColumnRenamed("c", "rc")
+      val c = bg.filter(col("doc_id") >= 250 && (col("doc_id") - 250) % 50 === 0)
+        .select((col("doc_id") - 250).as("ref_id"), col("g"), col("c").as("cc"))
+      val inter = r.join(c, Seq("ref_id", "g"))
+        .groupBy("ref_id").agg(sum(least(col("rc"), col("cc"))).as("inter"))
+      val rt = r.groupBy("ref_id").agg(sum("rc").as("ref_total"))
+      rt.join(inter, Seq("ref_id"), "left")
+        .select(col("ref_id"),
+          coalesce(col("inter"), lit(0L)).as("inter"), col("ref_total"),
+          expr("CAST(coalesce(inter, 0) * 1000000 DIV ref_total AS BIGINT)")
+            .as("recall_micro6"))
+        .orderBy("ref_id")
     })
   )
 
@@ -2805,7 +2834,29 @@ object TrainingDataQueries {
          |  row_number() OVER (PARTITION BY cl
          |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
          |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
-         |ORDER BY cluster, rn""".stripMargin
+         |ORDER BY cluster, rn""".stripMargin,
+    // bigram multiset overlap per (r, r+250) pair, integer recall units
+    "td_rouge_overlap" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS g
+         |    FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |    WHERE len(tk) >= 2)
+         |  GROUP BY doc_id, g),
+         |r AS (SELECT doc_id AS ref_id, g, c AS rc FROM bg
+         |      WHERE doc_id < 250 AND doc_id % 50 = 0),
+         |c AS (SELECT doc_id - 250 AS ref_id, g, c AS cc FROM bg
+         |      WHERE doc_id >= 250 AND (doc_id - 250) % 50 = 0),
+         |i AS (SELECT r.ref_id, sum(least(r.rc, c.cc)) AS inter
+         |      FROM r JOIN c ON r.ref_id = c.ref_id AND r.g = c.g
+         |      GROUP BY r.ref_id),
+         |rt AS (SELECT ref_id, sum(rc) AS ref_total FROM r GROUP BY ref_id)
+         |SELECT rt.ref_id, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         |  CAST(rt.ref_total AS BIGINT) AS ref_total,
+         |  CAST(coalesce(i.inter, 0) * 1000000 // rt.ref_total AS BIGINT) AS recall_micro6
+         |FROM rt LEFT JOIN i ON rt.ref_id = i.ref_id
+         |ORDER BY rt.ref_id""".stripMargin
   )
 
   /** sigmoid over a weight CTE `p`'s columns (oracle side of
