@@ -33,12 +33,16 @@ object SegmentMerger {
   }
 
   /** Merge ALL committed segments into one and commit a new generation.
-    * Stage outputs are checkpointed like the build path. */
+    * Stage outputs are checkpointed like the build path. A SINGLE segment
+    * still rewrites when tombstones exist — Lucene's forceMerge treats a
+    * one-segment index with deletions as merge-worthy so the purge happens
+    * (IndexWriter.forceMerge → MergePolicy.findForcedMerges on segments
+    * with deletes). */
   def mergeAll(spark: SparkSession, indexDir: String, cfg: IndexConfig = IndexConfig()): Manifest = {
     import spark.implicits._
     val m = IndexStore.readManifest(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
-    if (m.segments.size <= 1) return m
+    if (m.segments.isEmpty || (m.segments.size == 1 && !m.hasDeletes)) return m
     mergeSegments(spark, indexDir, m, m.segments, cfg)
   }
 

@@ -63,6 +63,30 @@ object DocsIndex {
     (idx, new GraftSearcher(idx, Analyzers.simple))
   }
 
+  /** Deletes + forceMerge (`IndexWriter.forceMerge` semantics,
+    * lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1870-1930:
+    * merges rewrite live docs only, so tombstoned docs are PURGED and the
+    * collection statistics — docCount, avgdl, df — shift to the survivor
+    * set, unlike the tombstone-only `getWithDeletes` index where stats still
+    * include deleted docs until merge). */
+  def getMergedDeletes(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#delm", _ => {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-docsdelm-").toString
+        graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
+          IndexConfig(analyzer = Analyzers.simple))
+        val idx0 = graft.index.IndexStore.open(spark, dir)
+        val toDelete = docIdMap(idx0)
+          .filter(col("doc_id") % 7 === 0).select("docId").as[Long]
+        graft.index.IndexStore.deleteDocs(spark, dir, toDelete)
+        graft.index.SegmentMerger.mergeAll(spark, dir,
+          IndexConfig(analyzer = Analyzers.simple))
+        val idx = graft.index.IndexStore.open(spark, dir)
+        idx.blocks.count()
+        (idx, new GraftSearcher(idx, Analyzers.simple))
+      })
+
   /** Delete-by-QUERY (Solr `deleteByQuery`, solr/core/src/java/org/apache/
     * solr/update/DirectUpdateHandler2.java:440-520; the mechanism behind
     * DocExpirationUpdateProcessorFactory's periodic `expire_at:[* TO NOW]`

@@ -3491,6 +3491,18 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
     }),
+    // forceMerge after deletes (lucene/core/src/java/org/apache/lucene/
+    // index/IndexWriter.java:1870-1930 — merges rewrite live docs only):
+    // unlike ft_delete_search (tombstones live, stats still include deleted
+    // docs), here the merge PURGES the %7 tombstones, so docCount/avgdl/df
+    // all shift to the survivor set and the BM25 scores move with them.
+    "ft_merged_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getMergedDeletes(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // PerFieldSimilarityWrapper (lucene/core/src/java/org/apache/lucene/
     // search/similarities/PerFieldSimilarityWrapper.java:20-45 — each field
     // scores under its own Similarity inside one query): BM25 leg ('vector')
@@ -5784,6 +5796,17 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // post-merge stats: the whole PRELUDE recomputed over survivors only
+    "ft_merged_search" -> {
+      val mergedPrelude = PRELUDE.replace("FROM documents",
+        "FROM documents WHERE doc_id % 7 <> 0")
+      s"""$mergedPrelude
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |    ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     // per-field sims: BM25 leg + Classic leg, round4 each, per-doc sum
     "ft_perfield_sim" ->
       s"""$PRELUDE,

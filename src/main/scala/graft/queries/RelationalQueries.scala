@@ -2193,6 +2193,41 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // ifft (solr/solrj/.../io/eval/IFFTEvaluator.java — inverse transform
+    // over the forward coefficients): the q_fft spectrum (exact micro-unit
+    // ints) drives Re(x_n)·32·1e6 = Σ_k (re_k·cosθ − im_k·sinθ), θ=2πkn/32,
+    // per-term floor-quantized before the order-independent integer sum.
+    "q_ifft" -> ((spark, sfDir) => {
+      val spectrum = queries("q_fft")(spark, sfDir)
+      spark.range(32).select(col("id").as("n"))
+        .crossJoin(spectrum)
+        .selectExpr("n",
+          "CAST(floor(re_micro6 * cos(2 * pi() * (k * n) / 32) " +
+            "- im_micro6 * sin(2 * pi() * (k * n) / 32)) AS BIGINT) AS tm")
+        .groupBy("n").agg(sum("tm").as("recon_units"))
+        .orderBy("n")
+    }),
+    // empiricalDistribution / enumeratedDistribution + cumulativeProbability
+    // / probability (solr/solrj/.../io/eval/EmpiricalDistributionEvaluator
+    // .java, EnumeratedDistributionEvaluator.java, ProbabilityEvaluator
+    // .java): per-type empirical CDF at three thresholds + the pmf of one
+    // support point, all INTEGER-division micro-units — one grouped agg.
+    "q_empirical" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .select(col("event_type"), (col("user_id") % 100).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("v") <= 25, 1L).otherwise(0L)).as("c25"),
+          sum(when(col("v") <= 50, 1L).otherwise(0L)).as("c50"),
+          sum(when(col("v") <= 75, 1L).otherwise(0L)).as("c75"),
+          sum(when(col("v") === 10, 1L).otherwise(0L)).as("c10"))
+        .selectExpr("event_type",
+          "CAST(c25 * 1000000 DIV tot AS BIGINT) AS cdf25_micro6",
+          "CAST(c50 * 1000000 DIV tot AS BIGINT) AS cdf50_micro6",
+          "CAST(c75 * 1000000 DIV tot AS BIGINT) AS cdf75_micro6",
+          "CAST(c10 * 1000000 DIV tot AS BIGINT) AS pmf10_micro6")
+        .orderBy("event_type")
+    }),
     // PriorityStream (solr/solrj/.../io/stream/PriorityStream.java:30-60 —
     // a scheduler wrapping two topics: the high-priority stream is drained
     // completely before any low-priority tuple is emitted): 'error' events
@@ -3743,6 +3778,42 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // inverse transform over the same exact-int spectrum
+    "q_ifft" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY h),
+        |series AS (
+        |  SELECT n, x FROM (
+        |    SELECT row_number() OVER (ORDER BY h) - 1 AS n, x FROM hourly)
+        |  WHERE n < 32),
+        |ks AS (SELECT unnest(generate_series(0, 31)) AS k),
+        |spec AS (
+        |  SELECT k,
+        |    CAST(sum(CAST(floor(x * cos(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT)) AS BIGINT) AS re_micro6,
+        |    CAST(sum(CAST(floor(-x * sin(2 * pi() * (k * n) / 32) * 1e6) AS BIGINT)) AS BIGINT) AS im_micro6
+        |  FROM ks, series GROUP BY k),
+        |ns AS (SELECT unnest(generate_series(0, 31)) AS n)
+        |SELECT n,
+        |  CAST(sum(CAST(floor(re_micro6 * cos(2 * pi() * (k * n) / 32)
+        |    - im_micro6 * sin(2 * pi() * (k * n) / 32)) AS BIGINT)) AS BIGINT) AS recon_units
+        |FROM ns, spec GROUP BY n ORDER BY n""".stripMargin,
+    // per-type CDF/pmf in integer-division micro-units
+    "q_empirical" ->
+      """SELECT event_type,
+        |  CAST(c25 * 1000000 // tot AS BIGINT) AS cdf25_micro6,
+        |  CAST(c50 * 1000000 // tot AS BIGINT) AS cdf50_micro6,
+        |  CAST(c75 * 1000000 // tot AS BIGINT) AS cdf75_micro6,
+        |  CAST(c10 * 1000000 // tot AS BIGINT) AS pmf10_micro6
+        |FROM (
+        |  SELECT event_type, count(*) AS tot,
+        |    sum(CASE WHEN v <= 25 THEN 1 ELSE 0 END) AS c25,
+        |    sum(CASE WHEN v <= 50 THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN v <= 75 THEN 1 ELSE 0 END) AS c75,
+        |    sum(CASE WHEN v = 10 THEN 1 ELSE 0 END) AS c10
+        |  FROM (SELECT event_type, user_id % 100 AS v FROM events)
+        |  GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
     // high-priority topic drained fully before the low one
     "q_priority" ->
       """SELECT event_id, event_type FROM events
