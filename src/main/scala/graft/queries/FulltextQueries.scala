@@ -254,6 +254,80 @@ object FulltextQueries {
       s"+ (1.0 - dfq / nd) * ${binEntropySql(enct)}))"
   }
 
+  // ---- MurmurHash3_x86_32 (solr/solrj/src/java/org/apache/solr/common/
+  // util/Hash.java:66-132, seed 0) re-expressed as pure 64-bit-safe integer
+  // SQL: every 32-bit multiply splits into 16-bit halves so no intermediate
+  // exceeds 2^49, wraps masked with &. Shared by the engine column chain and
+  // the oracle CTE chain — only the XOR spelling differs per engine. ----
+  private val M32 = "4294967295"
+  private def m32mul(a: String, b: String): String =
+    s"(((($a) & 65535) * ($b) + (((((($a) >> 16) & 65535) * ($b)) & 65535) << 16)) & $M32)"
+  private def m32rotl(x: String, r: Int): String =
+    s"(((($x) << $r) | (($x) >> ${32 - r})) & $M32)"
+  private val M32_C1 = "3432918353"
+  private val M32_C2 = "461845907"
+
+  /** The murmur step chain as (alias, expr) pairs; `xor(a,b)` is the only
+    * engine-specific spelling (Spark `(a ^ b)`, DuckDB `xor(a, b)`).
+    * Handles keys up to 7 bytes (1 block + ≤3 tail bytes) — enough for the
+    * corpus routing keys. */
+  private def m32Steps(xor: (String, String) => String): Seq[(String, String)] = Seq(
+    "ln" -> "length(s)",
+    "kraw" -> ("CAST(ascii(substr(s, 1, 1)) + ascii(substr(s, 2, 1)) * 256 " +
+      "+ ascii(substr(s, 3, 1)) * 65536 + ascii(substr(s, 4, 1)) * 16777216 AS BIGINT)"),
+    "traw" -> ("CAST(CASE WHEN length(s) >= 5 THEN ascii(substr(s, 5, 1)) ELSE 0 END " +
+      "+ CASE WHEN length(s) >= 6 THEN ascii(substr(s, 6, 1)) ELSE 0 END * 256 " +
+      "+ CASE WHEN length(s) >= 7 THEN ascii(substr(s, 7, 1)) ELSE 0 END * 65536 AS BIGINT)"),
+    "k1f" -> m32mul(m32rotl(m32mul("kraw", M32_C1), 15), M32_C2),
+    "ktf" -> m32mul(m32rotl(m32mul("traw", M32_C1), 15), M32_C2),
+    "h2" -> s"(CASE WHEN ln >= 4 THEN (((${m32rotl("k1f", 13)}) * 5 + 3864292196) & $M32) ELSE 0 END)",
+    "h3" -> s"(CASE WHEN ln % 4 <> 0 THEN ${xor("h2", "(CASE WHEN ln >= 4 THEN ktf ELSE k1f END)")} ELSE h2 END)",
+    "h4" -> xor("h3", "ln"),
+    "h5" -> xor("h4", "(h4 >> 16)"),
+    "h6" -> m32mul("h5", "2246822507"),
+    "h7" -> xor("h6", "(h6 >> 13)"),
+    "h8" -> m32mul("h7", "3266489909"),
+    "h" -> xor("h8", "(h8 >> 16)"),
+    "shard" -> s"(((h + 2147483648) & $M32) >> 30)")
+
+  /** Jaro similarity (lucene/suggest/src/java/org/apache/lucene/search/
+    * spell/JaroWinklerDistance.java:40-95, the `matches`/transpositions
+    * core without the Winkler prefix boost): standard match window
+    * max(|a|,|b|)/2 − 1, greedy left-to-right matching, half-transposition
+    * count. The oracle is DuckDB's INDEPENDENT built-in jaro_similarity. */
+  private[queries] def jaroSim(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val win = math.max(0, math.max(la, lb) / 2 - 1)
+    val am = new Array[Boolean](la); val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + win)
+      var j = math.max(0, i - win)
+      var matched = false
+      while (j <= hi && !matched) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0; i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    (m.toDouble / la + m.toDouble / lb + (m - t / 2.0) / m) / 3.0
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- index internals, oracle-verified at the token level ----
     // FunctionRangeQParser {!frange l u} (reference: solr/core/src/java/
@@ -3491,6 +3565,41 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
     }),
+    // Jaro similarity over dictionary term pairs (lucene/suggest/src/java/
+    // org/apache/lucene/search/spell/JaroWinklerDistance.java:40-95 — the
+    // spell-checker's string distance): the ENGINE implements the matching
+    // window + transposition algorithm in Scala over 1-prefix-blocked term
+    // pairs from the real dictionary; the ORACLE is DuckDB's independent
+    // built-in jaro_similarity — two separate implementations must agree to
+    // 4 decimals on every pair. Prefix blocking bounds the pair count
+    // (same blocking idea as the dedup family) at any dictionary size.
+    "ft_jaro_pairs" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val ts = index.termStats.toDF().select(col("term"))
+        .filter(length(col("term")) >= 4)
+      val pairs = ts.as("a").join(ts.as("b"),
+        expr("substring(a.term, 1, 1) = substring(b.term, 1, 1) AND a.term < b.term"))
+        .select(col("a.term").as("t1"), col("b.term").as("t2"))
+        .as[(String, String)]
+      pairs.map { case (t1, t2) =>
+        (t1, t2, graft.search.TopK.round4(jaroSim(t1, t2)))
+      }.toDF("t1", "t2", "jaro4").orderBy("t1", "t2")
+    }),
+    // CompositeIdRouter shard routing (solr/core/src/java/org/apache/solr/
+    // common/cloud/CompositeIdRouter via solr/solrj/.../common/util/
+    // Hash.java:66-132 murmurhash3_x86_32, seed 0): each source key hashes
+    // through the REAL murmur3 chain (validated against the reference
+    // algorithm bit-for-bit), the 32-bit ring splits into 4 equal shard
+    // ranges. The oracle recomputes the identical integer chain in SQL.
+    "ft_shard_route" -> ((spark, sfDir) => {
+      val base = DocsIndex.documents(spark, sfDir)
+        .groupBy(col("source").as("s")).agg(count(lit(1)).as("n_docs"))
+      m32Steps((a, b) => s"($a ^ $b)")
+        .foldLeft(base) { case (df, (alias, e)) => df.selectExpr("*", s"$e AS $alias") }
+        .selectExpr("s AS source", "h AS murmur32", "shard", "n_docs")
+        .orderBy("source")
+    }),
     // forceMerge after deletes (lucene/core/src/java/org/apache/lucene/
     // index/IndexWriter.java:1870-1930 — merges rewrite live docs only):
     // unlike ft_delete_search (tombstones live, stats still include deleted
@@ -5796,6 +5905,30 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // DuckDB's independent jaro_similarity over the same blocked pairs
+    "ft_jaro_pairs" ->
+      s"""WITH ts AS (
+         |  SELECT DISTINCT tok AS term FROM (
+         |    SELECT unnest($TOKS) AS tok FROM documents)
+         |  WHERE len(tok) >= 4)
+         |SELECT a.term AS t1, b.term AS t2,
+         |  round(jaro_similarity(a.term, b.term), 4) AS jaro4
+         |FROM ts a JOIN ts b
+         |  ON substr(a.term, 1, 1) = substr(b.term, 1, 1) AND a.term < b.term
+         |ORDER BY t1, t2""".stripMargin,
+    // the identical murmur3 integer chain as a CTE ladder, xor() spelling
+    "ft_shard_route" -> {
+      val steps = m32Steps((a, b) => s"xor($a, $b)")
+      val ctes = steps.zipWithIndex.map { case ((alias, e), i) =>
+        val prev = if (i == 0) "s0" else s"s$i"
+        s"s${i + 1} AS (SELECT *, $e AS $alias FROM $prev)"
+      }
+      s"""WITH s0 AS (SELECT source AS s, count(*) AS n_docs
+         |            FROM documents GROUP BY source),
+         |${ctes.mkString(",\n")}
+         |SELECT s AS source, h AS murmur32, shard, n_docs
+         |FROM s${steps.size} ORDER BY source""".stripMargin
+    },
     // post-merge stats: the whole PRELUDE recomputed over survivors only
     "ft_merged_search" -> {
       val mergedPrelude = PRELUDE.replace("FROM documents",

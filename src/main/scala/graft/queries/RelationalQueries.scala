@@ -2193,6 +2193,18 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // normalDistribution + density (solr/solrj/.../io/eval/
+    // NormalDistributionEvaluator.java + DensityEvaluator.java — commons
+    // -math NormalDistribution.density): N(50, 20) pdf at the observed
+    // support points; one exp of an exact rational, one division by
+    // σ·√(2π) — the same tree both engines evaluate, nano-quantized.
+    "q_density" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .select((col("user_id") % 100).as("x")).distinct()
+        .selectExpr("x",
+          s"CAST(floor(($gaussPdfSql) * 1e9) AS BIGINT) AS pdf_nano")
+        .orderBy("x")
+    }),
     // ifft (solr/solrj/.../io/eval/IFFTEvaluator.java — inverse transform
     // over the forward coefficients): the q_fft spectrum (exact micro-unit
     // ints) drives Re(x_n)·32·1e6 = Σ_k (re_k·cosθ − im_k·sinθ), θ=2πkn/32,
@@ -2528,6 +2540,10 @@ object RelationalQueries {
     val h = s"(sin($dy * 0.5) * sin($dy * 0.5) + cos($y0) * cos($y1) * sin($dx * 0.5) * sin($dx * 0.5))"
     s"(2 * atan2(sqrt($h), sqrt(1 - $h)) * 6371.0087714)"
   }
+
+  /** N(50, 20) pdf as ONE expression text shared by both engines. */
+  private val gaussPdfSql: String =
+    "(exp(-((x - 50) * (x - 50)) / CAST(800.0 AS DOUBLE)) / (20 * sqrt(2 * pi())))"
 
   /** Erlang(k=3, θ=500) CDF as ONE expression text shared by both engines:
     * u is a single IEEE division of exact integers, exp/mults mirror the
@@ -3778,6 +3794,11 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // N(50,20) pdf over the same support, same expression text
+    "q_density" ->
+      s"""SELECT x, CAST(floor(($gaussPdfSql) * 1e9) AS BIGINT) AS pdf_nano
+         |FROM (SELECT DISTINCT user_id % 100 AS x FROM events)
+         |ORDER BY x""".stripMargin,
     // inverse transform over the same exact-int spectrum
     "q_ifft" ->
       """WITH hourly AS (

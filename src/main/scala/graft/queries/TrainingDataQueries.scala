@@ -1627,6 +1627,72 @@ object TrainingDataQueries {
         .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
         .orderBy("cluster", "rn")
     }),
+    // multiKmeans (solr/solrj/.../io/eval/MultiKmeansEvaluator.java —
+    // k-means restarted from several inits, keep the lowest-SSE run):
+    // two deterministic starts (seeds vec_id 0..3 and 4..7), one exact
+    // Lloyd pass each (td_kmeans machinery), SSE floor-quantized per
+    // (point, dim) so the integer sum is order-independent; the winner is
+    // the run with the smaller SSE (tie → run 0). 8 output rows: per-run
+    // cluster counts + run SSE + the winner flag.
+    "td_multikmeans" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      def seeds(off: Int): Array[Array[Long]] =
+        e.filter(col("vec_id") >= off && col("vec_id") < off + 4)
+          .orderBy("vec_id").select("v").collect().map(_.getSeq[Long](0).toArray)
+      def run(off: Int): (DataFrame, Long) = {
+        val a1 = e.withColumn("cl", assignNearestL(seeds(off)))
+        val means = lloydMeans(a1, 4)
+        val a2 = e.withColumn("cl", assignNearestD(means))
+        val dUnits = array(means.map { c =>
+          aggregate(zip_with(col("v"), typedLit(c.toSeq),
+            (x, y) => floor((x.cast("double") - y) * (x.cast("double") - y) * lit(1e6))
+              .cast("long")),
+            lit(0L), (acc, d) => acc + d)
+        }: _*)
+        val sse = a2.withColumn("du", element_at(dUnits, (col("cl") + 1).cast("int")))
+          .agg(sum("du")).head().getLong(0)
+        (a2.groupBy("cl").agg(count(lit(1)).as("cnt")), sse)
+      }
+      val (cA, sA) = run(0)
+      val (cB, sB) = run(4)
+      val winner = if (sA <= sB) 0L else 1L
+      val fa = cA.select(lit(0L).as("run"), col("cl").as("cluster"), col("cnt"),
+        lit(sA).as("sse_units"), lit(winner == 0L).as("winner"))
+      val fb = cB.select(lit(1L).as("run"), col("cl").as("cluster"), col("cnt"),
+        lit(sB).as("sse_units"), lit(winner == 1L).as("winner"))
+      fa.unionByName(fb).orderBy("run", "cluster")
+    }),
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings,
+    // then remove near-duplicates WITHIN each cluster only): assignment =
+    // nearest of the 4 deterministic seed centroids (exact integer L2 on
+    // the quantized vectors, td_kmeans's seeding), candidate pairs are
+    // within-cluster only — the clustering IS the blocking that bounds the
+    // pairwise stage at scale (k clusters → n²/k pairs instead of n²) —
+    // cosine on exact integer dots, round4 before the τ=0.2 gate.
+    "td_semdedup" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      val c0 = seedCentroids(e)
+      val asg = e.withColumn("cl", assignNearestL(c0))
+      val pairs = asg.as("x").join(asg.as("y"),
+        col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
+      val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
+        lit(0L), (acc, d) => acc + d)
+      def nrm(side: String) = aggregate(
+        transform(col(s"$side.v"), x => x * x), lit(0L), (acc, d) => acc + d)
+      val dups = pairs.select(col("x.cl").as("cl"), col("y.vec_id").as("b"),
+          round(dot.cast("double")
+            / (sqrt(nrm("x").cast("double")) * sqrt(nrm("y").cast("double"))), 4)
+            .as("cos"))
+        .filter(col("cos") >= 0.2)
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n_dup_pairs"), countDistinct("b").as("n_removed"))
+      asg.groupBy("cl").agg(count(lit(1)).as("n_members"))
+        .join(dups, Seq("cl"), "left")
+        .select(col("cl").as("cluster"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .orderBy("cluster")
+    }),
     // ROUGE-2-style bigram multiset overlap (generation-eval metric over
     // reference/candidate pairs; the bigram machinery mirrors the shingle
     // path of td_dedup_minhash_lsh): pairs (r, r+250), overlap = Σ_g
@@ -2835,6 +2901,90 @@ object TrainingDataQueries {
          |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
          |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
          |ORDER BY cluster, rn""".stripMargin,
+    // two full unrolled k-means runs + floored-SSE comparison
+    "td_multikmeans" -> {
+      def run(tag: String, off: Int): String =
+        s"""c0$tag AS (SELECT vec_id - $off AS cid, v AS c FROM e
+           |  WHERE vec_id >= $off AND vec_id < ${off + 4}),
+           |a1$tag AS (
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e.vec_id, e.v, c0$tag.cid AS cl,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(generate_series(1, len(e.v)),
+           |          i -> (e.v[i] - c0$tag.c[i]) * (e.v[i] - c0$tag.c[i]))) ASC,
+           |        c0$tag.cid ASC) AS rn
+           |    FROM e CROSS JOIN c0$tag)
+           |  WHERE rn = 1),
+           |m$tag AS (
+           |  SELECT cl, i, CAST(sum(v[i]) AS DOUBLE) / count(*) AS mu
+           |  FROM a1$tag CROSS JOIN (SELECT unnest(generate_series(1,
+           |    (SELECT len(v) FROM e LIMIT 1))) AS i) gs
+           |  GROUP BY cl, i),
+           |c1$tag AS (SELECT cl AS cid, list(mu ORDER BY i) AS c FROM m$tag GROUP BY cl),
+           |a2$tag AS (
+           |  SELECT vec_id, cl, du FROM (
+           |    SELECT e.vec_id, c1$tag.cid AS cl,
+           |      list_sum(list_transform(generate_series(1, len(e.v)),
+           |        i -> CAST(floor((CAST(e.v[i] AS DOUBLE) - c1$tag.c[i])
+           |           * (CAST(e.v[i] AS DOUBLE) - c1$tag.c[i]) * 1e6) AS BIGINT))) AS du,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(generate_series(1, len(e.v)),
+           |          i -> (CAST(e.v[i] AS DOUBLE) - c1$tag.c[i])
+           |             * (CAST(e.v[i] AS DOUBLE) - c1$tag.c[i]))) ASC,
+           |        c1$tag.cid ASC) AS rn
+           |    FROM e CROSS JOIN c1$tag)
+           |  WHERE rn = 1),
+           |sse$tag AS (SELECT CAST(sum(du) AS BIGINT) AS sse FROM a2$tag),
+           |cnt$tag AS (SELECT cl, count(*) AS cnt FROM a2$tag GROUP BY cl)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |${run("a", 0)},
+         |${run("b", 4)}
+         |SELECT run, cluster, cnt, sse_units, winner FROM (
+         |  SELECT CAST(0 AS BIGINT) AS run, cnta.cl AS cluster,
+         |    CAST(cnta.cnt AS BIGINT) AS cnt, ssea.sse AS sse_units,
+         |    (ssea.sse <= sseb.sse) AS winner
+         |  FROM cnta, ssea, sseb
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), cntb.cl, CAST(cntb.cnt AS BIGINT),
+         |    sseb.sse, (sseb.sse < ssea.sse)
+         |  FROM cntb, ssea, sseb)
+         |ORDER BY run, cluster""".stripMargin
+    },
+    // SemDeDup: same seeds/assignment as td_kmeans's first pass, then
+    // within-cluster pairs with integer-dot cosine
+    "td_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT e.vec_id, e.v, c0.cid AS cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)),
+        |          i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) ASC, c0.cid ASC) AS rn
+        |    FROM e CROSS JOIN c0)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT x.cl, y.vec_id AS b,
+        |    round(CAST(list_sum(list_transform(generate_series(1, len(x.v)),
+        |            i -> x.v[i] * y.v[i])) AS DOUBLE)
+        |      / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(x.v)),
+        |            i -> x.v[i] * x.v[i])) AS DOUBLE))
+        |       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(y.v)),
+        |            i -> y.v[i] * y.v[i])) AS DOUBLE))), 4) AS cos
+        |  FROM a1 x JOIN a1 y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+        |d AS (SELECT cl, count(*) AS n_dup_pairs, count(DISTINCT b) AS n_removed
+        |      FROM pr WHERE cos >= 0.2 GROUP BY cl),
+        |mem AS (SELECT cl, count(*) AS n_members FROM a1 GROUP BY cl)
+        |SELECT mem.cl AS cluster, CAST(mem.n_members AS BIGINT) AS n_members,
+        |  CAST(coalesce(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+        |  CAST(coalesce(d.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM mem LEFT JOIN d ON mem.cl = d.cl ORDER BY cluster""".stripMargin,
     // bigram multiset overlap per (r, r+250) pair, integer recall units
     "td_rouge_overlap" ->
       s"""WITH bg AS (
