@@ -3565,6 +3565,48 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
     }),
+    // BM25 parameterization (lucene/core/.../similarities/BM25Similarity
+    // .java:40-52 — the (k1, b) constructor, not just the defaults): the
+    // short-query tuning k1=0.875, b=0.25 (both dyadic, so the Float
+    // fields widen to EXACT doubles) through the same double scorer; the
+    // oracle inlines the tuned constants into the textbook formula.
+    "ft_search_bm25_tuned" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.Bm25Sim(0.875f, 0.25f))
+      s.searchDoubleDS(s.parse("vector OR merge"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // cursorMark deep paging (solr/core/src/java/org/apache/solr/search/
+    // CursorMark.java — each response carries the next totem; a page-3
+    // fetch is two cursor hops, never an offset scan): two searchAfter
+    // hops of 5 must equal OFFSET 10 LIMIT 5 of the global order.
+    "ft_cursor_walk" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.parse("table")
+      val p1 = searcher.searchDouble(q, 5)
+      val p2 = if (p1.isEmpty) p1 else searcher.searchDouble(q, 5, p1.last)
+      val after = if (p2.isEmpty) null else p2.last
+      searcher.searchDoubleDS(q, 5, after).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(5)
+        .select(col("doc_id"), col("score"))
+    }),
+    // EnumFieldType ordinal sort (solr/core/src/java/org/apache/solr/
+    // schema/EnumFieldType.java — a configured value list sorts by ordinal,
+    // not lexicographically): langs ordered zh < de < fr < es < en; 'vector'
+    // hits sorted (enum ordinal, doc_id).
+    "ft_enum_sort" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val ord = array_position(
+        typedLit(Seq("zh", "de", "fr", "es", "en")), col("lang"))
+      searcher.matchesDS(graft.search.TermQ("vector")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("lang"), ord.as("ord"), col("doc_id"))
+        .orderBy(asc("ord"), asc("doc_id")).limit(15)
+    }),
     // Jaro similarity over dictionary term pairs (lucene/suggest/src/java/
     // org/apache/lucene/search/spell/JaroWinklerDistance.java:40-95 — the
     // spell-checker's string distance): the ENGINE implements the matching
@@ -5905,6 +5947,38 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // tuned constants inlined into the textbook double BM25
+    "ft_search_bm25_tuned" -> {
+      def bmT(idf: String, tf: String) =
+        s"CASE WHEN $tf = 0 THEN 0.0 ELSE $idf * ($tf * (0.875 + 1)) " +
+          s"/ ($tf + 0.875 * (1 - 0.25 + 0.25 * dlq / st.avgdl)) END"
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("vector")} AS tf_v, ${tfSql("merge")} AS tf_m,
+         |    ${bmT(idfSql(dfSql("vector")), tfSql("vector"))}
+         |     + ${bmT(idfSql(dfSql("merge")), tfSql("merge"))} AS s
+         |  FROM dl, st
+         |) WHERE tf_v > 0 OR tf_m > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+    // page 3 by cursor chain == OFFSET 10 of the global order
+    "ft_cursor_walk" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    ${bmSql(idfSql(dfSql("table")), tfSql("table"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 5 OFFSET 10""".stripMargin,
+    // enum ordinal sort: configured order zh < de < fr < es < en
+    "ft_enum_sort" ->
+      s"""SELECT lang,
+         |  CAST(CASE lang WHEN 'zh' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
+         |       WHEN 'es' THEN 4 WHEN 'en' THEN 5 END AS BIGINT) AS ord,
+         |  doc_id
+         |FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector')
+         |ORDER BY ord, doc_id LIMIT 15""".stripMargin,
     // DuckDB's independent jaro_similarity over the same blocked pairs
     "ft_jaro_pairs" ->
       s"""WITH ts AS (
