@@ -1050,6 +1050,38 @@ object FulltextQueries {
         .limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // DFI with the Saturated independence measure (f−e)/e (reference:
+    // lucene/core/.../similarities/IndependenceSaturated.java:28-31)
+    "ft_search_dfi_sat" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.DFISim("sat"))
+      s.searchDoubleDS(s.parse("table"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // DFI with the ChiSquared measure (f−e)²/e (reference:
+    // lucene/core/.../similarities/IndependenceChiSquared.java:28-31)
+    "ft_search_dfi_chi" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.DFISim("chi"))
+      s.searchDoubleDS(s.parse("merge"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // MultiSimilarity CombSUM (lucene/core/.../similarities/
+    // MultiSimilarity.java:34-58): BM25 + Classic summed per (freq, norm)
+    // for the SAME term — unlike ft_perfield_sim's per-clause sims.
+    "ft_search_multisim" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.MultiSim(
+        Seq(graft.search.Bm25Sim(1.2f, 0.75f), graft.search.ClassicSim)))
+      s.searchDoubleDS(s.parse("window"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // DFR InL2 (reference: DFRSimilarity.java:110-114, BasicModelIn.java:36-43,
     // AfterEffectL.java:32-34, NormalizationH2.java:58-59) top-10
     "ft_search_dfr" -> ((spark, sfDir) => {
@@ -4224,6 +4256,40 @@ object FulltextQueries {
          |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // DFI standardized: expected = (ttf+1)·dlq/(sttf+1); freq <= expected
     // -> 0 else log2((tf-e)/sqrt(e) + 1) — mirrors DFISim.raw
+    // saturated measure (f−e)/e through the same DFI shell
+    "ft_search_dfi_sat" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(len(tk)) AS sttf,
+         |              sum(${tfSql("table")}) AS ttf FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |    (SELECT CASE WHEN ${tfSql("table")} <= e THEN 0
+         |            ELSE log2((${tfSql("table")} - e) / e + 1) END
+         |     FROM (SELECT (lm.ttf + 1) * dlq / (lm.sttf + 1) AS e FROM lm)) AS s
+         |  FROM dl
+         |) WHERE tf > 0 AND s > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // chi-squared measure (f−e)²/e through the same DFI shell
+    "ft_search_dfi_chi" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(len(tk)) AS sttf,
+         |              sum(${tfSql("merge")}) AS ttf FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("merge")} AS tf,
+         |    (SELECT CASE WHEN ${tfSql("merge")} <= e THEN 0
+         |            ELSE log2((${tfSql("merge")} - e) * (${tfSql("merge")} - e) / e + 1) END
+         |     FROM (SELECT (lm.ttf + 1) * dlq / (lm.sttf + 1) AS e FROM lm)) AS s
+         |  FROM dl
+         |) WHERE tf > 0 AND s > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // CombSUM: BM25 + Classic for the same term, summed then round4'd
+    "ft_search_multisim" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("window")} AS tf,
+         |    ${bmSql(idfSql(dfSql("window")), tfSql("window"))}
+         |    + (ln((st.n + 1) / (${dfSql("window")} + 1.0)) + 1)
+         |      * sqrt(${tfSql("window")}) / sqrt(dlq) AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_search_dfi" ->
       s"""$PRELUDE,
          |lm AS (SELECT sum(len(tk)) AS sttf,

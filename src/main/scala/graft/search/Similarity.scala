@@ -187,14 +187,21 @@ final case class LMJelinekMercerSim(lambda: Double = 0.1d) extends Similarity {
   * else boost · log2(independence(freq, expected) + 1)). The standardized
   * measure (freq − expected)/sqrt(expected) is Lucene's
   * `IndependenceStandardized.java:28-30`. */
-final case class DFISim() extends Similarity {
+final case class DFISim(measure: String = "std") extends Similarity {
   private def raw(freq: Double, normByte: Int, ttf: Long, stats: CollectionStats): Double = {
     val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
     val expected = (ttf + 1).toDouble * dl / (stats.sumTotalTermFreq + 1).toDouble
     if (freq <= expected) 0d
     else {
-      val measure = (freq - expected) / math.sqrt(expected)
-      math.log(measure + 1) / math.log(2d)
+      // the three Independence measures (reference: IndependenceStandardized
+      // .java:28-31, IndependenceSaturated.java:28-31,
+      // IndependenceChiSquared.java:28-31)
+      val m = measure match {
+        case "sat" => (freq - expected) / expected
+        case "chi" => (freq - expected) * (freq - expected) / expected
+        case _ => (freq - expected) / math.sqrt(expected)
+      }
+      math.log(m + 1) / math.log(2d)
     }
   }
   private final class FloatScorer(boost: Float, ttf: Long, stats: CollectionStats) extends SimScorer {
@@ -213,6 +220,41 @@ final case class DFISim() extends Similarity {
     new FloatScorer(boost, freqs.map(_._2).sum, stats)
   def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
     new DblScorer(boost, freqs.map(_._2).sum, stats)
+}
+
+/** MultiSimilarity — CombSUM evidence combination: the score is the SUM of
+  * the sub-similarities' scores for the same (freq, norm) (reference:
+  * lucene/core/src/java/org/apache/lucene/search/similarities/
+  * MultiSimilarity.java:34-58, Shaw & Fox TREC-2 CombSUM). `maxScore` sums
+  * the sub-bounds (+inf if any sub-similarity is unbounded). */
+final case class MultiSim(sims: Seq[Similarity]) extends Similarity {
+  private final class SumScorer(ss: Seq[SimScorer]) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float = {
+      var s = 0f
+      ss.foreach(x => s += x.score(freq, normByte))
+      s
+    }
+    def maxScore: Float = {
+      var s = 0f
+      ss.foreach(x => s += x.maxScore)
+      s
+    }
+  }
+  private final class SumDblScorer(ss: Seq[DoubleSimScorer]) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = {
+      var s = 0d
+      ss.foreach(x => s += x.score(freq, normByte))
+      s
+    }
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new SumScorer(sims.map(_.scorer(boost, df, ttf, stats)))
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new SumDblScorer(sims.map(_.doubleScorer(boost, df, ttf, stats)))
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new SumScorer(sims.map(_.multiTermScorer(boost, freqs, stats)))
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new SumDblScorer(sims.map(_.multiTermDoubleScorer(boost, freqs, stats)))
 }
 
 /** BooleanSimilarity — score == query boost, freq/norm ignored (reference:
