@@ -1070,6 +1070,36 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
     }),
+    // DFR G-B-H1 (BasicModelG.java:36-51, AfterEffectB.java:31-36,
+    // NormalizationH1.java:56-58): geometric Bose-Einstein with the
+    // bonus-after-effect and linear length normalization.
+    "ft_search_dfr_gb1" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.DFRGB1Sim())
+      s.searchDoubleDS(s.parse("batch"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // IB SPL-TTF-H2 (DistributionSPL.java:36-59, LambdaTTF.java:31-38):
+    // smoothed power-law information model.
+    "ft_search_ib_spl" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.IBSPLSim())
+      s.searchDoubleDS(s.parse("scan"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // Axiomatic F2-LOG (AxiomaticF2LOG.java:61-79 — ln idf, same tfln)
+    "ft_search_axiomatic_f2log" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val s = searcher.withSimilarity(graft.search.AxiomaticF2LOGSim())
+      s.searchDoubleDS(s.parse("line"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // MultiSimilarity CombSUM (lucene/core/.../similarities/
     // MultiSimilarity.java:34-58): BM25 + Classic summed per (freq, norm)
     // for the SAME term — unlike ft_perfield_sim's per-clause sims.
@@ -4280,6 +4310,45 @@ object FulltextQueries {
          |     FROM (SELECT (lm.ttf + 1) * dlq / (lm.sttf + 1) AS e FROM lm)) AS s
          |  FROM dl
          |) WHERE tf > 0 AND s > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // DFR G-B-H1: λ = F/(n+F), A/B logs, aet = (F+1)/(df+1), tfn = tf·avgdl/dlq
+    "ft_search_dfr_gb1" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(${tfSql("batch")}) AS ttf,
+         |              (SELECT count(*) FROM toks
+         |               WHERE list_contains(tk, 'batch')) AS df FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("batch")} AS tf,
+         |    (SELECT ((ln((1 + l) / l) / ln(2))
+         |       - ((ln((1 + l) / l) / ln(2)) - (ln(l + 1) / ln(2)))
+         |         / (1 + ${tfSql("batch")} * 1.0 * (st.avgdl / dlq)))
+         |       * ((f0 + 1.0) / (df0 + 1.0))
+         |     FROM (SELECT (lm.ttf + 1) AS f0,
+         |             (lm.ttf + 1) / (st.n + (lm.ttf + 1)) AS l,
+         |             lm.df AS df0 FROM lm, st)) AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // IB SPL: −ln((λ^(1−1/(tfn+1)) − λ)/(1 − λ)), λ = (ttf+1)/(n+1)
+    "ft_search_ib_spl" ->
+      s"""$PRELUDE,
+         |lm AS (SELECT sum(${tfSql("scan")}) AS ttf FROM toks)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("scan")} AS tf,
+         |    (SELECT -ln((pow(l, 1 - 1 / (${tfSql("scan")} *
+         |                   (ln(1 + 1.0 * av / dlq) / ln(2)) + 1)) - l)
+         |                / (1 - l))
+         |     FROM (SELECT (lm.ttf + 1.0) / (st.n + 1.0) AS l,
+         |                  st.avgdl AS av FROM lm, st)) AS s
+         |  FROM dl
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Axiomatic F2-LOG: ln idf, tfln = tf/(tf + s + s·dlq/avgdl), s = 0.25
+    "ft_search_axiomatic_f2log" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("line")} AS tf,
+         |    (${tfSql("line")} / (${tfSql("line")} + 0.25 + 0.25 * dlq / st.avgdl))
+         |      * ln((st.n + 1.0) / ${dfSql("line")}) AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // CombSUM: BM25 + Classic for the same term, summed then round4'd
     "ft_search_multisim" ->
       s"""$PRELUDE

@@ -349,6 +349,80 @@ final case class DFRInL2Sim(c: Double = 1d) extends Similarity {
     new DblScorer(boost, bigA(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
 }
 
+/** DFRSimilarity(BasicModelG, AfterEffectB, NormalizationH1) — the
+  * geometric Bose-Einstein DFR combo (reference: BasicModelG.java:36-51
+  * score = (B − (B−A)/(1+tfn))·aeTimes1pTfn with λ = F/(N+F), F = ttf+1,
+  * A = log2(λ+1), B = log2((1+λ)/λ); AfterEffectB.java:31-36
+  * aeTimes1pTfn = (F+1)/(df+1); NormalizationH1.java:56-58
+  * tfn = tf·c·(avgfl/fl), default c=1). B bounds the basic model above, so
+  * maxScore = boost·B·aet is finite — WAND-compatible. */
+final case class DFRGB1Sim(c: Double = 1d) extends Similarity {
+  private val LOG2 = math.log(2d)
+  private final class Core(df: Long, ttf: Long, stats: CollectionStats) extends Serializable {
+    val F: Double = (ttf + 1).toDouble
+    val lambda: Double = F / (stats.docCount + F)
+    val a: Double = math.log(lambda + 1) / LOG2
+    val b: Double = math.log((1 + lambda) / lambda) / LOG2
+    val aet: Double = (F + 1.0d) / (df + 1.0d)
+    def raw(freq: Double, normByte: Int): Double = {
+      val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+      val tfn = freq * c * (stats.avgdlD / dl)
+      (b - (b - a) / (1 + tfn)) * aet
+    }
+  }
+  private final class FloatScorer(boost: Float, core: Core) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float =
+      (boost * core.raw(freq.toDouble, normByte)).toFloat
+    def maxScore: Float = (boost * core.b * core.aet).toFloat
+  }
+  private final class DblScorer(boost: Double, core: Core) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost * core.raw(freq, normByte)
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, new Core(df, ttf, stats))
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, new Core(df, ttf, stats))
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, new Core(
+      math.min(freqs.map(_._1).sum, stats.docCount), freqs.map(_._2).sum, stats))
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, new Core(
+      math.min(freqs.map(_._1).sum, stats.docCount), freqs.map(_._2).sum, stats))
+}
+
+/** IBSimilarity(DistributionSPL, LambdaTTF, NormalizationH2) — the
+  * smoothed power-law information model (reference: DistributionSPL.java:
+  * 36-59 score = −ln((λ^q − λ)/(1 − λ)), q = 1 − 1/(tfn+1);
+  * LambdaTTF.java:31-38 λ = (F+1)/(N+1); NormalizationH2 tfn as in
+  * [[IBLLSim]]). The nextUp/nextDown degenerate-λ guards are omitted: with
+  * real collection stats λ ≠ 1 and λ^q ≠ λ. Unbounded → maxScore = +inf. */
+final case class IBSPLSim(c: Double = 1d) extends Similarity {
+  private val LOG2 = math.log(2d)
+  private def raw(freq: Double, normByte: Int, lambda: Double, avgdl: Double): Double = {
+    val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+    val tfn = freq * (math.log(1 + c * avgdl / dl) / LOG2)
+    val q = 1 - 1 / (tfn + 1)
+    -math.log((math.pow(lambda, q) - lambda) / (1 - lambda))
+  }
+  private def lambdaD(ttf: Long, n: Long): Double = (ttf + 1.0d) / (n + 1.0d)
+  private final class FloatScorer(boost: Float, lambda: Double, avgdl: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float =
+      (boost * raw(freq.toDouble, normByte, lambda, avgdl)).toFloat
+    def maxScore: Float = Float.PositiveInfinity
+  }
+  private final class DblScorer(boost: Double, lambda: Double, avgdl: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost * raw(freq, normByte, lambda, avgdl)
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, lambdaD(ttf, stats.docCount), stats.avgdlD)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, lambdaD(ttf, stats.docCount), stats.avgdlD)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, lambdaD(freqs.map(_._2).sum, stats.docCount), stats.avgdlD)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, lambdaD(freqs.map(_._2).sum, stats.docCount), stats.avgdlD)
+}
+
 /** IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) — the
   * information-based model with log-logistic distribution (reference:
   * lucene/core/src/java/org/apache/lucene/search/similarities/IBSimilarity.java
@@ -410,6 +484,36 @@ final case class AxiomaticF2EXPSim(s: Double = 0.25d, k: Double = 0.35d) extends
     def score(freq: Float, normByte: Int): Float =
       (boost * raw(freq.toDouble, normByte, w, avgdl)).toFloat
     def maxScore: Float = (boost * w).toFloat // tfln < 1
+  }
+  private final class DblScorer(boost: Double, w: Double, avgdl: Double) extends DoubleSimScorer {
+    def score(freq: Double, normByte: Int): Double = boost * raw(freq, normByte, w, avgdl)
+  }
+  def scorer(boost: Float, df: Long, ttf: Long, stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, idf(df, stats.docCount), stats.avgdlD)
+  def doubleScorer(boost: Double, df: Long, ttf: Long, stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, idf(df, stats.docCount), stats.avgdlD)
+  def multiTermScorer(boost: Float, freqs: Seq[(Long, Long)], stats: CollectionStats): SimScorer =
+    new FloatScorer(boost, idf(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+  def multiTermDoubleScorer(boost: Double, freqs: Seq[(Long, Long)], stats: CollectionStats): DoubleSimScorer =
+    new DblScorer(boost, idf(math.min(freqs.map(_._1).sum, stats.docCount), stats.docCount), stats.avgdlD)
+}
+
+/** AxiomaticF2LOG — the log-idf sibling of F2-EXP (reference:
+  * AxiomaticF2LOG.java:61-79: tf = ln = 1, gamma = 0, tfln identical to
+  * F2EXP, idf = ln((N+1)/df) — natural log, no exponent parameter).
+  * Same finite bound: maxScore = boost·idf. */
+final case class AxiomaticF2LOGSim(s: Double = 0.25d) extends Similarity {
+  private def idf(df: Long, n: Long): Double = math.log((n + 1.0d) / df.toDouble)
+  private def raw(freq: Double, normByte: Int, w: Double, avgdl: Double): Double = {
+    val dl = Bm25.LENGTH_TABLE(normByte & 0xFF).toDouble
+    val tfln = freq / (freq + s + s * dl / avgdl)
+    val sc = 1.0d * 1.0d * tfln * w - 0.0d
+    if (sc > 0) sc else 0d
+  }
+  private final class FloatScorer(boost: Float, w: Double, avgdl: Double) extends SimScorer {
+    def score(freq: Float, normByte: Int): Float =
+      (boost * raw(freq.toDouble, normByte, w, avgdl)).toFloat
+    def maxScore: Float = (boost * w).toFloat
   }
   private final class DblScorer(boost: Double, w: Double, avgdl: Double) extends DoubleSimScorer {
     def score(freq: Double, normByte: Int): Double = boost * raw(freq, normByte, w, avgdl)
