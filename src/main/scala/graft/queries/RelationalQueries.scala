@@ -25,6 +25,10 @@ object RelationalQueries {
   private val jdbcStaged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Bucketed warehouse tables already staged this JVM (q_bucketed_join). */
+  private val bucketStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: the RollupStream / StatsComponent analog
     "q1_agg" -> ((spark, sfDir) => {
@@ -2193,6 +2197,83 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // Bucketed co-located join (the SURVEY §"Partitioning & shuffle" scale
+    // contract made oracle-visible; Spark `bucketBy` = hash-bucketed layout,
+    // the Iceberg bucket-partition analog the north rule's 10^12-file corpus
+    // would use): orders and lineitem both bucketed 8-ways on the join key,
+    // so the SortMergeJoin runs with ZERO exchange on either side — the
+    // Session8 plan audit asserts no hashpartitioning(l_orderkey/o_orderkey)
+    // exchange exists. At 100 TB this is the difference between a join that
+    // reshuffles 100 TB and one that reads co-located buckets in place.
+    "q_bucketed_join" -> ((spark, sfDir) => {
+      val key = s"bucketed#$sfDir#${System.identityHashCode(spark)}"
+      bucketStaged.computeIfAbsent(key, _ => {
+        // a fresh JVM has an empty in-memory metastore, but the warehouse
+        // DIRECTORY persists across runs — drop both and clear stale paths
+        Seq("g_orders_b", "g_lineitem_b").foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val loc = java.nio.file.Paths.get(
+            spark.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:"), tbl)
+          if (java.nio.file.Files.exists(loc)) {
+            val s = java.nio.file.Files.walk(loc)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally s.close()
+          }
+        }
+        t(spark, sfDir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("g_orders_b")
+        t(spark, sfDir, "lineitem").write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("g_lineitem_b")
+        java.lang.Boolean.TRUE
+      })
+      spark.table("g_lineitem_b")
+        .join(spark.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr(s"CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev_cents"))
+        .orderBy("o_orderpriority")
+    }),
+    // Element-by-element vector arithmetic (solr/solrj/.../io/eval/
+    // EBEAddEvaluator.java, EBESubtract, EBEMultiply, ScalarAdd,
+    // ScalarMultiply): the first two quantized embeddings combined per
+    // dimension — all exact BIGINTs, map-only after a 2-row fetch.
+    "q_vector_ebe" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+            .as(Seq("i", "x")))
+      val a = e.filter(col("vec_id") === 0).select(col("i"), col("x").as("a"))
+      val b = e.filter(col("vec_id") === 1).select(col("i").as("i2"), col("x").as("b"))
+      a.join(b, col("i") === col("i2"))
+        .filter(col("i") < 16)
+        .select(col("i").cast("long").as("i"), col("a"), col("b"),
+          (col("a") + col("b")).as("ebe_add"),
+          (col("a") - col("b")).as("ebe_sub"),
+          (col("a") * col("b")).as("ebe_mul"),
+          (col("a") + 10L).as("scalar_add"),
+          (col("a") * 3L).as("scalar_mul"))
+        .orderBy("i")
+    }),
+    // oscillate + getAmplitude/getAngularFrequency/getPhase (solr/solrj/
+    // .../io/eval/OscillateEvaluator.java, GetAmplitudeEvaluator,
+    // GetAngularFrequencyEvaluator, GetPhaseEvaluator): A·sin(ω·t + φ)
+    // sampled at integer t, micro-floored like the FFT rows; the accessors
+    // echo the dyadic-exact parameters.
+    "q_oscillate" -> ((spark, sfDir) => {
+      spark.range(32).select(col("id").as("t"))
+        .selectExpr("t",
+          "CAST(floor(3 * sin(0.25 * t + 0.5) * 1e6) AS BIGINT) AS osc_micro6",
+          "CAST(3 AS BIGINT) AS amplitude",
+          "CAST(0.25 AS DOUBLE) AS angular_freq",
+          "CAST(0.5 AS DOUBLE) AS phase")
+        .orderBy("t")
+    }),
     // normalDistribution + density (solr/solrj/.../io/eval/
     // NormalDistributionEvaluator.java + DensityEvaluator.java — commons
     // -math NormalDistribution.density): N(50, 20) pdf at the observed
@@ -3794,6 +3875,37 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // same join + agg over the plain (non-bucketed) tables
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // element-wise arithmetic on the same quantized vectors
+    "q_vector_ebe" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 2),
+        |idx AS (SELECT unnest(generate_series(1, 16)) AS j)
+        |SELECT CAST(j - 1 AS BIGINT) AS i,
+        |  a.v[j] AS a, b.v[j] AS b,
+        |  a.v[j] + b.v[j] AS ebe_add,
+        |  a.v[j] - b.v[j] AS ebe_sub,
+        |  a.v[j] * b.v[j] AS ebe_mul,
+        |  a.v[j] + 10 AS scalar_add,
+        |  a.v[j] * 3 AS scalar_mul
+        |FROM idx, (SELECT v FROM e WHERE vec_id = 0) a,
+        |          (SELECT v FROM e WHERE vec_id = 1) b
+        |ORDER BY i""".stripMargin,
+    // the same sampled sinusoid and echoed parameters
+    "q_oscillate" ->
+      """SELECT t, CAST(floor(3 * sin(0.25 * t + 0.5) * 1e6) AS BIGINT) AS osc_micro6,
+        |  CAST(3 AS BIGINT) AS amplitude,
+        |  CAST(0.25 AS DOUBLE) AS angular_freq,
+        |  CAST(0.5 AS DOUBLE) AS phase
+        |FROM (SELECT unnest(generate_series(0, 31)) AS t)
+        |ORDER BY t""".stripMargin,
     // N(50,20) pdf over the same support, same expression text
     "q_density" ->
       s"""SELECT x, CAST(floor(($gaussPdfSql) * 1e9) AS BIGINT) AS pdf_nano

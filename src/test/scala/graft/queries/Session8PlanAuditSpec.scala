@@ -50,4 +50,10 @@ class Session8PlanAuditSpec extends AnyFunSuite {
   test("q_priority takes the top-k without a global sort") {
     assert(plan("q_priority").contains("TakeOrderedAndProject"))
   }
+
+  test("q_bucketed_join shuffles NEITHER side of the join") {
+    val p = plan("q_bucketed_join")
+    assert(!p.contains("hashpartitioning(l_orderkey"), p.take(3000))
+    assert(!p.contains("hashpartitioning(o_orderkey"), p.take(3000))
+  }
 }
