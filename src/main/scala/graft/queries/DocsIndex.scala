@@ -63,6 +63,46 @@ object DocsIndex {
     (idx, new GraftSearcher(idx, Analyzers.simple))
   }
 
+  /** Version-constrained upserts (solr/core/src/java/org/apache/solr/
+    * update/processor/DocBasedVersionConstraintsProcessorFactory.java:60-140
+    * — an update applies only when its user-version EXCEEDS the stored one;
+    * stale replays are silently dropped, the out-of-order-delivery guard in
+    * Solr's CDCR/queue ingestion): two dv-update batches, each gated per
+    * doc against the CURRENT 'version' doc-value before writing. */
+  def getWithVersionedUpdates(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#ver", _ => {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-docsver-").toString
+        graft.index.IndexStore.buildAndCommit(files(spark, sfDir), dir,
+          IndexConfig(analyzer = Analyzers.simple))
+        val idx0 = graft.index.IndexStore.open(spark, dir)
+        val ids = docIdMap(idx0)
+        def applyGated(batch: DataFrame): Unit = {
+          val curV = graft.index.IndexStore.open(spark, dir).docValues.toDF()
+            .filter(col("field") === "version")
+            .select(col("docId").as("_d"), col("value").as("_curv"))
+          val accepted = batch.join(curV, col("docId") === col("_d"), "left")
+            .filter(col("_curv").isNull || col("version") > col("_curv"))
+          graft.index.IndexStore.updateNumericDocValues(spark, dir,
+            accepted.select(col("docId"), lit("version").as("field"),
+              col("version").cast("long").as("value")).as[graft.index.DocValueRow])
+          graft.index.IndexStore.updateNumericDocValues(spark, dir,
+            accepted.select(col("docId"), lit("payload").as("field"),
+              col("payload").cast("long").as("value")).as[graft.index.DocValueRow])
+        }
+        applyGated(ids.filter(col("doc_id") % 3 === 0)
+          .select(col("docId"), (col("doc_id") + 100L).as("version"), lit(1L).as("payload")))
+        applyGated(
+          ids.filter(col("doc_id") % 6 === 0)
+            .select(col("docId"), (col("doc_id") + 50L).as("version"), lit(2L).as("payload"))
+          .unionByName(ids.filter(col("doc_id") % 3 === 1)
+            .select(col("docId"), (col("doc_id") + 200L).as("version"), lit(3L).as("payload"))))
+        val idx = graft.index.IndexStore.open(spark, dir)
+        idx.blocks.count()
+        (idx, new GraftSearcher(idx, Analyzers.simple))
+      })
+
   /** Deletes + forceMerge (`IndexWriter.forceMerge` semantics,
     * lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1870-1930:
     * merges rewrite live docs only, so tombstoned docs are PURGED and the

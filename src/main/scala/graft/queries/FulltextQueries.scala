@@ -3690,6 +3690,22 @@ object FulltextQueries {
         (t1, t2, graft.search.TopK.round4(jaroSim(t1, t2)))
       }.toDF("t1", "t2", "jaro4").orderBy("t1", "t2")
     }),
+    // DocBasedVersionConstraints upserts (DocsIndex.getWithVersionedUpdates
+    // scaladoc): batch 1 versions %3==0 docs; batch 2 replays %6==0 docs
+    // with STALE versions (dropped) and versions %3==1 docs fresh (applied).
+    // Final (version, payload) doc-values prove per-doc gating.
+    "ft_version_upsert" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.getWithVersionedUpdates(spark, sfDir)
+      val dv = index.docValues.toDF()
+      dv.filter(col("field") === "version")
+        .select(col("docId"), col("value").as("version"))
+        .join(dv.filter(col("field") === "payload")
+          .select(col("docId").as("d2"), col("value").as("payload")),
+          col("docId") === col("d2"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("version"), col("payload"))
+        .orderBy("doc_id")
+    }),
     // CompositeIdRouter shard routing (solr/core/src/java/org/apache/solr/
     // common/cloud/CompositeIdRouter via solr/solrj/.../common/util/
     // Hash.java:66-132 murmurhash3_x86_32, seed 0): each source key hashes
@@ -6082,6 +6098,14 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // version gate: %3==0 keep batch-1 values, %3==1 get batch-2 values
+    "ft_version_upsert" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id + 100
+        |            ELSE doc_id + 200 END AS BIGINT) AS version,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS payload
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
     // tuned constants inlined into the textbook double BM25
     "ft_search_bm25_tuned" -> {
       def bmT(idf: String, tf: String) =

@@ -2197,6 +2197,40 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // URLClassifyProcessor (solr/core/src/java/org/apache/solr/update/
+    // processor/URLClassifyProcessor.java:80-180 — url_length, levels,
+    // domain, canonical form): the corpus carries no URLs, so both engines
+    // plant the SAME deterministic URL per doc, then classify. Map-only.
+    "q_url_classify" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .filter(col("doc_id") % 41 === 0)
+        .selectExpr("doc_id",
+          "concat('https://ex', CAST(doc_id % 7 AS STRING), '.org/a/b/page',"
+            + " CAST(doc_id % 3 AS STRING), '.html') AS url")
+        .selectExpr("doc_id", "url",
+          "CAST(length(url) AS BIGINT) AS url_length",
+          "CAST(size(split(url, '/')) - 3 AS BIGINT) AS levels",
+          "regexp_extract(url, 'https://([^/]+)/', 1) AS domain",
+          "element_at(split(url, '/'), -1) AS landing_page")
+        .orderBy("doc_id")
+    }),
+    // Field-mutating processor chain (solr/core/.../update/processor/
+    // TrimFieldUpdateProcessorFactory.java, TruncateFieldUpdateProcessor
+    // Factory.java, FieldLengthUpdateProcessorFactory.java,
+    // RemoveBlankFieldUpdateProcessorFactory.java): pad → trim → truncate
+    // to 12 chars → length field; blank fields dropped from the count.
+    "q_field_mutations" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .filter(col("doc_id") % 53 === 0)
+        .selectExpr("doc_id",
+          "trim(concat('  ', source, '  ')) AS trimmed",
+          "substring(text, 1, 12) AS truncated",
+          "CAST(length(text) AS BIGINT) AS field_length",
+          "CASE WHEN trim(lang) = '' THEN NULL ELSE lang END AS lang_nonblank")
+        .selectExpr("doc_id", "trimmed", "truncated", "field_length",
+          "CAST(CASE WHEN lang_nonblank IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_fields")
+        .orderBy("doc_id")
+    }),
     // Bucketed co-located join (the SURVEY §"Partitioning & shuffle" scale
     // contract made oracle-visible; Spark `bucketBy` = hash-bucketed layout,
     // the Iceberg bucket-partition analog the north rule's 10^12-file corpus
@@ -3875,6 +3909,26 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // same planted URL classified with the same rules
+    "q_url_classify" ->
+      """SELECT doc_id, url, CAST(length(url) AS BIGINT) AS url_length,
+        |  CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS levels,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+        |  string_split(url, '/')[-1] AS landing_page
+        |FROM (
+        |  SELECT doc_id, 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.org/a/b/page' || CAST(doc_id % 3 AS VARCHAR) || '.html' AS url
+        |  FROM documents WHERE doc_id % 41 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    // trim/truncate/length/remove-blank chain
+    "q_field_mutations" ->
+      """SELECT doc_id,
+        |  trim('  ' || source || '  ') AS trimmed,
+        |  substr(text, 1, 12) AS truncated,
+        |  CAST(length(text) AS BIGINT) AS field_length,
+        |  CAST(CASE WHEN trim(lang) = '' THEN 0 ELSE 1 END AS BIGINT) AS kept_fields
+        |FROM documents WHERE doc_id % 53 = 0
+        |ORDER BY doc_id""".stripMargin,
     // same join + agg over the plain (non-bucketed) tables
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
