@@ -3690,6 +3690,23 @@ object FulltextQueries {
         (t1, t2, graft.search.TopK.round4(jaroSim(t1, t2)))
       }.toDF("t1", "t2", "jaro4").orderBy("t1", "t2")
     }),
+    // exists()/def()/if() function queries (solr/core/src/java/org/apache/
+    // solr/search/ValueSourceParser.java — ExistsValueSource, DefValueSource,
+    // IfValueSource): over the versioned index's PARTIAL 'payload'
+    // doc-values (only %3∈{0,1} docs carry one), if(exists(payload),
+    // payload, 42) per 'vector' match — a docId-keyed verify, never a scan.
+    "ft_func_def" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getWithVersionedUpdates(spark, sfDir)
+      val payload = index.docValues.toDF().filter(col("field") === "payload")
+        .select(col("docId").as("pd"), col("value").as("pv"))
+      searcher.matchesDS(graft.search.TermQ("vector")).toDF("docId")
+        .join(payload, col("docId") === col("pd"), "left")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"),
+          when(col("pv").isNotNull, lit(1L)).otherwise(lit(0L)).as("has_payload"),
+          coalesce(col("pv"), lit(42L)).as("def_payload"))
+        .orderBy("doc_id")
+    }),
     // DocBasedVersionConstraints upserts (DocsIndex.getWithVersionedUpdates
     // scaladoc): batch 1 versions %3==0 docs; batch 2 replays %6==0 docs
     // with STALE versions (dropped) and versions %3==1 docs fresh (applied).
@@ -6098,6 +6115,15 @@ object FulltextQueries {
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score FROM documents d JOIN fv ON d.source = fv.source
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // if(exists(payload), payload, 42) over the 'vector' match set
+    "ft_func_def" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS has_payload,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+         |            WHEN doc_id % 3 = 1 THEN 3 ELSE 42 END AS BIGINT) AS def_payload
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'vector')
+         |ORDER BY doc_id""".stripMargin,
     // version gate: %3==0 keep batch-1 values, %3==1 get batch-2 values
     "ft_version_upsert" ->
       """SELECT doc_id,

@@ -1627,6 +1627,47 @@ object TrainingDataQueries {
         .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
         .orderBy("cluster", "rn")
     }),
+    // Boolean perceptron classifier (lucene/classification/src/java/org/
+    // apache/lucene/classification/BooleanPerceptronClassifier.java:60-150 —
+    // streams the corpus once, bumping integer weights on each
+    // misclassification; training is SEQUENTIAL by definition, exactly like
+    // the reference's single-threaded term-stream loop, so the engine runs
+    // the fold in one sorted partition — the honest shape for an inherently
+    // order-dependent algorithm; feature extraction and the final accuracy
+    // pass stay distributed/map-only). 4 integer stopword/shape features,
+    // y = (lang = 'en'), one epoch in doc_id order, all-integer updates.
+    // The oracle replays the SAME fold as a recursive CTE.
+    "td_perceptron" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val feats = docs(spark, sfDir)
+        .selectExpr("doc_id", s"$TOKS AS tk", "lang")
+        .selectExpr("doc_id",
+          "CAST(size(tk) AS BIGINT) AS x1",
+          "CAST(size(array_distinct(tk)) AS BIGINT) AS x2",
+          "CAST(size(filter(tk, t -> t = 'the')) AS BIGINT) AS x3",
+          "CAST(size(filter(tk, t -> t = 'el')) + size(filter(tk, t -> t = 'la')) AS BIGINT) AS x4",
+          "CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y")
+      feats.repartition(1).sortWithinPartitions("doc_id")
+        .select("x1", "x2", "x3", "x4", "y")
+        .as[(Long, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          val buf = it.toArray
+          var w1 = 0L; var w2 = 0L; var w3 = 0L; var w4 = 0L; var b = 0L
+          var upd = 0L
+          buf.foreach { case (x1, x2, x3, x4, y) =>
+            val pred = if (w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 + b > 0) 1L else -1L
+            if (pred != y) {
+              w1 += y * x1; w2 += y * x2; w3 += y * x3; w4 += y * x4; b += y
+              upd += 1
+            }
+          }
+          val correct = buf.count { case (x1, x2, x3, x4, y) =>
+            (if (w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 + b > 0) 1L else -1L) == y
+          }
+          Iterator.single((w1, w2, w3, w4, b, upd, correct.toLong))
+        }
+        .toDF("w1", "w2", "w3", "w4", "b", "updates", "correct")
+    }),
     // multiKmeans (solr/solrj/.../io/eval/MultiKmeansEvaluator.java —
     // k-means restarted from several inits, keep the lowest-SSE run):
     // two deterministic starts (seeds vec_id 0..3 and 4..7), one exact
@@ -2901,6 +2942,45 @@ object TrainingDataQueries {
          |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
          |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
          |ORDER BY cluster, rn""".stripMargin,
+    // the identical integer fold replayed as a recursive CTE
+    "td_perceptron" ->
+      s"""WITH RECURSIVE feats AS (
+         |  SELECT row_number() OVER (ORDER BY doc_id) AS rn, x1, x2, x3, x4, y
+         |  FROM (
+         |    SELECT doc_id, CAST(len(tk) AS BIGINT) AS x1,
+         |      CAST(len(list_distinct(tk)) AS BIGINT) AS x2,
+         |      CAST(len(list_filter(tk, t -> t = 'the')) AS BIGINT) AS x3,
+         |      CAST(len(list_filter(tk, t -> t = 'el'))
+         |         + len(list_filter(tk, t -> t = 'la')) AS BIGINT) AS x4,
+         |      CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+         |    FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents))),
+         |p AS (
+         |  SELECT 0 AS rn, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+         |    CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,
+         |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS upd
+         |  UNION ALL
+         |  SELECT f.rn,
+         |    p.w1 + CASE WHEN (CASE WHEN p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 + p.w4*f.x4 + p.b > 0
+         |                     THEN 1 ELSE -1 END) <> f.y THEN f.y * f.x1 ELSE 0 END,
+         |    p.w2 + CASE WHEN (CASE WHEN p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 + p.w4*f.x4 + p.b > 0
+         |                     THEN 1 ELSE -1 END) <> f.y THEN f.y * f.x2 ELSE 0 END,
+         |    p.w3 + CASE WHEN (CASE WHEN p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 + p.w4*f.x4 + p.b > 0
+         |                     THEN 1 ELSE -1 END) <> f.y THEN f.y * f.x3 ELSE 0 END,
+         |    p.w4 + CASE WHEN (CASE WHEN p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 + p.w4*f.x4 + p.b > 0
+         |                     THEN 1 ELSE -1 END) <> f.y THEN f.y * f.x4 ELSE 0 END,
+         |    p.b + CASE WHEN (CASE WHEN p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 + p.w4*f.x4 + p.b > 0
+         |                    THEN 1 ELSE -1 END) <> f.y THEN f.y ELSE 0 END,
+         |    p.upd + CASE WHEN (CASE WHEN p.w1*f.x1 + p.w2*f.x2 + p.w3*f.x3 + p.w4*f.x4 + p.b > 0
+         |                      THEN 1 ELSE -1 END) <> f.y THEN 1 ELSE 0 END
+         |  FROM p, feats f WHERE f.rn = p.rn + 1),
+         |last AS (SELECT * FROM p WHERE rn = (SELECT count(*) FROM feats)),
+         |acc AS (
+         |  SELECT count(*) AS correct FROM feats f, last l
+         |  WHERE (CASE WHEN l.w1*f.x1 + l.w2*f.x2 + l.w3*f.x3 + l.w4*f.x4 + l.b > 0
+         |         THEN 1 ELSE -1 END) = f.y)
+         |SELECT l.w1, l.w2, l.w3, l.w4, l.b, l.upd AS updates,
+         |  CAST(acc.correct AS BIGINT) AS correct
+         |FROM last l, acc""".stripMargin,
     // two full unrolled k-means runs + floored-SSE comparison
     "td_multikmeans" -> {
       def run(tag: String, off: Int): String =
