@@ -3463,6 +3463,26 @@ object FulltextQueries {
         }.toDF("term", "docfreq", "score")
         .orderBy(desc("score"), desc("docfreq"), asc("term")).limit(5)
     }),
+    // SuggestMode.SUGGEST_MORE_POPULAR (lucene/suggest/src/java/org/apache/
+    // lucene/search/spell/SuggestMode.java:33-38 + DirectSpellChecker
+    // .java:350-360 — even a term PRESENT in the dictionary gets
+    // suggestions, but only ones with a HIGHER docFreq): neighbors of
+    // 'fast' within damerau distance 2 whose df exceeds df('fast'),
+    // most-popular first. Dictionary-first off termStats.
+    "ft_spell_popular" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      import spark.implicits._
+      val q = "fast"
+      val qDf = index.termStats.as[graft.index.TermStatsRow]
+        .filter(_.term == q).collect().headOption.map(_.docFreq).getOrElse(0L)
+      index.termStats.as[graft.index.TermStatsRow]
+        .flatMap { ts =>
+          val d = graft.search.Query.damerauLevenshtein(ts.term, q)
+          if (ts.term != q && d <= 2 && ts.docFreq > qDf)
+            Some((ts.term, ts.docFreq)) else None
+        }.toDF("term", "docfreq")
+        .orderBy(desc("docfreq"), asc("term")).limit(5)
+    }),
     // DocumentValueSourceDictionary suggester weights (lucene/suggest/src/
     // java/org/apache/lucene/search/suggest/DocumentValueSourceDictionary
     // .java:38-70 — suggestion entries read from stored documents, each
@@ -5969,6 +5989,17 @@ object FulltextQueries {
     },
     // DirectSpellChecker: transposition-counting distance <= 2, exact first
     // char, score = 1 - d/min(len), order (score desc, docfreq desc, term)
+    // more-popular mode: neighbors of the PRESENT term with higher df
+    "ft_spell_popular" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |dict AS (
+         |  SELECT term, count(DISTINCT doc_id) AS docfreq
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY term),
+         |qd AS (SELECT docfreq AS qdf FROM dict WHERE term = 'fast')
+         |SELECT term, docfreq FROM dict, qd
+         |WHERE term <> 'fast' AND damerau_levenshtein(term, 'fast') <= 2
+         |  AND docfreq > qdf
+         |ORDER BY docfreq DESC, term LIMIT 5""".stripMargin,
     "ft_spell_direct" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
          |dict AS (

@@ -1627,6 +1627,26 @@ object TrainingDataQueries {
         .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
         .orderBy("cluster", "rn")
     }),
+    // Gopher quality rules, part 2 (Rae et al. 2021, arXiv:2112.11446
+    // §A1.1.2 — mean word length in [3, 10], ≥80% of words alphabetic,
+    // ≥2 distinct stop words present; complements td_quality_gopher's
+    // repetition rules): every ratio held in cross-multiplied integers, so
+    // no float appears. Map-only at any scale.
+    "td_quality_gopher2" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .selectExpr("doc_id", s"$TOKS AS tk")
+        .filter(expr("size(tk) >= 1"))
+        .selectExpr("doc_id",
+          "CAST(size(tk) AS BIGINT) AS n_toks",
+          "CAST(aggregate(tk, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS chars",
+          "CAST(size(filter(tk, t -> t rlike '[a-z]')) AS BIGINT) AS alpha_cnt",
+          "CAST(size(array_intersect(array_distinct(tk), " +
+            "array('the', 'a', 'and', 'of', 'to', 'in', 'is', 'that'))) AS BIGINT) AS stop_distinct")
+        .withColumn("keep",
+          (col("chars") >= col("n_toks") * 3) && (col("chars") <= col("n_toks") * 10) &&
+            (col("alpha_cnt") * 5 >= col("n_toks") * 4) && (col("stop_distinct") >= 2))
+        .orderBy("doc_id")
+    }),
     // Boolean perceptron classifier (lucene/classification/src/java/org/
     // apache/lucene/classification/BooleanPerceptronClassifier.java:60-150 —
     // streams the corpus once, bumping integer weights on each
@@ -2942,6 +2962,20 @@ object TrainingDataQueries {
          |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
          |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
          |ORDER BY cluster, rn""".stripMargin,
+    // cross-multiplied integer Gopher thresholds
+    "td_quality_gopher2" ->
+      s"""SELECT doc_id, n_toks, chars, alpha_cnt, stop_distinct,
+         |  (chars >= n_toks * 3 AND chars <= n_toks * 10
+         |   AND alpha_cnt * 5 >= n_toks * 4 AND stop_distinct >= 2) AS keep
+         |FROM (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS chars,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that'])) AS BIGINT) AS stop_distinct
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE len(tk) >= 1)
+         |ORDER BY doc_id""".stripMargin,
     // the identical integer fold replayed as a recursive CTE
     "td_perceptron" ->
       s"""WITH RECURSIVE feats AS (
