@@ -1627,6 +1627,31 @@ object TrainingDataQueries {
         .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
         .orderBy("cluster", "rn")
     }),
+    // ANN recall@k — the standard evaluation metric tying the bucketed ANN
+    // to its exact baseline (the harness every vector-search deployment
+    // runs; cf. lucene/luke's KnnVectorsReader checks): |exact∩ann|/k in
+    // exact integer percent.
+    "td_ann_recall" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val exact = queries("td_knn_exact")(spark, sfDir).select(col("vec_id"))
+      val ann = queries("td_knn_lsh")(spark, sfDir).select(col("vec_id").as("v2"))
+      val hits = exact.join(ann, col("vec_id") === col("v2")).count()
+      Seq((5L, hits, hits * 20L)).toDF("k", "hits", "recall_pct")
+    }),
+    // getCentroids (solr/solrj/.../io/eval/GetCentroidsEvaluator.java —
+    // the centroid accessor of a fitted kmeans model): the one-Lloyd-pass
+    // means of td_kmeans, micro-floored per (cluster, dim), first 8 dims.
+    "td_kmeans_centroids" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
+      val a1 = e.withColumn("cl", assignNearestL(seedCentroids(e)))
+      val means = lloydMeans(a1, 4)
+      means.zipWithIndex.flatMap { case (c, j) =>
+        c.take(8).zipWithIndex.map { case (mu, i) =>
+          (j.toLong, i.toLong, math.floor(mu * 1e6).toLong)
+        }
+      }.toSeq.toDF("cluster", "dim", "mu_micro6").orderBy("cluster", "dim")
+    }),
     // Gopher quality rules, part 2 (Rae et al. 2021, arXiv:2112.11446
     // §A1.1.2 — mean word length in [3, 10], ≥80% of words alphabetic,
     // ≥2 distinct stop words present; complements td_quality_gopher's
@@ -2962,6 +2987,73 @@ object TrainingDataQueries {
          |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
          |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
          |ORDER BY cluster, rn""".stripMargin,
+    // recall@5: both pipelines replayed, intersection counted
+    "td_ann_recall" -> {
+      val planeRows = (for {
+        p <- KNN_PLANES.indices
+        d <- KNN_PLANES(p).indices
+      } yield s"($p,$d,${KNN_PLANES(p)(d)})").mkString(",")
+      s"""WITH planes(p, d, w) AS (VALUES $planeRows),
+         |eD AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |qv AS (SELECT ve AS qe FROM eD WHERE vec_id = 0),
+         |ex AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e2.vec_id, round(
+         |      list_sum(list_transform(generate_series(1, len(ve)), i -> ve[i] * qe[i])) /
+         |      (sqrt(list_sum(list_transform(ve, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+         |    FROM eD e2, qv WHERE e2.vec_id <> 0)
+         |  ORDER BY cos DESC, vec_id LIMIT 5),
+         |qz AS (SELECT vec_id,
+         |         list_transform(ve, x -> CAST(floor(x * 1000) AS BIGINT)) AS vq
+         |       FROM eD),
+         |dots AS (
+         |  SELECT qz.vec_id, planes.p, sum(planes.w * qz.vq[planes.d + 1]) AS dot
+         |  FROM qz, planes GROUP BY qz.vec_id, planes.p),
+         |buck AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS b
+         |  FROM dots GROUP BY vec_id),
+         |qb AS (SELECT b AS qbb FROM buck WHERE vec_id = 0),
+         |lsh AS (
+         |  SELECT vec_id FROM (
+         |    SELECT c.vec_id, round(
+         |      list_sum(list_transform(generate_series(1, len(ve)), i -> ve[i] * qe[i])) /
+         |      (sqrt(list_sum(list_transform(ve, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(qe, x -> x * x)))), 4) AS cos
+         |    FROM (SELECT eD.vec_id, eD.ve
+         |          FROM eD JOIN buck ON eD.vec_id = buck.vec_id, qb
+         |          WHERE eD.vec_id <> 0
+         |            AND bit_count(CAST(xor(buck.b, qbb) AS BIGINT)) <= 1) c, qv)
+         |  ORDER BY cos DESC, vec_id LIMIT 5)
+         |SELECT CAST(5 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(count(*) * 20 AS BIGINT) AS recall_pct
+         |FROM ex JOIN lsh USING (vec_id)""".stripMargin
+    },
+    // one-Lloyd-pass centroids, micro-floored, first 8 dims
+    "td_kmeans_centroids" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT e.vec_id, e.v, c0.cid AS cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)),
+        |          i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) ASC, c0.cid ASC) AS rn
+        |    FROM e CROSS JOIN c0)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT cl, i, CAST(sum(v[i]) AS DOUBLE) / count(*) AS mu
+        |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) gs
+        |  GROUP BY cl, i)
+        |SELECT cl AS cluster, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(floor(mu * 1e6) AS BIGINT) AS mu_micro6
+        |FROM m ORDER BY cluster, dim""".stripMargin,
     // cross-multiplied integer Gopher thresholds
     "td_quality_gopher2" ->
       s"""SELECT doc_id, n_toks, chars, alpha_cnt, stop_distinct,
