@@ -29,6 +29,10 @@ object RelationalQueries {
   private val bucketStaged =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Partitioned copies staged this JVM (q_partition_prune). */
+  private val partedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: the RollupStream / StatsComponent analog
     "q1_agg" -> ((spark, sfDir) => {
@@ -2197,6 +2201,42 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // Salted two-stage aggregation — the canonical skew-mitigation shape
+    // (SURVEY §"Partitioning & shuffle": "salting for skew"; Solr's
+    // ParallelStream partitions on a hash the same way): stage 1 aggregates
+    // (key, salt = event_id % 16) partials so one hot key spreads over 16
+    // reducers, stage 2 combines partials per key. The result must equal
+    // the plain one-stage aggregation — that equality IS the oracle.
+    "q_salted_agg" -> ((spark, sfDir) => {
+      t(spark, sfDir, "events")
+        .groupBy(col("event_type"), (col("event_id") % 16).as("salt"))
+        .agg(count(lit(1)).as("pc"),
+          sum((col("user_id") % 1000)).as("ps"))
+        .groupBy("event_type")
+        .agg(sum("pc").as("cnt"), sum("ps").as("ssum"))
+        .orderBy("event_type")
+    }),
+    // Partition-pruned scan — the Iceberg partition-pruning analog the
+    // north rule's 10^12-file corpus depends on: events written PARTITIONED
+    // BY event_type; a single-type query must read ONE partition (the plan
+    // audit asserts PartitionFilters prune at planning time, so at 100 TB
+    // the scan touches 1/5 of the files before any row is read).
+    "q_partition_prune" -> ((spark, sfDir) => {
+      val key = s"parted#$sfDir#${System.identityHashCode(spark)}"
+      bucketStaged.computeIfAbsent(key, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-parted-").toString
+        partedDirs.put(key, dir)
+        t(spark, sfDir, "events").write.mode("overwrite")
+          .partitionBy("event_type").parquet(dir)
+        java.lang.Boolean.TRUE
+      })
+      spark.read.parquet(partedDirs.get(key))
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 50).as("ub"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("event_id") % 997)).as("esum"))
+        .orderBy("ub")
+    }),
     // URLClassifyProcessor (solr/core/src/java/org/apache/solr/update/
     // processor/URLClassifyProcessor.java:80-180 — url_length, levels,
     // domain, canonical form): the corpus carries no URLs, so both engines
@@ -3909,6 +3949,17 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // the plain one-stage aggregation the salted plan must equal
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(user_id % 1000) AS BIGINT) AS ssum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the same single-type aggregate off the unpartitioned table
+    "q_partition_prune" ->
+      """SELECT user_id % 50 AS ub, count(*) AS cnt,
+        |  CAST(sum(event_id % 997) AS BIGINT) AS esum
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY ub ORDER BY ub""".stripMargin,
     // same planted URL classified with the same rules
     "q_url_classify" ->
       """SELECT doc_id, url, CAST(length(url) AS BIGINT) AS url_length,

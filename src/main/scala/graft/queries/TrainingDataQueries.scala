@@ -1627,6 +1627,33 @@ object TrainingDataQueries {
         .select(col("cl").as("cluster"), col("rn"), col("term"), col("lift_micro6"))
         .orderBy("cluster", "rn")
     }),
+    // Containment dedup (Lee et al. 2022, arXiv:2107.06499 "Deduplicating
+    // Training Data" — the ASYMMETRIC measure |S(A)∩S(B)|/|S(A)| that
+    // catches quotes/subsets symmetric Jaccard misses): DISTINCT bigram
+    // shingle sets (vs td_rouge_overlap's multisets) for adjacent doc
+    // pairs, integer-division micro-units. Same equi-join-on-gram scale
+    // shape as the dedup family.
+    "td_containment" -> ((spark, sfDir) => {
+      val sh = docs(spark, sfDir)
+        .selectExpr("doc_id", s"$TOKS AS tk")
+        .filter(expr("size(tk) >= 2"))
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) AS sh")
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      val a = sh.filter(col("doc_id") % 89 === 0)
+        .withColumnRenamed("doc_id", "a")
+      val b = sh.withColumnRenamed("doc_id", "bd").withColumnRenamed("g", "g2")
+      val inter = a.join(b, col("g") === col("g2") && col("bd") === col("a") + 1)
+        .groupBy("a").agg(count(lit(1)).as("inter"))
+      val na = a.groupBy("a").agg(count(lit(1)).as("na"))
+      na.join(inter, Seq("a"), "left")
+        .select(col("a"), (col("a") + 1).as("b"),
+          coalesce(col("inter"), lit(0L)).as("inter"), col("na"),
+          expr("CAST(coalesce(inter, 0) * 1000000 DIV na AS BIGINT)")
+            .as("containment_micro6"))
+        .orderBy("a")
+    }),
     // ANN recall@k — the standard evaluation metric tying the bucketed ANN
     // to its exact baseline (the harness every vector-search deployment
     // runs; cf. lucene/luke's KnnVectorsReader checks): |exact∩ann|/k in
@@ -2987,6 +3014,25 @@ object TrainingDataQueries {
          |    ORDER BY lift_micro6 DESC, term) AS rn FROM l)
          |SELECT cl AS cluster, rn, term, lift_micro6 FROM r WHERE rn <= 3
          |ORDER BY cluster, rn""".stripMargin,
+    // containment over distinct bigram shingle sets, adjacent pairs
+    "td_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1]))) AS g
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE len(tk) >= 2),
+         |a AS (SELECT doc_id AS a, g FROM sh WHERE doc_id % 89 = 0),
+         |i AS (SELECT a.a, count(*) AS inter
+         |      FROM a JOIN sh b ON a.g = b.g AND b.doc_id = a.a + 1
+         |      GROUP BY a.a),
+         |n AS (SELECT a, count(*) AS na FROM a GROUP BY a)
+         |SELECT n.a, n.a + 1 AS b,
+         |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         |  CAST(n.na AS BIGINT) AS na,
+         |  CAST(coalesce(i.inter, 0) * 1000000 // n.na AS BIGINT) AS containment_micro6
+         |FROM n LEFT JOIN i ON n.a = i.a
+         |ORDER BY n.a""".stripMargin,
     // recall@5: both pipelines replayed, intersection counted
     "td_ann_recall" -> {
       val planeRows = (for {

@@ -56,4 +56,17 @@ class Session8PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(l_orderkey"), p.take(3000))
     assert(!p.contains("hashpartitioning(o_orderkey"), p.take(3000))
   }
+
+  test("q_partition_prune pushes the partition filter into the scan") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters") &&
+      p.contains("event_type") && p.contains("purchase"), p.take(3000))
+  }
+
+  test("q_salted_agg spreads the hot key over 16 salted partials") {
+    val p = plan("q_salted_agg")
+    // two HashAggregate pairs: (key, salt) partials then per-key combine
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"$aggs HashAggregates\n${p.take(3000)}")
+  }
 }
