@@ -2201,6 +2201,43 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // GROUPING SETS with grouping_id (the generalized Rollup/Facet2D
+    // lattice — solr/solrj/.../io/stream/HashRollupStream.java computes one
+    // grouping; SQL GROUPING SETS computes several in one pass): explicit
+    // sets ((priority, status), (priority), ()) + grouping_id
+    // disambiguation. Spark plans ONE Expand + aggregation — no per-set
+    // rescan, which is the point at 100 TB.
+    "q_grouping_sets" -> ((spark, sfDir) => {
+      t(spark, sfDir, "orders").createOrReplaceTempView("g_orders_gs")
+      spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+          |  count(*) AS cnt
+          |FROM g_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |                        (o_orderpriority), ())
+          |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+    }),
+    // Discrete percentile (solr/contrib/analytics/.../function/reduction/
+    // PercentileFunction.java — the analytics module returns an ELEMENT of
+    // the set, not an interpolation; quantile_disc semantics): p50/p90 of
+    // integer order-price cents per priority, element at rank ceil(p·n).
+    "q_percentile_disc" -> ((spark, sfDir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("cents")
+      val ranked = t(spark, sfDir, "orders")
+        .select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("o_orderpriority")))
+      // ceil(p·n) in pure integer arithmetic: ceil(a/b) = (a + b − 1) DIV b
+      def pick(num: Int, den: Int, name: String) = ranked
+        .filter(col("rn") === expr(s"CAST((n * $num + $den - 1) DIV $den AS BIGINT)"))
+        .groupBy("o_orderpriority").agg(min("cents").as(name))
+      pick(1, 2, "p50_cents")
+        .join(pick(9, 10, "p90_cents"), Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }),
     // Salted two-stage aggregation — the canonical skew-mitigation shape
     // (SURVEY §"Partitioning & shuffle": "salting for skew"; Solr's
     // ParallelStream partitions on a hash the same way): stage 1 aggregates
@@ -3949,6 +3986,31 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // the same lattice via DuckDB GROUPING SETS
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), ())
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // element at the same pure-integer ceil rank
+    "q_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT a.o_orderpriority, a.p50_cents, b.p90_cents FROM
+        |  (SELECT o_orderpriority, min(cents) AS p50_cents FROM r
+        |   WHERE rn = (n * 1 + 2 - 1) // 2 GROUP BY 1) a
+        |  JOIN
+        |  (SELECT o_orderpriority, min(cents) AS p90_cents FROM r
+        |   WHERE rn = (n * 9 + 10 - 1) // 10 GROUP BY 1) b
+        |  USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     // the plain one-stage aggregation the salted plan must equal
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
