@@ -2201,6 +2201,52 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // Natural cubic spline (solr/solrj/.../io/eval/SplineEvaluator.java —
+    // commons-math SplineInterpolator; natural boundary M0 = M7 = 0):
+    // knots = the first 8 hourly click counts, the Thomas-algorithm solve
+    // runs as the SAME expression ladder in both engines (splineSteps), so
+    // every second derivative and the interpolated S(2.5) agree bit-exactly
+    // before micro-flooring.
+    "q_spline" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("h")
+      val series = hourly
+        .withColumn("n", row_number().over(w).cast("long") - 1)
+        .filter(col("n") < 8)
+      val yCols = (0 to 7).map(i => sum(when(col("n") === i, col("x"))).as(s"y$i"))
+      val wide = series.groupBy().agg(yCols.head, yCols.tail: _*)
+      val solved = splineSteps.foldLeft(wide) { case (df, (alias, e)) =>
+        df.selectExpr("*", s"$e AS $alias")
+      }
+      solved
+        .selectExpr(
+          "posexplode(array(m0, m1, m2, m3, m4, m5, m6, m7)) AS (i, m)",
+          "s25")
+        .selectExpr("CAST(i AS BIGINT) AS i",
+          "CAST(floor(m * 1e6) AS BIGINT) AS m_micro6",
+          "CAST(floor(s25 * 1e6) AS BIGINT) AS s25_micro6")
+        .orderBy("i")
+    }),
+    // lInfNorm / normalizeSum / unitize (solr/solrj/.../io/eval/
+    // LInfNormEvaluator.java, NormalizeSumEvaluator.java, UnitEvaluator
+    // .java): per-vector L∞ (exact int max of abs), probability-normalized
+    // first component (one division of exact ints), and unit-vector first
+    // component (division by one sqrt of an exact int) — micro-floored.
+    "q_norms2" -> ((spark, sfDir) => {
+      t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v")
+        .selectExpr("vec_id",
+          "CAST(array_max(transform(v, x -> abs(x))) AS BIGINT) AS linf",
+          "CAST(aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS BIGINT) AS l1",
+          "CAST(floor(CAST(v[0] AS DOUBLE) / aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) * 1e6) AS BIGINT) AS nsum0_micro6",
+          "CAST(floor(CAST(v[0] AS DOUBLE) / sqrt(CAST(aggregate(v, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1e6) AS BIGINT) AS unit0_micro6")
+        .orderBy("vec_id")
+    }),
     // GROUPING SETS with grouping_id (the generalized Rollup/Facet2D
     // lattice — solr/solrj/.../io/stream/HashRollupStream.java computes one
     // grouping; SQL GROUPING SETS computes several in one pass): explicit
@@ -2731,6 +2777,30 @@ object RelationalQueries {
     val y1 = s"($latC * $rad)"
     val h = s"(sin($dy * 0.5) * sin($dy * 0.5) + cos($y0) * cos($y1) * sin($dx * 0.5) * sin($dx * 0.5))"
     s"(2 * atan2(sqrt($h), sqrt(1 - $h)) * 6371.0087714)"
+  }
+
+  /** Natural-cubic-spline solve (Thomas algorithm over the uniform-knot
+    * tridiagonal system, 8 knots → 6 unknowns) as an (alias, expr) ladder
+    * shared verbatim by both engines — every step is the same IEEE op
+    * tree, so the second derivatives come out bit-identical
+    * (SplineEvaluator citation at the query). Inputs: columns y0..y7. */
+  private val splineSteps: Seq[(String, String)] = {
+    val rs = (1 to 6).map(i =>
+      s"r$i" -> s"CAST(6 * (y${i + 1} - 2 * y$i + y${i - 1}) AS DOUBLE)")
+    val fwd = Seq(
+      "c1" -> "(CAST(1.0 AS DOUBLE) / 4)",
+      "d1" -> "(r1 / 4)") ++
+      (2 to 6).flatMap(i => Seq(
+        s"c$i" -> s"(CAST(1.0 AS DOUBLE) / (4 - c${i - 1}))",
+        s"d$i" -> s"((r$i - d${i - 1}) / (4 - c${i - 1}))"))
+    val back = Seq("m7" -> "CAST(0.0 AS DOUBLE)", "m6" -> "d6") ++
+      (5 to 1 by -1).map(i => s"m$i" -> s"(d$i - c$i * m${i + 1})") ++
+      Seq("m0" -> "CAST(0.0 AS DOUBLE)")
+    val s25 = Seq("s25" ->
+      ("(m2 * CAST(0.125 AS DOUBLE) / 6 + m3 * CAST(0.125 AS DOUBLE) / 6" +
+        " + (y2 - m2 / 6) * CAST(0.5 AS DOUBLE)" +
+        " + (y3 - m3 / 6) * CAST(0.5 AS DOUBLE))"))
+    rs ++ fwd ++ back ++ s25
   }
 
   /** N(50, 20) pdf as ONE expression text shared by both engines. */
@@ -3986,6 +4056,44 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // same Thomas ladder as a CTE chain
+    "q_spline" -> {
+      val ctes = splineSteps.zipWithIndex.map { case ((alias, e), i) =>
+        val prev = if (i == 0) "wide" else s"s$i"
+        s"s${i + 1} AS (SELECT *, $e AS $alias FROM $prev)"
+      }
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+         |  FROM events WHERE event_type = 'click' GROUP BY h),
+         |series AS (
+         |  SELECT n, x FROM (
+         |    SELECT row_number() OVER (ORDER BY h) - 1 AS n, x FROM hourly)
+         |  WHERE n < 8),
+         |wide AS (SELECT
+         |  ${(0 to 7).map(i => s"(SELECT x FROM series WHERE n = $i) AS y$i").mkString(",\n         |  ")}),
+         |${ctes.mkString(",\n")}
+         |SELECT CAST(i AS BIGINT) AS i,
+         |  CAST(floor(m * 1e6) AS BIGINT) AS m_micro6,
+         |  CAST(floor(s25 * 1e6) AS BIGINT) AS s25_micro6
+         |FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i,
+         |        unnest([m0, m1, m2, m3, m4, m5, m6, m7]) AS m, s25
+         |      FROM s${splineSteps.size})
+         |ORDER BY i""".stripMargin
+    },
+    // same micro-floored norm family (DuckDB lists are 1-based)
+    "q_norms2" ->
+      """SELECT vec_id,
+        |  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS linf,
+        |  CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS l1,
+        |  CAST(floor(CAST(v[1] AS DOUBLE)
+        |    / list_sum(list_transform(v, x -> abs(x))) * 1e6) AS BIGINT) AS nsum0_micro6,
+        |  CAST(floor(CAST(v[1] AS DOUBLE)
+        |    / sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) * 1e6) AS BIGINT) AS unit0_micro6
+        |FROM (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 8)
+        |ORDER BY vec_id""".stripMargin,
     // the same lattice via DuckDB GROUPING SETS
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
