@@ -2201,6 +2201,68 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // polyFitDerivative (solr/solrj/.../io/eval/PolyFitDerivativeEvaluator
+    // .java — the derivative of the fitted polynomial): p'(x) = c1 + 2·c2·x
+    // from q_polyfit's exact-moment Cramer solve, evaluated at 3 points.
+    "q_polyfit_derivative" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val x = col("x"); val y = col("y")
+      val m = t(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n0"),
+          sum(x).as("s1l"), sum(x * x).as("s2l"),
+          sum(x * x * x).as("s3l"), sum(x * x * x * x).as("s4l"),
+          sum(y).as("t0l"), sum(x * y).as("t1l"), sum(x * x * y).as("t2l"))
+      val n = col("n0").cast("double")
+      val s1 = col("s1l").cast("double"); val s2 = col("s2l").cast("double")
+      val s3 = col("s3l").cast("double"); val s4 = col("s4l").cast("double")
+      val t0 = col("t0l").cast("double"); val t1 = col("t1l").cast("double")
+      val t2 = col("t2l").cast("double")
+      val d = n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)
+      val c1 = (n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)) / d
+      val c2 = (n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2)) / d
+      m.select(c1.as("c1v"), c2.as("c2v"))
+        .crossJoin(Seq(10L, 20L, 30L).toDF("x"))
+        .select(col("x"),
+          round(col("c1v") + lit(2) * col("c2v") * col("x"), 4).as("deriv4"))
+        .orderBy("x")
+    }),
+    // getBoundarySize (solr/solrj/.../io/eval/GetBoundarySizeEvaluator
+    // .java — the hull perimeter): same point cloud as q_convex_hull; each
+    // edge length micro-floored BEFORE the sum, so the integer total is
+    // independent of which cyclic order the two engines walk the hull in.
+    "q_hull_perimeter" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val pts = t(spark, sfDir, "events")
+        .filter(col("event_type") === "signup" && col("event_id") % 127 === 0)
+        .select((col("user_id") % 23).as("x"), (col("event_id") % 19).as("y"))
+        .distinct().as[(Long, Long)]
+      pts.groupByKey(_ => 0).mapGroups { (_, it) =>
+        val verts = monotoneHull(it.toArray)
+        val perim = verts.indices.map { i =>
+          val a = verts(i); val b = verts((i + 1) % verts.length)
+          val dx = (b._1 - a._1).toDouble; val dy = (b._2 - a._2).toDouble
+          math.floor(math.sqrt(dx * dx + dy * dy) * 1e6).toLong
+        }.sum
+        (verts.length.toLong, perim)
+      }.toDF("n_vertices", "perim_micro6")
+    }),
+    // minMaxScale (solr/solrj/.../io/eval/MinMaxScaleEvaluator.java —
+    // rescale each vector to [0,1] from its own min/max): pure integer
+    // division on the quantized components, first 4 dims of 6 vectors.
+    "q_minmax_scale" -> ((spark, sfDir) => {
+      t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 6)
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v")
+        .selectExpr("vec_id",
+          "array_min(v) AS lo", "array_max(v) AS hi",
+          "posexplode(slice(v, 1, 4)) AS (i, xv)")
+        .selectExpr("vec_id", "CAST(i AS BIGINT) AS i",
+          "CAST((xv - lo) * 1000000 DIV (hi - lo) AS BIGINT) AS scaled_micro6")
+        .orderBy("vec_id", "i")
+    }),
     // Natural cubic spline (solr/solrj/.../io/eval/SplineEvaluator.java —
     // commons-math SplineInterpolator; natural boundary M0 = M7 = 0):
     // knots = the first 8 hourly click counts, the Thomas-algorithm solve
@@ -2777,6 +2839,25 @@ object RelationalQueries {
     val y1 = s"($latC * $rad)"
     val h = s"(sin($dy * 0.5) * sin($dy * 0.5) + cos($y0) * cos($y1) * sin($dx * 0.5) * sin($dx * 0.5))"
     s"(2 * atan2(sqrt($h), sqrt(1 - $h)) * 6371.0087714)"
+  }
+
+  /** Andrew monotone chain (strict turns — collinear boundary points are
+    * not vertices), shared by q_convex_hull's sibling rows. */
+  private[queries] def monotoneHull(ps0: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val ps = ps0.distinct.sortBy(p => (p._1, p._2))
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def half(seq: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val h = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (p <- seq) {
+        while (h.length >= 2 && cross(h(h.length - 2), h(h.length - 1), p) <= 0)
+          h.remove(h.length - 1)
+        h += p
+      }
+      h.toSeq
+    }
+    if (ps.length < 3) ps.toSeq
+    else half(ps.toSeq).dropRight(1) ++ half(ps.reverse.toSeq).dropRight(1)
   }
 
   /** Natural-cubic-spline solve (Thomas algorithm over the uniform-knot
@@ -4056,6 +4137,69 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // derivative at 3 points from the same Cramer c1/c2 expressions
+    "q_polyfit_derivative" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(x * x * x) AS BIGINT) AS DOUBLE) AS s3,
+        |    CAST(CAST(sum(x * x * x * x) AS BIGINT) AS DOUBLE) AS s4,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS t0,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS t1,
+        |    CAST(CAST(sum(x * x * y) AS BIGINT) AS DOUBLE) AS t2
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |), d AS (
+        |  SELECT *, n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+        |         + s2 * (s1 * s3 - s2 * s2) AS det FROM m
+        |), c AS (
+        |  SELECT
+        |    (n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)) / det AS c1v,
+        |    (n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2)) / det AS c2v
+        |  FROM d)
+        |SELECT CAST(t.x AS BIGINT) AS x,
+        |  round(c1v + 2 * c2v * t.x, 4) AS deriv4
+        |FROM c, (VALUES (10), (20), (30)) t(x) ORDER BY x""".stripMargin,
+    // hull perimeter: triangle-rule vertex set, angle-ordered edges,
+    // per-edge micro-floor before the order-independent integer sum
+    "q_hull_perimeter" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT user_id % 23 AS x, event_id % 19 AS y FROM events
+        |  WHERE event_type = 'signup' AND event_id % 127 = 0),
+        |hull AS (
+        |  SELECT x, y FROM pts p WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts a, pts b, pts c
+        |    WHERE (a.x <> p.x OR a.y <> p.y) AND (b.x <> p.x OR b.y <> p.y)
+        |      AND (c.x <> p.x OR c.y <> p.y)
+        |      AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) <> 0
+        |      AND (((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) >= 0
+        |        AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) >= 0
+        |        AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) >= 0)
+        |       OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) <= 0
+        |        AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) <= 0
+        |        AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) <= 0)))),
+        |cent AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+        |                CAST(sum(y) AS DOUBLE) / count(*) AS cy FROM hull),
+        |ord AS (SELECT x, y,
+        |  row_number() OVER (ORDER BY atan2(y - cy, x - cx)) AS rn,
+        |  count(*) OVER () AS m FROM hull, cent)
+        |SELECT CAST((SELECT count(*) FROM hull) AS BIGINT) AS n_vertices,
+        |  CAST(sum(CAST(floor(sqrt(
+        |    CAST((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS DOUBLE))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS perim_micro6
+        |FROM ord a JOIN ord b ON b.rn = a.rn % a.m + 1""".stripMargin,
+    // per-vector integer min-max rescale, first 4 dims
+    "q_minmax_scale" ->
+      """SELECT vec_id, CAST(j - 1 AS BIGINT) AS i,
+        |  CAST((v[j] - list_min(v)) * 1000000 // (list_max(v) - list_min(v)) AS BIGINT) AS scaled_micro6
+        |FROM (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 6),
+        |  (SELECT unnest(generate_series(1, 4)) AS j)
+        |ORDER BY vec_id, i""".stripMargin,
     // same Thomas ladder as a CTE chain
     "q_spline" -> {
       val ctes = splineSteps.zipWithIndex.map { case ((alias, e), i) =>
