@@ -1633,6 +1633,27 @@ object FulltextQueries {
           col("len").cast("long").as("n_tokens"))
         .orderBy("lang", "rnk")
     }),
+    // group.main=true (solr/core/src/java/org/apache/solr/search/
+    // Grouping.java mainResult — the grouped result FLATTENED into one doc
+    // list: groups ordered by their head doc's sort value, group.limit docs
+    // from each, concatenated): lang groups of 'vector OR table' hits by
+    // (len desc, doc_id), 2 per group, flattened in group-head order.
+    "ft_group_main" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("vector OR table")).toDF("docId")
+        .join(index.docs.toDF().select(col("docId"), col("lang"), col("len")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+      val w = Window.partitionBy("lang").orderBy(desc("len"), asc("doc_id"))
+      val wHead = Window.partitionBy("lang")
+      m.withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("head_len", max("len").over(wHead))
+        .filter(col("rnk") <= 2)
+        .select(col("doc_id"), col("lang"),
+          col("len").cast("long").as("n_tokens"),
+          col("head_len").cast("long").as("head_len"))
+        .orderBy(desc("head_len"), asc("lang"), desc("n_tokens"), asc("doc_id"))
+    }),
     // FuzzyLikeThisQuery (GraftSearcher.fuzzyLikeThis scaladoc — sandbox
     // FuzzyLikeThisQuery.java, ignoreTF mode): three misspelled words,
     // each fuzzy-matched against the dictionary; docs score the sum of
@@ -4844,6 +4865,17 @@ object FulltextQueries {
       s"""SELECT count(*) AS total_hits, 'EQ' AS relation
          |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
+    // flattened main result: group-head order then within-group order
+    "ft_group_main" ->
+      s"""SELECT doc_id, lang, n_tokens, head_len FROM (
+         |  SELECT doc_id, lang, len(tk) AS n_tokens,
+         |    max(len(tk)) OVER (PARTITION BY lang) AS head_len,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY len(tk) DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, lang, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'vector') OR list_contains(tk, 'table'))
+         |WHERE rnk <= 2
+         |ORDER BY head_len DESC, lang, n_tokens DESC, doc_id""".stripMargin,
     "ft_group" ->
       s"""SELECT lang, rnk, doc_id, n_tokens FROM (
          |  SELECT lang, doc_id, n_tokens,

@@ -2201,6 +2201,30 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // Lag-k autocorrelation — the documented Solr-math ACF idiom
+    // corr(copyOfRange(x, 0, n−k), copyOfRange(x, k, n)) (solr/solrj/.../
+    // io/eval/CorrelationEvaluator.java + CopyOfRangeEvaluator.java): the
+    // hourly click series self-joined at offsets 1..3, Pearson over exact
+    // integer moments (the q_corr expression text).
+    "q_autocorr" -> ((spark, sfDir) => {
+      val hourly = t(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("h")
+      val series = hourly.withColumn("n0", row_number().over(w).cast("long"))
+        .select(col("n0"), col("cnt").as("x"))
+      val lags = Seq(1, 2, 3).map { k =>
+        series.as("a").join(series.as("b"), col("b.n0") === col("a.n0") + k)
+          .select(col("a.x").as("x"), col("b.x").as("y"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .selectExpr(s"CAST($k AS BIGINT) AS lag", s"$corrExpr AS acf4")
+      }
+      lags.reduce(_ unionByName _).orderBy("lag")
+    }),
     // polyFitDerivative (solr/solrj/.../io/eval/PolyFitDerivativeEvaluator
     // .java — the derivative of the fitted polynomial): p'(x) = c1 + 2·c2·x
     // from q_polyfit's exact-moment Cramer solve, evaluated at 3 points.
@@ -4137,6 +4161,22 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // the same per-lag exact moments through the same Pearson text
+    "q_autocorr" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+         |  FROM events WHERE event_type = 'click' GROUP BY h),
+         |series AS (
+         |  SELECT row_number() OVER (ORDER BY h) AS n0, cnt AS x FROM hourly),
+         |l(k) AS (VALUES (1), (2), (3)),
+         |m AS (
+         |  SELECT l.k, count(*) AS n, sum(a.x) AS sx, sum(b.x) AS sy,
+         |    sum(a.x * a.x) AS sxx, sum(b.x * b.x) AS syy,
+         |    sum(a.x * b.x) AS sxy
+         |  FROM l, series a, series b WHERE b.n0 = a.n0 + l.k
+         |  GROUP BY l.k)
+         |SELECT CAST(k AS BIGINT) AS lag, $corrExpr AS acf4
+         |FROM m ORDER BY lag""".stripMargin,
     // derivative at 3 points from the same Cramer c1/c2 expressions
     "q_polyfit_derivative" ->
       """WITH m AS (
