@@ -1633,6 +1633,26 @@ object FulltextQueries {
           col("len").cast("long").as("n_tokens"))
         .orderBy("lang", "rnk")
     }),
+    // edismax pf phrase boosting (solr/core/src/java/org/apache/solr/
+    // search/ExtendedDismaxQParser.java — the pf/pf2 implicit phrase: the
+    // user's adjacent terms re-queried as a boosted phrase ADDED to the
+    // term-score sum): 'table hash' term legs + the exact phrase at
+    // boost 2, each leg round4'd by its own scorer then summed per doc.
+    "ft_edismax_pf" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val legs = Seq[graft.search.Query](
+        graft.search.TermQ("table"),
+        graft.search.TermQ("hash"),
+        graft.search.BoostQ(
+          graft.search.PhraseQ(Seq("table", "hash"), Seq(0, 1)), 2.0f))
+        .map(q => searcher.scoreAllDoubleDS(q).toDF("docId", "s"))
+      legs.reduce(_ unionByName _)
+        .groupBy("docId").agg(sum("s").as("score"))
+        .select(col("docId"), round4Col(col("score")).as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(12)
+        .select(col("doc_id"), col("score"))
+    }),
     // group.main=true (solr/core/src/java/org/apache/solr/search/
     // Grouping.java mainResult — the grouped result FLATTENED into one doc
     // list: groups ordered by their head doc's sort value, group.limit docs
@@ -4865,6 +4885,31 @@ object FulltextQueries {
       s"""SELECT count(*) AS total_hits, 'EQ' AS relation
          |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
+    // pf: round4'd term legs + the boosted phrase leg, summed, round4'd
+    "ft_edismax_pf" ->
+      s"""$PRELUDE,
+         |legs AS (
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("table")), tfSql("table"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("table")} > 0
+         |  UNION ALL
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("hash")), tfSql("hash"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("hash")} > 0
+         |  UNION ALL
+         |  SELECT doc_id, round(s, 4) AS s FROM (
+         |    SELECT dl.doc_id, pf,
+         |      (2 * (${idfSql(dfSql("table"))} + ${idfSql(dfSql("hash"))}))
+         |        * (pf * (1.2 + 1))
+         |        / (pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
+         |    FROM (
+         |      SELECT doc_id, tk, dlq,
+         |        len(list_filter(generate_series(1, len(tk) - 1),
+         |                        i -> tk[i] = 'table' AND tk[i+1] = 'hash')) AS pf
+         |      FROM dl) dl, st
+         |  ) WHERE pf > 0)
+         |SELECT doc_id, round(sum(s), 4) AS score FROM legs GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // flattened main result: group-head order then within-group order
     "ft_group_main" ->
       s"""SELECT doc_id, lang, n_tokens, head_len FROM (

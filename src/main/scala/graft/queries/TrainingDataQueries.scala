@@ -424,6 +424,44 @@ object TrainingDataQueries {
       }.reduce(_ + _)
       s.select(col("doc_id"), bits.as("simhash64")).orderBy("doc_id")
     }),
+    // Banded simhash near-dup retrieval (Manku, Jarvelin & Sarlos, WWW'07
+    // "Detecting Near-Duplicates for Web Crawling" §3 — the pigeonhole
+    // trick behind Google's simhash dedup: split 64 bits into 4 16-bit
+    // bands; hamming ≤ 3 implies AT LEAST one band matches exactly, so
+    // candidates come from 4 equi-joins on band values, never an all-pairs
+    // scan): the same md5-derived simhash as td_dedup_simhash64, bands
+    // built sign-column-wise (no shifts on a signed packed long), xor +
+    // bit_count hamming verify on the candidates.
+    "td_simhash_bands" -> ((spark, sfDir) => {
+      val tf = docs(spark, sfDir)
+        .select(col("doc_id"), explode(expr(TOKS)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      def hashCol(d: Int): Column =
+        if (d <= 32) substring(md5(col("tok")), d, 1)
+        else substring(md5(concat(col("tok"), lit("b"))), d - 32, 1)
+      val sums = (1 to 64).map { d =>
+        sum(when(hashCol(d) >= "8", col("tf")).otherwise(-col("tf"))).as(s"s$d")
+      }
+      val s = tf.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      def bandCol(b: Int): Column = (1 to 16).map { j =>
+        val d = b * 16 + j
+        when(col(s"s$d") > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = s.select(
+        col("doc_id") +: (0 to 3).map(b => bandCol(b).as(s"h$b")): _*)
+      val x = sig.toDF("a", "xa0", "xa1", "xa2", "xa3")
+      val y = sig.toDF("b", "yb0", "yb1", "yb2", "yb3")
+      val cand = (0 to 3).map { b =>
+        x.join(y, col(s"xa$b") === col(s"yb$b") && col("a") < col("b"))
+      }.reduce(_ unionByName _).distinct()
+      cand
+        .withColumn("ham",
+          expr("CAST(bit_count(xa0 ^ yb0) + bit_count(xa1 ^ yb1) " +
+            "+ bit_count(xa2 ^ yb2) + bit_count(xa3 ^ yb3) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_cand_pairs"),
+          sum(when(col("ham") <= 3, 1L).otherwise(0L)).as("n_dup_pairs"),
+          min("ham").as("min_ham"))
+    }),
     // duplicate-cluster resolution: pairwise near-dup candidates are NOT a
     // dedup decision — transitively connected docs must collapse to one
     // keeper. Connected components (GraphOps.connectedComponents scaladoc)
@@ -2415,6 +2453,47 @@ object TrainingDataQueries {
     "td_minhash_accuracy" -> minhashAccuracyOracle,
     "td_dedup_simhash" -> simhashOracle,
     "td_dedup_simhash64" -> simhash64Oracle,
+    // banded pigeonhole candidates + hamming verify over the same simhash
+    "td_simhash_bands" -> {
+      def hashSql(d: Int): String =
+        if (d <= 32) s"substr(md5(tok), $d, 1)"
+        else s"substr(md5(tok || 'b'), ${d - 32}, 1)"
+      val sumExprs = (1 to 64).map { d =>
+        s"sum(CASE WHEN ${hashSql(d)} >= '8' THEN tf ELSE -tf END) AS s$d"
+      }.mkString(",\n    ")
+      def bandExpr(b: Int): String = (1 to 16).map { j =>
+        val d = b * 16 + j
+        s"(CASE WHEN s$d > 0 THEN ${1L << (j - 1)} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandJoins = (0 to 3).map { b =>
+        s"SELECT x.doc_id AS a, x.h0 AS xa0, x.h1 AS xa1, x.h2 AS xa2, x.h3 AS xa3, " +
+          s"y.doc_id AS b, y.h0 AS yb0, y.h1 AS yb1, y.h2 AS yb2, y.h3 AS yb3 " +
+          s"FROM sig x JOIN sig y ON x.h$b = y.h$b AND x.doc_id < y.doc_id"
+      }.mkString("\n  UNION\n  ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |s AS (
+         |  SELECT doc_id,
+         |    $sumExprs
+         |  FROM tf GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id, CAST(${bandExpr(0)} AS BIGINT) AS h0,
+         |    CAST(${bandExpr(1)} AS BIGINT) AS h1,
+         |    CAST(${bandExpr(2)} AS BIGINT) AS h2,
+         |    CAST(${bandExpr(3)} AS BIGINT) AS h3
+         |  FROM s),
+         |cand AS (
+         |  $bandJoins),
+         |h AS (SELECT bit_count(xor(xa0, yb0)) + bit_count(xor(xa1, yb1))
+         |        + bit_count(xor(xa2, yb2)) + bit_count(xor(xa3, yb3)) AS ham
+         |      FROM cand)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs,
+         |  CAST(sum(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+         |  CAST(min(ham) AS BIGINT) AS min_ham
+         |FROM h""".stripMargin
+    },
     "td_dedup_substr" ->
       """SELECT md5(win) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
         |  SELECT doc_id, substr(text, i * 50 + 1, 50) AS win
