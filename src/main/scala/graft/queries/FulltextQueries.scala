@@ -1633,6 +1633,28 @@ object FulltextQueries {
           col("len").cast("long").as("n_tokens"))
         .orderBy("lang", "rnk")
     }),
+    // Distributed IDF / ExactStatsCache (solr/core/src/java/org/apache/
+    // solr/search/stats/ExactStatsCache.java:60-140 — per-shard scoring
+    // with GLOBALLY merged stats, so sharded ranks equal the single-index
+    // ranks; the north rule's rank-identical contract across executors):
+    // the index splits into two docId-parity shards, each shard scores
+    // 'stream' with statsFrom = the global index, and the k·P merge of the
+    // shard top-10s must equal the whole-index oracle top-10 exactly.
+    "ft_shard_global_stats" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val q = searcher.parse("stream")
+      val ids = index.docs.toDF().select(col("docId")).as[Long]
+      val shards = graft.index.IndexStore.split(index,
+        Seq(ids.filter(_ % 2 == 0), ids.filter(_ % 2 == 1)))
+      shards.map { sh =>
+        new graft.search.GraftSearcher(sh, graft.analysis.Analyzers.simple, statsFrom = index)
+          .searchDoubleDS(q, 10).toDF()
+      }.reduce(_ unionByName _)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // edismax pf phrase boosting (solr/core/src/java/org/apache/solr/
     // search/ExtendedDismaxQParser.java — the pf/pf2 implicit phrase: the
     // user's adjacent terms re-queried as a boosted phrase ADDED to the
@@ -4885,6 +4907,14 @@ object FulltextQueries {
       s"""SELECT count(*) AS total_hits, 'EQ' AS relation
          |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
+    // sharded scoring with global stats == the plain single-index top-10
+    "ft_shard_global_stats" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("stream")} AS tf,
+         |    ${bmSql(idfSql(dfSql("stream")), tfSql("stream"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // pf: round4'd term legs + the boosted phrase leg, summed, round4'd
     "ft_edismax_pf" ->
       s"""$PRELUDE,

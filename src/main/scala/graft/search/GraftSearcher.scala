@@ -456,12 +456,21 @@ final class GraftSearcher(
     k1: Float = Bm25.DEFAULT_K1,
     b: Float = Bm25.DEFAULT_B,
     /** Scoring model (`IndexSearcher.setSimilarity` analog); null = BM25(k1, b). */
-    sim: Similarity = null) extends Serializable {
+    sim: Similarity = null,
+    /** Distributed-IDF stats source — the ExactStatsCache analog (reference:
+      * solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:
+      * 60-140 — per-shard scoring uses GLOBALLY merged docFreq/collection
+      * stats so ranks are identical to a single-index search). When set,
+      * `plan` reads termStats/fieldStats from THIS index while postings
+      * still come from the local shard `index`. */
+    statsFrom: GraftIndex = null) extends Serializable {
+
+  private def statsIdx: GraftIndex = if (statsFrom != null) statsFrom else index
 
   /** A searcher over the same index scoring with `s` — cheap (shares the
     * cached index tables; only the per-query SearchContext changes). */
   def withSimilarity(s: Similarity): GraftSearcher =
-    new GraftSearcher(index, analyzer, k1, b, s)
+    new GraftSearcher(index, analyzer, k1, b, s, statsFrom)
 
   @transient private val spark = index.spark
   import spark.implicits._
@@ -617,10 +626,11 @@ final class GraftSearcher(
     val terms = Query.terms(q).toSeq
     val rows =
       if (terms.isEmpty) Array.empty[TermStatsRow]
-      else index.termStats.filter($"term".isin(terms: _*)).collect()
+      else statsIdx.termStats.filter($"term".isin(terms: _*)).collect()
     val dfMap: Map[String, Long] = rows.map(t => t.term -> t.docFreq).toMap
     val ttfMap: Map[String, Long] = rows.map(t => t.term -> t.totalTermFreq).toMap
-    val stats = CollectionStats(fieldStats.docCount, fieldStats.sumTotalTermFreq)
+    val statsFs = statsIdx.fieldStats
+    val stats = CollectionStats(statsFs.docCount, statsFs.sumTotalTermFreq)
     (q, SearchContext(k1, b, stats, dfMap, counters = counters,
       ttf = ttfMap, simOverride = sim))
   }
