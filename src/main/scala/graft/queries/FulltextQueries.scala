@@ -1633,6 +1633,16 @@ object FulltextQueries {
           col("len").cast("long").as("n_tokens"))
         .orderBy("lang", "rnk")
     }),
+    // RegexpQuery with alternation + character class (lucene/core/src/java/
+    // org/apache/lucene/search/RegexpQuery.java — RegExp syntax `|`, `[]`;
+    // fully ANCHORED like Lucene, so 'scan' matches but 'scanner' would
+    // not): '(scan|sort|s[a-z]ow)' through the dictionary-first expansion.
+    "ft_match_regexp_alt" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.matchesDS(graft.search.RegexpQ("(scan|sort|s[a-z]ow)")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // Distributed IDF / ExactStatsCache (solr/core/src/java/org/apache/
     // solr/search/stats/ExactStatsCache.java:60-140 — per-shard scoring
     // with GLOBALLY merged stats, so sharded ranks equal the single-index
@@ -4907,6 +4917,12 @@ object FulltextQueries {
       s"""SELECT count(*) AS total_hits, 'EQ' AS relation
          |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'vector') OR list_contains(tk, 'customer')""".stripMargin,
+    // anchored alternation over the same token dictionary
+    "ft_match_regexp_alt" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x ->
+         |  regexp_matches(x, '^(scan|sort|s[a-z]ow)$$'))) > 0
+         |ORDER BY doc_id""".stripMargin,
     // sharded scoring with global stats == the plain single-index top-10
     "ft_shard_global_stats" ->
       s"""$PRELUDE

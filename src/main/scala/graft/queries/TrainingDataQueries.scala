@@ -424,6 +424,30 @@ object TrainingDataQueries {
       }.reduce(_ + _)
       s.select(col("doc_id"), bits.as("simhash64")).orderBy("doc_id")
     }),
+    // Quality-aware dedup keeper policy (the production alternative to
+    // min-id: keep the LONGEST member of each duplicate cluster — length
+    // as the quality proxy, cf. the C4/Gopher keep rules): same verified
+    // LSH clusters as td_dedup_cluster, keeper = argmax token length
+    // (tie → min doc_id), one window pass over the labeled docs.
+    "td_dedup_keep_longest" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir)
+      val pairs = jaccardVerify(d,
+        lshCandidates(minhashSig(d, 4), bands = 2, rowsPerBand = 2))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val cc = graft.operators.GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      val lens = d.selectExpr("doc_id", s"CAST(size($TOKS) AS BIGINT) AS l")
+      val w = Window.partitionBy("cluster").orderBy(desc("l"), asc("doc_id"))
+      val wc = Window.partitionBy("cluster")
+      cc.join(lens, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("keeper"),
+          col("cluster_size").cast("long").as("cluster_size"))
+        .orderBy("cluster")
+    }),
     // Banded simhash near-dup retrieval (Manku, Jarvelin & Sarlos, WWW'07
     // "Detecting Near-Duplicates for Web Crawling" §3 — the pigeonhole
     // trick behind Google's simhash dedup: split 64 bits into 4 16-bit
@@ -2441,6 +2465,25 @@ object TrainingDataQueries {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // keep-longest keeper over the same reachability clusters
+    "td_dedup_keep_longest" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($lshPairsOracle)),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |       FROM reach GROUP BY src),
+         |lens AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS l FROM documents),
+         |k AS (
+         |  SELECT cl.cluster, cl.doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY lens.l DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster) AS sz
+         |  FROM cl JOIN lens ON cl.doc_id = lens.doc_id)
+         |SELECT cluster, doc_id AS keeper, CAST(sz AS BIGINT) AS cluster_size
+         |FROM k WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "td_dedup_jaccard" ->
       s"""WITH sets AS (SELECT lang, doc_id, list_distinct($TOKS) AS tk FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b,
