@@ -2201,6 +2201,30 @@ object RelationalQueries {
         .agg(sum(col("av") * col("bv")).as("c"))
         .orderBy("t", "j")
     }),
+    // Scalar math evaluator battery (solr/solrj/.../io/eval/
+    // CeilingEvaluator.java, FloorEvaluator, RoundEvaluator,
+    // TruncEvaluator, AbsoluteValueEvaluator, ModuloEvaluator,
+    // PowerEvaluator, CubedRootEvaluator, SquareRootEvaluator,
+    // Log10Evaluator, HyperbolicSineEvaluator): each applied to
+    // xa = x/4 (exact dyadic) or x itself; irrational outputs
+    // micro-floored, sinh spelled (e^xa − e^−xa)/2 on both engines.
+    "q_scalar_math" -> ((spark, sfDir) => {
+      t(spark, sfDir, "documents")
+        .select(((col("doc_id") % 7) + 2).as("x")).distinct()
+        .selectExpr("x", "(CAST(x AS DOUBLE) / 4) AS xa")
+        .selectExpr("x",
+          "CAST(ceil(xa) AS BIGINT) AS ceilv",
+          "CAST(floor(xa) AS BIGINT) AS floorv",
+          "CAST(round(xa) AS BIGINT) AS roundv",
+          "CAST(x % 5 AS BIGINT) AS modv",
+          "CAST(x * x * x AS BIGINT) AS pow3",
+          "CAST(abs(0 - x) AS BIGINT) AS absv",
+          "CAST(floor(cbrt(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS cbrt_micro6",
+          "CAST(floor(sqrt(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS sqrt_micro6",
+          "CAST(floor(log10(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS log10_micro6",
+          "CAST(floor((exp(xa) - exp(0 - xa)) / 2 * 1e6) AS BIGINT) AS sinh_micro6")
+        .orderBy("x")
+    }),
     // Lag-k autocorrelation — the documented Solr-math ACF idiom
     // corr(copyOfRange(x, 0, n−k), copyOfRange(x, k, n)) (solr/solrj/.../
     // io/eval/CorrelationEvaluator.java + CopyOfRangeEvaluator.java): the
@@ -4161,6 +4185,22 @@ object RelationalQueries {
         |  'evt-' || event_type || '-' || CAST(user_id AS VARCHAR) AS tmpl,
         |  strftime(ts, '%Y-%m-%d %H') AS ts_hour
         |FROM events WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin,
+    // the same battery over the same dyadic inputs
+    "q_scalar_math" ->
+      """SELECT x,
+        |  CAST(ceil(xa) AS BIGINT) AS ceilv,
+        |  CAST(floor(xa) AS BIGINT) AS floorv,
+        |  CAST(round(xa) AS BIGINT) AS roundv,
+        |  CAST(x % 5 AS BIGINT) AS modv,
+        |  CAST(x * x * x AS BIGINT) AS pow3,
+        |  CAST(abs(0 - x) AS BIGINT) AS absv,
+        |  CAST(floor(cbrt(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS cbrt_micro6,
+        |  CAST(floor(sqrt(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS sqrt_micro6,
+        |  CAST(floor(log10(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS log10_micro6,
+        |  CAST(floor((exp(xa) - exp(0 - xa)) / 2 * 1e6) AS BIGINT) AS sinh_micro6
+        |FROM (SELECT x, CAST(x AS DOUBLE) / 4 AS xa
+        |      FROM (SELECT DISTINCT doc_id % 7 + 2 AS x FROM documents))
+        |ORDER BY x""".stripMargin,
     // the same per-lag exact moments through the same Pearson text
     "q_autocorr" ->
       s"""WITH hourly AS (
