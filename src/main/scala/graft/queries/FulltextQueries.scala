@@ -4162,7 +4162,7 @@ object FulltextQueries {
     // stacked-gen CASE as ft_dv_range
     "ft_dv_stats" ->
       s"""SELECT count(*) AS n, min(v) AS min_v, max(v) AS max_v,
-         |  sum(v) AS s,
+         |  CAST(sum(v) AS BIGINT) AS s,
          |  round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_v,
          |  round((CAST(sum(v * v) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * sum(v) / count(*)) / (count(*) - 1), 4) AS var_v
          |FROM (
@@ -4295,7 +4295,7 @@ object FulltextQueries {
          |    round(${bmSql(idfSql(dfSql("stream")), tfSql("stream"))}, 4) AS s
          |  FROM dl, st),
          |fv AS (
-         |  SELECT d.source, sum(CAST(round(sc.s * 10000) AS BIGINT)) AS score_1e4
+         |  SELECT d.source, CAST(sum(CAST(round(sc.s * 10000) AS BIGINT)) AS BIGINT) AS score_1e4
          |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
          |  WHERE sc.tf > 0 GROUP BY d.source)
          |SELECT d.doc_id, fv.score_1e4 FROM documents d JOIN fv ON d.source = fv.source
@@ -5788,8 +5788,8 @@ object FulltextQueries {
       s"""SELECT CASE WHEN lang IS NULL THEN source
          |            ELSE source || '/' || lang END AS path,
          |  int_assoc, float_assoc FROM (
-         |  SELECT source, lang, sum(n_chars) AS int_assoc,
-         |    sum(n_chars / 64.0) AS float_assoc
+         |  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS int_assoc,
+         |    sum(CAST(n_chars AS DOUBLE) / 64.0) AS float_assoc
          |  FROM documents GROUP BY GROUPING SETS ((source), (source, lang)))
          |ORDER BY path""".stripMargin,
     // range-field relations over [n_chars, n_chars + doc_id%128] vs [250,310]
@@ -5797,12 +5797,12 @@ object FulltextQueries {
       s"""WITH r AS (SELECT n_chars AS lo, n_chars + (doc_id % 128) AS hi
          |           FROM documents),
          |c AS (SELECT
-         |  sum(CASE WHEN lo <= 310 AND hi >= 250 THEN 1 ELSE 0 END) AS i,
-         |  sum(CASE WHEN lo >= 250 AND hi <= 310 THEN 1 ELSE 0 END) AS w,
-         |  sum(CASE WHEN lo <= 250 AND hi >= 310 THEN 1 ELSE 0 END) AS ct,
-         |  sum(CASE WHEN lo <= 310 AND hi >= 250
+         |  CAST(sum(CASE WHEN lo <= 310 AND hi >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS i,
+         |  CAST(sum(CASE WHEN lo >= 250 AND hi <= 310 THEN 1 ELSE 0 END) AS BIGINT) AS w,
+         |  CAST(sum(CASE WHEN lo <= 250 AND hi >= 310 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |  CAST(sum(CASE WHEN lo <= 310 AND hi >= 250
          |           AND NOT (lo >= 250 AND hi <= 310)
-         |           AND NOT (lo <= 250 AND hi >= 310) THEN 1 ELSE 0 END) AS x
+         |           AND NOT (lo <= 250 AND hi >= 310) THEN 1 ELSE 0 END) AS BIGINT) AS x
          |  FROM r)
          |SELECT 'CONTAINS' AS relation, ct AS n FROM c
          |UNION ALL SELECT 'CROSSES', x FROM c

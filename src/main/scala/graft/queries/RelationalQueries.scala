@@ -3405,7 +3405,7 @@ object RelationalQueries {
          |  FROM events WHERE event_type = 'purchase' GROUP BY h),
          |  p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
          |    FROM s a JOIN s b ON a.h < b.h)
-         |SELECT cmd, $kendallExpr AS tau_b FROM (
+         |SELECT CAST(cmd AS BIGINT) AS cmd, $kendallExpr AS tau_b FROM (
          |  SELECT sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1
          |      WHEN (x1 - x2) * (y1 - y2) < 0 THEN -1 ELSE 0 END) AS cmd,
          |    count(*) AS n0,
@@ -3476,7 +3476,8 @@ object RelationalQueries {
          |agg AS (
          |  SELECT sum(ca) AS n1, sum(c - ca) AS n2, sum(ca * rank2) AS sr2
          |  FROM ranked)
-         |SELECT n1, n2, $mannWhitneyUExpr FROM agg""".stripMargin,
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  $mannWhitneyUExpr FROM agg""".stripMargin,
     "q_ks" ->
       s"""WITH ev AS (
          |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
@@ -3497,7 +3498,8 @@ object RelationalQueries {
          |agg AS (
          |  SELECT n1, n2, max(abs(cumA * n2 - cumB * n1)) AS num
          |  FROM cum, tot GROUP BY n1, n2)
-         |SELECT n1, n2, num, $ksExpr FROM agg""".stripMargin,
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(num AS BIGINT) AS num, $ksExpr FROM agg""".stripMargin,
     "q_outliers" ->
       s"""WITH ev AS (
          |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
@@ -3790,8 +3792,8 @@ object RelationalQueries {
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         |  FROM embeddings WHERE vec_id < 5)
         |SELECT vec_id,
-        |  list_sum(list_transform(v, x -> abs(x))) AS l1,
-        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS linf,
+        |  CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS l1,
+        |  CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS BIGINT) AS linf,
         |  round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)), 4) AS l2
         |FROM e ORDER BY vec_id""".stripMargin,
     "q_datemath" ->
@@ -3851,7 +3853,7 @@ object RelationalQueries {
       """WITH c AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS value, count(*) AS cnt
         |  FROM lineitem GROUP BY 1)
-        |SELECT value, cnt, cum_freq,
+        |SELECT value, CAST(cnt AS BIGINT) AS cnt, CAST(cum_freq AS BIGINT) AS cum_freq,
         |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS pct,
         |  CAST(cum_freq AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_pct
         |FROM (

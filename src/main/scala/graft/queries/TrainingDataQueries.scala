@@ -2583,9 +2583,9 @@ object TrainingDataQueries {
          |s AS (SELECT lang, count(*) AS n_toks, sum(mn) AS log_likelihood_micro
          |      FROM ll GROUP BY lang)
          |SELECT s.lang, s.n_toks,
-         |  s.log_likelihood_micro
+         |  CAST(s.log_likelihood_micro
          |    + CAST(floor((ln(CAST(pri.cdocs AS DOUBLE))
-         |                - ln(CAST(nd.n AS DOUBLE))) * 1000000.0) AS BIGINT) AS score_micro
+         |                - ln(CAST(nd.n AS DOUBLE))) * 1000000.0) AS BIGINT) AS BIGINT) AS score_micro
          |FROM s JOIN pri ON s.lang = pri.lang CROSS JOIN nd
          |ORDER BY score_micro DESC, s.lang""".stripMargin,
     "td_knn_classify" ->
@@ -2913,7 +2913,7 @@ object TrainingDataQueries {
          |dt AS (SELECT y, unnest(list_distinct(tk)) AS term FROM d),
          |pt AS (SELECT term, sum(y) AS xc, sum(1 - y) AS nc FROM dt GROUP BY term),
          |tot AS (SELECT count(*) AS nd, sum(y) AS np FROM d)
-         |SELECT term, xc + nc AS doc_freq, $igainScoreExpr, $igainIdfExpr
+         |SELECT term, CAST(xc + nc AS BIGINT) AS doc_freq, $igainScoreExpr, $igainIdfExpr
          |FROM pt, tot
          |ORDER BY score_r DESC, term ASC LIMIT 10""".stripMargin,
     "td_train_logit" ->

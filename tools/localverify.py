@@ -14,7 +14,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # normalize away engine-specific dtypes: everything through repr strings
     def cell(v):
         if isinstance(v, float):
-            return format(v, ".10g")
+            # repr() keeps the trailing ".0" so an int64-vs-float64 dtype
+            # drift FAILS here exactly like the driver's hash (round-3
+            # lesson: format(v, ".10g") hid 11 such rows)
+            return repr(v)
         if isinstance(v, (list, tuple)):
             return str(list(v))
         s = str(v)
