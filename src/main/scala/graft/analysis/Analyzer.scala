@@ -147,6 +147,11 @@ final case class Analyzer(
     maxTokenLength: Int = 255,
     simple: Boolean = false,
     minimalStem: Boolean = false,
+    /** Full Porter stemming — the reference's `EnglishAnalyzer` default
+      * chain applies `PorterStemFilter` after stop filtering (reference:
+      * lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:106-113).
+      * See [[PorterStemmer]]. */
+    porterStem: Boolean = false,
     /** > 1 composes word n-grams after the filter chain — Lucene
       * `ShingleFilter` with outputUnigrams=false, '_' separator (reference:
       * lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java:
@@ -325,7 +330,10 @@ final case class Analyzer(
       } else {
         pos += rt.posIncr + pendingGap
         pendingGap = 0
-        val out = if (minimalStem) Analyzer.minimalStemEn(term) else term
+        val out =
+          if (porterStem) PorterStemmer.stem(term)
+          else if (minimalStem) Analyzer.minimalStemEn(term)
+          else term
         val tok = Token(out, pos, rt.startOffset, rt.endOffset)
         synonyms.get(out) match {
           case Some(syn) =>
@@ -542,6 +550,15 @@ object Analyzers {
   /** `EnglishMinimalStemFilter` chain over the SQL-expressible tokenizer —
     * the stemming path under the hard oracle (`ft_stem_*`). */
   val minimalStem: Analyzer = Analyzer(simple = true, minimalStem = true)
+
+  /** The reference's full `EnglishAnalyzer` chain (tokenize → lowercase →
+    * stop → Porter), over the SQL-expressible tokenizer so the DuckDB
+    * oracle can replay it (reference: EnglishAnalyzer.java:106-113; the
+    * possessive filter is a no-op on this corpus — the `[a-z0-9]+`
+    * tokenizer already splits at apostrophes). Stop filtering precedes
+    * stemming, so stop words are dropped by surface form, not stem. */
+  val englishPorter: Analyzer =
+    Analyzer(simple = true, stopWords = ENGLISH_STOP_WORDS, porterStem = true)
 
   /** `ShingleFilter` word bigrams (outputUnigrams=false) over the
     * SQL-expressible tokenizer — the shingled index behind

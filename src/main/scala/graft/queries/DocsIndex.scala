@@ -197,6 +197,45 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.minimalStem))
       })
 
+  /** Same corpus indexed through the full EnglishAnalyzer chain (stop set +
+    * Porter stemming, `Analyzers.englishPorter`). The synthetic corpus has
+    * no derived forms, so both engines apply the SAME deterministic
+    * inflection before analysis — each injected form exercises a different
+    * Porter step ('relational' step 2 ATIONAL→ATE + final-e, 'generalizations'
+    * the paper's own four-step worked example →'gener', 'oscillating' 1b
+    * ING + 5b LL→L →'oscil', 'queries' 1a IES→I →'queri' where the
+    * S-stemmer would give 'query', 'windowing' the *o cvc guard, 'happiness'
+    * step 3 NESS). The oracle replays the identical inflection and a
+    * whole-vocabulary stem map hand-derived from the 1980 paper. */
+  def getPorter(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#porter", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val inflected = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |  regexp_replace(regexp_replace(
+              |  text, '\\bfilter\\b', 'relational'),
+              |  '\\bmerge\\b', 'generalizations'),
+              |  '\\bsort\\b', 'oscillating'),
+              |  '\\bquery\\b', 'queries'),
+              |  '\\bwindow\\b', 'windowing'),
+              |  '\\bslow\\b', 'happiness')""".stripMargin))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(inflected,
+          IndexConfig(analyzer = Analyzers.englishPorter))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.englishPorter))
+      })
+
   /** Same corpus indexed with the EnglishAnalyzer stop set — the StopFilter
     * + posIncrement-gap path (Analyzer.scala stop handling) under the hard
     * oracle signal via `ft_stop_phrase` / `ft_stop_count`. */

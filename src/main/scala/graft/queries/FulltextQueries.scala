@@ -97,6 +97,45 @@ object FulltextQueries {
        |                    << (length(format('{:b}', len(tk) - 24)) - 4)) END AS dlq
        |  FROM toks)""".stripMargin
 
+  /** The deterministic inflection applied before the Porter index is built
+    * (`DocsIndex.getPorter`) — same patterns, DuckDB 'g' flag. */
+  private val PORTER_TXT =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(" +
+      "text, '\\bfilter\\b', 'relational', 'g'), " +
+      "'\\bmerge\\b', 'generalizations', 'g'), " +
+      "'\\bsort\\b', 'oscillating', 'g'), '\\bquery\\b', 'queries', 'g'), " +
+      "'\\bwindow\\b', 'windowing', 'g'), '\\bslow\\b', 'happiness', 'g')"
+
+  /** `EnglishAnalyzer.ENGLISH_STOP_WORDS_SET` as a SQL IN-list (the chain
+    * stop-filters BEFORE stemming, so surface forms are matched). */
+  private val STOP33 =
+    "('a','an','and','are','as','at','be','but','by','for','if','in','into'," +
+      "'is','it','no','not','of','on','or','such','that','the','their','then'," +
+      "'there','these','they','this','to','was','will','with')"
+
+  /** Porter stems of the full post-inflection corpus vocabulary,
+    * hand-derived from the 1980 paper (NOT generated from the engine's
+    * [[graft.analysis.PorterStemmer]] — an independent derivation; the
+    * closed 31-word vocabulary makes the whole-dictionary map enumerable).
+    * Words the algorithm leaves unchanged fall through the ELSE. */
+  private val PORTER_CASE =
+    "CASE t WHEN 'customer' THEN 'custom' WHEN 'table' THEN 'tabl' " +
+      "WHEN 'value' THEN 'valu' WHEN 'key' THEN 'kei' " +
+      "WHEN 'queries' THEN 'queri' WHEN 'relational' THEN 'relat' " +
+      "WHEN 'generalizations' THEN 'gener' WHEN 'oscillating' THEN 'oscil' " +
+      "WHEN 'windowing' THEN 'window' WHEN 'happiness' THEN 'happi' " +
+      "ELSE t END"
+
+  private val PORTER_TOKS =
+    s"list_transform(list_filter(regexp_extract_all(lower($PORTER_TXT), " +
+      s"'[a-z0-9]+'), t -> t NOT IN $STOP33), t -> $PORTER_CASE)"
+
+  /** PRELUDE twin over the stop-filtered + Porter-stemmed token stream
+    * (doc length counts surviving tokens only — stop gaps don't count,
+    * matching invert's discount of filtered positions). */
+  private val PORTER_PRELUDE = PRELUDE.replace(TOKS, PORTER_TOKS)
+
   /** Full BM25 oracle over the WordDelimiter compound index: term tf = raw
     * occurrences (every raw token surfaces once, as a split part or bare
     * trailing token) + compounds whose lowercased concat equals the term
@@ -1412,6 +1451,37 @@ object FulltextQueries {
       searcher.matchesDS(searcher.parse("queries")).toDF("docId")
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // Full EnglishAnalyzer chain (stop + Porter) under the hard oracle:
+    // neither query word appears in the corpus — 'relates' reaches the
+    // 'relat' (<- 'relational') posting list and 'oscillator' the 'oscil'
+    // (<- 'oscillating') list only through the stemmer; BM25 stats are
+    // post-stop post-stem
+    "ft_porter_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getPorter(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("relates OR oscillator"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // 'generalize' -> step3 ALIZE->AL -> step4 AL-> = 'gener', the stem of
+    // the corpus form 'generalizations' (the paper's own worked example)
+    "ft_porter_match" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getPorter(spark, sfDir)
+      searcher.matchesDS(searcher.parse("generalize")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // whole-dictionary audit of the Porter index: every distinct stem with
+    // df/ttf — any corpus word the engine stems differently from the
+    // oracle's hand-derived paper map surfaces here
+    "ft_porter_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getPorter(spark, sfDir)
+      index.termStats
+        .select($"term", $"docFreq".as("doc_freq"),
+          $"totalTermFreq".as("total_term_freq"))
+        .orderBy("term")
     }),
     // NRT/incremental ingest equivalence: the corpus committed as two
     // IncrementalIndexer micro-batches then compacted to one segment must
@@ -4812,6 +4882,36 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $STEM_TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'query')
          |ORDER BY doc_id""".stripMargin,
+    // EnglishAnalyzer-chain BM25: disjunction over the stems of two query
+    // words absent from the corpus; df/tf/norms over the stop-filtered,
+    // Porter-stemmed stream
+    "ft_porter_search" ->
+      s"""$PORTER_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("relat")} AS tf_r, ${tfSql("oscil")} AS tf_o,
+         |    (${bmSql(idfSql(dfSql("relat")), tfSql("relat"))}
+         |     + ${bmSql(idfSql(dfSql("oscil")), tfSql("oscil"))}) AS s
+         |  FROM dl, st
+         |) WHERE tf_r > 0 OR tf_o > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // 'generalize' and the corpus form 'generalizations' share the Porter
+    // stem 'gener'
+    "ft_porter_match" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $PORTER_TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, 'gener')
+         |ORDER BY doc_id""".stripMargin,
+    // the whole Porter-index dictionary: stems + df + ttf from the oracle's
+    // independent paper-derived vocabulary map
+    "ft_porter_terms" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS total_term_freq
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($PORTER_TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |)
+         |GROUP BY tok ORDER BY term""".stripMargin,
     // identical to ft_search_term: two-batch incremental commit + compact
     // must be score-equivalent to the single-shot build
     "ft_incr_search" ->
