@@ -14,6 +14,14 @@ final case class Token(term: String, position: Int, startOffset: Int, endOffset:
 /** Raw token before filters: carries the position increment. */
 final case class RawToken(term: String, posIncr: Int, startOffset: Int, endOffset: Int)
 
+/** One synonym-dictionary rule, `input => output`, as parsed from a Solr
+  * synonyms file line (reference: lucene/analysis/common/src/java/org/apache/
+  * lucene/analysis/synonym/SolrSynonymParser.java:33-61). Multi-word inputs
+  * match consecutive token positions; multi-word outputs are emitted with
+  * FlattenGraph indexing semantics (see [[Analyzer.applySynGraph]]).
+  * `keepOrig` mirrors `SynonymMap.Builder.add`'s includeOrig. */
+final case class SynRule(input: Seq[String], output: Seq[String], keepOrig: Boolean = true)
+
 /** UAX#29-subset word-break tokenizer.
   *
   * Re-expresses the behavior of Lucene's `StandardTokenizer` (a JFlex DFA,
@@ -178,6 +186,16 @@ final case class Analyzer(
       * queries match through either surface form, and tf/df of the synonym
       * term absorb the mapped occurrences — Lucene's exact semantics. */
     synonyms: Map[String, String] = Map.empty,
+    /** Full `SynonymGraphFilter` + `FlattenGraphFilter` indexing analog
+      * (reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+      * synonym/SynonymGraphFilter.java:73-88 + core/.../FlattenGraphFilter.java):
+      * multi-word inputs consume consecutive positions, multi-word outputs
+      * stack their first token (posIncrement 0) and advance one position per
+      * further token — shifting every later token, exactly what the
+      * flattened graph looks like to the indexer. Applied greedily
+      * longest-input-first at each position, like the synonym FST's
+      * longest-match scan. */
+    synRules: Seq[SynRule] = Nil,
     /** `HTMLStripCharFilter` subset (reference: lucene/analysis/common/src/
       * java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.jflex —
       * tags removed, character entities decoded, before tokenization): a
@@ -342,15 +360,16 @@ final case class Analyzer(
         }
       }
     }
-    if (shingleSize > 1) base.sliding(shingleSize).withPartial(false).map { w =>
+    val stream = if (synRules.isEmpty) base else Analyzer.applySynGraph(base, synRules)
+    if (shingleSize > 1) stream.sliding(shingleSize).withPartial(false).map { w =>
       Token(w.iterator.map(_.term).mkString("_"),
         w.head.position, w.head.startOffset, w.last.endOffset)
     }
-    else if (commonWords.isEmpty) base
+    else if (commonWords.isEmpty) stream
     else {
       // CommonGramsFilter: interleave each gram right after its first
       // member so positions stay nondecreasing for invert's length count.
-      val toks = base.toArray
+      val toks = stream.toArray
       toks.iterator.zipWithIndex.flatMap { case (a, i) =>
         val gram =
           if (i + 1 < toks.length) {
@@ -397,6 +416,63 @@ final case class Analyzer(
 }
 
 object Analyzer {
+
+  /** `SynonymGraphFilter` match + `FlattenGraphFilter` renumbering over an
+    * already-positioned token stream. At each position, the longest rule
+    * whose input terms occupy consecutive positions fires (the FST's
+    * longest-match scan). Emission per match, in nondecreasing position
+    * order so [[Analyzer.invert]]'s distinct-position length count sees
+    * Lucene's `numOverlap` semantics:
+    *
+    *  - originals (when keepOrig) keep their shifted positions;
+    *  - output token k lands at `firstInputPos + k` — the first stacks
+    *    (posIncrement 0 ≙ same position), each further one advances one
+    *    flattened position;
+    *  - when the output is LONGER than the input, every later token shifts
+    *    by the difference — the flattened graph inserts positions, which is
+    *    exactly how a `mergejoin => merge join` expansion lets the phrase
+    *    "merge join" (and a phrase spanning into the next original word)
+    *    match the indexed stream.
+    */
+  def applySynGraph(toks: Iterator[Token], rules: Seq[SynRule]): Iterator[Token] = {
+    val arr = toks.toArray
+    val byLen = rules.sortBy(-_.input.length)
+    val out = collection.mutable.ArrayBuffer.empty[Token]
+    var shift = 0
+    var i = 0
+    while (i < arr.length) {
+      val hit = byLen.find { r =>
+        r.input.length <= arr.length - i &&
+        r.input.indices.forall { k =>
+          arr(i + k).term == r.input(k) &&
+          (k == 0 || arr(i + k).position == arr(i + k - 1).position + 1)
+        }
+      }
+      hit match {
+        case Some(r) =>
+          val basePos = arr(i).position + shift
+          val endOff = arr(i + r.input.length - 1).endOffset
+          val emitted = collection.mutable.ArrayBuffer.empty[Token]
+          if (r.keepOrig)
+            for (k <- r.input.indices)
+              emitted += arr(i + k).copy(position = arr(i + k).position + shift)
+          for ((o, k) <- r.output.zipWithIndex)
+            emitted += Token(o, basePos + k, arr(i).startOffset, endOff)
+          out ++= emitted.sortBy(_.position)
+          // flattened positions consumed: with keepOrig both paths coexist
+          // (max); a pure replace keeps only the output's span, so a 2->1
+          // contraction pulls every later token one position earlier
+          val span = if (r.keepOrig) math.max(r.input.length, r.output.length)
+                     else r.output.length
+          shift += span - r.input.length
+          i += r.input.length
+        case None =>
+          out += arr(i).copy(position = arr(i).position + shift)
+          i += 1
+      }
+    }
+    out.iterator
+  }
 
   /** HTMLStripCharFilter subset — see [[Analyzer.htmlStrip]]. Blanks each
     * `<...>` tag span and each recognized character entity with spaces of
@@ -569,6 +645,22 @@ object Analyzers {
     * case-transition splitting with the original preserved as a stacked
     * token) — the code-payload analyzer behind `ft_wd_search`/`ft_wd_phrase`. */
   val wordDelim: Analyzer = Analyzer(wordDelimiter = true)
+
+  /** `SynonymGraphFilter` with a MULTI-WORD INPUT rule
+    * (`big table => bigtable`, keepOrig): wherever 'big' and 'table' occupy
+    * consecutive positions, the single token 'bigtable' stacks at the
+    * first word's position (posIncrement 0, flattened) — a term query for
+    * 'bigtable' then reads one posting list instead of running a phrase. */
+  val synGraphContract: Analyzer = Analyzer(simple = true,
+    synRules = Seq(SynRule(Seq("big", "table"), Seq("bigtable"))))
+
+  /** `SynonymGraphFilter` with a MULTI-WORD OUTPUT rule
+    * (`mergejoin => merge join`, keepOrig): 'merge' stacks at the source
+    * token's position, 'join' lands one flattened position later, and every
+    * subsequent token in the doc shifts by one — phrase queries match both
+    * inside the expansion and across its trailing boundary. */
+  val synGraphExpand: Analyzer = Analyzer(simple = true,
+    synRules = Seq(SynRule(Seq("mergejoin"), Seq("merge", "join"))))
 
   /** Index-time synonym chain (`slow => slow, fast` with keepOrig): 'fast'
     * postings absorb every 'slow' occurrence at its position — the

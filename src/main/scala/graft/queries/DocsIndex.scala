@@ -236,6 +236,45 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.englishPorter))
       })
 
+  /** Corpus indexed through the multi-word-INPUT synonym graph
+    * (`big table => bigtable`, `Analyzers.synGraphContract`) — no text
+    * change needed; the corpus already contains adjacent big/table pairs. */
+  def getSynGraph(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#syngraph", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.synGraphContract))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.synGraphContract))
+      })
+
+  /** Corpus with every 'merge' deterministically fused to 'mergejoin', then
+    * indexed through the multi-word-OUTPUT synonym graph
+    * (`mergejoin => merge join`, `Analyzers.synGraphExpand`) — each fused
+    * site re-expands at invert time with FlattenGraph position semantics
+    * (orig + 'merge' stacked, 'join' one position later, tail shifted). */
+  def getSynGraphExpand(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#syngraphx", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val fused = documents(spark, sfDir)
+          .withColumn("text",
+            expr("regexp_replace(text, '\\\\bmerge\\\\b', 'mergejoin')"))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(fused,
+          IndexConfig(analyzer = Analyzers.synGraphExpand))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.synGraphExpand))
+      })
+
   /** Same corpus indexed with the EnglishAnalyzer stop set — the StopFilter
     * + posIncrement-gap path (Analyzer.scala stop handling) under the hard
     * oracle signal via `ft_stop_phrase` / `ft_stop_count`. */

@@ -1452,6 +1452,38 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // SynonymGraphFilter multi-word INPUT (`big table => bigtable`): the
+    // query term 'bigtable' never occurs in text — its posting list exists
+    // only where the graph matched consecutive big/table positions; tf =
+    // pair count, doc length unchanged (stacked token, discountOverlaps)
+    "ft_syn_graph_term" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getSynGraph(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("bigtable"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // SynonymGraphFilter multi-word OUTPUT (`mergejoin => merge join`): the
+    // phrase "merge join" matches INSIDE the flattened expansion; BM25 over
+    // phrase freq with the +1-per-expansion doc length the inserted
+    // position creates
+    "ft_syn_graph_phrase" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getSynGraphExpand(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("\"merge join\""), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // the expansion's inserted position shifts every later token: "join
+    // batch" matches across the expansion boundary (originally "merge
+    // batch") and on natural adjacent join/batch pairs — both only line up
+    // if the flatten shift is applied
+    "ft_syn_graph_shift" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getSynGraphExpand(spark, sfDir)
+      searcher.matchesDS(searcher.parse("\"join batch\"")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // Full EnglishAnalyzer chain (stop + Porter) under the hard oracle:
     // neither query word appears in the corpus — 'relates' reaches the
     // 'relat' (<- 'relational') posting list and 'oscillator' the 'oscil'
@@ -4881,6 +4913,66 @@ object FulltextQueries {
     "ft_stem_match" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $STEM_TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'query')
+         |ORDER BY doc_id""".stripMargin,
+    // multi-word-input synonym BM25: tf = adjacent big/table pair count,
+    // df = docs with >=1 pair, doc length untouched by the stacked token
+    "ft_syn_graph_term" ->
+      s"""$PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf,
+         |    ${bmSql(idfSql("(SELECT count(*) FROM toks WHERE len(list_filter(" +
+              "generate_series(1, len(tk) - 1), " +
+              "i -> tk[i] = 'big' AND tk[i+1] = 'table')) > 0)"), "tf")} AS s
+         |  FROM (
+         |    SELECT doc_id, tk, dlq,
+         |      len(list_filter(generate_series(1, len(tk) - 1),
+         |                      i -> tk[i] = 'big' AND tk[i+1] = 'table')) AS tf
+         |    FROM dl
+         |  ) dl, st
+         |) WHERE tf > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // multi-word-output synonym phrase BM25: each original 'merge' becomes
+    // mergejoin@p + merge@p + join@p+1, so phrase freq = merge count,
+    // df('join') absorbs the injected tails, and the inserted position
+    // inflates every doc's length by its merge count
+    "ft_syn_graph_phrase" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |ex AS (SELECT doc_id,
+         |    len(tk) + len(list_filter(tk, x -> x = 'merge')) AS dlen,
+         |    len(list_filter(tk, x -> x = 'merge')) AS pf,
+         |    CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END AS has_m,
+         |    CASE WHEN list_contains(tk, 'join')
+         |           OR list_contains(tk, 'merge') THEN 1 ELSE 0 END AS has_j
+         |  FROM toks),
+         |st AS (SELECT count(*) AS n,
+         |    CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl,
+         |    CAST(sum(has_m) AS BIGINT) AS dfm,
+         |    CAST(sum(has_j) AS BIGINT) AS dfj FROM ex),
+         |dl AS (
+         |  SELECT doc_id, pf,
+         |    CASE WHEN dlen < 24 THEN dlen
+         |         WHEN dlen - 24 < 8 THEN dlen
+         |         ELSE 24 + (((dlen - 24) >> (length(format('{:b}', dlen - 24)) - 4))
+         |                    << (length(format('{:b}', dlen - 24)) - 4)) END AS dlq
+         |  FROM ex)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, dl.pf,
+         |    (ln(1 + (st.n - st.dfm + 0.5) / (st.dfm + 0.5))
+         |     + ln(1 + (st.n - st.dfj + 0.5) / (st.dfj + 0.5)))
+         |      * (dl.pf * (1.2 + 1))
+         |      / (dl.pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
+         |  FROM dl, st
+         |) WHERE pf > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // phrase across the expansion boundary: "join batch" hits natural
+    // adjacent pairs AND former "merge batch" sites (join lands one
+    // position before the shifted batch) — only true under the flatten
+    // position shift
+    "ft_syn_graph_shift" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, len(tk) - 1),
+         |      i -> (tk[i] = 'join' OR tk[i] = 'merge')
+         |           AND tk[i+1] = 'batch')) > 0
          |ORDER BY doc_id""".stripMargin,
     // EnglishAnalyzer-chain BM25: disjunction over the stems of two query
     // words absent from the corpus; df/tf/norms over the stop-filtered,
