@@ -452,6 +452,30 @@ object Query {
     * Java String.length = UTF-16 units, Spark `length()` counts codepoints;
     * a term of `cp` codepoints has UTF-16 length in [cp, 2cp], so the
     * window below can never exclude a true match). */
+  /** All strings reachable from `s` by deleting UP TO `e` characters
+    * (including `s` itself) — the SymSpell delete neighborhood. If
+    * damerau_levenshtein(a, b) <= e then the e-neighborhoods of a and b
+    * intersect (align the edit script: drop from `a` its substituted /
+    * deleted chars, from `b` its substituted/inserted chars, and one char
+    * from each side per transposition — both sides reduce to the common
+    * aligned subsequence with <= e deletions each). So a join on delete
+    * variants is an EXACT superset band for fuzzy expansion: the automaton
+    * role of the reference's LevenshteinAutomata.java:1-319 re-expressed as
+    * an equi-join the engine can seek, never a whole-dictionary predicate
+    * scan. */
+  def deleteNeighborhood(s: String, e: Int): Set[String] = {
+    var cur = Set(s)
+    var all = cur
+    var d = 0
+    while (d < e) {
+      cur = cur.flatMap(w =>
+        w.indices.map(i => w.substring(0, i) + w.substring(i + 1)))
+      all ++= cur
+      d += 1
+    }
+    all
+  }
+
   def scanPrefilter(mt: MultiTermQ): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val term = col("term")
