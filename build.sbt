@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single JSON stdout line; sbt's default
+// LoggedOutput wraps forked stdout in "[info] " (and stderr in "[error] "),
+// which broke the parse in every prior round (BENCH_r*.json "parsed": null).
+// StdoutOutput forwards the child's streams verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
