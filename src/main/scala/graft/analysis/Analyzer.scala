@@ -196,6 +196,15 @@ final case class Analyzer(
       * longest-input-first at each position, like the synonym FST's
       * longest-match scan. */
     synRules: Seq[SynRule] = Nil,
+    /** `CJKBigramFilter` (reference: lucene/analysis/common/src/java/org/
+      * apache/lucene/analysis/cjk/CJKBigramFilter.java:1-350, HAN flag):
+      * consecutive single-codepoint Han/Hiragana tokens (what the UAX#29
+      * tokenizer emits for ideographs) combine into overlapping bigrams;
+      * an unpaired ideograph stays a unigram; non-CJK tokens pass through.
+      * Positions are renumbered contiguously over the emitted stream —
+      * each bigram takes one position (outputUnigrams=false default), so
+      * a k-char run contributes k-1 to the field length. */
+    cjkBigram: Boolean = false,
     /** `HTMLStripCharFilter` subset (reference: lucene/analysis/common/src/
       * java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.jflex —
       * tags removed, character entities decoded, before tokenization): a
@@ -360,7 +369,8 @@ final case class Analyzer(
         }
       }
     }
-    val stream = if (synRules.isEmpty) base else Analyzer.applySynGraph(base, synRules)
+    val stream0 = if (synRules.isEmpty) base else Analyzer.applySynGraph(base, synRules)
+    val stream = if (!cjkBigram) stream0 else Analyzer.cjkBigrams(stream0)
     if (shingleSize > 1) stream.sliding(shingleSize).withPartial(false).map { w =>
       Token(w.iterator.map(_.term).mkString("_"),
         w.head.position, w.head.startOffset, w.last.endOffset)
@@ -416,6 +426,47 @@ final case class Analyzer(
 }
 
 object Analyzer {
+
+  /** Is this token a single ideograph the way [[Tokenizer]] emits them? */
+  private def isCjkSingle(term: String): Boolean = {
+    if (term.codePointCount(0, term.length) != 1) return false
+    val script = Character.UnicodeScript.of(term.codePointAt(0))
+    script == Character.UnicodeScript.HAN || script == Character.UnicodeScript.HIRAGANA
+  }
+
+  /** `CJKBigramFilter` over an already-positioned stream: runs of adjacent
+    * single-ideograph tokens become overlapping bigrams (a lone ideograph
+    * stays a unigram), everything else passes through; positions renumber
+    * contiguously like the filter's posIncrement-1 output stream. */
+  def cjkBigrams(toks: Iterator[Token]): Iterator[Token] = {
+    val arr = toks.toArray
+    val out = collection.mutable.ArrayBuffer.empty[Token]
+    var pos = 0
+    var i = 0
+    while (i < arr.length) {
+      val t = arr(i)
+      if (!isCjkSingle(t.term)) {
+        out += t.copy(position = pos); pos += 1; i += 1
+      } else {
+        // extend the run of position-adjacent ideograph singles
+        var j = i + 1
+        while (j < arr.length && isCjkSingle(arr(j).term) &&
+               arr(j).position == arr(j - 1).position + 1) j += 1
+        if (j - i == 1) {
+          out += t.copy(position = pos); pos += 1
+        } else {
+          var k = i
+          while (k < j - 1) {
+            out += Token(arr(k).term + arr(k + 1).term, pos,
+              arr(k).startOffset, arr(k + 1).endOffset)
+            pos += 1; k += 1
+          }
+        }
+        i = j
+      }
+    }
+    out.iterator
+  }
 
   /** `SynonymGraphFilter` match + `FlattenGraphFilter` renumbering over an
     * already-positioned token stream. At each position, the longest rule
@@ -645,6 +696,13 @@ object Analyzers {
     * case-transition splitting with the original preserved as a stacked
     * token) — the code-payload analyzer behind `ft_wd_search`/`ft_wd_phrase`. */
   val wordDelim: Analyzer = Analyzer(wordDelimiter = true)
+
+  /** The CJK analysis chain (UAX#29 tokenizer — Han/Hiragana emit as
+    * single-codepoint tokens — then `CJKBigramFilter` bigrams), the
+    * reference's `CJKAnalyzer` composition
+    * (lucene/analysis/common/src/java/org/apache/lucene/analysis/cjk/CJKAnalyzer.java:35-60
+    * minus its stop set, which is empty for this corpus). */
+  val cjk: Analyzer = Analyzer(cjkBigram = true)
 
   /** `SynonymGraphFilter` with a MULTI-WORD INPUT rule
     * (`big table => bigtable`, keepOrig): wherever 'big' and 'table' occupy

@@ -236,6 +236,36 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.englishPorter))
       })
 
+  /** Corpus with two deterministic Han injections ('stream' -> the 3-char
+    * 数据流, 'key' -> the lone 键), indexed through the CJK bigram chain
+    * (`Analyzers.cjk`): each 数据流 contributes the bigrams 数据+据流, each
+    * 键 stays a unigram, and doc length counts ascii words + (run-1) per
+    * Han run — the multilingual slice of the pipeline under the hard
+    * oracle. */
+  def getCjk(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#cjk", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val injected = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(
+              |  text, '\\bstream\\b', '数据流'),
+              |  '\\bkey\\b', '键')""".stripMargin))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(injected,
+          IndexConfig(analyzer = Analyzers.cjk))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.cjk))
+      })
+
   /** Corpus indexed through the multi-word-INPUT synonym graph
     * (`big table => bigtable`, `Analyzers.synGraphContract`) — no text
     * change needed; the corpus already contains adjacent big/table pairs. */

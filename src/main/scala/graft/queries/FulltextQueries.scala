@@ -136,6 +136,29 @@ object FulltextQueries {
     * matching invert's discount of filtered positions). */
   private val PORTER_PRELUDE = PRELUDE.replace(TOKS, PORTER_TOKS)
 
+  /** The deterministic Han injection applied before the CJK index is built
+    * (`DocsIndex.getCjk`) — same patterns, DuckDB 'g' flag. */
+  private val CJK_TXT =
+    "regexp_replace(regexp_replace(text, '\\bstream\\b', '数据流', 'g'), " +
+      "'\\bkey\\b', '键', 'g')"
+
+  /** The CJKBigramFilter token stream in SQL: ascii words plus, per Han
+    * run, its overlapping character bigrams (a lone ideograph stays a
+    * unigram) — RE2 `\p{Han}` and DuckDB's character-based len/substr do
+    * the ideograph walk. Whitespace is stripped BEFORE run extraction:
+    * ideograph tokens arrive posIncrement-1 across plain spaces, so the
+    * filter bigrams through them — only an intervening ascii/digit token
+    * breaks a run (the reference's gap check fires on posInc > 1 alone). */
+  private val CJK_TOKS =
+    s"(regexp_extract_all(lower($CJK_TXT), '[a-z0-9]+') || " +
+      "flatten(list_transform(regexp_extract_all(" +
+      s"regexp_replace($CJK_TXT, '\\s+', '', 'g'), '\\p{Han}+'), " +
+      "r -> CASE WHEN len(r) = 1 THEN [r] " +
+      "ELSE list_transform(generate_series(1, len(r) - 1), " +
+      "i -> substr(r, i, 2)) END)))"
+
+  private val CJK_PRELUDE = PRELUDE.replace(TOKS, CJK_TOKS)
+
   /** Full BM25 oracle over the WordDelimiter compound index: term tf = raw
     * occurrences (every raw token surfaces once, as a split part or bare
     * trailing token) + compounds whose lowercased concat equals the term
@@ -1451,6 +1474,36 @@ object FulltextQueries {
       searcher.matchesDS(searcher.parse("queries")).toDF("docId")
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // CJK bigram chain: the two-ideograph query 数据 analyzes to ONE bigram
+    // term whose postings exist only where the injected Han run 数据流
+    // produced the 数据+据流 bigrams; BM25 stats over the bigrammed stream
+    "ft_cjk_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getCjk(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("数据"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // a lone ideograph (键) is NOT bigrammed — unigram postings
+    "ft_cjk_unigram" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getCjk(spark, sfDir)
+      searcher.matchesDS(searcher.parse("键")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // WordBreakSpellChecker break suggestions: fused misspellings split at
+    // every boundary whose halves are both dictionary terms, ranked by the
+    // rarer half's frequency
+    "ft_spell_wordbreak" -> ((spark, sfDir) => {
+      val (_, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.suggestWordBreaks(Seq("sortmerge", "bigtable", "datakey"))
+    }),
+    // WordBreakSpellChecker combine suggestions: adjacent fragments whose
+    // concatenation is a dictionary term
+    "ft_spell_combine" -> ((spark, sfDir) => {
+      val (_, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.suggestWordCombinations(Seq("mer", "ge", "cust", "omer"))
     }),
     // SynonymGraphFilter multi-word INPUT (`big table => bigtable`): the
     // query term 'bigtable' never occurs in text — its posting list exists
@@ -4914,6 +4967,47 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $STEM_TOKS AS tk FROM documents)
          |WHERE list_contains(tk, 'query')
          |ORDER BY doc_id""".stripMargin,
+    // CJK bigram BM25: tf/df of the 数据 bigram, doc length = ascii words
+    // + (run length - 1) per Han run
+    "ft_cjk_search" ->
+      s"""$CJK_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("数据")} AS tf,
+         |    ${bmSql(idfSql(dfSql("数据")), tfSql("数据"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ft_cjk_unigram" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $CJK_TOKS AS tk FROM documents)
+         |WHERE list_contains(tk, '键')
+         |ORDER BY doc_id""".stripMargin,
+    // word-break suggestions re-derived over the distinct-token dictionary
+    "ft_spell_wordbreak" ->
+      s"""WITH dict AS (
+         |  SELECT tok AS term, count(*) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |  GROUP BY tok),
+         |inputs AS (SELECT * FROM (VALUES ('sortmerge'), ('bigtable'), ('datakey')) t(w)),
+         |splits AS (
+         |  SELECT w, CAST(i AS BIGINT) AS break_at,
+         |    substr(w, 1, i) AS left_part, substr(w, i + 1) AS right_part
+         |  FROM inputs, (SELECT unnest(generate_series(2, 30)) AS i)
+         |  WHERE i <= len(w) - 2)
+         |SELECT w AS input, break_at, left_part, right_part,
+         |  dl.df AS df_left, dr.df AS df_right
+         |FROM splits
+         |JOIN dict dl ON dl.term = left_part
+         |JOIN dict dr ON dr.term = right_part
+         |ORDER BY input, least(dl.df, dr.df) DESC, break_at""".stripMargin,
+    "ft_spell_combine" ->
+      s"""WITH dict AS (
+         |  SELECT tok AS term, count(*) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |  GROUP BY tok),
+         |inputs AS (SELECT * FROM (VALUES (0, 'mer', 'ge'), (1, 'ge', 'cust'),
+         |                                 (2, 'cust', 'omer')) t(pos, w1, w2))
+         |SELECT CAST(pos AS BIGINT) AS pos, w1, w2, w1 || w2 AS combined, dict.df
+         |FROM inputs JOIN dict ON dict.term = w1 || w2
+         |ORDER BY pos""".stripMargin,
     // multi-word-input synonym BM25: tf = adjacent big/table pair count,
     // df = docs with >=1 pair, doc length untouched by the stacked token
     "ft_syn_graph_term" ->

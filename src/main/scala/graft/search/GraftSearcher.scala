@@ -696,6 +696,49 @@ final class GraftSearcher(
     }
   }
 
+  /** WordBreakSpellChecker.suggestWordBreaks (reference:
+    * lucene/suggest/src/java/org/apache/lucene/search/spell/WordBreakSpellChecker.java:1-514,
+    * generateBreakUpSuggestions :180-230): one-change splits of each input
+    * whose halves are BOTH dictionary terms of length >= minBreakLength.
+    * Ranked like the reference's SuggestWordQueue ordering — fewest changes
+    * first is trivial at maxChanges=1, then higher frequency (the rarer
+    * half bounds a suggestion's usefulness, so the tie key is the MIN of
+    * the two dfs), then break position. The candidate splits are a handful
+    * of driver-side strings broadcast against the dictionary — two
+    * equi-joins, never a dictionary scan. */
+  def suggestWordBreaks(terms: Seq[String], minBreakLength: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cands = terms.flatMap { w =>
+      (minBreakLength to w.length - minBreakLength)
+        .map(i => (w, i.toLong, w.substring(0, i), w.substring(i)))
+    }.toDF("input", "break_at", "left_part", "right_part")
+    val dict = index.termStats.toDF()
+    index.termStats.toDF()
+      .select($"term".as("left_part"), $"docFreq".as("df_left"))
+      .join(broadcast(cands), Seq("left_part"))
+      .join(dict.select($"term".as("right_part"), $"docFreq".as("df_right")),
+        Seq("right_part"))
+      .select($"input", $"break_at", $"left_part", $"right_part",
+        $"df_left", $"df_right")
+      .orderBy($"input", least($"df_left", $"df_right").desc, $"break_at")
+  }
+
+  /** WordBreakSpellChecker.suggestWordCombinations (reference:
+    * WordBreakSpellChecker.java generateSuggestWordCombinations :232-280):
+    * adjacent input-term pairs whose concatenation is a dictionary term.
+    * Same broadcast-candidates-into-dictionary shape as word breaks. */
+  def suggestWordCombinations(terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val cands = terms.iterator.sliding(2).withPartial(false).zipWithIndex
+      .map { case (pair, i) => (i.toLong, pair.head, pair(1), pair.head + pair(1)) }
+      .toSeq.toDF("pos", "w1", "w2", "combined")
+    index.termStats.toDF()
+      .select($"term".as("combined"), $"docFreq".as("df"))
+      .join(broadcast(cands), Seq("combined"))
+      .select($"pos", $"w1", $"w2", $"combined", $"df")
+      .orderBy("pos")
+  }
+
   /** Every block row the query can touch — the distributed term-dictionary
     * seek. Exact/prefix/range predicates filter the block scan directly
     * (parquet min/max row-group pruning). Fuzzy/regexp/wildcard queries are
