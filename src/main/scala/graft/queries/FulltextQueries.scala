@@ -1840,6 +1840,31 @@ object FulltextQueries {
         .orderBy(desc("score"), asc("doc_id")).limit(12)
         .select(col("doc_id"), col("score"))
     }),
+    // edismax pf2/pf3 shingle phrase boosts (ExtendedDismaxQParser.java
+    // pf2/pf3 params: every adjacent PAIR of query terms re-queried as a
+    // boosted phrase, and every adjacent TRIPLE likewise): term legs +
+    // (big,table)/(table,hash) bigram legs at pf2 boost 1.5 + the
+    // (big,table,hash) trigram leg at pf3 boost 1.25, summed per doc
+    "ft_edismax_pf2" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val legs = Seq[graft.search.Query](
+        graft.search.TermQ("big"),
+        graft.search.TermQ("table"),
+        graft.search.TermQ("hash"),
+        graft.search.BoostQ(
+          graft.search.PhraseQ(Seq("big", "table"), Seq(0, 1)), 1.5f),
+        graft.search.BoostQ(
+          graft.search.PhraseQ(Seq("table", "hash"), Seq(0, 1)), 1.5f),
+        graft.search.BoostQ(
+          graft.search.PhraseQ(Seq("big", "table", "hash"), Seq(0, 1, 2)), 1.25f))
+        .map(q => searcher.scoreAllDoubleDS(q).toDF("docId", "s"))
+      legs.reduce(_ unionByName _)
+        .groupBy("docId").agg(sum("s").as("score"))
+        .select(col("docId"), round4Col(col("score")).as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(12)
+        .select(col("doc_id"), col("score"))
+    }),
     // group.main=true (solr/core/src/java/org/apache/solr/search/
     // Grouping.java mainResult — the grouped result FLATTENED into one doc
     // list: groups ordered by their head doc's sort value, group.limit docs
@@ -5241,6 +5266,61 @@ object FulltextQueries {
          |      FROM dl) dl, st
          |  ) WHERE pf > 0)
          |SELECT doc_id, round(sum(s), 4) AS score FROM legs GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // pf2/pf3 shingle boosts: three term legs + two pf2 bigram legs
+    // (boost 1.5) + the pf3 trigram leg (boost 1.25), each round4'd, summed
+    "ft_edismax_pf2" ->
+      s"""$PRELUDE,
+         |legs AS (
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("big")), tfSql("big"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("big")} > 0
+         |  UNION ALL
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("table")), tfSql("table"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("table")} > 0
+         |  UNION ALL
+         |  SELECT dl.doc_id,
+         |    round(${bmSql(idfSql(dfSql("hash")), tfSql("hash"))}, 4) AS s
+         |  FROM dl, st WHERE ${tfSql("hash")} > 0
+         |  UNION ALL
+         |  SELECT doc_id, round(s, 4) AS s FROM (
+         |    SELECT dl.doc_id, pf,
+         |      (CAST(1.5 AS DOUBLE) * (${idfSql(dfSql("big"))} + ${idfSql(dfSql("table"))}))
+         |        * (pf * (1.2 + 1))
+         |        / (pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
+         |    FROM (
+         |      SELECT doc_id, tk, dlq,
+         |        len(list_filter(generate_series(1, len(tk) - 1),
+         |                        i -> tk[i] = 'big' AND tk[i+1] = 'table')) AS pf
+         |      FROM dl) dl, st
+         |  ) WHERE pf > 0
+         |  UNION ALL
+         |  SELECT doc_id, round(s, 4) AS s FROM (
+         |    SELECT dl.doc_id, pf,
+         |      (CAST(1.5 AS DOUBLE) * (${idfSql(dfSql("table"))} + ${idfSql(dfSql("hash"))}))
+         |        * (pf * (1.2 + 1))
+         |        / (pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
+         |    FROM (
+         |      SELECT doc_id, tk, dlq,
+         |        len(list_filter(generate_series(1, len(tk) - 1),
+         |                        i -> tk[i] = 'table' AND tk[i+1] = 'hash')) AS pf
+         |      FROM dl) dl, st
+         |  ) WHERE pf > 0
+         |  UNION ALL
+         |  SELECT doc_id, round(s, 4) AS s FROM (
+         |    SELECT dl.doc_id, pf,
+         |      (CAST(1.25 AS DOUBLE) * (${idfSql(dfSql("big"))} + ${idfSql(dfSql("table"))} + ${idfSql(dfSql("hash"))}))
+         |        * (pf * (1.2 + 1))
+         |        / (pf + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) AS s
+         |    FROM (
+         |      SELECT doc_id, tk, dlq,
+         |        len(list_filter(generate_series(1, len(tk) - 2),
+         |                        i -> tk[i] = 'big' AND tk[i+1] = 'table'
+         |                             AND tk[i+2] = 'hash')) AS pf
+         |      FROM dl) dl, st
+         |  ) WHERE pf > 0)
+         |SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 4) AS score FROM legs GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // flattened main result: group-head order then within-group order
     "ft_group_main" ->
