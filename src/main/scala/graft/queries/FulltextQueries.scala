@@ -2334,6 +2334,86 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // TermVectorComponent (reference: solr/core/src/java/org/apache/solr/
+    // handler/component/TermVectorComponent.java — per-doc term vectors
+    // with tv.tf, tv.df, tv.tf_idf = tf/df): vectors re-derived through the
+    // SAME Analyzer.invert the indexer consumes (term vectors are stored
+    // per doc at index time from exactly this inversion), df joined from
+    // the dictionary
+    "ft_term_vectors" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val an = graft.analysis.Analyzers.simple
+      DocsIndex.documents(spark, sfDir).filter($"doc_id" < 5)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (d, txt) =>
+          val (byTerm, _) = an.invert(txt)
+          byTerm.iterator.map { case (t, (tf, _)) => (d, t, tf.toLong) }
+        }.toDF("doc_id", "term", "tf")
+        .join(index.termStats.toDF().select(col("term"), col("docFreq").as("df")), "term")
+        .withColumn("tf_idf", col("tf").cast("double") / col("df"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
+        .orderBy("doc_id", "term")
+    }),
+    // ReRankQParser (reference: solr/core/src/java/org/apache/solr/search/
+    // ReRankQParserPlugin.java — rq/reRankDocs/reRankWeight: the top
+    // reRankDocs hits of the main query get reRankWeight × the rerank
+    // query's score ADDED; docs below the cutoff keep their original
+    // score): main 'vector' top-20, reranked by 2.0 × score('table')
+    "ft_rerank" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val main = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
+        .select(col("docId"), round4Col(col("s0")).as("s"))
+        .orderBy(desc("s"), asc("docId")).limit(20)
+      val boost = searcher.scoreAllDoubleDS(searcher.parse("table")).toDF("docId", "b0")
+        .select(col("docId"), round4Col(col("b0")).as("bs"))
+      main.join(boost, Seq("docId"), "left")
+        .withColumn("score",
+          round4Col(col("s") + lit(2.0) * coalesce(col("bs"), lit(0.0))))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // UnifiedHighlighter MULTI-passage ranking (reference: lucene/
+    // highlighter/src/java/org/apache/lucene/search/uhighlight/
+    // UnifiedHighlighter.java:1-1150 + Passage.java + PassageScorer.java):
+    // the doc breaks into 20-token windows (the BreakIterator boundary
+    // analog for this sentence-less corpus), each window scores
+    // Σ_t idf(t)·tfNorm(tf, winLen) with the PassageScorer's BM25 shape
+    // (pivot = window size), and the TOP 2 passages per doc return ranked
+    // (score desc, start asc) — not just the first/best single window
+    "ft_passages_ranked" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val n = index.fieldStats.docCount
+      val dfs = index.termStats.filter($"term".isin("merge", "table"))
+        .collect().map(ts => ts.term -> ts.docFreq).toMap
+      def idf(t: String): Double =
+        math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+      val wins = termPos(spark, index, Seq("merge", "table"))
+        .withColumn("win", (col("p") / 20).cast("long"))
+        .groupBy("docId", "win")
+        .agg(
+          sum(when(col("term") === "merge", 1).otherwise(0)).as("tf_m"),
+          sum(when(col("term") === "table", 1).otherwise(0)).as("tf_t"))
+        .join(index.docs.toDF().select(col("docId"), col("len")), "docId")
+        .withColumn("win_len", least(lit(20L), col("len") - col("win") * 20))
+      def leg(tf: Column, w: Double): Column =
+        when(tf === 0, lit(0.0)).otherwise(
+          lit(w) * (tf * (lit(1.2) + lit(1))) /
+            (tf + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("win_len") / lit(20.0))))
+      val scored = wins.withColumn("score",
+        round4Col(leg(col("tf_m"), idf("merge")) + leg(col("tf_t"), idf("table"))))
+      val w = Window.partitionBy("docId").orderBy(desc("score"), asc("win"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select(col("doc_id"), col("rank"),
+          (col("win") * 20 + 1).as("win_start"),
+          (col("tf_m") + col("tf_t")).as("n_match"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
     // BooleanClause.Occur.FILTER (reference: lucene/core/src/java/org/
     // apache/lucene/search/BooleanClause.java:35-43 — "like MUST except that
     // these clauses do not participate in scoring"): 'table' gates the match
@@ -5549,6 +5629,78 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // per-doc term vectors: tf over the doc's tokens, df from the corpus,
+    // tf_idf = tf/df (one exact integer division)
+    "ft_term_vectors" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |dfs AS (
+         |  SELECT tok AS term, count(*) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks)
+         |  GROUP BY tok),
+         |tv AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id < 5)
+         |  GROUP BY doc_id, tok)
+         |SELECT tv.doc_id, tv.term, CAST(tv.tf AS BIGINT) AS tf,
+         |  CAST(dfs.df AS BIGINT) AS df,
+         |  CAST(tv.tf AS DOUBLE) / dfs.df AS tf_idf
+         |FROM tv JOIN dfs ON tv.term = dfs.term
+         |ORDER BY tv.doc_id, tv.term""".stripMargin,
+    // rerank: top-20 'vector' hits get 2 × round4(score('table')) added
+    "ft_rerank" ->
+      s"""$PRELUDE,
+         |main AS (
+         |  SELECT doc_id, round(s, 4) AS s FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st) WHERE tf > 0
+         |  ORDER BY s DESC, doc_id LIMIT 20),
+         |boost AS (
+         |  SELECT doc_id, round(s, 4) AS bs FROM (
+         |    SELECT dl.doc_id, ${tfSql("table")} AS tf,
+         |      ${bmSql(idfSql(dfSql("table")), tfSql("table"))} AS s
+         |    FROM dl, st) WHERE tf > 0)
+         |SELECT doc_id,
+         |  round(s + CAST(2.0 AS DOUBLE) * coalesce(bs, CAST(0.0 AS DOUBLE)), 4) AS score
+         |FROM main LEFT JOIN boost USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // ranked multi-passage: 20-token windows, PassageScorer BM25 shape
+    // (pivot 20), top-2 per doc by (round4 score desc, window asc)
+    "ft_passages_ranked" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n FROM toks),
+         |dfm AS (SELECT count(*) AS v FROM toks WHERE list_contains(tk, 'merge')),
+         |dft AS (SELECT count(*) AS v FROM toks WHERE list_contains(tk, 'table')),
+         |wins AS (
+         |  SELECT doc_id, CAST(w AS BIGINT) AS win,
+         |    len(list_filter(list_slice(tk, w * 20 + 1, w * 20 + 20),
+         |        x -> x = 'merge')) AS tf_m,
+         |    len(list_filter(list_slice(tk, w * 20 + 1, w * 20 + 20),
+         |        x -> x = 'table')) AS tf_t,
+         |    least(20, len(tk) - w * 20) AS win_len
+         |  FROM toks, (SELECT unnest(generate_series(0, 499)) AS w)
+         |  WHERE w * 20 < len(tk)),
+         |scored AS (
+         |  SELECT doc_id, win, tf_m, tf_t,
+         |    round(
+         |      CASE WHEN tf_m = 0 THEN 0.0
+         |           ELSE ln(1 + (n - dfm.v + 0.5) / (dfm.v + 0.5))
+         |             * (tf_m * (1.2 + 1))
+         |             / (tf_m + 1.2 * (1 - 0.75 + 0.75 * win_len / 20.0)) END
+         |      + CASE WHEN tf_t = 0 THEN 0.0
+         |           ELSE ln(1 + (n - dft.v + 0.5) / (dft.v + 0.5))
+         |             * (tf_t * (1.2 + 1))
+         |             / (tf_t + 1.2 * (1 - 0.75 + 0.75 * win_len / 20.0)) END, 4)
+         |      AS score
+         |  FROM wins, stats, dfm, dft
+         |  WHERE tf_m > 0 OR tf_t > 0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |       ORDER BY score DESC, win) AS BIGINT) AS rank,
+         |  win * 20 + 1 AS win_start, tf_m + tf_t AS n_match, score
+         |FROM scored
+         |QUALIFY rank <= 2
+         |ORDER BY doc_id, rank""".stripMargin,
     // FILTER clause: both terms gate, only 'vector' scores (boost-0 must)
     "ft_filter_clause" ->
       s"""$PRELUDE
