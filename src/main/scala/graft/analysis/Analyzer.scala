@@ -160,6 +160,14 @@ final case class Analyzer(
       * lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:106-113).
       * See [[PorterStemmer]]. */
     porterStem: Boolean = false,
+    /** `KeywordRepeatFilter` + stemmer + `RemoveDuplicatesTokenFilter`
+      * (reference: lucene/analysis/common/src/java/org/apache/lucene/
+      * analysis/miscellaneous/KeywordRepeatFilter.java:1-60 +
+      * RemoveDuplicatesTokenFilter.java): each token emits its ORIGINAL
+      * surface form plus its stem STACKED at the same position
+      * (posIncrement 0) unless the stem equals the original (the
+      * remove-duplicates pass). Requires `minimalStem` or `porterStem`. */
+    stemKeepOriginal: Boolean = false,
     /** > 1 composes word n-grams after the filter chain — Lucene
       * `ShingleFilter` with outputUnigrams=false, '_' separator (reference:
       * lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java:
@@ -362,7 +370,10 @@ final case class Analyzer(
           else if (minimalStem) Analyzer.minimalStemEn(term)
           else term
         val tok = Token(out, pos, rt.startOffset, rt.endOffset)
-        synonyms.get(out) match {
+        if (stemKeepOriginal && out != term) {
+          // keyword-repeat: original first, stem stacked (posInc 0)
+          Iterator(Token(term, pos, rt.startOffset, rt.endOffset), tok)
+        } else synonyms.get(out) match {
           case Some(syn) =>
             Iterator(tok, Token(syn, pos, rt.startOffset, rt.endOffset))
           case None => Iterator.single(tok)
@@ -677,6 +688,12 @@ object Analyzers {
   /** `EnglishMinimalStemFilter` chain over the SQL-expressible tokenizer —
     * the stemming path under the hard oracle (`ft_stem_*`). */
   val minimalStem: Analyzer = Analyzer(simple = true, minimalStem = true)
+
+  /** KeywordRepeat + S-stem + RemoveDuplicates over the SQL-expressible
+    * tokenizer: both the surface form and its stem are searchable, the
+    * stem stacked at the original's position. */
+  val stemKeepOrig: Analyzer =
+    Analyzer(simple = true, minimalStem = true, stemKeepOriginal = true)
 
   /** The reference's full `EnglishAnalyzer` chain (tokenize → lowercase →
     * stop → Porter), over the SQL-expressible tokenizer so the DuckDB

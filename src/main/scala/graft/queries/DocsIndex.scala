@@ -305,6 +305,37 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.synGraphExpand))
       })
 
+  /** The `getStemmed` pluralized corpus through the KeywordRepeat chain
+    * (`Analyzers.stemKeepOrig`): every inflected token indexes BOTH its
+    * surface form and its stem (stacked), so exact-form and stemmed
+    * queries each hit — the dictionary carries both arms with their own
+    * df/ttf. */
+  def getStemKeepOrig(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#stemko", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val pluralized = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |  text, '\\btable\\b', 'tables'),
+              |  '\\bquery\\b', 'queries'),
+              |  '\\bvalue\\b', 'values'),
+              |  '\\bhash\\b', 'hashes')""".stripMargin))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(pluralized,
+          IndexConfig(analyzer = Analyzers.stemKeepOrig))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.stemKeepOrig))
+      })
+
   /** Same corpus indexed with the EnglishAnalyzer stop set — the StopFilter
     * + posIncrement-gap path (Analyzer.scala stop handling) under the hard
     * oracle signal via `ft_stop_phrase` / `ft_stop_count`. */

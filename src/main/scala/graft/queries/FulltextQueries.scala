@@ -2334,6 +2334,47 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // KeywordRepeatFilter chain dictionary audit: the pluralized corpus
+    // indexes BOTH surface form and stem per token (stem stacked posInc-0,
+    // duplicates removed when stem == surface) — both arms appear in the
+    // dictionary with independent df/ttf
+    "ft_keyword_repeat" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getStemKeepOrig(spark, sfDir)
+      val terms = Seq("table", "tables", "query", "queries",
+        "value", "values", "hash", "hashes")
+      index.termStats.filter($"term".isin(terms: _*))
+        .select($"term", $"docFreq".as("doc_freq"),
+          $"totalTermFreq".as("total_term_freq"))
+        .orderBy("term")
+    }),
+    // FreeTextSuggester (reference: lucene/suggest/src/java/org/apache/
+    // lucene/search/suggest/analyzing/FreeTextSuggester.java:1-750 —
+    // n-gram LM completion with STUPID BACKOFF, ALPHA=0.4 :108-116): for
+    // context 'big', candidates seen after it score count(big,w)/count(big)
+    // straight off the SHINGLE index dictionary (a 'big_'-prefix seek);
+    // unseen words back off to 0.4 · count(w)/totalTokens from the unigram
+    // dictionary. Ranked (round6 score desc, word asc), top 5.
+    "ft_free_text_suggest" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (base, _) = DocsIndex.get(spark, sfDir)
+      val (sh, _) = DocsIndex.getShingled(spark, sfDir)
+      val ctx = "big"
+      val total = base.fieldStats.sumTotalTermFreq
+      val ctxTtf = base.termStats.filter($"term" === ctx)
+        .collect().head.totalTermFreq
+      val bi = sh.termStats.filter($"term".startsWith(ctx + "_"))
+        .select(expr(s"substring(term, ${ctx.length + 2})").as("word"),
+          col("totalTermFreq").as("bttf"))
+      base.termStats.toDF()
+        .select($"term".as("word"), $"totalTermFreq".as("uttf"))
+        .join(bi, Seq("word"), "left")
+        .withColumn("score", round(
+          when($"bttf".isNotNull, $"bttf".cast("double") / lit(ctxTtf.toDouble))
+            .otherwise(lit(0.4) * ($"uttf".cast("double") / lit(total.toDouble))), 6))
+        .select($"word", $"score")
+        .orderBy(desc("score"), asc("word")).limit(5)
+    }),
     // TermVectorComponent (reference: solr/core/src/java/org/apache/solr/
     // handler/component/TermVectorComponent.java — per-doc term vectors
     // with tv.tf, tv.df, tv.tf_idf = tf/df): vectors re-derived through the
@@ -5629,6 +5670,42 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // keyword-repeat dictionary: each pluralized token contributes its
+    // surface form AND its stem (when they differ)
+    "ft_keyword_repeat" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS total_term_freq
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(
+         |    flatten(list_transform(regexp_extract_all(lower($STEM_TXT), '[a-z0-9]+'),
+         |      t -> CASE WHEN ($STEM_CASE) = t THEN [t]
+         |           ELSE [t, $STEM_CASE] END))) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |)
+         |WHERE tok IN ('table','tables','query','queries','value','values',
+         |              'hash','hashes')
+         |GROUP BY tok ORDER BY term""".stripMargin,
+    // stupid-backoff bigram suggester: seen continuations at c(big,w)/c(big),
+    // unseen at 0.4·c(w)/total, round6-ranked
+    "ft_free_text_suggest" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |uni AS (SELECT tok AS word, count(*) AS uttf
+         |        FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok),
+         |tot AS (SELECT CAST(sum(uttf) AS BIGINT) AS total FROM uni),
+         |ctx AS (SELECT uttf AS cttf FROM uni WHERE word = 'big'),
+         |bi AS (
+         |  SELECT w AS word, count(*) AS bttf FROM (
+         |    SELECT unnest(list_transform(list_filter(
+         |      generate_series(1, len(tk) - 1), i -> tk[i] = 'big'),
+         |      i -> tk[i+1])) AS w
+         |    FROM toks) GROUP BY w)
+         |SELECT word,
+         |  round(CASE WHEN bttf IS NOT NULL
+         |    THEN CAST(bttf AS DOUBLE) / CAST(cttf AS DOUBLE)
+         |    ELSE CAST(0.4 AS DOUBLE) * (CAST(uttf AS DOUBLE) / CAST(total AS DOUBLE)) END, 6) AS score
+         |FROM uni LEFT JOIN bi USING (word), tot, ctx
+         |ORDER BY score DESC, word LIMIT 5""".stripMargin,
     // per-doc term vectors: tf over the doc's tokens, df from the corpus,
     // tf_idf = tf/df (one exact integer division)
     "ft_term_vectors" ->

@@ -153,6 +153,40 @@ object TrainingDataQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bigram-LM perplexity quality scoring (the KenLM-filter pattern of
+    // CCNet, Wenzek et al. 2020): add-1-smoothed bigram model trained on
+    // docs >= 5, each held-out doc (id < 5) scored
+    // PPL = exp(-mean ln P(w|prev)) with P = (c(prev,w)+1)/(c(prev)+V).
+    // Log-probs accumulate as floor-micro BIGINTs so the distributed sum
+    // is exact and order-independent; at scale the count tables are the
+    // model — broadcast (they are vocabulary-sized), the corpus only
+    // map-joins against them.
+    "td_perplexity_bigram" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val d = docs(spark, sfDir).select($"doc_id", expr(TOKS).as("tk"))
+      val bg = d.filter(size($"tk") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS prev, tk[i+1] AS w))")).as("b"))
+        .select($"doc_id", $"b.prev".as("prev"), $"b.w".as("w"))
+      val train = bg.filter($"doc_id" >= 5)
+      val cpw = train.groupBy("prev", "w").agg(count(lit(1)).as("cpw"))
+      val cp = train.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val v = d.filter($"doc_id" >= 5).select(explode($"tk").as("t")).distinct().count()
+      bg.filter($"doc_id" < 5)
+        .join(cpw, Seq("prev", "w"), "left")
+        .join(cp, Seq("prev"), "left")
+        .withColumn("mn", floor(log(
+          (coalesce($"cpw", lit(0L)) + lit(1L)).cast("double") /
+            (coalesce($"cp", lit(0L)) + lit(v)).cast("double")) * lit(1000000.0))
+          .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"mn").as("ll_micro"))
+        .withColumn("ppl", round(
+          exp(-(col("ll_micro").cast("double") / lit(1000000.0).cast("double")
+            / col("n_bigrams").cast("double"))), 4))
+        .select($"doc_id", $"n_bigrams", $"ll_micro", $"ppl")
+        .orderBy("doc_id")
+    }),
     // ---- deduplication ----
     "td_dedup_exact" -> ((spark, sfDir) => {
       docs(spark, sfDir)
@@ -2297,6 +2331,36 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // add-1 bigram LM replay: same counts, same single-division P, same
+    // floor-micro log accumulation
+    "td_perplexity_bigram" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS prev, tk[i+1] AS w
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(generate_series(1, len(tk) - 1)) AS i FROM d)),
+         |train AS (SELECT * FROM bg WHERE doc_id >= 5),
+         |cpw AS (SELECT prev, w, count(*) AS cpw FROM train GROUP BY prev, w),
+         |cp AS (SELECT prev, count(*) AS cp FROM train GROUP BY prev),
+         |voc AS (SELECT count(DISTINCT t) AS v
+         |        FROM (SELECT unnest(tk) AS t FROM d WHERE doc_id >= 5)),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |    CAST(floor(ln(CAST(coalesce(cpw.cpw, 0) + 1 AS DOUBLE)
+         |                  / CAST(coalesce(cp.cp, 0) + voc.v AS DOUBLE))
+         |               * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mn
+         |  FROM bg
+         |  LEFT JOIN cpw ON bg.prev = cpw.prev AND bg.w = cpw.w
+         |  LEFT JOIN cp ON bg.prev = cp.prev
+         |  CROSS JOIN voc
+         |  WHERE bg.doc_id < 5),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          CAST(sum(mn) AS BIGINT) AS ll_micro
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, ll_micro,
+         |  round(exp(-(CAST(ll_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         |              / CAST(n_bigrams AS DOUBLE))), 4) AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // stride-64/window-128 chunking: same 1-based slice, same tail clamp
     "td_chunk" ->
       s"""SELECT doc_id, (start - 1) // 64 AS chunk_idx,
