@@ -2334,6 +2334,29 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // DrillSideways (reference: lucene/facet/src/java/org/apache/lucene/
+    // facet/DrillSideways.java:1-350): base query 'vector' drilled down on
+    // lang='en'; the drilled dim's facet counts come from the base match
+    // set WITHOUT its own drill (sideways), every other dim (source) and
+    // the hit count from the fully drilled set
+    "ft_drill_sideways" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val base = searcher.matchesDS(graft.search.TermQ("vector")).toDF("docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(DocsIndex.documents(spark, sfDir), "doc_id")
+      val hits = base.filter($"lang" === "en")
+      val sideLang = base.groupBy($"lang".as("bucket"))
+        .agg(count(lit(1)).as("cnt")).withColumn("dim", lit("lang~sideways"))
+      val normalSource = hits.groupBy($"source".as("bucket"))
+        .agg(count(lit(1)).as("cnt")).withColumn("dim", lit("source"))
+      val total = hits.agg(count(lit(1)).as("cnt"))
+        .withColumn("dim", lit("~hits")).withColumn("bucket", lit("~total"))
+      sideLang.unionByName(normalSource)
+        .unionByName(total.select($"bucket", $"cnt", $"dim"))
+        .select($"dim", $"bucket", $"cnt")
+        .orderBy("dim", "bucket")
+    }),
     // KeywordRepeatFilter chain dictionary audit: the pluralized corpus
     // indexes BOTH surface form and stem per token (stem stacked posInc-0,
     // duplicates removed when stem == surface) — both arms appear in the
@@ -5670,6 +5693,22 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // drill-sideways: lang facet over the undrilled base, source facet +
+    // hit count over the drilled set
+    "ft_drill_sideways" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source
+         |  FROM (SELECT doc_id, lang, source, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'vector'))
+         |SELECT dim, bucket, cnt FROM (
+         |  SELECT 'lang~sideways' AS dim, lang AS bucket, count(*) AS cnt
+         |  FROM base GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'source', source, count(*) FROM base WHERE lang = 'en'
+         |  GROUP BY source
+         |  UNION ALL
+         |  SELECT '~hits', '~total', count(*) FROM base WHERE lang = 'en')
+         |ORDER BY dim, bucket""".stripMargin,
     // keyword-repeat dictionary: each pluralized token contributes its
     // surface form AND its stem (when they differ)
     "ft_keyword_repeat" ->

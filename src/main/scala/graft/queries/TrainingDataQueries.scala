@@ -187,6 +187,48 @@ object TrainingDataQueries {
         .select($"doc_id", $"n_bigrams", $"ll_micro", $"ppl")
         .orderBy("doc_id")
     }),
+    // temperature-scaled mixture weights (the mT5/PaLM sampling rule:
+    // w_i ∝ n_i^(1/T), T=2): per-language doc counts, sqrt quantized to
+    // floor-micro BIGINTs so the normalizing sum is exact, one division
+    // per weight
+    "td_temperature_mix" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      docs(spark, sfDir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s", floor(sqrt($"n_docs".cast("double")) * lit(1000000.0)).cast("long"))
+        .withColumn("denom", sum($"s").over(Window.partitionBy()))
+        .withColumn("w", round($"s".cast("double") / $"denom".cast("double"), 6))
+        .select($"lang", $"n_docs", $"w")
+        .orderBy("lang")
+    }),
+    // DSIR importance weights (Data Selection via Importance Resampling,
+    // Xie et al. 2023): hashed-bigram features (md5 -> 256 buckets),
+    // target = the 'en' slice, raw = the whole corpus, add-1 smoothed
+    // bucket distributions; a doc's weight is Σ ln(p_target/p_raw) over
+    // its bigrams, accumulated in exact micro-nats. Top-20 by weight =
+    // the deterministic head of the resampling distribution. At 100 TB
+    // both 256-bucket tables broadcast; the corpus only map-joins.
+    "td_dsir" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val d = docs(spark, sfDir).select($"doc_id", $"lang", expr(TOKS).as("tk"))
+      val bg = d.filter(size($"tk") >= 2)
+        .select($"doc_id", $"lang", explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> concat(tk[i], '_', tk[i+1]))")).as("b"))
+        .withColumn("bucket", expr("conv(substring(md5(b), 1, 4), 16, 10)").cast("long") % 256)
+      val tgt = bg.filter($"lang" === "en").groupBy("bucket").agg(count(lit(1)).as("ct"))
+      val raw = bg.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      val nt = bg.filter($"lang" === "en").count()
+      val nr = bg.count()
+      bg.join(tgt, Seq("bucket"), "left").join(raw, Seq("bucket"), "left")
+        .withColumn("mn", floor(log(
+          ((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") / lit((nt + 256).toDouble))
+            / ((coalesce($"cr", lit(0L)) + lit(1L)).cast("double") / lit((nr + 256).toDouble)))
+          * lit(1000000.0)).cast("long"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"), sum($"mn").as("w_micro"))
+        .orderBy(desc("w_micro"), asc("doc_id")).limit(20)
+        .select($"doc_id", $"n_bigrams", $"w_micro")
+    }),
     // ---- deduplication ----
     "td_dedup_exact" -> ((spark, sfDir) => {
       docs(spark, sfDir)
@@ -2331,6 +2373,43 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // temperature mixture: same floor-micro sqrt quantization, exact sum
+    "td_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |q AS (SELECT lang, n_docs,
+         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s
+         |  FROM c),
+         |t AS (SELECT CAST(sum(s) AS BIGINT) AS denom FROM q)
+         |SELECT lang, n_docs,
+         |  round(CAST(s AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS w
+         |FROM q, t ORDER BY lang""".stripMargin,
+    // DSIR replay: identical md5 bucket chain, add-1 bucket distributions,
+    // micro-nat log-ratio sums
+    "td_dsir" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOKS AS tk FROM documents),
+         |bg AS (SELECT doc_id, lang, tk[i] || '_' || tk[i+1] AS b
+         |       FROM (SELECT doc_id, lang, tk,
+         |               unnest(generate_series(1, len(tk) - 1)) AS i FROM d)),
+         |bk AS (SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(b), 1, 4))::UBIGINT % 256 AS BIGINT) AS bucket
+         |       FROM bg),
+         |tgt AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY bucket),
+         |raw AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY bucket),
+         |nt AS (SELECT count(*) AS v FROM bk WHERE lang = 'en'),
+         |nr AS (SELECT count(*) AS v FROM bk),
+         |sc AS (SELECT bk.doc_id,
+         |    CAST(floor(ln(
+         |      (CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / CAST(nt.v + 256 AS DOUBLE))
+         |      / (CAST(coalesce(raw.cr, 0) + 1 AS DOUBLE) / CAST(nr.v + 256 AS DOUBLE)))
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mn
+         |  FROM bk LEFT JOIN tgt ON bk.bucket = tgt.bucket
+         |  LEFT JOIN raw ON bk.bucket = raw.bucket
+         |  CROSS JOIN nt CROSS JOIN nr),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          CAST(sum(mn) AS BIGINT) AS w_micro
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, w_micro FROM agg
+         |ORDER BY w_micro DESC, doc_id LIMIT 20""".stripMargin,
     // add-1 bigram LM replay: same counts, same single-division P, same
     // floor-micro log accumulation
     "td_perplexity_bigram" ->
