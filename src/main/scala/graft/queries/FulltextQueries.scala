@@ -2334,6 +2334,50 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // DiversifiedTopDocsCollector (reference: lucene/misc/src/java/org/
+    // apache/lucene/misc/search/DiversifiedTopDocsCollector.java:1-220 —
+    // top-k with at most maxHitsPerKey per diversity key): 'vector' BM25
+    // top-10 keeping at most 2 docs per source
+    "ft_diversified_topk" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
+        .select($"docId", round4Col($"s0").as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(DocsIndex.documents(spark, sfDir).select($"doc_id", $"source"), "doc_id")
+      val w = Window.partitionBy("source").orderBy(desc("score"), asc("doc_id"))
+      scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 2)
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select($"doc_id", $"source", $"score")
+    }),
+    // AllGroupHeadsCollector (reference: lucene/grouping/src/java/org/
+    // apache/lucene/search/grouping/AllGroupHeadsCollector.java:1-160):
+    // for every source group, the single head doc of the 'vector' match
+    // set under (n_tokens desc, doc_id asc)
+    "ft_group_heads" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val m = searcher.matchesDS(searcher.parse("vector")).toDF("docId")
+        .join(index.docs.toDF().select($"docId", $"len".cast("long").as("n_tokens")), "docId")
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(DocsIndex.documents(spark, sfDir).select($"doc_id", $"source"), "doc_id")
+      val w = Window.partitionBy("source").orderBy(desc("n_tokens"), asc("doc_id"))
+      m.withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
+        .select($"source", $"doc_id", $"n_tokens")
+        .orderBy("source")
+    }),
+    // Solr TermsComponent terms.regex (solr/core/src/java/org/apache/solr/
+    // handler/component/TermsComponent.java — dictionary listing filtered
+    // by regex, with df): terms matching ^s.* with doc freq
+    "ft_terms_regex" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      index.termStats.filter($"term".rlike("^s.*"))
+        .select($"term", $"docFreq".as("doc_freq"))
+        .orderBy("term")
+    }),
     // DrillSideways (reference: lucene/facet/src/java/org/apache/lucene/
     // facet/DrillSideways.java:1-350): base query 'vector' drilled down on
     // lang='en'; the drilled dim's facet counts come from the base match
@@ -5693,6 +5737,37 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // diversified top-k: at most 2 per source, then global top-10
+    "ft_diversified_topk" ->
+      s"""$PRELUDE
+         |SELECT doc_id, source, score FROM (
+         |  SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (
+         |    SELECT dl.doc_id, d.source, round(s, 4) AS score FROM (
+         |      SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |        ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |      FROM dl, st) dl
+         |    JOIN documents d ON dl.doc_id = d.doc_id
+         |    WHERE tf > 0))
+         |WHERE rnk <= 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // all group heads: one head per source under (n_tokens desc, doc_id)
+    "ft_group_heads" ->
+      s"""SELECT source, doc_id, n_tokens FROM (
+         |  SELECT source, doc_id, len(tk) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY len(tk) DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)
+         |  WHERE list_contains(tk, 'vector'))
+         |WHERE rnk = 1 ORDER BY source""".stripMargin,
+    // terms.regex dictionary listing
+    "ft_terms_regex" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq
+         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
+         |WHERE regexp_matches(tok, '^s.*')
+         |GROUP BY tok ORDER BY term""".stripMargin,
     // drill-sideways: lang facet over the undrilled base, source facet +
     // hit count over the drilled set
     "ft_drill_sideways" ->
