@@ -2334,6 +2334,41 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // Weight.explain / Solr debugQuery (reference: lucene/core/src/java/
+    // org/apache/lucene/search/Weight.java explain + BM25Similarity
+    // .explain :150-210): the top 'vector' hit's full score breakdown —
+    // n, df, idf, tf, quantized doc length, avgdl, tfNorm, final score —
+    // every factor recomputed by the oracle from the corpus
+    "ft_explain_factors" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val topRow = searcher.searchDoubleDS(searcher.parse("vector"), 1).toDF()
+        .orderBy(desc("score"), asc("docId")).limit(1).collect()(0)
+      val docId = topRow.getAs[Long]("docId")
+      val score = topRow.getAs[Double]("score")
+      val n = index.fieldStats.docCount
+      val df = index.termStats.filter($"term" === "vector").collect()(0).docFreq
+      val dlq = {
+        val d = index.docs.filter($"docId" === docId).collect()(0)
+        graft.codec.SmallFloat.byte4ToInt(d.norm.toByte).toDouble
+      }
+      val avgdl = index.fieldStats.sumTotalTermFreq.toDouble / n
+      val tf = termPos(spark, index, Seq("vector"))
+        .filter($"docId" === docId).count().toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tfNorm = (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dlq / avgdl))
+      def f6(v: Double): Double = math.floor(v * 1000000.0 + 0.5) / 1000000.0
+      val extId = DocsIndex.docIdMap(index).filter($"docId" === docId)
+        .collect()(0).getAs[Long]("doc_id")
+      Seq(
+        ("avgdl", f6(avgdl)), ("df", df.toDouble), ("dlq", dlq),
+        ("idf", f6(idf)), ("n", n.toDouble), ("score", score),
+        ("tf", tf), ("tf_norm", f6(tfNorm)))
+        .toDF("factor", "value")
+        .withColumn("doc_id", lit(extId))
+        .select($"doc_id", $"factor", $"value")
+        .orderBy("factor")
+    }),
     // DiversifiedTopDocsCollector (reference: lucene/misc/src/java/org/
     // apache/lucene/misc/search/DiversifiedTopDocsCollector.java:1-220 —
     // top-k with at most maxHitsPerKey per diversity key): 'vector' BM25
@@ -5737,6 +5772,39 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // score explain: every factor re-derived, floor-1e6 rounding spelled
+    // identically on both sides
+    "ft_explain_factors" ->
+      s"""$PRELUDE,
+         |top1 AS (
+         |  SELECT doc_id, dlq, tf, round(s, 4) AS score FROM (
+         |    SELECT dl.doc_id, dlq, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st) WHERE tf > 0
+         |  ORDER BY round(s, 4) DESC, doc_id LIMIT 1),
+         |fx AS (
+         |  SELECT CAST(${dfSql("vector")} AS BIGINT) AS dfv, st.n AS n,
+         |    st.avgdl AS avgdl
+         |  FROM st)
+         |SELECT doc_id, factor, value FROM (
+         |  SELECT t.doc_id, 'avgdl' AS factor,
+         |    floor(fx.avgdl * 1000000.0 + 0.5) / 1000000.0 AS value
+         |  FROM top1 t, fx
+         |  UNION ALL SELECT t.doc_id, 'df', CAST(fx.dfv AS DOUBLE) FROM top1 t, fx
+         |  UNION ALL SELECT t.doc_id, 'dlq', CAST(t.dlq AS DOUBLE) FROM top1 t
+         |  UNION ALL SELECT t.doc_id, 'idf',
+         |    floor(ln(1 + (fx.n - fx.dfv + 0.5) / (fx.dfv + 0.5)) * 1000000.0 + 0.5)
+         |      / 1000000.0
+         |  FROM top1 t, fx
+         |  UNION ALL SELECT t.doc_id, 'n', CAST(fx.n AS DOUBLE) FROM top1 t, fx
+         |  UNION ALL SELECT t.doc_id, 'score', t.score FROM top1 t
+         |  UNION ALL SELECT t.doc_id, 'tf', CAST(t.tf AS DOUBLE) FROM top1 t
+         |  UNION ALL SELECT t.doc_id, 'tf_norm',
+         |    floor((t.tf * (1.2 + 1))
+         |      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dlq / fx.avgdl))
+         |      * 1000000.0 + 0.5) / 1000000.0
+         |  FROM top1 t, fx)
+         |ORDER BY factor""".stripMargin,
     // diversified top-k: at most 2 per source, then global top-10
     "ft_diversified_topk" ->
       s"""$PRELUDE

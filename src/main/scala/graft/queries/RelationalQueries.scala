@@ -992,6 +992,18 @@ object RelationalQueries {
     // the verify reuses q_geodist's shared-text haversine. Box bounds:
     // Δlat = r/111.045 ≤ 13.6°, Δlon = asin(sin(r/R)/cos(lat₀)) ≤ 20.8°,
     // widened to ±14.9/±22 for slack.
+    // LatLonPoint nearest-k (reference: lucene/sandbox/src/java/org/apache/
+    // lucene/sandbox/document/NearestNeighbor.java — BKD best-first k
+    // nearest by haversine): top-10 customers nearest the query point,
+    // centi-km floor quantization shared with q_geo_radius
+    "q_geo_nearest" -> ((spark, sfDir) => {
+      t(spark, sfDir, "customer")
+        .withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
+        .withColumn("dist_km",
+          expr(s"floor(${havSql("lat", "lon", "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE)"))
+        .select("c_custkey", "dist_km")
+        .orderBy(asc("dist_km"), asc("c_custkey")).limit(10)
+    }),
     "q_geo_radius" -> ((spark, sfDir) => {
       t(spark, sfDir, "customer")
         .withColumn("lat", expr(latSql)).withColumn("lon", expr(lonSql))
@@ -3411,6 +3423,11 @@ object RelationalQueries {
          |    count(*) AS n0,
          |    sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS n1,
          |    sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS n2 FROM p)""".stripMargin,
+    "q_geo_nearest" ->
+      s"""SELECT c_custkey,
+         |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km
+         |FROM customer
+         |ORDER BY dist_km, c_custkey LIMIT 10""".stripMargin,
     "q_geo_radius" ->
       s"""SELECT c_custkey,
          |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km

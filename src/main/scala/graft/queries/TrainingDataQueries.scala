@@ -187,6 +187,25 @@ object TrainingDataQueries {
         .select($"doc_id", $"n_bigrams", $"ll_micro", $"ppl")
         .orderBy("doc_id")
     }),
+    // T5 span-corruption preprocessing (Raffel et al. 2020 §3.1.4,
+    // deterministic variant): every 7th token position starts a 3-token
+    // mask span (clamped at doc end; overlapping starts swallowed by the
+    // previous span). Per doc: kept tokens, masked tokens, sentinel count
+    // — the shapes a masked-LM data pipeline materializes, all map-only.
+    "td_span_corruption" -> ((spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir).filter($"doc_id" < 200)
+        .select($"doc_id", expr(s"size($TOKS)").cast("long").as("n_tok"))
+        // span starts at 0-based positions 0,7,14,... each masking
+        // min(3, n-start) tokens: n_spans = ceil(n/7), masked =
+        // full spans*3 + tail clamp
+        .withColumn("n_spans", expr("(n_tok + 6) div 7"))
+        .withColumn("masked",
+          expr("(n_tok div 7) * 3 + least(3, n_tok % 7)"))
+        .withColumn("kept", ($"n_tok" - $"masked").cast("long"))
+        .select($"doc_id", $"n_tok", $"n_spans", $"masked", $"kept")
+        .orderBy("doc_id")
+    }),
     // temperature-scaled mixture weights (the mT5/PaLM sampling rule:
     // w_i ∝ n_i^(1/T), T=2): per-language doc counts, sqrt quantized to
     // floor-micro BIGINTs so the normalizing sum is exact, one division
@@ -2373,6 +2392,15 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // span corruption: same 7-stride/3-span arithmetic in closed form
+    "td_span_corruption" ->
+      s"""SELECT doc_id, n_tok,
+         |  (n_tok + 6) // 7 AS n_spans,
+         |  (n_tok // 7) * 3 + least(3, n_tok % 7) AS masked,
+         |  n_tok - ((n_tok // 7) * 3 + least(3, n_tok % 7)) AS kept
+         |FROM (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tok
+         |      FROM documents WHERE doc_id < 200)
+         |ORDER BY doc_id""".stripMargin,
     // temperature mixture: same floor-micro sqrt quantization, exact sum
     "td_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
