@@ -187,6 +187,57 @@ object TrainingDataQueries {
         .select($"doc_id", $"n_bigrams", $"ll_micro", $"ppl")
         .orderBy("doc_id")
     }),
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 — the
+    // MOSS algorithm): 4-token shingles hashed to 32 bits, every
+    // 5-hash window contributes its minimum; the doc's fingerprint set =
+    // the distinct selected minima (position tie-breaks vanish under the
+    // distinct-set view). Map-only + bounded windows — the standard
+    // near-dup fingerprint density profile at any scale.
+    "td_winnowing" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir).filter($"doc_id" < 100)
+        .select($"doc_id", expr(TOKS).as("tk")).filter(size($"tk") >= 4)
+      val grams = d
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(tk)-4), i -> concat_ws(' ', slice(tk, i+1, 4)))")))
+        .toDF("doc_id", "i", "g")
+        .withColumn("h", expr("conv(substring(md5(g), 1, 8), 16, 10)").cast("long"))
+      val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 4)
+      val cnt = Window.partitionBy("doc_id")
+      grams
+        .withColumn("wmin", min($"h").over(win))
+        .withColumn("n", count(lit(1)).over(cnt))
+        .filter($"i" <= $"n" - 5)
+        .groupBy("doc_id")
+        .agg((max($"n") - 4).cast("long").as("n_windows"),
+          countDistinct($"wmin").as("n_fingerprints"),
+          min($"wmin").as("min_fp"), max($"wmin").as("max_fp"))
+        .orderBy("doc_id")
+    }),
+    // CCNet perplexity buckets (Wenzek et al. 2020 §4.3: the corpus splits
+    // into head/middle/tail terciles by LM perplexity): per-doc unigram
+    // micro-nat costs (the td_perplexity model), ntile(3) over the total
+    // (cost, doc_id) order, per-bucket doc counts and cost range
+    "td_ccnet_buckets" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(spark, sfDir)
+        .select($"doc_id", explode(expr(TOKS)).as("tok"))
+      val model = toks.groupBy("tok").agg(count(lit(1)).as("ttf"))
+      val total = toks.count()
+      val perDoc = toks.join(model, "tok")
+        .withColumn("mn", floor(-log($"ttf".cast("double") / lit(total.toDouble))
+          * lit(1000000.0)).cast("long"))
+        .groupBy("doc_id").agg(sum($"mn").as("cost_micro"))
+      perDoc
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy().orderBy(asc("cost_micro"), asc("doc_id"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"cost_micro").as("min_cost"), max($"cost_micro").as("max_cost"))
+        .orderBy("bucket")
+    }),
     // T5 span-corruption preprocessing (Raffel et al. 2020 §3.1.4,
     // deterministic variant): every 7th token position starts a 3-token
     // mask span (clamped at doc end; overlapping starts swallowed by the
@@ -2392,6 +2443,47 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // winnowing replay: same shingle text, same md5-32 hash, same 5-window
+    // minima, distinct-set fingerprints
+    "td_winnowing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, tk FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |  WHERE doc_id < 100 AND len(tk) >= 4),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    CAST(('0x' || substr(md5(array_to_string(tk[i+1 : i+4], ' ')), 1, 8))::UBIGINT AS BIGINT) AS h
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(generate_series(0, len(tk) - 4)) AS i FROM d)),
+         |w AS (
+         |  SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g)
+         |SELECT doc_id, CAST(n - 4 AS BIGINT) AS n_windows,
+         |  count(DISTINCT wmin) AS n_fingerprints,
+         |  CAST(min(wmin) AS BIGINT) AS min_fp, CAST(max(wmin) AS BIGINT) AS max_fp
+         |FROM w WHERE i <= n - 5
+         |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // ccnet terciles: same micro-nat unigram costs, same ntile split
+    "td_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+         |model AS (SELECT tok, count(*) AS ttf FROM toks GROUP BY tok),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(sum(mn) AS BIGINT) AS cost_micro FROM (
+         |    SELECT doc_id,
+         |      CAST(floor(-ln(CAST(model.ttf AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |                 * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mn
+         |    FROM toks JOIN model ON toks.tok = model.tok CROSS JOIN tot)
+         |  GROUP BY doc_id),
+         |b AS (SELECT doc_id, cost_micro,
+         |        CAST(ntile(3) OVER (ORDER BY cost_micro, doc_id) AS BIGINT) AS bucket
+         |      FROM perdoc)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(min(cost_micro) AS BIGINT) AS min_cost,
+         |  CAST(max(cost_micro) AS BIGINT) AS max_cost
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // span corruption: same 7-stride/3-span arithmetic in closed form
     "td_span_corruption" ->
       s"""SELECT doc_id, n_tok,
