@@ -2334,6 +2334,42 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // FeatureField static-feature scoring (reference: lucene/core/src/java/
+    // org/apache/lucene/document/FeatureField.java:1-500 —
+    // newSaturationQuery score = boost·w/(w+pivot), newLogQuery
+    // boost·ln(1+w)): feature w = n_chars/100, both pumps over the
+    // 'vector' match set, combined additively with the BM25 leg the way
+    // a FeatureField boost rides a BooleanQuery SHOULD clause
+    "ft_feature_field" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
+        .select($"docId", round4Col($"s0").as("s"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .join(DocsIndex.documents(spark, sfDir).select($"doc_id", $"n_chars"), "doc_id")
+        .withColumn("w", $"n_chars".cast("double") / lit(100.0))
+        .withColumn("sat", round4Col($"w" / ($"w" + lit(5.0))))
+        .withColumn("lg", round4Col(log(lit(1.0) + $"w")))
+        .withColumn("score", round4Col($"s" + $"sat" + $"lg"))
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select($"doc_id", $"sat", $"lg", $"score")
+    }),
+    // CoveringQuery (reference: lucene/sandbox/src/java/org/apache/lucene/
+    // sandbox/search/CoveringQuery.java:1-200 — a disjunction whose
+    // minimum-match count comes from a PER-DOC values source): clauses
+    // {vector, table, merge}, required matches = 1 + doc_id % 3
+    "ft_covering_query" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val legs = Seq("vector", "table", "merge").map(t =>
+        searcher.matchesDS(graft.search.TermQ(t)).toDF("docId"))
+      legs.reduce(_ unionByName _)
+        .groupBy("docId").agg(count(lit(1)).as("n_match"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .filter($"n_match" >= lit(1L) + $"doc_id" % 3)
+        .select($"doc_id", $"n_match")
+        .orderBy("doc_id")
+    }),
     // Weight.explain / Solr debugQuery (reference: lucene/core/src/java/
     // org/apache/lucene/search/Weight.java explain + BM25Similarity
     // .explain :150-210): the top 'vector' hit's full score breakdown —
@@ -5771,6 +5807,33 @@ object FulltextQueries {
          |FROM (SELECT doc_id, tk, list_position(tk, 'vector') AS idx
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
+         |ORDER BY doc_id""".stripMargin,
+    // feature pumps: saturation w/(w+5) and log ln(1+w) on w = n_chars/100,
+    // added to the round4 BM25 leg
+    "ft_feature_field" ->
+      s"""$PRELUDE
+         |SELECT doc_id, sat, lg, score FROM (
+         |  SELECT doc_id, sat, lg,
+         |    floor((s + sat + lg) * 10000.0 + 0.5) / 10000.0 AS score FROM (
+         |    SELECT dl.doc_id, tf,
+         |      round(${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}, 4) AS s,
+         |      floor((w / (w + 5.0)) * 10000.0 + 0.5) / 10000.0 AS sat,
+         |      floor(ln(1.0 + w) * 10000.0 + 0.5) / 10000.0 AS lg
+         |    FROM (
+         |      SELECT dl.doc_id, tk, dlq, ${tfSql("vector")} AS tf,
+         |        CAST(d.n_chars AS DOUBLE) / 100.0 AS w
+         |      FROM dl JOIN documents d ON dl.doc_id = d.doc_id) dl, st
+         |    WHERE tf > 0))
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // covering query: per-doc dynamic minimum-match 1 + doc_id % 3
+    "ft_covering_query" ->
+      s"""SELECT doc_id, n_match FROM (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END AS BIGINT) AS n_match
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |WHERE n_match >= 1 + doc_id % 3
          |ORDER BY doc_id""".stripMargin,
     // score explain: every factor re-derived, floor-1e6 rounding spelled
     // identically on both sides
