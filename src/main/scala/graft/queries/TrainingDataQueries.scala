@@ -187,6 +187,47 @@ object TrainingDataQueries {
         .select($"doc_id", $"n_bigrams", $"ll_micro", $"ppl")
         .orderBy("doc_id")
     }),
+    // per-doc tf-idf keyword extraction (the classic keyword tagger every
+    // corpus card/metadata pipeline runs): tf·ln(N/df) per (doc, term),
+    // micro-quantized for the rank, top-3 per doc
+    "td_tfidf_keywords" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(spark, sfDir).filter($"doc_id" < 50)
+        .select($"doc_id", explode(expr(TOKS)).as("tok"))
+      val all = docs(spark, sfDir)
+        .select($"doc_id", explode(expr(s"array_distinct($TOKS)")).as("tok"))
+      val dfs = all.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs(spark, sfDir).count()
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dfs, "tok")
+        .withColumn("w_micro", floor(
+          $"tf".cast("double") *
+            log(lit(n.toDouble) / $"df".cast("double")) * lit(1000000.0))
+          .cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("w_micro"), asc("tok"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"tok".as("term"), $"w_micro")
+        .orderBy("doc_id", "rnk")
+    }),
+    // length-bucketed batching (dynamic batching by power-of-2 length
+    // bins — the sequence-bucketing pass before padding-efficient
+    // batching): bin = 2^ceil(log2(n_tok)), per-bin docs, token sum, and
+    // padding waste if padded to the bin width
+    "td_length_buckets" -> ((spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", expr(s"size($TOKS)").cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+        .withColumn("bin", expr(
+          "CAST(power(CAST(2 AS DOUBLE), CAST(ceil(ln(CAST(n_tok AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT)) AS BIGINT)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"))
+        .withColumn("pad_waste", $"n_docs" * $"bin" - $"sum_tok")
+        .select($"bin", $"n_docs", $"sum_tok", $"pad_waste")
+        .orderBy("bin")
+    }),
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 — the
     // MOSS algorithm): 4-token shingles hashed to 32 bits, every
     // 5-hash window contributes its minimum; the doc's fingerprint set =
@@ -2443,6 +2484,35 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // tf-idf keywords: same micro-quantized tf·ln(N/df) rank
+    "td_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents
+         |              WHERE doc_id < 50),
+         |alld AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+         |dfs AS (SELECT tok, count(*) AS df FROM alld GROUP BY tok),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |sc AS (SELECT tf.doc_id, tf.tok,
+         |    CAST(floor(CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST(nn.n AS DOUBLE) / CAST(dfs.df AS DOUBLE))
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS w_micro
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok CROSS JOIN nn)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |       ORDER BY w_micro DESC, tok) AS BIGINT) AS rnk,
+         |  tok AS term, w_micro
+         |FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // length buckets: identical ceil-log2 bin expression on both engines
+    "td_length_buckets" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |b AS (SELECT doc_id, n_tok,
+         |    CAST(power(CAST(2 AS DOUBLE),
+         |      CAST(ceil(ln(CAST(n_tok AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS bin
+         |  FROM d WHERE n_tok > 0)
+         |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(count(*) * bin - sum(n_tok) AS BIGINT) AS pad_waste
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // winnowing replay: same shingle text, same md5-32 hash, same 5-window
     // minima, distinct-set fingerprints
     "td_winnowing" ->
