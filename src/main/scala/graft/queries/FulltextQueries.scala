@@ -2334,6 +2334,18 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // SpanFirstQuery (reference: lucene/core/src/java/org/apache/lucene/
+    // queries/spans/SpanFirstQuery.java:1-120 — the span must END within
+    // the first n positions): docs where 'merge' occurs at position < 5,
+    // straight off the decoded postings positions
+    "ft_span_first" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      termPos(spark, index, Seq("merge"))
+        .filter($"p" < 5).select($"docId").distinct()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id").orderBy("doc_id")
+    }),
     // FeatureField static-feature scoring (reference: lucene/core/src/java/
     // org/apache/lucene/document/FeatureField.java:1-500 —
     // newSaturationQuery score = boost·w/(w+pivot), newLogQuery
@@ -5807,6 +5819,12 @@ object FulltextQueries {
          |FROM (SELECT doc_id, tk, list_position(tk, 'vector') AS idx
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
+         |ORDER BY doc_id""".stripMargin,
+    // span-first: any 'merge' occurrence in the first 5 positions
+    "ft_span_first" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(generate_series(1, least(5, len(tk))),
+         |          i -> tk[i] = 'merge')) > 0
          |ORDER BY doc_id""".stripMargin,
     // feature pumps: saturation w/(w+5) and log ln(1+w) on w = n_chars/100,
     // added to the round4 BM25 leg

@@ -187,6 +187,27 @@ object TrainingDataQueries {
         .select($"doc_id", $"n_bigrams", $"ll_micro", $"ppl")
         .orderBy("doc_id")
     }),
+    // domain upsampling plan (the data-constrained repetition schedule of
+    // Muennighoff et al. 2023): per-language token counts, temperature-
+    // sqrt target shares, planned tokens = s_i·budget div Σs (all exact
+    // integer arithmetic), repeat factor = planned/n_tok round4
+    "td_upsample_plan" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val perLang = docs(spark, sfDir)
+        .select($"lang", expr(s"size($TOKS)").cast("long").as("n"))
+        .groupBy("lang").agg(sum($"n").as("n_tok"))
+        .withColumn("s", floor(sqrt($"n_tok".cast("double")) * lit(1000000.0)).cast("long"))
+      val w = Window.partitionBy()
+      perLang
+        .withColumn("denom", sum($"s").over(w))
+        .withColumn("budget", sum($"n_tok").over(w))
+        .withColumn("planned", expr("(s * budget) div denom"))
+        .withColumn("repeat_r", round(
+          $"planned".cast("double") / $"n_tok".cast("double"), 4))
+        .select($"lang", $"n_tok", $"planned", $"repeat_r")
+        .orderBy("lang")
+    }),
     // per-doc tf-idf keyword extraction (the classic keyword tagger every
     // corpus card/metadata pipeline runs): tf·ln(N/df) per (doc, term),
     // micro-quantized for the rank, top-3 per doc
@@ -2484,6 +2505,20 @@ object TrainingDataQueries {
        |ORDER BY a, b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // upsample plan: same exact integer share arithmetic
+    "td_upsample_plan" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(sum(len($TOKS)) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang),
+         |q AS (SELECT lang, n_tok,
+         |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s
+         |  FROM c),
+         |t AS (SELECT CAST(sum(s) AS BIGINT) AS denom,
+         |             CAST(sum(n_tok) AS BIGINT) AS budget FROM q)
+         |SELECT lang, n_tok,
+         |  CAST((s * budget) // denom AS BIGINT) AS planned,
+         |  round(CAST((s * budget) // denom AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS repeat_r
+         |FROM q, t ORDER BY lang""".stripMargin,
     // tf-idf keywords: same micro-quantized tf·ln(N/df) rank
     "td_tfidf_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents
