@@ -2334,6 +2334,38 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // LukeRequestHandler index report (reference: solr/core/src/java/org/
+    // apache/solr/handler/admin/LukeRequestHandler.java — the index-level
+    // metadata block): doc/term/postings totals, each audited against the
+    // corpus-derived truth by the oracle
+    "ft_luke" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val nTerms = index.termStats.count()
+      val agg = index.termStats
+        .agg(sum($"docFreq").as("sdf"), sum($"totalTermFreq").as("sttf"))
+        .collect()(0)
+      val fs = index.fieldStats
+      Seq(
+        ("doc_count", fs.docCount),
+        ("max_doc", fs.maxDocId + 1),
+        ("n_terms", nTerms),
+        ("sum_doc_freq", agg.getAs[Long]("sdf")),
+        ("sum_total_term_freq", agg.getAs[Long]("sttf")))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+    // JSON facet allBuckets (solr FacetField.java allBuckets:true — the
+    // aggregates over ALL buckets alongside the top buckets): top-5
+    // sources by count plus the ~all row
+    "ft_facet_allbuckets" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val d = DocsIndex.documents(spark, sfDir)
+      val top = d.groupBy($"source".as("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bucket")).limit(5)
+      val all = d.agg(count(lit(1)).as("cnt")).withColumn("bucket", lit("~all"))
+      top.unionByName(all.select($"bucket", $"cnt"))
+        .orderBy(desc("cnt"), asc("bucket"))
+    }),
     // SpanFirstQuery (reference: lucene/core/src/java/org/apache/lucene/
     // queries/spans/SpanFirstQuery.java:1-120 — the span must END within
     // the first n positions): docs where 'merge' occurs at position < 5,
@@ -5820,6 +5852,28 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // luke report: every index-level stat re-derived from the corpus
+    "ft_luke" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |pt AS (SELECT doc_id, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+         |       GROUP BY doc_id, tok)
+         |SELECT stat, value FROM (
+         |  SELECT 'doc_count' AS stat, CAST(count(*) AS BIGINT) AS value FROM toks
+         |  UNION ALL SELECT 'max_doc', CAST(count(*) AS BIGINT) FROM toks
+         |  UNION ALL SELECT 'n_terms', CAST(count(DISTINCT tok) AS BIGINT) FROM pt
+         |  UNION ALL SELECT 'sum_doc_freq', CAST(count(*) AS BIGINT) FROM pt
+         |  UNION ALL SELECT 'sum_total_term_freq', CAST(sum(tf) AS BIGINT) FROM pt)
+         |ORDER BY stat""".stripMargin,
+    // allBuckets: top-5 source buckets + the ~all aggregate row
+    "ft_facet_allbuckets" ->
+      s"""SELECT bucket, cnt FROM (
+         |  SELECT bucket, cnt FROM (
+         |    SELECT source AS bucket, count(*) AS cnt FROM documents
+         |    GROUP BY source ORDER BY cnt DESC, bucket LIMIT 5)
+         |  UNION ALL
+         |  SELECT '~all', count(*) FROM documents)
+         |ORDER BY cnt DESC, bucket""".stripMargin,
     // span-first: any 'merge' occurrence in the first 5 positions
     "ft_span_first" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
