@@ -168,6 +168,13 @@ final case class Analyzer(
       * (posIncrement 0) unless the stem equals the original (the
       * remove-duplicates pass). Requires `minimalStem` or `porterStem`. */
     stemKeepOriginal: Boolean = false,
+    /** `LengthFilter` (reference: lucene/analysis/common/src/java/org/
+      * apache/lucene/analysis/miscellaneous/LengthFilter.java:1-60): drop
+      * tokens whose length falls outside [lengthMin, lengthMax], leaving
+      * position gaps like every FilteringTokenFilter. Defaults pass
+      * everything. */
+    lengthMin: Int = 0,
+    lengthMax: Int = Int.MaxValue,
     /** > 1 composes word n-grams after the filter chain — Lucene
       * `ShingleFilter` with outputUnigrams=false, '_' separator (reference:
       * lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java:
@@ -359,7 +366,8 @@ final case class Analyzer(
     val base = raw.flatMap { rt =>
       val lowered = lowercase(rt.term)
       val term = if (asciiFold) Analyzer.foldAscii(lowered) else lowered
-      if (stopWords.contains(term)) {
+      if (stopWords.contains(term) ||
+          term.length < lengthMin || term.length > lengthMax) {
         pendingGap += rt.posIncr
         Iterator.empty
       } else {
@@ -688,6 +696,10 @@ object Analyzers {
   /** `EnglishMinimalStemFilter` chain over the SQL-expressible tokenizer —
     * the stemming path under the hard oracle (`ft_stem_*`). */
   val minimalStem: Analyzer = Analyzer(simple = true, minimalStem = true)
+
+  /** `LengthFilter` [4, 8] over the SQL-expressible tokenizer — short
+    * noise tokens and over-long outliers drop with position gaps. */
+  val length48: Analyzer = Analyzer(simple = true, lengthMin = 4, lengthMax = 8)
 
   /** KeywordRepeat + S-stem + RemoveDuplicates over the SQL-expressible
     * tokenizer: both the surface form and its stem are searchable, the

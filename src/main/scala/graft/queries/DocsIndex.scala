@@ -266,6 +266,18 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.cjk))
       })
 
+  /** Corpus indexed through the LengthFilter [4,8] chain
+    * (`Analyzers.length48`): seven short corpus words drop with position
+    * gaps; doc length and every BM25 stat shrink accordingly. */
+  def getLengthFiltered(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#len48", _ => {
+        val index = IndexBuilder.build(files(spark, sfDir),
+          IndexConfig(analyzer = Analyzers.length48))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.length48))
+      })
+
   /** Corpus indexed through the multi-word-INPUT synonym graph
     * (`big table => bigtable`, `Analyzers.synGraphContract`) — no text
     * change needed; the corpus already contains adjacent big/table pairs. */

@@ -2334,6 +2334,46 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // BlendedTermQuery, DisjunctionMaxRewrite (reference: lucene/core/src/
+    // java/org/apache/lucene/search/BlendedTermQuery.java:1-360 — the
+    // cross-field blending primitive: every term scores with the BLENDED
+    // df = max over the set, combined by pure max): table/vector blended,
+    // tf off decoded postings, the PRELUDE dlq quantization re-expressed
+    // as a Spark expression
+    "ft_blended_term" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      val n = index.fieldStats.docCount
+      val avgdl = index.fieldStats.sumTotalTermFreq.toDouble / n
+      val dfb = index.termStats.filter($"term".isin("table", "vector"))
+        .collect().map(_.docFreq).max
+      val idf = math.log(1.0 + (n - dfb + 0.5) / (dfb + 0.5))
+      termPos(spark, index, Seq("table", "vector"))
+        .groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+        .join(index.docs.toDF().select($"docId", $"len"), "docId")
+        .withColumn("dlq", expr(
+          """CASE WHEN len < 24 THEN len
+            |     WHEN len - 24 < 8 THEN len
+            |     ELSE 24 + (((len - 24) >> (length(conv(len - 24, 10, 2)) - 4))
+            |                << (length(conv(len - 24, 10, 2)) - 4)) END""".stripMargin))
+        .withColumn("s", lit(idf) * ($"tf" * (lit(1.2) + lit(1))) /
+          ($"tf" + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * $"dlq" / lit(avgdl))))
+        .groupBy("docId").agg(max($"s").as("smax"))
+        .select($"docId", round4Col($"smax").as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select($"doc_id", $"score")
+    }),
+    // LengthFilter [4,8] chain under the hard oracle: the seven short
+    // corpus words vanish, shrinking doc length/avgdl — BM25 for
+    // 'customer' over the filtered stream
+    "ft_length_filter" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getLengthFiltered(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("customer"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
     // LukeRequestHandler index report (reference: solr/core/src/java/org/
     // apache/solr/handler/admin/LukeRequestHandler.java — the index-level
     // metadata block): doc/term/postings totals, each audited against the
@@ -5852,6 +5892,34 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // blended-term dismax: both legs share the max df, pure max combine
+    "ft_blended_term" ->
+      s"""$PRELUDE,
+         |bb AS (SELECT greatest(${dfSql("table")}, ${dfSql("vector")}) AS dfb FROM st)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, tf_t, tf_v,
+         |    greatest(
+         |      CASE WHEN tf_t = 0 THEN 0.0
+         |           ELSE ln(1 + (st.n - bb.dfb + 0.5) / (bb.dfb + 0.5))
+         |             * (tf_t * (1.2 + 1))
+         |             / (tf_t + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END,
+         |      CASE WHEN tf_v = 0 THEN 0.0
+         |           ELSE ln(1 + (st.n - bb.dfb + 0.5) / (bb.dfb + 0.5))
+         |             * (tf_v * (1.2 + 1))
+         |             / (tf_v + 1.2 * (1 - 0.75 + 0.75 * dlq / st.avgdl)) END) AS s
+         |  FROM (SELECT doc_id, tk, dlq, ${tfSql("table")} AS tf_t,
+         |          ${tfSql("vector")} AS tf_v FROM dl) dl, st, bb
+         |) WHERE tf_t > 0 OR tf_v > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // length-filtered BM25: stream = tokens of length 4..8 only
+    "ft_length_filter" ->
+      s"""${PRELUDE.replace(TOKS,
+             s"list_filter($TOKS, t -> len(t) >= 4 AND len(t) <= 8)")}
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id, ${tfSql("customer")} AS tf,
+         |    ${bmSql(idfSql(dfSql("customer")), tfSql("customer"))} AS s
+         |  FROM dl, st
+         |) WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // luke report: every index-level stat re-derived from the corpus
     "ft_luke" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS tk FROM documents),
