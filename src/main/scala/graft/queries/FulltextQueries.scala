@@ -2334,6 +2334,42 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
+    // QueryElevationComponent (reference: solr/core/src/java/org/apache/
+    // solr/handler/component/QueryElevationComponent.java — editorial
+    // ranking: configured doc ids pin to the top in config order, excluded
+    // ids vanish, everything else keeps its organic order): 'vector'
+    // top-10 with docs 17,5 elevated (in that order) and doc 3 excluded
+    "ft_elevate" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val elevated = Seq(17L, 5L)
+      val excluded = Seq(3L)
+      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
+        .select($"docId", round4Col($"s0").as("score"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .filter(!$"doc_id".isin(excluded: _*))
+        .withColumn("elev_rank",
+          when($"doc_id" === 17L, 1L).when($"doc_id" === 5L, 2L)
+            .otherwise(lit(Long.MaxValue)))
+        .orderBy(asc("elev_rank"), desc("score"), asc("doc_id")).limit(10)
+        .withColumn("elevated", $"elev_rank" =!= Long.MaxValue)
+        .select($"doc_id", $"elevated", $"score")
+    }),
+    // scale() function query (reference: solr/core/src/java/org/apache/
+    // solr/search/function — ScaleFloatFunction: scores min-max rescaled
+    // to [0,1]): round4 BM25 legs rescaled over the match set's range
+    "ft_scale_score" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, searcher) = DocsIndex.get(spark, sfDir)
+      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
+        .select($"docId", round4Col($"s0").as("s"))
+      val mm = scored.agg(min($"s").as("mn"), max($"s").as("mx"))
+      scored.crossJoin(broadcast(mm))
+        .withColumn("scaled", round4Col(($"s" - $"mn") / ($"mx" - $"mn")))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("scaled"), asc("doc_id")).limit(10)
+        .select($"doc_id", $"scaled")
+    }),
     // BlendedTermQuery, DisjunctionMaxRewrite (reference: lucene/core/src/
     // java/org/apache/lucene/search/BlendedTermQuery.java:1-360 — the
     // cross-field blending primitive: every term scores with the BLENDED
@@ -5892,6 +5928,35 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
+    // elevation: pinned ids first in config order, exclusion removed,
+    // organic order after
+    "ft_elevate" ->
+      s"""$PRELUDE
+         |SELECT doc_id, elevated, score FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = 17 THEN 1
+         |         WHEN doc_id = 5 THEN 2
+         |         ELSE 9223372036854775807 END AS elev_rank,
+         |    (doc_id = 17 OR doc_id = 5) AS elevated,
+         |    round(s, 4) AS score
+         |  FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st) WHERE tf > 0 AND doc_id <> 3)
+         |ORDER BY elev_rank, score DESC, doc_id LIMIT 10""".stripMargin,
+    // scale(): min-max rescale of the round4 scores over the match set
+    "ft_scale_score" ->
+      s"""$PRELUDE,
+         |sc AS (
+         |  SELECT doc_id, round(s, 4) AS s FROM (
+         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
+         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
+         |    FROM dl, st) WHERE tf > 0),
+         |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM sc)
+         |SELECT doc_id,
+         |  floor((s - mn) / (mx - mn) * 10000.0 + 0.5) / 10000.0 AS scaled
+         |FROM sc, mm
+         |ORDER BY scaled DESC, doc_id LIMIT 10""".stripMargin,
     // blended-term dismax: both legs share the max df, pure max combine
     "ft_blended_term" ->
       s"""$PRELUDE,
