@@ -2334,42 +2334,6 @@ object FulltextQueries {
             (col("p") + lit(3L) - col("w") + lit(1L)).cast("int")), " ").as("passage"))
         .orderBy("doc_id")
     }),
-    // QueryElevationComponent (reference: solr/core/src/java/org/apache/
-    // solr/handler/component/QueryElevationComponent.java — editorial
-    // ranking: configured doc ids pin to the top in config order, excluded
-    // ids vanish, everything else keeps its organic order): 'vector'
-    // top-10 with docs 17,5 elevated (in that order) and doc 3 excluded
-    "ft_elevate" -> ((spark, sfDir) => {
-      import spark.implicits._
-      val (index, searcher) = DocsIndex.get(spark, sfDir)
-      val elevated = Seq(17L, 5L)
-      val excluded = Seq(3L)
-      searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
-        .select($"docId", round4Col($"s0").as("score"))
-        .join(DocsIndex.docIdMap(index), "docId")
-        .filter(!$"doc_id".isin(excluded: _*))
-        .withColumn("elev_rank",
-          when($"doc_id" === 17L, 1L).when($"doc_id" === 5L, 2L)
-            .otherwise(lit(Long.MaxValue)))
-        .orderBy(asc("elev_rank"), desc("score"), asc("doc_id")).limit(10)
-        .withColumn("elevated", $"elev_rank" =!= Long.MaxValue)
-        .select($"doc_id", $"elevated", $"score")
-    }),
-    // scale() function query (reference: solr/core/src/java/org/apache/
-    // solr/search/function — ScaleFloatFunction: scores min-max rescaled
-    // to [0,1]): round4 BM25 legs rescaled over the match set's range
-    "ft_scale_score" -> ((spark, sfDir) => {
-      import spark.implicits._
-      val (index, searcher) = DocsIndex.get(spark, sfDir)
-      val scored = searcher.scoreAllDoubleDS(searcher.parse("vector")).toDF("docId", "s0")
-        .select($"docId", round4Col($"s0").as("s"))
-      val mm = scored.agg(min($"s").as("mn"), max($"s").as("mx"))
-      scored.crossJoin(broadcast(mm))
-        .withColumn("scaled", round4Col(($"s" - $"mn") / ($"mx" - $"mn")))
-        .join(DocsIndex.docIdMap(index), "docId")
-        .orderBy(desc("scaled"), asc("doc_id")).limit(10)
-        .select($"doc_id", $"scaled")
-    }),
     // BlendedTermQuery, DisjunctionMaxRewrite (reference: lucene/core/src/
     // java/org/apache/lucene/search/BlendedTermQuery.java:1-360 — the
     // cross-field blending primitive: every term scores with the BLENDED
@@ -2403,7 +2367,7 @@ object FulltextQueries {
     // LengthFilter [4,8] chain under the hard oracle: the seven short
     // corpus words vanish, shrinking doc length/avgdl — BM25 for
     // 'customer' over the filtered stream
-    "ft_length_filter" -> ((spark, sfDir) => {
+    "ft_length_filter_search" -> ((spark, sfDir) => {
       val (index, searcher) = DocsIndex.getLengthFiltered(spark, sfDir)
       searcher.searchDoubleDS(searcher.parse("customer"), 10).toDF()
         .join(DocsIndex.docIdMap(index), "docId")
@@ -2441,18 +2405,6 @@ object FulltextQueries {
       val all = d.agg(count(lit(1)).as("cnt")).withColumn("bucket", lit("~all"))
       top.unionByName(all.select($"bucket", $"cnt"))
         .orderBy(desc("cnt"), asc("bucket"))
-    }),
-    // SpanFirstQuery (reference: lucene/core/src/java/org/apache/lucene/
-    // queries/spans/SpanFirstQuery.java:1-120 — the span must END within
-    // the first n positions): docs where 'merge' occurs at position < 5,
-    // straight off the decoded postings positions
-    "ft_span_first" -> ((spark, sfDir) => {
-      import spark.implicits._
-      val (index, _) = DocsIndex.get(spark, sfDir)
-      termPos(spark, index, Seq("merge"))
-        .filter($"p" < 5).select($"docId").distinct()
-        .join(DocsIndex.docIdMap(index), "docId")
-        .select($"doc_id").orderBy("doc_id")
     }),
     // FeatureField static-feature scoring (reference: lucene/core/src/java/
     // org/apache/lucene/document/FeatureField.java:1-500 —
@@ -2558,39 +2510,6 @@ object FulltextQueries {
       m.withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
         .select($"source", $"doc_id", $"n_tokens")
         .orderBy("source")
-    }),
-    // Solr TermsComponent terms.regex (solr/core/src/java/org/apache/solr/
-    // handler/component/TermsComponent.java — dictionary listing filtered
-    // by regex, with df): terms matching ^s.* with doc freq
-    "ft_terms_regex" -> ((spark, sfDir) => {
-      import spark.implicits._
-      val (index, _) = DocsIndex.get(spark, sfDir)
-      index.termStats.filter($"term".rlike("^s.*"))
-        .select($"term", $"docFreq".as("doc_freq"))
-        .orderBy("term")
-    }),
-    // DrillSideways (reference: lucene/facet/src/java/org/apache/lucene/
-    // facet/DrillSideways.java:1-350): base query 'vector' drilled down on
-    // lang='en'; the drilled dim's facet counts come from the base match
-    // set WITHOUT its own drill (sideways), every other dim (source) and
-    // the hit count from the fully drilled set
-    "ft_drill_sideways" -> ((spark, sfDir) => {
-      import spark.implicits._
-      val (index, searcher) = DocsIndex.get(spark, sfDir)
-      val base = searcher.matchesDS(graft.search.TermQ("vector")).toDF("docId")
-        .join(DocsIndex.docIdMap(index), "docId")
-        .join(DocsIndex.documents(spark, sfDir), "doc_id")
-      val hits = base.filter($"lang" === "en")
-      val sideLang = base.groupBy($"lang".as("bucket"))
-        .agg(count(lit(1)).as("cnt")).withColumn("dim", lit("lang~sideways"))
-      val normalSource = hits.groupBy($"source".as("bucket"))
-        .agg(count(lit(1)).as("cnt")).withColumn("dim", lit("source"))
-      val total = hits.agg(count(lit(1)).as("cnt"))
-        .withColumn("dim", lit("~hits")).withColumn("bucket", lit("~total"))
-      sideLang.unionByName(normalSource)
-        .unionByName(total.select($"bucket", $"cnt", $"dim"))
-        .select($"dim", $"bucket", $"cnt")
-        .orderBy("dim", "bucket")
     }),
     // KeywordRepeatFilter chain dictionary audit: the pluralized corpus
     // indexes BOTH surface form and stem per token (stem stacked posInc-0,
@@ -5928,35 +5847,6 @@ object FulltextQueries {
          |      FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE idx IS NOT NULL AND idx > 0
          |ORDER BY doc_id""".stripMargin,
-    // elevation: pinned ids first in config order, exclusion removed,
-    // organic order after
-    "ft_elevate" ->
-      s"""$PRELUDE
-         |SELECT doc_id, elevated, score FROM (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id = 17 THEN 1
-         |         WHEN doc_id = 5 THEN 2
-         |         ELSE 9223372036854775807 END AS elev_rank,
-         |    (doc_id = 17 OR doc_id = 5) AS elevated,
-         |    round(s, 4) AS score
-         |  FROM (
-         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
-         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
-         |    FROM dl, st) WHERE tf > 0 AND doc_id <> 3)
-         |ORDER BY elev_rank, score DESC, doc_id LIMIT 10""".stripMargin,
-    // scale(): min-max rescale of the round4 scores over the match set
-    "ft_scale_score" ->
-      s"""$PRELUDE,
-         |sc AS (
-         |  SELECT doc_id, round(s, 4) AS s FROM (
-         |    SELECT dl.doc_id, ${tfSql("vector")} AS tf,
-         |      ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))} AS s
-         |    FROM dl, st) WHERE tf > 0),
-         |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM sc)
-         |SELECT doc_id,
-         |  floor((s - mn) / (mx - mn) * 10000.0 + 0.5) / 10000.0 AS scaled
-         |FROM sc, mm
-         |ORDER BY scaled DESC, doc_id LIMIT 10""".stripMargin,
     // blended-term dismax: both legs share the max df, pure max combine
     "ft_blended_term" ->
       s"""$PRELUDE,
@@ -5977,7 +5867,7 @@ object FulltextQueries {
          |) WHERE tf_t > 0 OR tf_v > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // length-filtered BM25: stream = tokens of length 4..8 only
-    "ft_length_filter" ->
+    "ft_length_filter_search" ->
       s"""${PRELUDE.replace(TOKS,
              s"list_filter($TOKS, t -> len(t) >= 4 AND len(t) <= 8)")}
          |SELECT doc_id, round(s, 4) AS score FROM (
@@ -6007,12 +5897,6 @@ object FulltextQueries {
          |  UNION ALL
          |  SELECT '~all', count(*) FROM documents)
          |ORDER BY cnt DESC, bucket""".stripMargin,
-    // span-first: any 'merge' occurrence in the first 5 positions
-    "ft_span_first" ->
-      s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
-         |WHERE len(list_filter(generate_series(1, least(5, len(tk))),
-         |          i -> tk[i] = 'merge')) > 0
-         |ORDER BY doc_id""".stripMargin,
     // feature pumps: saturation w/(w+5) and log ln(1+w) on w = n_chars/100,
     // added to the round4 BM25 leg
     "ft_feature_field" ->
@@ -6098,28 +5982,6 @@ object FulltextQueries {
          |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)
          |  WHERE list_contains(tk, 'vector'))
          |WHERE rnk = 1 ORDER BY source""".stripMargin,
-    // terms.regex dictionary listing
-    "ft_terms_regex" ->
-      s"""SELECT tok AS term, count(*) AS doc_freq
-         |FROM (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents)
-         |WHERE regexp_matches(tok, '^s.*')
-         |GROUP BY tok ORDER BY term""".stripMargin,
-    // drill-sideways: lang facet over the undrilled base, source facet +
-    // hit count over the drilled set
-    "ft_drill_sideways" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, lang, source
-         |  FROM (SELECT doc_id, lang, source, $TOKS AS tk FROM documents)
-         |  WHERE list_contains(tk, 'vector'))
-         |SELECT dim, bucket, cnt FROM (
-         |  SELECT 'lang~sideways' AS dim, lang AS bucket, count(*) AS cnt
-         |  FROM base GROUP BY lang
-         |  UNION ALL
-         |  SELECT 'source', source, count(*) FROM base WHERE lang = 'en'
-         |  GROUP BY source
-         |  UNION ALL
-         |  SELECT '~hits', '~total', count(*) FROM base WHERE lang = 'en')
-         |ORDER BY dim, bucket""".stripMargin,
     // keyword-repeat dictionary: each pluralized token contributes its
     // surface form AND its stem (when they differ)
     "ft_keyword_repeat" ->

@@ -992,20 +992,6 @@ object RelationalQueries {
     // the verify reuses q_geodist's shared-text haversine. Box bounds:
     // Δlat = r/111.045 ≤ 13.6°, Δlon = asin(sin(r/R)/cos(lat₀)) ≤ 20.8°,
     // widened to ±14.9/±22 for slack.
-    // Solr facet.range.other=all (solr/core/src/java/org/apache/solr/
-    // request/SimpleFacets.java range faceting — before/between/after
-    // buckets alongside the gap buckets): l_quantity ranges [10,40) gap 10
-    "q_facet_range_other" -> ((spark, sfDir) => {
-      t(spark, sfDir, "lineitem")
-        .selectExpr("CAST(l_quantity AS BIGINT) AS x")
-        .selectExpr(
-          """CASE WHEN x < 10 THEN 'before'
-            |     WHEN x >= 40 THEN 'after'
-            |     ELSE concat('[', CAST((x div 10) * 10 AS STRING), ',',
-            |                 CAST((x div 10) * 10 + 10 AS STRING), ')') END AS bucket""".stripMargin)
-        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket")
-    }),
     // LatLonPoint nearest-k (reference: lucene/sandbox/src/java/org/apache/
     // lucene/sandbox/document/NearestNeighbor.java — BKD best-first k
     // nearest by haversine): top-10 customers nearest the query point,
@@ -3437,14 +3423,6 @@ object RelationalQueries {
          |    count(*) AS n0,
          |    sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS n1,
          |    sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS n2 FROM p)""".stripMargin,
-    "q_facet_range_other" ->
-      """SELECT bucket, count(*) AS cnt FROM (
-        |  SELECT CASE WHEN x < 10 THEN 'before'
-        |              WHEN x >= 40 THEN 'after'
-        |              ELSE '[' || CAST((x // 10) * 10 AS VARCHAR) || ',' ||
-        |                   CAST((x // 10) * 10 + 10 AS VARCHAR) || ')' END AS bucket
-        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem))
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_geo_nearest" ->
       s"""SELECT c_custkey,
          |  floor(${havSql(latSql, lonSql, "48.85", "2.35")} * 100.0 + 0.5) / CAST(100.0 AS DOUBLE) AS dist_km
