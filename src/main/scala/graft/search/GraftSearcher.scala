@@ -641,8 +641,14 @@ final class GraftSearcher(
   @transient private lazy val deleteIndexes =
     new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
 
-  private def deleteIndex(e: Int): DataFrame =
-    deleteIndexes.computeIfAbsent(e, _ => {
+  /** One shared neighborhood table, always built at e=2 (maxEdits is
+    * clamped to 2 anyway): an e=0/1 query probes it with its own smaller
+    * variant set — any extra e=2 rows it hits are discarded by the exact
+    * distance verify, so sharing is lossless and a long-lived searcher
+    * caches at most ONE delete-neighborhood table (round-4 advice). Call
+    * [[close]] to release it. */
+  private def deleteIndex(): DataFrame =
+    deleteIndexes.computeIfAbsent(2, e => {
       import spark.implicits._
       index.termStats
         .filter(length($"term") <= 32)
@@ -651,6 +657,14 @@ final class GraftSearcher(
         .toDF("variant", "term", "docFreq", "totalTermFreq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Release cached auxiliary tables (the delete-neighborhood index). The
+    * searcher stays usable — the index rebuilds lazily on the next fuzzy
+    * query. */
+  def close(): Unit = {
+    deleteIndexes.values().forEach(df => df.unpersist(false))
+    deleteIndexes.clear()
+  }
 
   /** The dictionary rows a fuzzy clause expands to, via the delete band:
     * IN-filter on the query term's own <=e-deletes (a few hundred variants,
@@ -664,12 +678,17 @@ final class GraftSearcher(
     val fB = f
     val e = math.min(f.maxEdits, 2)
     if (f.term.length > 30) {
+      // Spark length() counts codepoints while f.term.length counts UTF-16
+      // units; widen the lower bound like scanPrefilter so astral-plane
+      // dictionary terms (cp count as low as (len16)/2) can't be excluded
+      // before the exact verify.
       index.termStats
-        .filter(length($"term").between(f.term.length - e, f.term.length + e))
+        .filter(length($"term")
+          .between((f.term.length - e + 1) / 2, f.term.length + e))
         .filter(ts => fB.matches(ts.term))
     } else {
       val variants = Query.deleteNeighborhood(f.term, e).toSeq
-      val hits = deleteIndex(e)
+      val hits = deleteIndex()
         .filter($"variant".isin(variants: _*))
         .select("term", "docFreq", "totalTermFreq").distinct()
         .as[TermStatsRow]

