@@ -33,7 +33,11 @@ final case class IndexConfig(
     numPartitions: Int = 0,
     saltSpan: Long = 0,
     verifySha: Boolean = true,
-    sortFields: Seq[String] = Nil)
+    sortFields: Seq[String] = Nil,
+    /** Also write a doc-keyed (docId, term, tf) term-vectors table per
+      * segment (Lucene's opt-in per-field storeTermVectors / `.tvd`), so
+      * doc-keyed vector fetches never uninvert the term-keyed blocks. */
+    storeTermVectors: Boolean = false)
 
 /** An index: typed Datasets over the segment tables. In production these are
   * Iceberg tables (snapshot = Lucene's `segments_N` commit point, reference:
@@ -64,7 +68,11 @@ final class GraftIndex(
     val sortRunBases: Seq[Long] = Seq(0L),
     /** Current numeric docvalues generation (null = none committed) —
       * updatable per-doc numeric fields ([[IndexStore.updateNumericDocValues]]). */
-    val docValues: Dataset[DocValueRow] = null) extends Serializable {
+    val docValues: Dataset[DocValueRow] = null,
+    /** Doc-keyed term vectors (null = not stored for this index; see
+      * [[IndexConfig.storeTermVectors]]). Tombstones are NOT pre-applied —
+      * readers join against live docs like every other table. */
+    val termVectors: Dataset[TermVectorRow] = null) extends Serializable {
 
   /** Live (non-tombstoned) doc metadata. */
   def liveDocsDF: Dataset[DocRow] = {
@@ -203,6 +211,17 @@ object IndexBuilder {
     val spark = analyzed.sparkSession
     import spark.implicits._
     analyzed.map(a => DocRow(a.docId, a.repo, a.path, a.commit, a.lang, a.sha256, a.len, a.norm))
+  }
+
+  /** Doc-keyed term vectors from the SAME inversion the postings come from —
+    * a map-only projection of the analyzed docs (no shuffle; the write path
+    * range-partitions by docId for fetch-time row-group pruning). */
+  def termVectorsOf(analyzed: Dataset[AnalyzedDoc]): Dataset[TermVectorRow] = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.flatMap { a =>
+      a.terms.indices.iterator.map(i => TermVectorRow(a.docId, a.terms(i), a.tfs(i)))
+    }
   }
 
   def postingsOf(analyzed: Dataset[AnalyzedDoc]): Dataset[PostingRow] = {

@@ -160,6 +160,17 @@ object IndexStore {
     val docsPath = s"$segDir/docmeta"
     val blocksPath = s"$segDir/postings"
     val statsPath = s"$segDir/termstats"
+    val tvPath = s"$segDir/termvectors"
+
+    def writeTermVectors(tv: Dataset[TermVectorRow]): Unit = {
+      val parts = math.max(spark.sparkContext.defaultParallelism,
+        cfg.numPartitions)
+      // doc-keyed layout: range-partition + sort by docId so a per-document
+      // fetch is row-group min/max pruning on the key
+      tv.repartitionByRange(parts, tv("docId"))
+        .sortWithinPartitions("docId", "term")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tvPath)
+    }
 
     if (!isComplete(docsPath) || !isComplete(blocksPath)) {
       // analyzed intermediate recomputed rather than cached (see
@@ -174,6 +185,8 @@ object IndexStore {
       if (!isComplete(docsPath))
         IndexBuilder.docsOf(analyzed).write.mode("overwrite")
           .option("compression", "zstd").parquet(docsPath)
+      if (cfg.storeTermVectors && !isComplete(tvPath))
+        writeTermVectors(IndexBuilder.termVectorsOf(analyzed))
       if (!isComplete(blocksPath)) {
         val fs = IndexBuilder.fieldStatsOf(spark.read.parquet(docsPath).as[DocRow])
         // per-task lineage + postings/sec telemetry, persisted with the
@@ -191,6 +204,14 @@ object IndexStore {
     if (!isComplete(statsPath)) {
       IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])
         .write.mode("overwrite").option("compression", "zstd").parquet(statsPath)
+    }
+    // resume path: docs/blocks checkpointed by an earlier run that did not
+    // store term vectors — backfill once from the committed blocks (the
+    // one-time reindex cost, NOT a per-query uninvert)
+    if (cfg.storeTermVectors && !isComplete(tvPath)) {
+      writeTermVectors(
+        SegmentMerger.decodeToPostings(spark.read.parquet(blocksPath).as[BlockRow])
+          .map(p => TermVectorRow(p.docId, p.term, p.tf)))
     }
     val docs = spark.read.parquet(docsPath).as[DocRow]
     val fs = IndexBuilder.fieldStatsOf(docs)
@@ -270,7 +291,7 @@ object IndexStore {
         else hidden
       new GraftIndex(index.spark, index.docs, index.blocks, index.termStats,
         index.fieldStats, dels, hasDeletes = true, index.indexSort,
-        index.sortRunBases, index.docValues)
+        index.sortRunBases, index.docValues, index.termVectors)
     }
   }
 
@@ -364,8 +385,15 @@ object IndexStore {
         .agg(org.apache.spark.sql.functions.sum($"docFreq").as("docFreq"),
           org.apache.spark.sql.functions.sum($"totalTermFreq").as("totalTermFreq"))
         .as[TermStatsRow]
+    // term vectors are exposed only when EVERY live segment stored them
+    // (an index mixing tv and non-tv segments can't answer doc-keyed
+    // fetches completely, so readers get the honest null)
+    val termVectors =
+      if (m.segments.forall(s => isComplete(s"$indexDir/${s.name}/termvectors")))
+        unionOf[TermVectorRow]("termvectors")
+      else null
     new GraftIndex(spark, docs, blocks, termStats, m.fieldStats,
       readDeletes(spark, indexDir, m), m.hasDeletes, m.indexSort, m.sortRunBases,
-      readDocValues(spark, indexDir, m))
+      readDocValues(spark, indexDir, m), termVectors)
   }
 }

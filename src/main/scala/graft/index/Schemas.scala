@@ -84,6 +84,16 @@ final case class BlockRow(
 
 final case class TermStatsRow(term: String, docFreq: Long, totalTermFreq: Long)
 
+/** One doc-keyed term-vector cell, materialized at WRITE time from the same
+  * inversion the postings come from (the `.tvd`/CompressingTermVectorsWriter
+  * analog, reference: lucene/core/src/java/org/apache/lucene/codecs/
+  * compressing/CompressingTermVectorsWriter.java:60-120). Stored
+  * range-partitioned + sorted by docId so a per-document fetch is parquet
+  * row-group pruning on the docId key — never an uninvert of the term-keyed
+  * blocks table. Opt-in per index ([[IndexConfig.storeTermVectors]]), like
+  * Lucene's per-field `storeTermVectors` flag. */
+final case class TermVectorRow(docId: Long, term: String, tf: Int)
+
 /** One numeric docvalues cell. Updatable without reindexing
   * (`IndexWriter.updateNumericDocValue` analog, reference:
   * lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1803-1834):

@@ -98,6 +98,18 @@ object SegmentMerger {
       IndexBuilder.termStatsOf(spark.read.parquet(blocksPath).as[BlockRow])
         .write.mode("overwrite").option("compression", "zstd").parquet(statsPath)
     }
+    // term vectors merge as a purged union of the doc-keyed tables (docIds
+    // never renumber) — no decode, no shuffle beyond the docId range write
+    val tvPath = s"$segDir/termvectors"
+    if (toMerge.forall(s => done(s"$indexDir/${s.name}/termvectors")) && !done(tvPath)) {
+      val tv = toMerge.map(s =>
+          spark.read.parquet(s"$indexDir/${s.name}/termvectors").as[TermVectorRow])
+        .reduce(_ union _)
+      purge(tv, "docId")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, col("docId"))
+        .sortWithinPartitions("docId", "term")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tvPath)
+    }
     val mergedDocs = spark.read.parquet(docsPath).as[DocRow]
     val fs = IndexBuilder.fieldStatsOf(mergedDocs)
     val merged = SegmentMeta(segName,

@@ -740,7 +740,8 @@ object DocsIndex {
   }
 
   private def build(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) = {
-    val index = IndexBuilder.build(files(spark, sfDir), IndexConfig(analyzer = Analyzers.simple))
+    val index = IndexBuilder.build(files(spark, sfDir),
+      IndexConfig(analyzer = Analyzers.simple, storeTermVectors = true))
     index.blocks.count() // materialize the persisted postings once
     (index, new GraftSearcher(index, Analyzers.simple))
   }

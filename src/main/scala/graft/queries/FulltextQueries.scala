@@ -2554,20 +2554,18 @@ object FulltextQueries {
     }),
     // TermVectorComponent (reference: solr/core/src/java/org/apache/solr/
     // handler/component/TermVectorComponent.java — per-doc term vectors
-    // with tv.tf, tv.df, tv.tf_idf = tf/df): vectors re-derived through the
-    // SAME Analyzer.invert the indexer consumes (term vectors are stored
-    // per doc at index time from exactly this inversion), df joined from
-    // the dictionary
+    // with tv.tf, tv.df, tv.tf_idf = tf/df): served from the doc-keyed
+    // term-vectors table written at index time from exactly the indexing
+    // inversion (TermVectorRow), df joined from the dictionary
     "ft_term_vectors" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
-      val an = graft.analysis.Analyzers.simple
-      DocsIndex.documents(spark, sfDir).filter($"doc_id" < 5)
-        .select($"doc_id", $"text").as[(Long, String)]
-        .flatMap { case (d, txt) =>
-          val (byTerm, _) = an.invert(txt)
-          byTerm.iterator.map { case (t, (tf, _)) => (d, t, tf.toLong) }
-        }.toDF("doc_id", "term", "tf")
+      val wanted = DocsIndex.docIdMap(index).filter(col("doc_id") < 5)
+      val ids = wanted.select(col("docId")).as[Long].collect().toSeq
+      index.termVectors
+        .filter(col("docId").isin(ids: _*))
+        .join(broadcast(wanted), "docId")
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"))
         .join(index.termStats.toDF().select(col("term"), col("docFreq").as("df")), "term")
         .withColumn("tf_idf", col("tf").cast("double") / col("df"))
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
@@ -3305,35 +3303,24 @@ object FulltextQueries {
     }),
     // TermVectorComponent (reference: solr/core/src/java/org/apache/solr/
     // handler/component/TermVectorComponent.java:246-320 — per-document term
-    // vectors with tf and collection df). The term-keyed index answers a
-    // doc-keyed question, so this is the UNINVERT shape: decode blocks,
-    // keep rows for the requested docs, join df off termStats. The full
-    // blocks scan is the honest cost of uninverting a term-keyed store —
-    // production term vectors are stored doc-keyed at write time (as Lucene
-    // .tvd does); flagged here as the read-path fallback.
+    // vectors with tf and collection df). Served from the DOC-KEYED term
+    // vectors table materialized at write time from the indexing inversion
+    // (the `.tvd` / CompressingTermVectorsWriter analog — see
+    // TermVectorRow): the per-doc fetch is a docId IN-filter pushed into a
+    // docId-range-sorted parquet table (row-group pruning on the key), df
+    // joined off the term dictionary. The blocks table is never touched —
+    // the round-4 uninvert fallback is gone.
     "ft_termvectors" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
       val wanted = DocsIndex.docIdMap(index)
         .filter(col("doc_id").isin(1L, 2L, 3L))
-      val ids = wanted.select(col("docId")).as[Long].collect().toSet
-      val bc = spark.sparkContext.broadcast(ids)
-      val lo = ids.min; val hi = ids.max
-      index.blocks
-        .filter(col("firstDocId") <= hi && col("lastDocId") >= lo)
-        .as[BlockRow]
-        .flatMap { b =>
-          val eb = b.toEncodedBlock
-          val ds = PostingsCodec.decodeDocs(eb)
-          val fs = PostingsCodec.decodeFreqs(eb)
-          ds.iterator.zip(fs.iterator).collect {
-            case (d, f) if bc.value.contains(d) => (d, b.term, f.toLong)
-          }
-        }.toDF("docId", "term", "tf")
-        .groupBy(col("docId"), col("term")).agg(sum(col("tf")).as("tf"))
+      val ids = wanted.select(col("docId")).as[Long].collect().toSeq
+      index.termVectors
+        .filter(col("docId").isin(ids: _*))
         .join(index.termStats.toDF().select(col("term"), col("docFreq").as("docfreq")), "term")
-        .join(wanted, "docId")
-        .select(col("doc_id"), col("term"), col("tf"), col("docfreq"))
+        .join(broadcast(wanted), "docId")
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"), col("docfreq"))
         .orderBy("doc_id", "term")
     }),
     // ExternalFileField function query (reference: solr/core/src/java/org/
