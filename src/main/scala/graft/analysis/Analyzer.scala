@@ -53,9 +53,16 @@ object Tokenizer {
   private final val MidNumLet = 5
   private final val Ideographic = 6
   private final val Other = 7
+  /** WB4 Extend: combining marks attach to the preceding run character and
+    * never break a token — so decomposed text (`e` + U+0301) tokenizes the
+    * same way as its precomposed form. Marks cannot START a token. */
+  private final val Extend = 8
 
   private def classify(cp: Int): Int = {
-    if (cp == '_' || Character.getType(cp) == Character.CONNECTOR_PUNCTUATION) ExtendNumLet
+    val gt = Character.getType(cp)
+    if (gt == Character.NON_SPACING_MARK || gt == Character.COMBINING_SPACING_MARK ||
+        gt == Character.ENCLOSING_MARK) Extend
+    else if (cp == '_' || gt == Character.CONNECTOR_PUNCTUATION) ExtendNumLet
     else if (Character.isDigit(cp)) Numeric
     else if (Character.isLetter(cp)) {
       val script = Character.UnicodeScript.of(cp)
@@ -104,6 +111,9 @@ object Tokenizer {
             val cls1 = classify(c1)
             if (isRunClass(cls1)) {
               i += Character.charCount(c1); lastMain = cls1
+            } else if (cls1 == Extend) {
+              // WB4: the mark extends the run; the run class is unchanged
+              i += Character.charCount(c1)
             } else if (cls1 == MidLetter || cls1 == MidNum || cls1 == MidNumLet) {
               // WB6/7 + WB11/12: mid char joins only when surrounded by the
               // right class on both sides.
@@ -247,7 +257,21 @@ final case class Analyzer(
       * accents are stripped (é→e, ü→u, ñ→n, ç→c, å→a …) and the common
       * non-decomposable Latin specials are mapped by table (æ→ae, œ→oe,
       * ø→o, ß→ss, þ→th, ð/đ→d, ł→l). */
-    asciiFold: Boolean = false) extends Serializable {
+    asciiFold: Boolean = false,
+    /** `ICUFoldingFilter` analog (reference: lucene/analysis/icu/src/java/
+      * org/apache/lucene/analysis/icu/ICUFoldingFilter.java:1-120 — NFKC
+      * normalization + Unicode case folding + UTR#30 diacritic/width
+      * foldings, all in one filter): NFKC compatibility-normalizes the term
+      * (width folding ｆｕｌｌ→full, ligatures ﬁ→fi, circled/compat forms),
+      * re-lowercases codepoint-wise (NFKC can surface new uppercase), then
+      * applies the accent-strip + Latin-specials fold ([[Analyzer.foldAscii]]).
+      * Supersedes `asciiFold` when both are set. */
+    icuFold: Boolean = false) extends Serializable {
+
+  require(synonyms.isEmpty || !stemKeepOriginal,
+    "stemKeepOriginal + single-token synonyms is unsupported: the keyword-" +
+      "repeat branch would bypass synonym expansion on stemmed tokens " +
+      "(compose via synRules instead)")
 
   /** Codepoint-wise lowercase, mirroring Lucene `LowerCaseFilter`
     * (reference: lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:27-47).
@@ -365,7 +389,10 @@ final case class Analyzer(
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
     val base = raw.flatMap { rt =>
       val lowered = lowercase(rt.term)
-      val term = if (asciiFold) Analyzer.foldAscii(lowered) else lowered
+      val term =
+        if (icuFold) Analyzer.foldIcu(lowered)
+        else if (asciiFold) Analyzer.foldAscii(lowered)
+        else lowered
       if (stopWords.contains(term) ||
           term.length < lengthMin || term.length > lengthMax) {
         pendingGap += rt.posIncr
@@ -610,6 +637,24 @@ object Analyzer {
     * combining marks dropped for everything else. ASCII input returns the
     * same instance (zero-copy fast path, like the reference's early-exit
     * scan). Runs after LowerCaseFilter, so the lowercase arms suffice. */
+  /** NFKC_CF-style fold (see [[Analyzer.icuFold]]): NFKC → codepoint-wise
+    * lowercase → accent strip + Latin specials. Idempotent. */
+  def foldIcu(s: String): String = {
+    var ascii = true
+    var k = 0
+    while (k < s.length && ascii) { if (s.charAt(k) >= 0x80) ascii = false; k += 1 }
+    if (ascii) return foldAscii(s)
+    val nfkc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    val sb = new java.lang.StringBuilder(nfkc.length)
+    var i = 0
+    while (i < nfkc.length) {
+      val cp = nfkc.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    foldAscii(sb.toString)
+  }
+
   def foldAscii(s: String): String = {
     var needs = false
     var k = 0
@@ -732,6 +777,10 @@ object Analyzers {
     * (lucene/analysis/common/src/java/org/apache/lucene/analysis/cjk/CJKAnalyzer.java:35-60
     * minus its stop set, which is empty for this corpus). */
   val cjk: Analyzer = Analyzer(cjkBigram = true)
+
+  /** UAX#29 tokenizer + ICU-style NFKC_CF folding chain — the
+    * ICUFoldingFilter analyzer for multilingual/width-mixed corpora. */
+  val icu: Analyzer = Analyzer(icuFold = true)
 
   /** `SynonymGraphFilter` with a MULTI-WORD INPUT rule
     * (`big table => bigtable`, keepOrig): wherever 'big' and 'table' occupy

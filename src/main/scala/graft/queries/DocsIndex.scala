@@ -207,6 +207,47 @@ object DocsIndex {
     * S-stemmer would give 'query', 'windowing' the *o cvc guard, 'happiness'
     * step 3 NESS). The oracle replays the identical inflection and a
     * whole-vocabulary stem map hand-derived from the 1980 paper. */
+  /** Accent/width injection map for the ICU-folding corpus ([[getIcu]]):
+    * each regex is applied identically in BOTH engines ('g'-flagged on the
+    * DuckDB side); the engine then folds with the general NFKC_CF chain
+    * while the oracle undoes exactly the injected characters with its own
+    * builtins (translate/strip_accents/lower). Coverage: fullwidth forms
+    * (NFKC width folding), precomposed accents in both cases, and a
+    * DECOMPOSED combining acute (the tokenizer's WB4 Extend path). */
+  val ICU_SUBS: Seq[(String, String)] = Seq(
+    // FULLWIDTH T + a-macron + b l + e-acute  (Ｔāblé)
+    "\\btable\\b" -> "Ｔāblé",
+    // inde + capital X + COMBINING ACUTE  (indeX́, decomposed)
+    "\\bindex\\b" -> "indeX́",
+    // FULLWIDTH V + E-acute + CT + O-diaeresis + R  (ＶÉCTÖR)
+    "\\bvector\\b" -> "ＶÉCTÖR")
+
+  /** Same corpus with deterministic accented/fullwidth/decomposed token
+    * injections, indexed through the ICUFoldingFilter-analog chain
+    * (`Analyzers.icu`): queries in plain ASCII reach the folded posting
+    * lists only through NFKC + case fold + accent strip. */
+  def getIcu(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#icu", _ => {
+        import spark.implicits._
+        val injectedText = ICU_SUBS.foldLeft(col("text")) {
+          case (acc, (p, r)) => regexp_replace(acc, p, r)
+        }
+        val injected = documents(spark, sfDir)
+          .withColumn("text", injectedText)
+          .select(
+            lit("corpus").as("repo"),
+            format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(injected, IndexConfig(analyzer = Analyzers.icu))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.icu))
+      })
+
   def getPorter(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
     cache.computeIfAbsent(
       s"${System.identityHashCode(spark)}#$sfDir#porter", _ => {

@@ -159,6 +159,24 @@ object FulltextQueries {
 
   private val CJK_PRELUDE = PRELUDE.replace(TOKS, CJK_TOKS)
 
+  /** The accent/width injection applied before the ICU-folding index is
+    * built (`DocsIndex.getIcu`) — the SAME substitution list, 'g'-flagged. */
+  private val ICU_TXT = DocsIndex.ICU_SUBS.foldLeft("text") {
+    case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+  }
+
+  /** The oracle's own fold of the injected characters: the combining acute
+    * is deleted, the two injected fullwidth letters are width-mapped by
+    * table, precomposed accents fall to strip_accents, case to lower() —
+    * an independent derivation of what the engine's general NFKC_CF chain
+    * (Analyzer.foldIcu) must produce on this corpus. */
+  private val ICU_FOLD =
+    s"lower(strip_accents(translate(replace($ICU_TXT, '́', ''), 'ＴＶ', 'tv')))"
+
+  private val ICU_TOKS = s"regexp_extract_all($ICU_FOLD, '[a-z0-9]+')"
+
+  private val ICU_PRELUDE = PRELUDE.replace(TOKS, ICU_TOKS)
+
   /** Full BM25 oracle over the WordDelimiter compound index: term tf = raw
     * occurrences (every raw token surfaces once, as a split part or bare
     * trailing token) + compounds whose lowercased concat equals the term
@@ -1567,6 +1585,31 @@ object FulltextQueries {
         .select($"term", $"docFreq".as("doc_freq"),
           $"totalTermFreq".as("total_term_freq"))
         .orderBy("term")
+    }),
+    // ICUFoldingFilter chain (reference: lucene/analysis/icu/src/java/org/
+    // apache/lucene/analysis/icu/ICUFoldingFilter.java:1-120 — NFKC +
+    // case folding + UTR#30 accent/width foldings): whole-dictionary audit
+    // of the accent/width-injected corpus indexed through Analyzer.foldIcu.
+    // Any corpus word the engine's general Unicode chain folds differently
+    // from the oracle's hand-derived per-character fold surfaces here.
+    "ft_icu_fold" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getIcu(spark, sfDir)
+      index.termStats
+        .select($"term", $"docFreq".as("doc_freq"),
+          $"totalTermFreq".as("total_term_freq"))
+        .orderBy("term")
+    }),
+    // BM25 through the fold: plain-ASCII queries reach posting lists whose
+    // surface forms were Ｔāblé / ＶÉCTÖR in the source text — the match
+    // exists only because NFKC width folding + case fold + accent strip
+    // ran at index time; stats (df/tf/norms) are post-fold
+    "ft_icu_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getIcu(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("table OR vector"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
     }),
     // NRT/incremental ingest equivalence: the corpus committed as two
     // IncrementalIndexer micro-batches then compacted to one segment must
@@ -5408,6 +5451,28 @@ object FulltextQueries {
          |  GROUP BY doc_id, tok
          |)
          |GROUP BY tok ORDER BY term""".stripMargin,
+    // the whole ICU-fold dictionary: folded terms + df + ttf from the
+    // oracle's per-character fold of the same injected corpus
+    "ft_icu_fold" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS total_term_freq
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($ICU_TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |)
+         |GROUP BY tok ORDER BY term""".stripMargin,
+    // BM25 over the folded token stream: df/tf/norms post-fold
+    "ft_icu_search" ->
+      s"""$ICU_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("table")} AS tf_t, ${tfSql("vector")} AS tf_v,
+         |    (${bmSql(idfSql(dfSql("table")), tfSql("table"))}
+         |     + ${bmSql(idfSql(dfSql("vector")), tfSql("vector"))}) AS s
+         |  FROM dl, st
+         |) WHERE tf_t > 0 OR tf_v > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // identical to ft_search_term: two-batch incremental commit + compact
     // must be score-equivalent to the single-shot build
     "ft_incr_search" ->
