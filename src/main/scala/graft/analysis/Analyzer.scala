@@ -258,6 +258,16 @@ final case class Analyzer(
       * non-decomposable Latin specials are mapped by table (æ→ae, œ→oe,
       * ø→o, ß→ss, þ→th, ð/đ→d, ł→l). */
     asciiFold: Boolean = false,
+    /** Snowball German stemming ([[GermanStemmer]]) — the reference's
+      * `GermanAnalyzer` stem step. Mutually exclusive with the English
+      * stemmers; applied at the same point in the chain. */
+    germanStem: Boolean = false,
+    /** `FrenchMinimalStemFilter` analog ([[Analyzer.minimalStemFr]]) —
+      * the reference's minimal French stemmer (lucene/analysis/common/src/
+      * java/org/apache/lucene/analysis/fr/FrenchMinimalStemFilter.java,
+      * from Savoy, "Light Stemming Approaches for French, Portuguese,
+      * German and Hungarian Languages", SAC 2006). */
+    frenchMinimalStem: Boolean = false,
     /** `ICUFoldingFilter` analog (reference: lucene/analysis/icu/src/java/
       * org/apache/lucene/analysis/icu/ICUFoldingFilter.java:1-120 — NFKC
       * normalization + Unicode case folding + UTR#30 diacritic/width
@@ -403,6 +413,8 @@ final case class Analyzer(
         val out =
           if (porterStem) PorterStemmer.stem(term)
           else if (minimalStem) Analyzer.minimalStemEn(term)
+          else if (germanStem) GermanStemmer.stem(term)
+          else if (frenchMinimalStem) Analyzer.minimalStemFr(term)
           else term
         val tok = Token(out, pos, rt.startOffset, rt.endOffset)
         if (stemKeepOriginal && out != term) {
@@ -637,6 +649,28 @@ object Analyzer {
     * combining marks dropped for everything else. ASCII input returns the
     * same instance (zero-copy fast path, like the reference's early-exit
     * scan). Runs after LowerCaseFilter, so the lowercase arms suffice. */
+  /** Minimal French stemmer (reference: lucene/analysis/common/src/java/
+    * org/apache/lucene/analysis/fr/FrenchMinimalStemmer.java:1-80, from
+    * Savoy's published algorithm): words of >= 6 letters lose a final 'x'
+    * (with 'aux' -> 'al'), else cascade-drop final s, r, e, é, then reduce
+    * a final double letter. */
+  def minimalStemFr(t: String): String = {
+    if (t.length < 6) return t
+    if (t.charAt(t.length - 1) == 'x') {
+      return if (t.charAt(t.length - 3) == 'a' && t.charAt(t.length - 2) == 'u')
+        t.substring(0, t.length - 2) + "l"
+      else t.substring(0, t.length - 1)
+    }
+    var w = t
+    if (w.endsWith("s")) w = w.substring(0, w.length - 1)
+    if (w.endsWith("r")) w = w.substring(0, w.length - 1)
+    if (w.endsWith("e")) w = w.substring(0, w.length - 1)
+    if (w.endsWith("é")) w = w.substring(0, w.length - 1)
+    if (w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2))
+      w = w.substring(0, w.length - 1)
+    w
+  }
+
   /** NFKC_CF-style fold (see [[Analyzer.icuFold]]): NFKC → codepoint-wise
     * lowercase → accent strip + Latin specials. Idempotent. */
   def foldIcu(s: String): String = {
@@ -781,6 +815,15 @@ object Analyzers {
   /** UAX#29 tokenizer + ICU-style NFKC_CF folding chain — the
     * ICUFoldingFilter analyzer for multilingual/width-mixed corpora. */
   val icu: Analyzer = Analyzer(icuFold = true)
+
+  /** UAX#29 tokenizer + lowercase + Snowball German stem — the
+    * GermanAnalyzer stem chain (umlauts survive tokenization; the stemmer
+    * folds them in its postlude). */
+  val german: Analyzer = Analyzer(germanStem = true)
+
+  /** UAX#29 tokenizer + lowercase + minimal French stem — the
+    * FrenchMinimalStemFilter chain. */
+  val frenchMinimal: Analyzer = Analyzer(frenchMinimalStem = true)
 
   /** `SynonymGraphFilter` with a MULTI-WORD INPUT rule
     * (`big table => bigtable`, keepOrig): wherever 'big' and 'table' occupy

@@ -37,7 +37,16 @@ final case class IndexConfig(
     /** Also write a doc-keyed (docId, term, tf) term-vectors table per
       * segment (Lucene's opt-in per-field storeTermVectors / `.tvd`), so
       * doc-keyed vector fetches never uninvert the term-keyed blocks. */
-    storeTermVectors: Boolean = false)
+    storeTermVectors: Boolean = false,
+    /** Per-language analysis: docs whose `lang` column matches a key are
+      * analyzed through that chain, everything else through `analyzer` —
+      * the multilingual-corpus analog of Solr's per-language field types
+      * (text_de / text_fr each wired to its own analyzer; reference:
+      * solr/core/src/java/org/apache/solr/schema/TextField.java + the de/fr
+      * analyzers in lucene/analysis/common). Query-side, the caller picks
+      * the query language's analyzer on its GraftSearcher, like querying a
+      * per-language field. */
+    langAnalyzers: Map[String, Analyzer] = Map.empty)
 
 /** An index: typed Datasets over the segment tables. In production these are
   * Iceberg tables (snapshot = Lucene's `segments_N` commit point, reference:
@@ -175,6 +184,7 @@ object IndexBuilder {
     val spark = numbered.sparkSession
     import spark.implicits._
     val analyzer = cfg.analyzer
+    val langAnalyzers = cfg.langAnalyzers
     val verify = cfg.verifySha
     val mismatchAcc = spark.sparkContext.longAccumulator("shaMismatches")
     numbered.mapPartitions { it =>
@@ -185,7 +195,10 @@ object IndexBuilder {
           throw new IllegalStateException(
             s"sha256 mismatch for ${f.repo}/${f.path}@${f.commit}: expected ${f.sha256}, content hashes to $computed")
         }
-        val (byTerm, len) = analyzer.invert(f.content)
+        val an =
+          if (langAnalyzers.isEmpty) analyzer
+          else langAnalyzers.getOrElse(f.lang, analyzer)
+        val (byTerm, len) = an.invert(f.content)
         val n = byTerm.size
         val terms = new Array[String](n)
         val tfs = new Array[Int](n)

@@ -248,6 +248,56 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.icu))
       })
 
+  /** German inflections injected into lang='de' docs only ([[getLangStem]]):
+    * each exercises a different Snowball-German rule (ern-flexion + umlaut
+    * fold, ung d-suffix, keit d-suffix, en-flexion). */
+  val DE_SUBS: Seq[(String, String)] = Seq(
+    "\\btable\\b" -> "häusern",
+    "\\bmerge\\b" -> "wanderung",
+    "\\bsort\\b" -> "freundlichkeit",
+    "\\bquery\\b" -> "kategorien")
+
+  /** French inflections injected into lang='fr' docs only: aux→al, plural
+    * s + final-e, and the é/undouble cascade of the minimal stemmer. */
+  val FR_SUBS: Seq[(String, String)] = Seq(
+    "\\btable\\b" -> "chevaux",
+    "\\bmerge\\b" -> "portes",
+    "\\bsort\\b" -> "données")
+
+  /** ONE index over the whole multilingual corpus with PER-LANGUAGE
+    * analysis (IndexConfig.langAnalyzers): de docs carry injected German
+    * inflections and analyze through the Snowball German chain, fr docs
+    * carry French inflections through the minimal French chain, everything
+    * else through `simple`. Query-side each language picks its analyzer on
+    * the searcher — the Solr per-language-field pattern over one corpus. */
+  def getLangStem(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#langstem", _ => {
+        import spark.implicits._
+        def subbed(subs: Seq[(String, String)]) =
+          subs.foldLeft(col("text")) { case (a, (p, r)) => regexp_replace(a, p, r) }
+        val injected = documents(spark, sfDir)
+          .withColumn("text",
+            when(col("lang") === "de", subbed(DE_SUBS))
+              .when(col("lang") === "fr", subbed(FR_SUBS))
+              .otherwise(col("text")))
+          .select(
+            lit("corpus").as("repo"),
+            format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(injected, IndexConfig(
+          analyzer = Analyzers.simple,
+          langAnalyzers = Map(
+            "de" -> Analyzers.german,
+            "fr" -> Analyzers.frenchMinimal)))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.simple))
+      })
+
   def getPorter(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
     cache.computeIfAbsent(
       s"${System.identityHashCode(spark)}#$sfDir#porter", _ => {

@@ -177,6 +177,48 @@ object FulltextQueries {
 
   private val ICU_PRELUDE = PRELUDE.replace(TOKS, ICU_TOKS)
 
+  /** The per-language injections applied before the lang-stem index is
+    * built (`DocsIndex.getLangStem`) — same lists, 'g'-flagged. */
+  private val DE_TXT = DocsIndex.DE_SUBS.foldLeft("text") {
+    case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+  }
+  private val FR_TXT = DocsIndex.FR_SUBS.foldLeft("text") {
+    case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+  }
+
+  /** Snowball-German stems of the closed de-doc vocabulary, hand-derived
+    * from the published algorithm (R1 floored at 3; step-1 flexions, step-3
+    * d-suffixes, umlaut postlude) — an independent derivation, NOT
+    * generated from [[graft.analysis.GermanStemmer]]. Unchanged words fall
+    * through the ELSE. */
+  private val DE_CASE =
+    "CASE t WHEN 'häusern' THEN 'haus' WHEN 'wanderung' THEN 'wander' " +
+      "WHEN 'freundlichkeit' THEN 'freundlich' WHEN 'kategorien' THEN 'kategori' " +
+      "WHEN 'customer' THEN 'custom' WHEN 'filter' THEN 'filt' " +
+      "WHEN 'line' THEN 'lin' WHEN 'order' THEN 'ord' WHEN 'value' THEN 'valu' " +
+      "ELSE t END"
+
+  /** Minimal-French stems of the closed fr-doc vocabulary, hand-derived
+    * from Savoy's published cascade (>= 6 letters; x/aux, then s, r, e, é,
+    * undouble). */
+  private val FR_CASE =
+    "CASE t WHEN 'chevaux' THEN 'cheval' WHEN 'portes' THEN 'port' " +
+      "WHEN 'données' THEN 'don' WHEN 'customer' THEN 'custom' " +
+      "WHEN 'filter' THEN 'filt' WHEN 'vector' THEN 'vecto' " +
+      "ELSE t END"
+
+  /** Per-language token stream: de docs through the German injection +
+    * stem map (umlauts are token chars), fr docs through the French pair,
+    * everything else the plain simple-analyzer stream. */
+  private val LANGSTEM_TOKS =
+    s"CASE WHEN lang = 'de' THEN list_transform(" +
+      s"regexp_extract_all(lower($DE_TXT), '[a-z0-9äöüß]+'), t -> $DE_CASE) " +
+      s"WHEN lang = 'fr' THEN list_transform(" +
+      s"regexp_extract_all(lower($FR_TXT), '[a-z0-9éèêàâçîïôûù]+'), t -> $FR_CASE) " +
+      s"ELSE regexp_extract_all(lower(text), '[a-z0-9]+') END"
+
+  private val LANGSTEM_PRELUDE = PRELUDE.replace(TOKS, LANGSTEM_TOKS)
+
   /** Full BM25 oracle over the WordDelimiter compound index: term tf = raw
     * occurrences (every raw token surfaces once, as a split part or bare
     * trailing token) + compounds whose lowercased concat equals the term
@@ -1610,6 +1652,42 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .orderBy(desc("score"), asc("doc_id")).limit(10)
         .select(col("doc_id"), col("score"))
+    }),
+    // Snowball German chain over the per-language index (DocsIndex.
+    // getLangStem): the query surfaces 'hauses'/'wanderungen' appear in NO
+    // document — they reach the 'haus'/'wander' posting lists (from
+    // injected 'häusern'/'wanderung' in de docs) only through the German
+    // stemmer, including its umlaut postlude. BM25 stats are corpus-wide
+    // (one index, per-language analysis — the Solr text_de field pattern).
+    "ft_stem_de_search" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.getLangStem(spark, sfDir)
+      val searcher = new graft.search.GraftSearcher(index, graft.analysis.Analyzers.german)
+      searcher.searchDoubleDS(searcher.parse("hauses OR wanderungen"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // minimal-French chain, same index: 'donner'/'porter' → 'don'/'port'
+    // posting lists fed by injected 'données'/'portes' in fr docs (é-drop +
+    // undouble and plural-s + final-e cascades)
+    "ft_stem_fr_search" -> ((spark, sfDir) => {
+      val (index, _) = DocsIndex.getLangStem(spark, sfDir)
+      val searcher = new graft.search.GraftSearcher(index, graft.analysis.Analyzers.frenchMinimal)
+      searcher.searchDoubleDS(searcher.parse("donner OR porter"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // whole-dictionary audit of the per-language index: every term with
+    // df/ttf — any token either language chain stems differently from the
+    // oracle's hand-derived per-language vocabulary maps surfaces here
+    "ft_stem_lang_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getLangStem(spark, sfDir)
+      index.termStats
+        .select($"term", $"docFreq".as("doc_freq"),
+          $"totalTermFreq".as("total_term_freq"))
+        .orderBy("term")
     }),
     // NRT/incremental ingest equivalence: the corpus committed as two
     // IncrementalIndexer micro-batches then compacted to one segment must
@@ -5473,6 +5551,40 @@ object FulltextQueries {
          |  FROM dl, st
          |) WHERE tf_t > 0 OR tf_v > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Snowball-German BM25 over the per-language index: the query stems
+    // 'haus'/'wander' exist only in de docs; stats corpus-wide
+    "ft_stem_de_search" ->
+      s"""$LANGSTEM_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("haus")} AS tf_h, ${tfSql("wander")} AS tf_w,
+         |    (${bmSql(idfSql(dfSql("haus")), tfSql("haus"))}
+         |     + ${bmSql(idfSql(dfSql("wander")), tfSql("wander"))}) AS s
+         |  FROM dl, st
+         |) WHERE tf_h > 0 OR tf_w > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // minimal-French BM25: query stems 'don'/'port' live only in fr docs
+    "ft_stem_fr_search" ->
+      s"""$LANGSTEM_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("don")} AS tf_d, ${tfSql("port")} AS tf_p,
+         |    (${bmSql(idfSql(dfSql("don")), tfSql("don"))}
+         |     + ${bmSql(idfSql(dfSql("port")), tfSql("port"))}) AS s
+         |  FROM dl, st
+         |) WHERE tf_d > 0 OR tf_p > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the whole per-language dictionary from the oracle's independent
+    // hand-derived stem maps
+    "ft_stem_lang_terms" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS total_term_freq
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($LANGSTEM_TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |)
+         |GROUP BY tok ORDER BY term""".stripMargin,
     // identical to ft_search_term: two-batch incremental commit + compact
     // must be score-equivalent to the single-shot build
     "ft_incr_search" ->
