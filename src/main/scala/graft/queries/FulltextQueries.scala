@@ -2429,6 +2429,119 @@ object FulltextQueries {
         .join(DocsIndex.docIdMap(index), "docId")
         .select($"doc_id", $"n_intervals").orderBy("doc_id")
     }),
+    // ContainingIntervalsSource (reference: lucene/queries/src/java/org/
+    // apache/lucene/queries/intervals/ContainingIntervalsSource.java):
+    // minimal ordered data→table intervals that CONTAIN a 'key' position;
+    // the composition of the generic Iv algebra (Intervals.ordered +
+    // containing) over decoded position lists
+    "ft_intervals_containing" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      posOf("data").toDF("docId", "pa")
+        .join(posOf("table").toDF("docId", "pb"), "docId")
+        .join(posOf("key").toDF("docId", "pk"), "docId")
+        .as[(Long, Array[Int], Array[Int], Array[Int])]
+        .map { case (d, pa, pb, pk) =>
+          import graft.search.Intervals._
+          (d, containing(ordered(term(pa), term(pb)), term(pk)).length.toLong)
+        }
+        .toDF("docId", "n_intervals")
+        .filter($"n_intervals" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_intervals").orderBy("doc_id")
+    }),
+    // NotContainingIntervalsSource (NotContainingIntervalsSource.java):
+    // the complement — minimal data→table intervals with NO 'key' inside
+    "ft_intervals_notcontaining" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      // LEFT join on the contained term: a doc with data→table intervals
+      // but no 'key' at all keeps every interval (vacuously not-containing)
+      posOf("data").toDF("docId", "pa")
+        .join(posOf("table").toDF("docId", "pb"), "docId")
+        .join(posOf("key").toDF("docId", "pk"), Seq("docId"), "left")
+        .as[(Long, Array[Int], Array[Int], Array[Int])]
+        .map { case (d, pa, pb, pk0) =>
+          import graft.search.Intervals._
+          val pk = if (pk0 == null) Array.empty[Int] else pk0
+          (d, notContaining(ordered(term(pa), term(pb)), term(pk)).length.toLong)
+        }
+        .toDF("docId", "n_intervals")
+        .filter($"n_intervals" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_intervals").orderBy("doc_id")
+    }),
+    // ContainedByIntervalsSource (ContainedByIntervalsSource.java): 'key'
+    // positions lying inside a minimal data→table interval
+    "ft_intervals_containedby" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      posOf("data").toDF("docId", "pa")
+        .join(posOf("table").toDF("docId", "pb"), "docId")
+        .join(posOf("key").toDF("docId", "pk"), "docId")
+        .as[(Long, Array[Int], Array[Int], Array[Int])]
+        .map { case (d, pa, pb, pk) =>
+          import graft.search.Intervals._
+          (d, containedBy(term(pk), ordered(term(pa), term(pb))).length.toLong)
+        }
+        .toDF("docId", "n_intervals")
+        .filter($"n_intervals" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_intervals").orderBy("doc_id")
+    }),
+    // BlockIntervalsSource (BlockIntervalsSource.java): 'data' immediately
+    // followed by 'table' — adjacent, ordered, gap-free
+    "ft_intervals_block" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.get(spark, sfDir)
+      def posOf(term: String) = index.blocks.filter($"term" === term)
+        .as[graft.index.BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val poss = PostingsCodec.decodePositions(eb, freqs)
+          docs.indices.iterator.map(i => (docs(i), poss(i)))
+        }
+      posOf("data").toDF("docId", "pa")
+        .join(posOf("table").toDF("docId", "pb"), "docId")
+        .as[(Long, Array[Int], Array[Int])]
+        .map { case (d, pa, pb) =>
+          import graft.search.Intervals._
+          (d, block(term(pa), term(pb)).length.toLong)
+        }
+        .toDF("docId", "n_intervals")
+        .filter($"n_intervals" > 0)
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_intervals").orderBy("doc_id")
+    }),
     // passage extraction (UnifiedHighlighter, reference: lucene/highlighter/
     // src/java/org/apache/lucene/search/uhighlight/UnifiedHighlighter.java +
     // Passage.java): the snippet window around the first stored-postings
@@ -6002,6 +6115,66 @@ object FulltextQueries {
          |                      i -> tk[i] = 'key' OR tk[i] = 'value') AS pm
          |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |  WHERE len(pm) >= 2)
+         |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
+    // minimal ordered data→table intervals (ft_intervals enumeration, no
+    // gap cap) that CONTAIN a 'key' position (inclusive bounds)
+    "ft_intervals_containing" ->
+      s"""SELECT doc_id, n_intervals FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(generate_series(1, len(pa)), m ->
+         |      len(list_filter(pb, j -> j > pa[m]
+         |        AND len(list_filter(pb, j2 -> j2 > pa[m] AND j2 < j)) = 0
+         |        AND (m = len(pa) OR pa[m+1] >= j)
+         |        AND len(list_filter(pk, p -> p >= pa[m] AND p <= j)) > 0)) > 0))
+         |      AS BIGINT) AS n_intervals
+         |  FROM (SELECT doc_id,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data') AS pa,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'table') AS pb,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'key') AS pk
+         |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE len(pa) > 0 AND len(pb) > 0)
+         |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
+    // the complement: minimal data→table intervals with NO 'key' inside
+    "ft_intervals_notcontaining" ->
+      s"""SELECT doc_id, n_intervals FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(generate_series(1, len(pa)), m ->
+         |      len(list_filter(pb, j -> j > pa[m]
+         |        AND len(list_filter(pb, j2 -> j2 > pa[m] AND j2 < j)) = 0
+         |        AND (m = len(pa) OR pa[m+1] >= j)
+         |        AND len(list_filter(pk, p -> p >= pa[m] AND p <= j)) = 0)) > 0))
+         |      AS BIGINT) AS n_intervals
+         |  FROM (SELECT doc_id,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data') AS pa,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'table') AS pb,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'key') AS pk
+         |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE len(pa) > 0 AND len(pb) > 0)
+         |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
+    // 'key' positions contained by some minimal data→table interval
+    "ft_intervals_containedby" ->
+      s"""SELECT doc_id, n_intervals FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(pk, p ->
+         |      len(list_filter(generate_series(1, len(pa)), m -> pa[m] <= p
+         |        AND len(list_filter(pb, j -> j > pa[m]
+         |          AND len(list_filter(pb, j2 -> j2 > pa[m] AND j2 < j)) = 0
+         |          AND (m = len(pa) OR pa[m+1] >= j)
+         |          AND j >= p)) > 0)) > 0)) AS BIGINT) AS n_intervals
+         |  FROM (SELECT doc_id,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data') AS pa,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'table') AS pb,
+         |          list_filter(generate_series(1, len(tk)), i -> tk[i] = 'key') AS pk
+         |        FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |  WHERE len(pa) > 0 AND len(pb) > 0 AND len(pk) > 0)
+         |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
+    // block = adjacency: 'data' at i, 'table' at i+1
+    "ft_intervals_block" ->
+      s"""SELECT doc_id, n_intervals FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] = 'data' AND tk[i+1] = 'table')) AS BIGINT) AS n_intervals
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents))
          |WHERE n_intervals > 0 ORDER BY doc_id""".stripMargin,
     // passage: +-3-token window around the FIRST 'vector' occurrence
     "ft_passage" ->

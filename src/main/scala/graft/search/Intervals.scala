@@ -16,7 +16,128 @@ package graft.search
   * blocks by [[graft.codec.PostingsCodec.decodePositions]]) and run a single
   * linear merge — O(|pa| + |pb|) per document, no allocation.
   */
+/** One minimal interval: inclusive token-position bounds. */
+final case class Iv(start: Int, end: Int)
+
 object Intervals {
+
+  // ------------------------------------------------------------------
+  // Generic minimal-interval algebra (streams of Iv, sorted by start,
+  // pairwise non-nested — the invariant every combinator preserves).
+  // Reference: lucene/queries/src/java/org/apache/lucene/queries/intervals/
+  // ContainingIntervalsSource.java, ContainedByIntervalsSource.java,
+  // NotContainingIntervalsSource.java, BlockIntervalsSource.java,
+  // OrderedIntervalsSource.java — re-derived from the minimal-interval
+  // semantics (Clarke/Cormack/Burkowski via Vigna) over decoded position
+  // lists rather than ported iterator machinery.
+  // ------------------------------------------------------------------
+
+  /** A term source: each position is a width-1 interval. */
+  def term(ps: Array[Int]): Array[Iv] = ps.map(p => Iv(p, p))
+
+  /** Keep only minimal intervals of a candidate list whose starts strictly
+    * increase and ends never decrease (what [[ordered]]/[[block]] emit): a
+    * candidate is non-minimal iff a LATER candidate shares its end (the
+    * later one starts further right, hence is nested inside it). */
+  private def minimalize(cands: Array[Iv]): Array[Iv] = {
+    if (cands.length < 2) return cands
+    val out = new collection.mutable.ArrayBuffer[Iv](cands.length)
+    var i = 0
+    while (i < cands.length) {
+      if (i + 1 >= cands.length || cands(i + 1).end > cands(i).end) out += cands(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Minimal ordered concatenation of two minimal streams: for each `a`
+    * the first `b` strictly after it, nested results pruned — the n-ary
+    * generalization of [[orderedMaxgapsCount]]'s enumeration. */
+  def ordered(as: Array[Iv], bs: Array[Iv]): Array[Iv] = {
+    val cands = new collection.mutable.ArrayBuffer[Iv](as.length)
+    var k = 0
+    var m = 0
+    while (m < as.length) {
+      val a = as(m)
+      while (k < bs.length && bs(k).start <= a.end) k += 1
+      if (k < bs.length) cands += Iv(a.start, bs(k).end)
+      m += 1
+    }
+    minimalize(cands.toArray)
+  }
+
+  /** BlockIntervalsSource: `b` must start EXACTLY one position after `a`
+    * ends (adjacent, in order, no gap) — the interval spans both. */
+  def block(as: Array[Iv], bs: Array[Iv]): Array[Iv] = {
+    val cands = new collection.mutable.ArrayBuffer[Iv](math.min(as.length, bs.length))
+    var k = 0
+    var m = 0
+    while (m < as.length) {
+      val a = as(m)
+      while (k < bs.length && bs(k).start < a.end + 1) k += 1
+      if (k < bs.length && bs(k).start == a.end + 1) cands += Iv(a.start, bs(k).end)
+      m += 1
+    }
+    minimalize(cands.toArray)
+  }
+
+  /** Does any `b` lie fully inside `a` (inclusive bounds)? Two-pointer over
+    * both sorted streams. */
+  private def marksContaining(as: Array[Iv], bs: Array[Iv]): Array[Boolean] = {
+    val res = new Array[Boolean](as.length)
+    var k = 0
+    var m = 0
+    while (m < as.length) {
+      val a = as(m)
+      while (k < bs.length && bs(k).start < a.start) k += 1
+      // bs(k) is the first b starting at/after a.start; b starts only move
+      // right for later a's (a.start increases), so k never rewinds
+      res(m) = k < bs.length && bs(k).start >= a.start && bs(k).end <= a.end
+      m += 1
+    }
+    res
+  }
+
+  /** ContainingIntervalsSource: intervals of `as` that contain an interval
+    * of `bs`. */
+  def containing(as: Array[Iv], bs: Array[Iv]): Array[Iv] = {
+    val marks = marksContaining(as, bs)
+    as.indices.iterator.filter(marks(_)).map(as(_)).toArray
+  }
+
+  /** NotContainingIntervalsSource: intervals of `as` containing NO interval
+    * of `bs`. */
+  def notContaining(as: Array[Iv], bs: Array[Iv]): Array[Iv] = {
+    val marks = marksContaining(as, bs)
+    as.indices.iterator.filterNot(marks(_)).map(as(_)).toArray
+  }
+
+  /** ContainedByIntervalsSource: intervals of `as` lying fully inside some
+    * interval of `bs`. Since `bs` is non-nested and start-sorted, only the
+    * last b starting at/before a.start can contain a. */
+  def containedBy(as: Array[Iv], bs: Array[Iv]): Array[Iv] = {
+    val out = new collection.mutable.ArrayBuffer[Iv](as.length)
+    var k = -1
+    var m = 0
+    while (m < as.length) {
+      val a = as(m)
+      while (k + 1 < bs.length && bs(k + 1).start <= a.start) k += 1
+      if (k >= 0 && bs(k).end >= a.end) out += a
+      m += 1
+    }
+    out.toArray
+  }
+
+  /** NotContainedByIntervalsSource complement of [[containedBy]]. */
+  def notContainedBy(as: Array[Iv], bs: Array[Iv]): Array[Iv] = {
+    val in = containedBy(as, bs).toSet
+    as.filterNot(in.contains)
+  }
+
+  /** FilteredIntervalsSource.maxWidth: keep intervals spanning at most
+    * `width` positions. */
+  def maxWidth(as: Array[Iv], width: Int): Array[Iv] =
+    as.filter(a => a.end - a.start + 1 <= width)
 
   /** Count of minimal ordered intervals (i, j): `tk(i) = a`, `tk(j) = b`,
     * i < j, with no other `a` in (i, j) and no other `b` in (i, j), whose
