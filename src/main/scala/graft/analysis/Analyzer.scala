@@ -66,7 +66,10 @@ object Tokenizer {
     else if (Character.isDigit(cp)) Numeric
     else if (Character.isLetter(cp)) {
       val script = Character.UnicodeScript.of(cp)
-      if (script == Character.UnicodeScript.HAN || script == Character.UnicodeScript.HIRAGANA) Ideographic
+      if (script == Character.UnicodeScript.HAN ||
+          script == Character.UnicodeScript.HIRAGANA ||
+          script == Character.UnicodeScript.KATAKANA ||
+          script == Character.UnicodeScript.HANGUL) Ideographic
       else ALetter
     } else cp match {
       case ':' | 0x00B7 | 0x05F4 | 0x2027 => MidLetter
@@ -230,6 +233,13 @@ final case class Analyzer(
       * each bigram takes one position (outputUnigrams=false default), so
       * a k-char run contributes k-1 to the field length. */
     cjkBigram: Boolean = false,
+    /** Dictionary longest-match CJK segmentation with bigram fallback for
+      * OOV spans ([[Analyzer.cjkDictSegment]] — the kuromoji-lite chain).
+      * Non-empty set switches the CJK stage from pure bigrams to
+      * dictionary-first segmentation; the dictionary broadcasts with the
+      * analyzer (a few MB for a real lexicon — executor-local, never a
+      * shuffle). */
+    cjkDictWords: Set[String] = Set.empty,
     /** `HTMLStripCharFilter` subset (reference: lucene/analysis/common/src/
       * java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.jflex —
       * tags removed, character entities decoded, before tokenization): a
@@ -428,7 +438,10 @@ final case class Analyzer(
       }
     }
     val stream0 = if (synRules.isEmpty) base else Analyzer.applySynGraph(base, synRules)
-    val stream = if (!cjkBigram) stream0 else Analyzer.cjkBigrams(stream0)
+    val stream =
+      if (cjkDictWords.nonEmpty) Analyzer.cjkDictSegment(stream0, cjkDictWords)
+      else if (cjkBigram) Analyzer.cjkBigrams(stream0)
+      else stream0
     if (shingleSize > 1) stream.sliding(shingleSize).withPartial(false).map { w =>
       Token(w.iterator.map(_.term).mkString("_"),
         w.head.position, w.head.startOffset, w.last.endOffset)
@@ -489,37 +502,125 @@ object Analyzer {
   private def isCjkSingle(term: String): Boolean = {
     if (term.codePointCount(0, term.length) != 1) return false
     val script = Character.UnicodeScript.of(term.codePointAt(0))
-    script == Character.UnicodeScript.HAN || script == Character.UnicodeScript.HIRAGANA
+    // CJKBigramFilter's default flag set: HAN | HIRAGANA | KATAKANA | HANGUL
+    script == Character.UnicodeScript.HAN ||
+      script == Character.UnicodeScript.HIRAGANA ||
+      script == Character.UnicodeScript.KATAKANA ||
+      script == Character.UnicodeScript.HANGUL
   }
 
   /** `CJKBigramFilter` over an already-positioned stream: runs of adjacent
     * single-ideograph tokens become overlapping bigrams (a lone ideograph
-    * stays a unigram), everything else passes through; positions renumber
-    * contiguously like the filter's posIncrement-1 output stream. */
+    * stays a unigram), everything else passes through. Positions renumber
+    * only by the per-run shrinkage (a k-char run emits k-1 bigrams, so
+    * everything after it shifts left by one per run) — pass-through tokens
+    * PRESERVE their incoming position gaps, matching the reference filter's
+    * posIncrement passthrough (round-4 advice; on a gap-free stream this
+    * equals the previous contiguous renumbering exactly). */
   def cjkBigrams(toks: Iterator[Token]): Iterator[Token] = {
     val arr = toks.toArray
     val out = collection.mutable.ArrayBuffer.empty[Token]
-    var pos = 0
+    var shift = 0
     var i = 0
     while (i < arr.length) {
       val t = arr(i)
       if (!isCjkSingle(t.term)) {
-        out += t.copy(position = pos); pos += 1; i += 1
+        out += t.copy(position = t.position - shift); i += 1
       } else {
         // extend the run of position-adjacent ideograph singles
         var j = i + 1
         while (j < arr.length && isCjkSingle(arr(j).term) &&
                arr(j).position == arr(j - 1).position + 1) j += 1
+        val base = t.position - shift
         if (j - i == 1) {
-          out += t.copy(position = pos); pos += 1
+          out += t.copy(position = base)
         } else {
           var k = i
           while (k < j - 1) {
-            out += Token(arr(k).term + arr(k + 1).term, pos,
+            out += Token(arr(k).term + arr(k + 1).term, base + (k - i),
               arr(k).startOffset, arr(k + 1).endOffset)
-            pos += 1; k += 1
+            k += 1
+          }
+          shift += 1 // k singles -> k-1 bigrams
+        }
+        i = j
+      }
+    }
+    out.iterator
+  }
+
+  /** Dictionary longest-match CJK segmenter with bigram fallback for OOV
+    * spans — the kuromoji-lite shape (reference: lucene/analysis/kuromoji/
+    * src/java/org/apache/lucene/analysis/ja/JapaneseTokenizer.java, mode
+    * NORMAL: known dictionary words win; unknown spans fall back to
+    * character-level handling; smartcn/nori are the same pattern for
+    * zh/ko). Runs are OFFSET-contiguous ideograph singles (a space breaks
+    * a run — unlike [[cjkBigrams]]' posIncrement bridging — because a
+    * dictionary word never spans a whitespace boundary in the source).
+    * Greedy longest match from each position; uncovered chars form OOV
+    * spans emitted as overlapping bigrams (a lone char stays a unigram).
+    * Positions shift by each run's shrinkage, like [[cjkBigrams]]. */
+  def cjkDictSegment(toks: Iterator[Token], dict: Set[String]): Iterator[Token] = {
+    val maxLen = if (dict.isEmpty) 0 else dict.iterator.map(w => w.codePointCount(0, w.length)).max
+    val arr = toks.toArray
+    val out = collection.mutable.ArrayBuffer.empty[Token]
+    var shift = 0
+    var i = 0
+    while (i < arr.length) {
+      val t = arr(i)
+      if (!isCjkSingle(t.term)) {
+        out += t.copy(position = t.position - shift); i += 1
+      } else {
+        var j = i + 1
+        while (j < arr.length && isCjkSingle(arr(j).term) &&
+               arr(j).startOffset == arr(j - 1).endOffset) j += 1
+        val emitted = collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var oovStart = -1
+        def flushOov(endExcl: Int): Unit = if (oovStart >= 0) {
+          if (endExcl - oovStart == 1)
+            emitted += ((arr(oovStart).term, arr(oovStart).startOffset, arr(oovStart).endOffset))
+          else {
+            var m = oovStart
+            while (m < endExcl - 1) {
+              emitted += ((arr(m).term + arr(m + 1).term,
+                arr(m).startOffset, arr(m + 1).endOffset))
+              m += 1
+            }
+          }
+          oovStart = -1
+        }
+        var k = i
+        while (k < j) {
+          var matched = 0
+          var len = math.min(maxLen, j - k)
+          while (len >= 1 && matched == 0) {
+            val sb = new java.lang.StringBuilder
+            var q = k
+            while (q < k + len) { sb.append(arr(q).term); q += 1 }
+            if (dict.contains(sb.toString)) matched = len
+            len -= 1
+          }
+          if (matched > 0) {
+            flushOov(k)
+            val sb = new java.lang.StringBuilder
+            var q = k
+            while (q < k + matched) { sb.append(arr(q).term); q += 1 }
+            emitted += ((sb.toString, arr(k).startOffset, arr(k + matched - 1).endOffset))
+            k += matched
+          } else {
+            if (oovStart < 0) oovStart = k
+            k += 1
           }
         }
+        flushOov(j)
+        val base = t.position - shift
+        var e = 0
+        while (e < emitted.length) {
+          val (tm, so, eo) = emitted(e)
+          out += Token(tm, base + e, so, eo)
+          e += 1
+        }
+        shift += (j - i) - emitted.length
         i = j
       }
     }
@@ -811,6 +912,10 @@ object Analyzers {
     * (lucene/analysis/common/src/java/org/apache/lucene/analysis/cjk/CJKAnalyzer.java:35-60
     * minus its stop set, which is empty for this corpus). */
   val cjk: Analyzer = Analyzer(cjkBigram = true)
+
+  /** Dictionary-first CJK segmentation (kuromoji-lite) with bigram OOV
+    * fallback; the demo lexicon covers the injected corpus words. */
+  def cjkDict(words: Set[String]): Analyzer = Analyzer(cjkDictWords = words)
 
   /** UAX#29 tokenizer + ICU-style NFKC_CF folding chain — the
     * ICUFoldingFilter analyzer for multilingual/width-mixed corpora. */

@@ -357,6 +357,39 @@ object DocsIndex {
         (index, new GraftSearcher(index, Analyzers.cjk))
       })
 
+  /** Demo lexicon for the dictionary CJK segmenter ([[getCjkDict]]):
+    * covers the head of each injected run; the tails are OOV and fall back
+    * to bigrams. */
+  val CJK_DICT: Set[String] = Set("数据流", "处理", "键值对")
+
+  /** Corpus with LONGER Han injections indexed through the dictionary
+    * longest-match segmenter (kuromoji-lite, `Analyzers.cjkDict`):
+    * '数据流处理' segments as dict words [数据流][处理]; '键值对存储器'
+    * as dict [键值对] + OOV tail bigrams [存储][储器]. */
+  def getCjkDict(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#cjkdict", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val injected = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(
+              |  text, '\\bstream\\b', '数据流处理'),
+              |  '\\bkey\\b', '键值对存储器')""".stripMargin))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val an = Analyzers.cjkDict(CJK_DICT)
+        val index = IndexBuilder.build(injected, IndexConfig(analyzer = an))
+        index.blocks.count()
+        (index, new GraftSearcher(index, an))
+      })
+
   /** Corpus indexed through the LengthFilter [4,8] chain
     * (`Analyzers.length48`): seven short corpus words drop with position
     * gaps; doc length and every BM25 stat shrink accordingly. */

@@ -159,6 +159,26 @@ object FulltextQueries {
 
   private val CJK_PRELUDE = PRELUDE.replace(TOKS, CJK_TOKS)
 
+  /** The longer Han injections behind the dictionary segmenter
+    * (`DocsIndex.getCjkDict`) — same patterns, 'g'-flagged. */
+  private val CJKD_TXT =
+    "regexp_replace(regexp_replace(text, '\\bstream\\b', '数据流处理', 'g'), " +
+      "'\\bkey\\b', '键值对存储器', 'g')"
+
+  /** The segmenter's token stream in SQL: ascii words plus, per Han run
+    * (runs do NOT bridge whitespace — a dictionary word never spans a
+    * space), the hand-derived longest-match segmentation: dict words win,
+    * OOV tails bigram. The run universe is closed (the two injections),
+    * so the map is enumerable — the ft_porter_terms oracle pattern. */
+  private val CJKD_TOKS =
+    s"(regexp_extract_all(lower($CJKD_TXT), '[a-z0-9]+') || " +
+      s"flatten(list_transform(regexp_extract_all($CJKD_TXT, '\\p{Han}+'), " +
+      "r -> CASE r WHEN '数据流处理' THEN ['数据流', '处理'] " +
+      "WHEN '键值对存储器' THEN ['键值对', '存储', '储器'] " +
+      "ELSE [r] END)))"
+
+  private val CJKD_PRELUDE = PRELUDE.replace(TOKS, CJKD_TOKS)
+
   /** The accent/width injection applied before the ICU-folding index is
     * built (`DocsIndex.getIcu`) — the SAME substitution list, 'g'-flagged. */
   private val ICU_TXT = DocsIndex.ICU_SUBS.foldLeft("text") {
@@ -1551,6 +1571,30 @@ object FulltextQueries {
       searcher.matchesDS(searcher.parse("键")).toDF("docId")
         .join(DocsIndex.docIdMap(index), "docId")
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // dictionary longest-match CJK segmentation (kuromoji-lite; reference:
+    // lucene/analysis/kuromoji/.../ja/JapaneseTokenizer.java mode NORMAL —
+    // known lexicon words win, unknown spans fall back to character
+    // handling): query terms are one DICT word (数据流) and one OOV-tail
+    // BIGRAM (储器); both posting lists exist only because segmentation
+    // split the injected runs exactly there
+    "ft_cjk_dict_search" -> ((spark, sfDir) => {
+      val (index, searcher) = DocsIndex.getCjkDict(spark, sfDir)
+      searcher.searchDoubleDS(searcher.parse("数据流 OR 储器"), 10).toDF()
+        .join(DocsIndex.docIdMap(index), "docId")
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("score"))
+    }),
+    // whole-dictionary audit of the segmented index: every term with
+    // df/ttf — any run the segmenter splits differently from the oracle's
+    // hand-derived run map surfaces here
+    "ft_cjk_dict_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getCjkDict(spark, sfDir)
+      index.termStats
+        .select($"term", $"docFreq".as("doc_freq"),
+          $"totalTermFreq".as("total_term_freq"))
+        .orderBy("term")
     }),
     // WordBreakSpellChecker break suggestions: fused misspellings split at
     // every boundary whose halves are both dictionary terms, ranked by the
@@ -5524,6 +5568,28 @@ object FulltextQueries {
       s"""SELECT doc_id FROM (SELECT doc_id, $CJK_TOKS AS tk FROM documents)
          |WHERE list_contains(tk, '键')
          |ORDER BY doc_id""".stripMargin,
+    // dictionary-segmented BM25: disjunction of a dict word and an
+    // OOV-tail bigram; doc length counts segmented tokens
+    "ft_cjk_dict_search" ->
+      s"""$CJKD_PRELUDE
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT dl.doc_id,
+         |    ${tfSql("数据流")} AS tf_d, ${tfSql("储器")} AS tf_q,
+         |    (${bmSql(idfSql(dfSql("数据流")), tfSql("数据流"))}
+         |     + ${bmSql(idfSql(dfSql("储器")), tfSql("储器"))}) AS s
+         |  FROM dl, st
+         |) WHERE tf_d > 0 OR tf_q > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // whole segmented dictionary from the oracle's hand-derived run map
+    "ft_cjk_dict_terms" ->
+      s"""SELECT tok AS term, count(*) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS total_term_freq
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($CJKD_TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |)
+         |GROUP BY tok ORDER BY term""".stripMargin,
     // word-break suggestions re-derived over the distinct-token dictionary
     "ft_spell_wordbreak" ->
       s"""WITH dict AS (
