@@ -9,7 +9,10 @@ package graft.analysis
   * and `StandardTokenizer`'s skippedPositions
   * (reference: lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java:143-166).
   */
-final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int)
+final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int,
+    /** Per-occurrence payload (`DelimitedPayloadTokenFilter` markup,
+      * integer-encoded); -1 = none. */
+    payload: Int = -1)
 
 /** Raw token before filters: carries the position increment. */
 final case class RawToken(term: String, posIncr: Int, startOffset: Int, endOffset: Int)
@@ -240,6 +243,19 @@ final case class Analyzer(
       * analyzer (a few MB for a real lexicon — executor-local, never a
       * shuffle). */
     cjkDictWords: Set[String] = Set.empty,
+    /** `DelimitedPayloadTokenFilter` analog (reference: lucene/analysis/
+      * common/src/java/org/apache/lucene/analysis/payloads/
+      * DelimitedPayloadTokenFilter.java:30-80 with IntegerEncoder):
+      * tokens carrying `term<delim>payload` markup split into the term
+      * (which continues through the chain) and an integer payload stored
+      * per occurrence in the postings (posEnc payload interleaving).
+      * ' ' = off. Pair with [[whitespaceTok]] like the reference
+      * pairs the filter with WhitespaceTokenizer — a word-break tokenizer
+      * would split at the delimiter. */
+    payloadDelimiter: Char = ' ',
+    /** WhitespaceTokenizer analog: split on whitespace only, keeping
+      * punctuation (and payload delimiters) inside tokens. */
+    whitespaceTok: Boolean = false,
     /** `HTMLStripCharFilter` subset (reference: lucene/analysis/common/src/
       * java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.jflex —
       * tags removed, character entities decoded, before tokenization): a
@@ -340,6 +356,24 @@ final case class Analyzer(
     override def next(): RawToken = { val t = RawToken(text.substring(s, e), 1, s, e); findNext(); t }
   }
 
+  /** WhitespaceTokenizer analog: maximal non-whitespace runs, punctuation
+    * kept inside tokens (the tokenizer the reference pairs with
+    * DelimitedPayloadTokenFilter). */
+  private def whitespaceTokens(text: String): Iterator[RawToken] = new Iterator[RawToken] {
+    private var i = 0
+    private val len = text.length
+    private var s = -1
+    private var e = -1
+    findNext()
+    private def findNext(): Unit = {
+      s = -1
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < len) { s = i; while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1; e = i }
+    }
+    override def hasNext: Boolean = s >= 0
+    override def next(): RawToken = { val t = RawToken(text.substring(s, e), 1, s, e); findNext(); t }
+  }
+
   /** Case-preserving `[A-Za-z0-9]+` runs — the tokenizer feeding the
     * word-delimiter chain (case information must survive to the splitter;
     * lowercasing happens per-term afterwards, same net effect on this
@@ -402,12 +436,25 @@ final case class Analyzer(
   def analyze(text: String): Iterator[Token] = {
     val src = if (htmlStrip) Analyzer.htmlStripPreserve(text) else text
     val raw =
-      if (wordDelimiter) caseTokens(src).flatMap(wdExpand)
+      if (whitespaceTok) whitespaceTokens(src)
+      else if (wordDelimiter) caseTokens(src).flatMap(wdExpand)
       else if (simple) simpleTokens(lowercase(src))
       else Tokenizer.tokenize(src, maxTokenLength)
     var pos = -1
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
-    val base = raw.flatMap { rt =>
+    val base = raw.flatMap { rt0 =>
+      // DelimitedPayloadTokenFilter: strip `<delim><digits>` markup off the
+      // surface BEFORE any other filter; the payload rides on the token
+      val (rt, pay) =
+        if (payloadDelimiter == ' ') (rt0, -1)
+        else {
+          val idx = rt0.term.lastIndexOf(payloadDelimiter.toInt)
+          if (idx > 0 && idx < rt0.term.length - 1 &&
+              rt0.term.substring(idx + 1).forall(c => c >= '0' && c <= '9'))
+            (rt0.copy(term = rt0.term.substring(0, idx)),
+              rt0.term.substring(idx + 1).toInt)
+          else (rt0, -1)
+        }
       val lowered = lowercase(rt.term)
       val term =
         if (icuFold) Analyzer.foldIcu(lowered)
@@ -426,7 +473,7 @@ final case class Analyzer(
           else if (germanStem) GermanStemmer.stem(term)
           else if (frenchMinimalStem) Analyzer.minimalStemFr(term)
           else term
-        val tok = Token(out, pos, rt.startOffset, rt.endOffset)
+        val tok = Token(out, pos, rt.startOffset, rt.endOffset, pay)
         if (stemKeepOriginal && out != term) {
           // keyword-repeat: original first, stem stacked (posInc 0)
           Iterator(Token(term, pos, rt.startOffset, rt.endOffset), tok)
@@ -475,6 +522,32 @@ final case class Analyzer(
     * Reference: lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:116-126,
     * FieldInvertState.java numOverlap accounting).
     */
+  /** [[invert]] plus per-occurrence payloads (third buffer, aligned with
+    * positions; -1 = none) — the indexer's entry point when the chain can
+    * carry payload markup. */
+  def invertFull(text: String): (collection.mutable.LinkedHashMap[String, (Int, collection.mutable.ArrayBuffer[Int], collection.mutable.ArrayBuffer[Int])], Int) = {
+    val byTerm = collection.mutable.LinkedHashMap.empty[String, (Int, collection.mutable.ArrayBuffer[Int], collection.mutable.ArrayBuffer[Int])]
+    var length = 0
+    var prevPos = -1
+    analyze(text).foreach { t =>
+      if (t.position != prevPos) length += 1
+      prevPos = t.position
+      byTerm.get(t.term) match {
+        case Some((tf, poss, pays)) =>
+          poss += t.position
+          pays += t.payload
+          byTerm.update(t.term, (tf + 1, poss, pays))
+        case None =>
+          val poss = new collection.mutable.ArrayBuffer[Int](4)
+          val pays = new collection.mutable.ArrayBuffer[Int](4)
+          poss += t.position
+          pays += t.payload
+          byTerm.update(t.term, (1, poss, pays))
+      }
+    }
+    (byTerm, length)
+  }
+
   def invert(text: String): (collection.mutable.LinkedHashMap[String, (Int, collection.mutable.ArrayBuffer[Int])], Int) = {
     val byTerm = collection.mutable.LinkedHashMap.empty[String, (Int, collection.mutable.ArrayBuffer[Int])]
     var length = 0
@@ -916,6 +989,10 @@ object Analyzers {
   /** Dictionary-first CJK segmentation (kuromoji-lite) with bigram OOV
     * fallback; the demo lexicon covers the injected corpus words. */
   def cjkDict(words: Set[String]): Analyzer = Analyzer(cjkDictWords = words)
+
+  /** WhitespaceTokenizer + DelimitedPayloadTokenFilter('|') — the
+    * reference's canonical payload-ingestion pairing. */
+  val payload: Analyzer = Analyzer(whitespaceTok = true, payloadDelimiter = '|')
 
   /** UAX#29 tokenizer + ICU-style NFKC_CF folding chain — the
     * ICUFoldingFilter analyzer for multilingual/width-mixed corpora. */

@@ -198,24 +198,33 @@ object IndexBuilder {
         val an =
           if (langAnalyzers.isEmpty) analyzer
           else langAnalyzers.getOrElse(f.lang, analyzer)
-        val (byTerm, len) = an.invert(f.content)
+        val (byTerm, len) = an.invertFull(f.content)
         val n = byTerm.size
         val terms = new Array[String](n)
         val tfs = new Array[Int](n)
         var flatLen = 0
-        byTerm.foreach { case (_, (tf, _)) => flatLen += tf }
+        byTerm.foreach { case (_, (tf, _, _)) => flatLen += tf }
         val posFlat = new Array[Int](flatLen)
+        val payFlat = new Array[Int](flatLen)
+        var anyPay = false
         var i = 0
         var off = 0
-        byTerm.foreach { case (term, (tf, poss)) =>
+        byTerm.foreach { case (term, (tf, poss, pays)) =>
           terms(i) = term
           tfs(i) = tf
           var j = 0
-          while (j < tf) { posFlat(off) = poss(j); off += 1; j += 1 }
+          while (j < tf) {
+            posFlat(off) = poss(j)
+            payFlat(off) = pays(j)
+            if (pays(j) >= 0) anyPay = true
+            off += 1
+            j += 1
+          }
           i += 1
         }
         AnalyzedDoc(docId, f.repo, f.path, f.commit, f.lang, computed, len,
-          SmallFloat.intToByte4(len) & 0xFF, terms, tfs, posFlat)
+          SmallFloat.intToByte4(len) & 0xFF, terms, tfs, posFlat,
+          if (anyPay) payFlat else null)
       }
     }
   }
@@ -245,8 +254,14 @@ object IndexBuilder {
       a.terms.indices.iterator.map { i =>
         val tf = a.tfs(i)
         val positions = java.util.Arrays.copyOfRange(a.posFlat, off, off + tf)
+        val payloads =
+          if (a.payFlat == null) null
+          else {
+            val p = java.util.Arrays.copyOfRange(a.payFlat, off, off + tf)
+            if (p.exists(_ >= 0)) p else null
+          }
         off += tf
-        PostingRow(a.terms(i), a.docId, tf, positions, a.norm)
+        PostingRow(a.terms(i), a.docId, tf, positions, a.norm, payloads)
       }
     }
   }
@@ -340,16 +355,16 @@ object IndexBuilder {
     private def nextTermBlocks(): Iterator[BlockRow] = {
       val term = it.head.term
       val bucket = it.head.docId / saltSpan
-      val sub = new Iterator[(Long, Int, Array[Int], Int)] {
+      val sub = new Iterator[(Long, Int, Array[Int], Array[Int], Int)] {
         override def hasNext: Boolean =
           it.hasNext && it.head.term == term && it.head.docId / saltSpan == bucket
-        override def next(): (Long, Int, Array[Int], Int) = {
+        override def next(): (Long, Int, Array[Int], Array[Int], Int) = {
           val p = it.next()
-          (p.docId, p.tf, p.positions, p.norm)
+          (p.docId, p.tf, p.positions, p.payloads, p.norm)
         }
       }
       var bid = -1
-      PostingsCodec.encodeTerm(sub).map { eb =>
+      PostingsCodec.encodeTermPayloads(sub).map { eb =>
         bid += 1
         BlockRow(term, bid, eb.count, eb.firstDocId, eb.lastDocId, eb.ttf,
           eb.docsEnc, eb.freqsEnc, eb.normsEnc, eb.posEnc,

@@ -39,7 +39,10 @@ final case class AnalyzedDoc(
     norm: Int,
     terms: Array[String],
     tfs: Array[Int],
-    posFlat: Array[Int])
+    posFlat: Array[Int],
+    /** Per-occurrence payloads aligned with posFlat (-1 = none); null when
+      * the analyzer chain carries no payload markup. */
+    payFlat: Array[Int] = null)
 
 /** One posting: the unit that flows through THE shuffle (repartition by
   * hash(term, salt) — the Spark-native equivalent of Lucene's in-RAM
@@ -50,7 +53,11 @@ final case class PostingRow(
     docId: Long,
     tf: Int,
     positions: Array[Int],
-    norm: Int)
+    norm: Int,
+    /** Per-occurrence payloads aligned with positions (-1 = none); null
+      * when this doc-term has no payloads — encoded inline in posEnc
+      * (Lucene's .pos payload interleaving). */
+    payloads: Array[Int] = null)
 
 /** One encoded 128-doc posting block — a row of the postings table.
   * The (term)-keyed, docId-sorted block table IS the term dictionary

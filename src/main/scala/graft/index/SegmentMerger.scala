@@ -27,7 +27,8 @@ object SegmentMerger {
       val eb = b.toEncodedBlock
       val d = graft.codec.PostingsCodec.decodeAll(eb)
       (0 until b.count).iterator.map { i =>
-        PostingRow(b.term, d.docIds(i), d.freqs(i), d.positions(i), d.norms(i))
+        val pay = if (d.payloads(i).exists(_ >= 0)) d.payloads(i) else null
+        PostingRow(b.term, d.docIds(i), d.freqs(i), d.positions(i), d.norms(i), pay)
       }
     }
   }

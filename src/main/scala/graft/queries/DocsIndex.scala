@@ -390,6 +390,37 @@ object DocsIndex {
         (index, new GraftSearcher(index, an))
       })
 
+  /** Corpus with REAL `term|payload` markup ingested through the
+    * WhitespaceTokenizer + DelimitedPayloadTokenFilter chain
+    * (`Analyzers.payload`): every 'merge' carries payload 3 and every
+    * 'batch' is rewritten to 'merge|9' — so the 'merge' posting list holds
+    * occurrences with DIFFERENT stored payloads, exercising min/max/sum/avg
+    * over genuine posEnc-interleaved payload bytes (not the position-keyed
+    * stand-in of ft_payload_score). */
+  def getPayload(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
+    cache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir#payload", _ => {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val injected = documents(spark, sfDir)
+          .withColumn("text", expr(
+            """regexp_replace(regexp_replace(
+              |  text, '\\bmerge\\b', 'merge|3'),
+              |  '\\bbatch\\b', 'merge|9')""".stripMargin))
+          .select(
+            org.apache.spark.sql.functions.lit("corpus").as("repo"),
+            org.apache.spark.sql.functions.format_string("doc%09d", $"doc_id").as("path"),
+            $"source".as("commit"),
+            $"lang",
+            $"text".as("content"),
+            org.apache.spark.sql.functions.lit(null).cast("string").as("sha256"))
+          .as[CodeFile]
+        val index = IndexBuilder.build(injected,
+          IndexConfig(analyzer = Analyzers.payload))
+        index.blocks.count()
+        (index, new GraftSearcher(index, Analyzers.payload))
+      })
+
   /** Corpus indexed through the LengthFilter [4,8] chain
     * (`Analyzers.length48`): seven short corpus words drop with position
     * gaps; doc length and every BM25 stat shrink accordingly. */

@@ -638,6 +638,53 @@ object FulltextQueries {
         .select($"doc_id", $"n_match")
         .orderBy("doc_id")
     }),
+    // DelimitedPayloadTokenFilter end-to-end (reference: lucene/analysis/
+    // common/src/java/org/apache/lucene/analysis/payloads/
+    // DelimitedPayloadTokenFilter.java:30-80 + IntegerEncoder): the corpus
+    // carries REAL 'merge|3'/'merge|9' markup; payloads are stored inline
+    // in posEnc (the .pos payload interleaving) at index time and decoded
+    // off the committed blocks here — all four PayloadFunction reductions
+    // over genuinely stored bytes
+    "ft_payload_delimited" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getPayload(spark, sfDir)
+      val decoded = index.blocks.filter($"term" === "merge").as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val pays = PostingsCodec.decodePayloads(eb, freqs)
+          docs.indices.iterator.flatMap(i =>
+            pays(i).iterator.filter(_ >= 0).map(p => (docs(i), p.toDouble)))
+        }.toDF("docId", "payload")
+      decoded.groupBy("docId")
+        .agg(count(lit(1)).as("tf"),
+          min("payload").as("p_min"), max("payload").as("p_max"),
+          sum("payload").as("p_sum"),
+          round(sum("payload") / count(lit(1)), 4).as("p_avg"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"tf", $"p_min", $"p_max", $"p_sum", $"p_avg")
+        .orderBy("doc_id")
+    }),
+    // SpanPayloadCheckQuery over the stored payloads: 'merge' positions
+    // whose payload is exactly 9 (the rewritten 'batch' occurrences)
+    "ft_payload_delimited_check" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (index, _) = DocsIndex.getPayload(spark, sfDir)
+      val decoded = index.blocks.filter($"term" === "merge").as[BlockRow]
+        .flatMap { b =>
+          val eb = b.toEncodedBlock
+          val docs = PostingsCodec.decodeDocs(eb)
+          val freqs = PostingsCodec.decodeFreqs(eb)
+          val pays = PostingsCodec.decodePayloads(eb, freqs)
+          docs.indices.iterator.flatMap(i =>
+            pays(i).iterator.filter(_ == 9).map(_ => (docs(i), 1L)))
+        }.toDF("docId", "one")
+      decoded.groupBy("docId").agg(count(lit(1)).as("n_match"))
+        .join(DocsIndex.docIdMap(index), "docId")
+        .select($"doc_id", $"n_match")
+        .orderBy("doc_id")
+    }),
     "ft_term_stats" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, _) = DocsIndex.get(spark, sfDir)
@@ -4708,6 +4755,29 @@ object FulltextQueries {
          |  max(payload) AS p_max, sum(payload) AS p_sum,
          |  round(sum(payload) / count(*), 4) AS p_avg
          |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // real delimited payloads: every original 'merge' occurrence stores 3,
+    // every rewritten 'batch' stores 9 — the reductions re-derive from the
+    // ORIGINAL token counts
+    "ft_payload_delimited" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    len(list_filter(tk, x -> x = 'merge')) AS n_m,
+         |    len(list_filter(tk, x -> x = 'batch')) AS n_b
+         |  FROM (SELECT doc_id, $TOKS AS tk FROM documents))
+         |SELECT doc_id, CAST(n_m + n_b AS BIGINT) AS tf,
+         |  CAST(CASE WHEN n_m > 0 THEN 3 ELSE 9 END AS DOUBLE) AS p_min,
+         |  CAST(CASE WHEN n_b > 0 THEN 9 ELSE 3 END AS DOUBLE) AS p_max,
+         |  CAST(3 * n_m + 9 * n_b AS DOUBLE) AS p_sum,
+         |  round(CAST(3 * n_m + 9 * n_b AS DOUBLE) / (n_m + n_b), 4) AS p_avg
+         |FROM c WHERE n_m + n_b > 0 ORDER BY doc_id""".stripMargin,
+    // payload-check: positions whose stored payload equals 9 are exactly
+    // the rewritten 'batch' occurrences
+    "ft_payload_delimited_check" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(tk, x -> x = 'batch')) AS BIGINT) AS n_match
+         |FROM (SELECT doc_id, $TOKS AS tk FROM documents)
+         |WHERE len(list_filter(tk, x -> x = 'batch')) > 0
+         |ORDER BY doc_id""".stripMargin,
     "ft_surround" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $TOKS AS tk FROM documents)
          |WHERE len(list_filter(generate_series(1, len(tk)), i -> tk[i] = 'data'
