@@ -4421,6 +4421,34 @@ object FulltextQueries {
         .withColumnRenamed("queryName", "query_name")
         .orderBy("query_name")
     }),
+    // MultipassTermFilteredPresearcher (reference: lucene/monitor/src/java/
+    // org/apache/lucene/monitor/MultipassTermFilteredPresearcher.java:1-150
+    // — pass p of a conjunction indexes the p-th-best child's covering
+    // terms; a doc must hit EVERY pass to stay a candidate, so
+    // conjunction-heavy standing sets prune far tighter than the single
+    // pass while disjunctions are unaffected): per query, single-pass
+    // candidates vs 2-pass candidates vs confirmed matches.
+    "ft_monitor_multipass" -> ((spark, sfDir) => {
+      val standing = Seq(
+        "q_conj3" -> graft.search.BoolQ(must = Seq(
+          graft.search.TermQ("spark"), graft.search.TermQ("hash"),
+          graft.search.TermQ("join"))),
+        "q_conj_phrase" -> graft.search.BoolQ(must = Seq(
+          graft.search.PhraseQ(Seq("big", "table"), Seq(0, 1)),
+          graft.search.TermQ("scan"))),
+        "q_or" -> graft.search.BoolQ(should = Seq(
+          graft.search.TermQ("vector"), graft.search.TermQ("stream"))))
+      graft.streaming.QueryMonitor
+        .presearchMultipassBatch(DocsIndex.files(spark, sfDir), standing,
+          graft.analysis.Analyzers.simple, passes = 2)
+        .toDF()
+        .groupBy(col("queryName"))
+        .agg(count(lit(1)).as("cand_single"),
+          sum(when(col("candMulti"), 1L).otherwise(0L)).as("cand_multi"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("matched"))
+        .withColumnRenamed("queryName", "query_name")
+        .orderBy("query_name")
+    }),
     // group.query grouping (solr/core/src/java/org/apache/solr/search/
     // Grouping.java — inner class CommandQuery: each group.query defines a
     // bucket; hits of the MAIN query are ranked within each bucket): main
@@ -7570,6 +7598,35 @@ object FulltextQueries {
          |  UNION ALL SELECT 'q_vector',
          |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')),
          |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')))
+         |ORDER BY query_name""".stripMargin,
+    // multipass pass terms hand-derived from the weightor (longer term
+    // wins; ties break toward the greater string): q_conj3 children
+    // {spark}(5) > {join}(4,'join'>'hash') > {hash} -> passes [spark, join];
+    // q_conj_phrase: phrase's covering term 'table'(5) > {scan}(4) ->
+    // passes [table, scan]; q_or: the union both passes
+    "ft_monitor_multipass" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT query_name, cand_single, cand_multi, matched FROM (
+         |  SELECT 'q_conj3' AS query_name,
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'spark')) AS cand_single,
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'spark')
+         |       AND list_contains(tk, 'join')) AS cand_multi,
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'spark')
+         |       AND list_contains(tk, 'hash') AND list_contains(tk, 'join')) AS matched
+         |  UNION ALL SELECT 'q_conj_phrase',
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'table')),
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'table')
+         |       AND list_contains(tk, 'scan')),
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'scan')
+         |       AND len(list_filter(range(1, len(tk)),
+         |         i -> tk[i] = 'big' AND tk[i+1] = 'table')) > 0)
+         |  UNION ALL SELECT 'q_or',
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')
+         |       OR list_contains(tk, 'stream')),
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')
+         |       OR list_contains(tk, 'stream')),
+         |    (SELECT count(*) FROM t WHERE list_contains(tk, 'vector')
+         |       OR list_contains(tk, 'stream')))
          |ORDER BY query_name""".stripMargin,
     // group.query: bucket membership by 'table' containment, BM25 'vector'
     // ranking, top-2 per bucket

@@ -212,6 +212,76 @@ object QueryMonitor {
     go(Query.rewrite(q0))
   }
 
+  /** MultipassTermFilteredPresearcher term extraction (reference:
+    * lucene/monitor/src/java/org/apache/lucene/monitor/
+    * MultipassTermFilteredPresearcher.java:1-150): pass p of a CONJUNCTION
+    * keeps the p-th-best child's covering set (clamped at the last child)
+    * instead of only the best one; disjunctions contribute their whole
+    * union in every pass. A document is a candidate iff it intersects
+    * EVERY pass's set — each pass is independently covering (any matching
+    * doc contains a term from each), so multipass candidates ⊆ single-pass
+    * candidates with no false negatives, and conjunction-heavy standing
+    * sets prune much harder. Pass 0 equals [[presearchTerms]]. */
+  def presearchTermsMultipass(q0: Query, passes: Int): Seq[Set[String]] = {
+    def weight(t: String): Double =
+      4.0 - 3.0 * math.exp(-0.3 * math.min(t.length, 31))
+    def setKey(s: Set[String]): (Double, String) =
+      (if (s.isEmpty) Double.MinValue else s.map(weight).min,
+        s.toSeq.sorted.mkString(","))
+    def go(q: Query, p: Int): Set[String] = q match {
+      case TermQ(t) => Set(t)
+      case SynonymQ(ts) => ts.toSet
+      case ConstSetQ(ts) => ts.toSet
+      case BoostQ(sub, _) => go(sub, p)
+      case DisMaxQ(ds, _) =>
+        val sets = ds.map(go(_, p))
+        if (sets.exists(_.isEmpty)) Set.empty else sets.flatten.toSet
+      case PhraseQ(ts, _, _) =>
+        val ranked = ts.distinct.sortBy(t => (weight(t), t)).reverse
+        Set(ranked(math.min(p, ranked.length - 1)))
+      case BoolQ(must, _, _, _) if must.nonEmpty =>
+        val ranked = must.map(go(_, 0)).filter(_.nonEmpty).sortBy(setKey).reverse
+        if (ranked.isEmpty) Set.empty
+        else ranked(math.min(p, ranked.length - 1))
+      case BoolQ(_, should, _, _) if should.nonEmpty =>
+        val sets = should.map(go(_, p))
+        if (sets.exists(_.isEmpty)) Set.empty else sets.flatten.toSet
+      case _ => Set.empty
+    }
+    (0 until passes).map(p => go(Query.rewrite(q0), p))
+  }
+
+  /** One multipass outcome per SINGLE-PASS candidate: whether the tighter
+    * multipass prefilter kept it, and whether the full matcher confirmed.
+    * The matcher runs only inside the multipass candidate set (every true
+    * match survives every covering pass, so nothing is lost). */
+  final case class MultipassEvent(
+      path: String, queryName: String, candMulti: Boolean, matched: Boolean)
+
+  def presearchMultipassBatch(
+      docs: Dataset[CodeFile],
+      queries: Seq[(String, Query)],
+      analyzer: Analyzer,
+      passes: Int = 2): Dataset[MultipassEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (n, q) =>
+      (n, Query.rewrite(q), presearchTerms(q), presearchTermsMultipass(q, passes))
+    }
+    docs.mapPartitions { it =>
+      it.flatMap { f =>
+        val (byTerm, _) = analyzer.invert(f.content)
+        val tfMap = byTerm.map { case (t, (_, poss)) => t -> poss.toArray }
+        qs.iterator.collect {
+          case (name, q, pre, preM)
+              if pre.isEmpty || pre.exists(tfMap.contains) =>
+            val multi = preM.forall(s => s.isEmpty || s.exists(tfMap.contains))
+            MultipassEvent(f.path, name, multi, multi && matches(q, tfMap))
+        }
+      }
+    }
+  }
+
   /** Presearch + match in one pass: per (doc, query), emit an event iff the
     * query is a candidate for the doc (term prefilter hit, or ANYTOKEN).
     * The caller aggregates candidates vs confirmed matches — the
