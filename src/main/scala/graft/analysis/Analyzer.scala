@@ -444,17 +444,18 @@ final case class Analyzer(
     var pendingGap = 0 // posIncrements accumulated from stop-filtered tokens
     val base = raw.flatMap { rt0 =>
       // DelimitedPayloadTokenFilter: strip `<delim><digits>` markup off the
-      // surface BEFORE any other filter; the payload rides on the token
-      val (rt, pay) =
-        if (payloadDelimiter == ' ') (rt0, -1)
-        else {
-          val idx = rt0.term.lastIndexOf(payloadDelimiter.toInt)
-          if (idx > 0 && idx < rt0.term.length - 1 &&
-              rt0.term.substring(idx + 1).forall(c => c >= '0' && c <= '9'))
-            (rt0.copy(term = rt0.term.substring(0, idx)),
-              rt0.term.substring(idx + 1).toInt)
-          else (rt0, -1)
+      // surface BEFORE any other filter; the payload rides on the token.
+      // Allocation-free when no delimiter is configured (the hot path).
+      var rt = rt0
+      var pay = -1
+      if (payloadDelimiter != ' ') {
+        val idx = rt0.term.lastIndexOf(payloadDelimiter.toInt)
+        if (idx > 0 && idx < rt0.term.length - 1 &&
+            rt0.term.substring(idx + 1).forall(c => c >= '0' && c <= '9')) {
+          rt = rt0.copy(term = rt0.term.substring(0, idx))
+          pay = rt0.term.substring(idx + 1).toInt
         }
+      }
       val lowered = lowercase(rt.term)
       val term =
         if (icuFold) Analyzer.foldIcu(lowered)
@@ -522,6 +523,11 @@ final case class Analyzer(
     * Reference: lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:116-126,
     * FieldInvertState.java numOverlap accounting).
     */
+  /** Whether this chain can attach payloads to tokens — lets the indexer
+    * skip payload bookkeeping entirely on the (overwhelmingly common)
+    * payload-free path. */
+  def carriesPayloads: Boolean = payloadDelimiter != ' '
+
   /** [[invert]] plus per-occurrence payloads (third buffer, aligned with
     * positions; -1 = none) — the indexer's entry point when the chain can
     * carry payload markup. */

@@ -198,33 +198,55 @@ object IndexBuilder {
         val an =
           if (langAnalyzers.isEmpty) analyzer
           else langAnalyzers.getOrElse(f.lang, analyzer)
-        val (byTerm, len) = an.invertFull(f.content)
-        val n = byTerm.size
-        val terms = new Array[String](n)
-        val tfs = new Array[Int](n)
-        var flatLen = 0
-        byTerm.foreach { case (_, (tf, _, _)) => flatLen += tf }
-        val posFlat = new Array[Int](flatLen)
-        val payFlat = new Array[Int](flatLen)
-        var anyPay = false
-        var i = 0
-        var off = 0
-        byTerm.foreach { case (term, (tf, poss, pays)) =>
-          terms(i) = term
-          tfs(i) = tf
-          var j = 0
-          while (j < tf) {
-            posFlat(off) = poss(j)
-            payFlat(off) = pays(j)
-            if (pays(j) >= 0) anyPay = true
-            off += 1
-            j += 1
+        if (!an.carriesPayloads) {
+          // hot path: no payload bookkeeping at all
+          val (byTerm, len) = an.invert(f.content)
+          val n = byTerm.size
+          val terms = new Array[String](n)
+          val tfs = new Array[Int](n)
+          var flatLen = 0
+          byTerm.foreach { case (_, (tf, _)) => flatLen += tf }
+          val posFlat = new Array[Int](flatLen)
+          var i = 0
+          var off = 0
+          byTerm.foreach { case (term, (tf, poss)) =>
+            terms(i) = term
+            tfs(i) = tf
+            var j = 0
+            while (j < tf) { posFlat(off) = poss(j); off += 1; j += 1 }
+            i += 1
           }
-          i += 1
+          AnalyzedDoc(docId, f.repo, f.path, f.commit, f.lang, computed, len,
+            SmallFloat.intToByte4(len) & 0xFF, terms, tfs, posFlat, null)
+        } else {
+          val (byTerm, len) = an.invertFull(f.content)
+          val n = byTerm.size
+          val terms = new Array[String](n)
+          val tfs = new Array[Int](n)
+          var flatLen = 0
+          byTerm.foreach { case (_, (tf, _, _)) => flatLen += tf }
+          val posFlat = new Array[Int](flatLen)
+          val payFlat = new Array[Int](flatLen)
+          var anyPay = false
+          var i = 0
+          var off = 0
+          byTerm.foreach { case (term, (tf, poss, pays)) =>
+            terms(i) = term
+            tfs(i) = tf
+            var j = 0
+            while (j < tf) {
+              posFlat(off) = poss(j)
+              payFlat(off) = pays(j)
+              if (pays(j) >= 0) anyPay = true
+              off += 1
+              j += 1
+            }
+            i += 1
+          }
+          AnalyzedDoc(docId, f.repo, f.path, f.commit, f.lang, computed, len,
+            SmallFloat.intToByte4(len) & 0xFF, terms, tfs, posFlat,
+            if (anyPay) payFlat else null)
         }
-        AnalyzedDoc(docId, f.repo, f.path, f.commit, f.lang, computed, len,
-          SmallFloat.intToByte4(len) & 0xFF, terms, tfs, posFlat,
-          if (anyPay) payFlat else null)
       }
     }
   }

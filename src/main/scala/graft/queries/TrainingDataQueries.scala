@@ -141,12 +141,18 @@ object TrainingDataQueries {
     * band (inter-group pairs expanded through two equi-joins on the rep).
     * Both expansions are output-sized — no shuffle stage sees the square. */
   private[graft] def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val allH = (0 until bands * rowsPerBand).map(i => col(s"h$i"))
-    val withSig = sig.withColumn("fullsig", md5(concat(allH: _*)))
-    val members = withSig.select(col("doc_id"), col("fullsig"))
-    val repOf = members.groupBy("fullsig").agg(min("doc_id").as("rep"))
-    val repRows = withSig.join(repOf, "fullsig")
-      .filter(col("doc_id") === col("rep")).drop("rep", "fullsig")
+    // ONE shuffle (keyed window on the signature hash) assigns every doc
+    // its group representative; the persisted frame feeds the band joins,
+    // the intra-group expansion and the inter-group expansion without
+    // recomputing the shingle->minhash pipeline per consumer.
+    val withSig = sig
+      .withColumn("fullsig", md5(concat(allH: _*)))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("fullsig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repRows = withSig.filter(col("doc_id") === col("rep"))
+    val mem = withSig.select(col("doc_id"), col("rep"))
     def pairsOf(band: DataFrame): DataFrame =
       band.as("x").join(band.as("y"), col("x.band") === col("y.band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
@@ -155,7 +161,6 @@ object TrainingDataQueries {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       pairsOf(repRows.select(col("doc_id"), concat(cols: _*).as("band")))
     }.reduce(_ union _).distinct()
-    val mem = members.join(repOf, "fullsig").select(col("doc_id"), col("rep"))
     val intra = mem.as("x").join(mem.as("y"), col("x.rep") === col("y.rep"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
