@@ -335,7 +335,11 @@ object IndexBuilder {
       sumTokens: Long = 0L,
       /** when non-null, each encode task records its lineage + postings/sec
         * row ([[TaskBuildMetric]]) into this accumulator */
-      metrics: BuildMetricsAcc = null): Dataset[BlockRow] = {
+      metrics: BuildMetricsAcc = null,
+      /** force the payload-carrying shuffle even when the config's
+        * analyzers are payload-free — the merge path re-encodes postings
+        * whose payloads were stored by the ORIGINAL build config. */
+      forcePayloads: Boolean = false): Dataset[BlockRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val floor = if (cfg.numPartitions > 0) cfg.numPartitions else spark.sparkContext.defaultParallelism
@@ -348,13 +352,31 @@ object IndexBuilder {
       }
     val salt = (col("docId") / lit(span)).cast("long")
     val metricsB = metrics
-    postings
-      .repartition(parts, col("term"), salt)
-      .sortWithinPartitions(col("term"), col("docId"))
-      .mapPartitions { it =>
-        if (metricsB == null) blockify(it, span)
-        else BuildMetrics.metered(it, metricsB, blockify(_, span))
-      }
+    // payload-free corpora (the overwhelmingly common case) shuffle a
+    // 5-column projection: the always-null payloads slot would otherwise
+    // cost a fixed 8 bytes per posting row on the wire of THE shuffle
+    val carriesPay = forcePayloads || cfg.analyzer.carriesPayloads ||
+      cfg.langAnalyzers.values.exists(_.carriesPayloads)
+    if (carriesPay) {
+      postings
+        .repartition(parts, col("term"), salt)
+        .sortWithinPartitions(col("term"), col("docId"))
+        .mapPartitions { it =>
+          if (metricsB == null) blockify(it, span)
+          else BuildMetrics.metered(it, metricsB, blockify(_, span))
+        }
+    } else {
+      postings
+        .select(col("term"), col("docId"), col("tf"), col("positions"), col("norm"))
+        .as[(String, Long, Int, Array[Int], Int)]
+        .repartition(parts, col("term"), salt)
+        .sortWithinPartitions(col("term"), col("docId"))
+        .mapPartitions { it0 =>
+          val it = it0.map(t => PostingRow(t._1, t._2, t._3, t._4, t._5, null))
+          if (metricsB == null) blockify(it, span)
+          else BuildMetrics.metered(it, metricsB, blockify(_, span))
+        }
+    }
   }
 
   /** Stream a (term, docId)-sorted posting iterator into BlockRows.

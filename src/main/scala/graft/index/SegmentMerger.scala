@@ -92,7 +92,7 @@ object SegmentMerger {
         .reduce(_ union _)
       val postings = purge(decodeToPostings(allBlocks), "docId")
       IndexBuilder.encodeBlocks(postings, cfg, toMerge.map(_.maxDocId).max + 1,
-          toMerge.map(_.sumTotalTermFreq).sum)
+          toMerge.map(_.sumTotalTermFreq).sum, forcePayloads = true)
         .write.mode("overwrite").option("compression", "zstd").parquet(blocksPath)
     }
     if (!done(statsPath)) {
