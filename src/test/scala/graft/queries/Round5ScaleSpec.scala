@@ -16,12 +16,40 @@ class Round5ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Global windows that remain by design: they run over frames whose row
-    * count is bounded by a tiny domain (one row per language / per bucket
-    * boundary), never per-document rows. */
+    * count is bounded by a tiny domain (one row per language / per day /
+    * per rank-list entry / per histogram bin), never per-document or
+    * per-posting rows. The heavy work in each is a distributed aggregation
+    * BEFORE the window; the window models the sequential tail the
+    * reference itself computes on driver-side arrays (Solr math stream
+    * evaluators). Every entry is justified; anything new fails the audit. */
   private val tinyFrameGlobalWindows = Set(
     "td_temperature_mix", // one row per lang (<= |langs|)
     "td_upsample_plan", // one row per lang
-    "td_mixture_weights" // one row per lang
+    "td_mixture_weights", // one row per lang
+    "ft_eval_metrics", // one row per ranked hit of a top-k list
+    "ft_func_ord", // ord() over a top-k result list
+    "ft_rrf", // two top-k rank lists fused
+    "q_akima", // interpolation knots: one row per day
+    "q_autocorr", // daily series
+    "q_convolve", // daily series x small kernel
+    "q_derivative", // daily series
+    "q_emd", // daily series sifting
+    "q_fft", // fixed 64-sample series
+    "q_finddelay", // daily series
+    "q_freq_table", // one row per distinct bucketed value
+    "q_ifft", // fixed 64-sample series
+    "q_integrate", // daily series
+    "q_ks", // two small samples' pooled order stats
+    "q_lerp", // interpolation knots
+    "q_loess", // daily series
+    "q_mannwhitney", // pooled rank over two small samples
+    "q_moving_avg", // daily series
+    "q_moving_mad", // daily series
+    "q_moving_median", // daily series
+    "q_rank", // per-lang aggregate row ranks
+    "q_spearman", // two daily series co-ranked
+    "q_spline", // interpolation knots
+    "q_timediff" // daily series lag
   )
 
   /** A global window is also fine when its input is already capped by a
@@ -32,9 +60,9 @@ class Round5ScaleSpec extends AnyFunSuite {
     case _ => false
   }
 
-  test("no td_ query ranks per-doc rows through a single-partition Window") {
-    val offenders = TrainingDataQueries.queries.keys.toSeq.sorted.flatMap { name =>
-      val df = TrainingDataQueries.queries(name)(spark, sfDir)
+  test("no query ranks unbounded rows through a single-partition Window") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val globalWindows = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
       }
@@ -43,7 +71,7 @@ class Round5ScaleSpec extends AnyFunSuite {
       else None
     }
     assert(offenders.isEmpty,
-      s"unpartitioned Window over per-doc rows in: ${offenders.mkString(", ")}")
+      s"unpartitioned Window over unbounded rows in: ${offenders.mkString(", ")}")
   }
 
   test("td_ccnet_buckets distributed rank output == ntile(3) semantics") {
