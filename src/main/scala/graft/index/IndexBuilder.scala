@@ -118,6 +118,13 @@ object IndexBuilder {
     new String(out)
   }
 
+  /** Key-table rows up to which the docId attach broadcasts the ranked keys
+    * instead of shuffle-hash-joining them (override with
+    * `spark.graft.docid.broadcastMaxRows`). ~60 B/key: 2M rows is a modest
+    * broadcast; above it the content-preserving shuffle-hash path takes
+    * over. */
+  val DOCID_BROADCAST_MAX_ROWS = 2000000L
+
   /** Deterministic docId assignment: global rank in the total order of
     * (repo, path, commit) — independent of partition count, the distributed
     * analog of Lucene's per-segment base rebasing
@@ -125,9 +132,14 @@ object IndexBuilder {
     * `docBase` offsets ids for incremental segment builds.
     *
     * Scale shape: only a KEYS projection is range-sorted and rank-numbered
-    * (the zipWithIndex passes touch ~60 B/doc); ids are attached back to the
-    * full rows with a shuffle-hash join so the content column is hashed but
-    * never sorted. Sorting full content rows cost ~120 s/pass at 1M docs.
+    * (~60 B/doc). The sorted keys are persisted once, so the rank costs ONE
+    * sort (zipWithIndex re-sorted the shuffle output in its size job and
+    * again per consumer), and the size job doubles as an exact key count.
+    * The ids are attached back to the full rows by BROADCASTING the key
+    * table when it fits (the content column is then never shuffled at all —
+    * the "move heavy bytes zero times" join shape) and by a shuffle-hash
+    * join above the threshold (content hashed but never sorted; sorting
+    * full content rows cost ~120 s/pass at 1M docs).
     * Requires (repo, path, commit) to be unique per row.
     *
     * `sortFields` prepends index-sort columns to the ranking key
@@ -137,35 +149,67 @@ object IndexBuilder {
       files: Dataset[CodeFile],
       numPartitions: Int = 0,
       docBase: Long = 0L,
-      sortFields: Seq[String] = Nil): Dataset[(CodeFile, Long)] = {
+      sortFields: Seq[String] = Nil): Dataset[(CodeFile, Long)] =
+    assignDocIdsManaged(files, numPartitions, docBase, sortFields)._1
+
+  /** [[assignDocIds]] plus an explicit release handle for the persisted
+    * sorted-keys RDD: call it once the LAST action over the returned Dataset
+    * (or anything derived and itself persisted from it) has run. Without it
+    * the ContextCleaner only reclaims the few-bytes-per-doc cache at GC. */
+  def assignDocIdsManaged(
+      files: Dataset[CodeFile],
+      numPartitions: Int = 0,
+      docBase: Long = 0L,
+      sortFields: Seq[String] = Nil): (Dataset[(CodeFile, Long)], () => Unit) = {
     val spark = files.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
-    val keyIds = (if (sortFields.isEmpty) {
-      // default ranking: typed tuple path (no Row boxing in the hot rank)
-      files
-        .select($"repo", $"path", $"commit")
-        .repartitionByRange(parts, $"repo", $"path", $"commit")
-        .sortWithinPartitions($"repo", $"path", $"commit")
-        .as[(String, String, String)]
-        .rdd.zipWithIndex()
-        .map { case ((r, p, c), i) => (r, p, c, i + docBase) }
-    } else {
-      val keyCols = (sortFields ++ Seq("repo", "path", "commit")).distinct
-      val ri = keyCols.indexOf("repo")
-      val pi = keyCols.indexOf("path")
-      val ci = keyCols.indexOf("commit")
-      files
-        .select(keyCols.map(col): _*)
-        .repartitionByRange(parts, keyCols.map(col): _*)
-        .sortWithinPartitions(keyCols.map(col): _*)
-        .rdd.zipWithIndex()
-        .map { case (row, i) =>
-          (row.getString(ri), row.getString(pi), row.getString(ci), i + docBase)
-        }
-    }).toDF("_r", "_p", "_c", "_docId")
-    files
-      .join(keyIds.hint("shuffle_hash"),
+    // one range sort of the keys projection, persisted; ranks are the
+    // per-partition offsets (exact, partition order == range order)
+    val sortedKeys: org.apache.spark.rdd.RDD[(String, String, String)] =
+      (if (sortFields.isEmpty) {
+        // default ranking: typed tuple path (no Row boxing in the hot rank)
+        files
+          .select($"repo", $"path", $"commit")
+          .repartitionByRange(parts, $"repo", $"path", $"commit")
+          .sortWithinPartitions($"repo", $"path", $"commit")
+          .as[(String, String, String)]
+          .rdd
+      } else {
+        val keyCols = (sortFields ++ Seq("repo", "path", "commit")).distinct
+        val ri = keyCols.indexOf("repo")
+        val pi = keyCols.indexOf("path")
+        val ci = keyCols.indexOf("commit")
+        files
+          .select(keyCols.map(col): _*)
+          .repartitionByRange(parts, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*)
+          .rdd
+          .map(row => (row.getString(ri), row.getString(pi), row.getString(ci)))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sortedKeys
+      .mapPartitionsWithIndex { (i, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(docBase)(_ + _)
+    val total = sizes.sum
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val keyIds = sortedKeys
+      .mapPartitionsWithIndex { (i, it) =>
+        var next = offsetsB.value(i)
+        it.map { case (r, p, c) => val id = next; next += 1; (r, p, c, id) }
+      }
+      .toDF("_r", "_p", "_c", "_docId")
+    val bcastMax = spark.conf.getOption("spark.graft.docid.broadcastMaxRows")
+      .map(_.toLong).getOrElse(DOCID_BROADCAST_MAX_ROWS)
+    val attach =
+      if (total <= bcastMax) org.apache.spark.sql.functions.broadcast(keyIds)
+      else keyIds.hint("shuffle_hash")
+    val numbered = files
+      .join(attach,
         files("repo") === keyIds("_r") &&
           files("path") === keyIds("_p") &&
           files("commit") === keyIds("_c"))
@@ -173,6 +217,7 @@ object IndexBuilder {
         struct($"repo", $"path", $"commit", $"lang", $"content", $"sha256").as("_1"),
         $"_docId".as("_2"))
       .as[(CodeFile, Long)]
+    (numbered, () => { sortedKeys.unpersist(blocking = false); () })
   }
 
   /** Analysis stage: one pass per document computing sha256 (verifying it

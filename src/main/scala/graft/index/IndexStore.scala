@@ -173,32 +173,51 @@ object IndexStore {
     }
 
     if (!isComplete(docsPath) || !isComplete(blocksPath)) {
-      // analyzed intermediate recomputed rather than cached (see
-      // IndexBuilder.build persistence note); shuffle reuse keeps the
-      // second pass cheap.
-      val analyzed = IndexBuilder
-        .analyze(IndexBuilder.assignDocIds(files, cfg.numPartitions, docBase, cfg.sortFields), cfg)
-      // zstd over snappy for segment tables: measured 21% smaller postings
-      // and 37% smaller docmeta — at cluster scale that is a quarter less
-      // segment I/O + storage for abundant-CPU decode, and merges/scans are
-      // I/O-bound long before they are CPU-bound
-      if (!isComplete(docsPath))
-        IndexBuilder.docsOf(analyzed).write.mode("overwrite")
-          .option("compression", "zstd").parquet(docsPath)
-      if (cfg.storeTermVectors && !isComplete(tvPath))
-        writeTermVectors(IndexBuilder.termVectorsOf(analyzed))
-      if (!isComplete(blocksPath)) {
-        val fs = IndexBuilder.fieldStatsOf(spark.read.parquet(docsPath).as[DocRow])
-        // per-task lineage + postings/sec telemetry, persisted with the
-        // segment (the north rule's per-task metrics; a resumed build that
-        // skips this stage keeps the original run's records)
-        val metrics = new BuildMetricsAcc
-        spark.sparkContext.register(metrics, s"buildmetrics:$segName")
-        IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg,
-            fs.maxDocId + 1, fs.sumTotalTermFreq, metrics)
-          .write.mode("overwrite").option("compression", "zstd").parquet(blocksPath)
-        spark.createDataset(metrics.value)
-          .write.mode("overwrite").parquet(s"$segDir/buildmetrics")
+      // ONE analysis pass: the sha256+tokenize inversion is the most
+      // expensive map work of the build, and both the docmeta write and the
+      // encode shuffle consume it — persist the analyzed frame so it is
+      // computed once instead of once per sink (measured ~1s/pass at 100k
+      // docs; at corpus scale the recompute is a full second tokenize of
+      // the corpus). Released in the finally.
+      val (numbered, releaseKeys) = IndexBuilder
+        .assignDocIdsManaged(files, cfg.numPartitions, docBase, cfg.sortFields)
+      val analyzed = IndexBuilder.analyze(numbered, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // zstd over snappy for segment tables: measured 21% smaller postings
+        // and 37% smaller docmeta — at cluster scale that is a quarter less
+        // segment I/O + storage for abundant-CPU decode, and merges/scans are
+        // I/O-bound long before they are CPU-bound
+        val docsWritten = !isComplete(docsPath)
+        if (docsWritten)
+          IndexBuilder.docsOf(analyzed).write.mode("overwrite")
+            .option("compression", "zstd").parquet(docsPath)
+        // the ranked-keys cache only feeds the analyze stage; once analyzed
+        // is materialized (first sink above or the encode below) it is dead
+        // weight — but only release it early when a sink has actually run
+        if (docsWritten) releaseKeys()
+        if (cfg.storeTermVectors && !isComplete(tvPath))
+          writeTermVectors(IndexBuilder.termVectorsOf(analyzed))
+        if (!isComplete(blocksPath)) {
+          // field stats come from the persisted analysis when this run wrote
+          // it (no parquet re-read); from the committed docmeta on resume
+          val fs =
+            if (docsWritten) IndexBuilder.fieldStatsOf(IndexBuilder.docsOf(analyzed))
+            else IndexBuilder.fieldStatsOf(spark.read.parquet(docsPath).as[DocRow])
+          // per-task lineage + postings/sec telemetry, persisted with the
+          // segment (the north rule's per-task metrics; a resumed build that
+          // skips this stage keeps the original run's records)
+          val metrics = new BuildMetricsAcc
+          spark.sparkContext.register(metrics, s"buildmetrics:$segName")
+          IndexBuilder.encodeBlocks(IndexBuilder.postingsOf(analyzed), cfg,
+              fs.maxDocId + 1, fs.sumTotalTermFreq, metrics)
+            .write.mode("overwrite").option("compression", "zstd").parquet(blocksPath)
+          spark.createDataset(metrics.value)
+            .write.mode("overwrite").parquet(s"$segDir/buildmetrics")
+        }
+      } finally {
+        analyzed.unpersist(blocking = false)
+        releaseKeys()
       }
     }
     if (!isComplete(statsPath)) {
