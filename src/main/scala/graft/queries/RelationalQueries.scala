@@ -271,8 +271,11 @@ object RelationalQueries {
       val c = t(spark, sfDir, "customer")
       val n = t(spark, sfDir, "nation")
       val r = t(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+      // customer is SF-scaled: no forced broadcast (the planner/AQE picks
+      // broadcast from its actual size — identical plan at bench scale, a
+      // safe shuffled join at 100x); nation/region are constant-size dims
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")

