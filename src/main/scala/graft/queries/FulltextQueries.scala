@@ -1885,9 +1885,13 @@ object FulltextQueries {
     "ft_complex_phrase" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, searcher) = DocsIndex.get(spark, sfDir)
+      // expansion through the SymSpell delete band (O(variants) dictionary
+      // rows, IN-pushdown) instead of a whole-dictionary typed-lambda scan
+      // (r06; round-5 perf_weak #1) — identical term set: the band is a
+      // provable superset that fuzzyCandidateTerms exact-verifies
       val fz = graft.search.FuzzyQ("tabl", 1)
-      val exps = index.termStats
-        .map(_.term).filter(t => fz.matches(t))
+      val exps = searcher.fuzzyCandidateTerms(fz)
+        .map(_.term)
         .orderBy("value").limit(64)
         .collect()
       val q = graft.search.Query.multiPhrase(Seq(Seq("batch"), exps.toSeq))
@@ -4112,9 +4116,13 @@ object FulltextQueries {
     "ft_span_fuzzy" -> ((spark, sfDir) => {
       import spark.implicits._
       val (index, searcher) = DocsIndex.get(spark, sfDir)
-      val variants = index.termStats
-        .filter(ts => ts.term.startsWith("t") &&
-          graft.search.Query.damerauLevenshtein(ts.term, "tble") <= 1)
+      // "fuzzy prefix 1" == FuzzyQ("tble", 1, prefixLength=1,
+      // transpositions=true): startsWith("t") is the prefix anchor and the
+      // damerau<=1 check is the exact verify — so the expansion routes
+      // through the delete band (O(variants) dictionary rows) instead of a
+      // whole-dictionary typed-lambda scan (r06; round-5 perf_weak #2)
+      val fz = graft.search.FuzzyQ("tble", 1, prefixLength = 1, transpositions = true)
+      val variants = searcher.fuzzyCandidateTerms(fz)
         .map(_.term).orderBy("value").limit(128)
         .collect()
       val q = graft.search.SpanOrNearQ(

@@ -43,7 +43,11 @@ class FuzzyBandSpec extends AnyFunSuite {
       FuzzyQ("tabel", 2, prefixLength = 1),
       FuzzyQ("uniq_tok_11", 2), // underscore identifiers
       FuzzyQ("xyzzy", 2), // no matches expected
-      FuzzyQ("scan", 2, prefixLength = 2, transpositions = true))
+      FuzzyQ("scan", 2, prefixLength = 2, transpositions = true),
+      // the two r06 reroutes (round-5 perf_weak): ft_complex_phrase's slot
+      // and ft_span_fuzzy's prefix-anchored damerau slot
+      FuzzyQ("tabl", 1),
+      FuzzyQ("tble", 1, prefixLength = 1, transpositions = true))
     for (f <- queries) {
       val banded = searcher.fuzzyCandidateTerms(f).collect().map(_.term).toSet
       val brute = dict.filter(ts => f.matches(ts.term)).map(_.term).toSet
@@ -60,6 +64,17 @@ class FuzzyBandSpec extends AnyFunSuite {
     // before optimization) — either spelling proves the O(band) filter
     assert(lower.contains("variant#") &&
       (lower.contains("inset") || lower.contains("in(variant")), plan)
+  }
+
+  test("ft_span_fuzzy's old lambda predicate == FuzzyQ(tble,1,prefix=1,dl)") {
+    // the r06 reroute replaced `startsWith("t") && damerau(t,"tble")<=1`
+    // with the banded FuzzyQ — prove predicate equivalence over real terms
+    val f = FuzzyQ("tble", 1, prefixLength = 1, transpositions = true)
+    for (ts <- index.termStats.collect()) {
+      val old = ts.term.startsWith("t") &&
+        Query.damerauLevenshtein(ts.term, "tble") <= 1
+      assert(f.matches(ts.term) == old, ts.term)
+    }
   }
 
   test("fuzzy search through filteredBlocks still matches the oracle set") {
