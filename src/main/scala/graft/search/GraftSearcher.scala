@@ -613,14 +613,35 @@ final class GraftSearcher(
     * expanded here: their dictionary predicate executes distributed inside
     * the block scan and the doc-range partitions (no driver-side term
     * collection, no expansion cap). */
+  /** Per-searcher term-stats cache — the in-RAM term-dictionary structure a
+    * Lucene searcher holds open (and Solr's statsCache): the index a
+    * searcher wraps is immutable (updates open a new GraftIndex + searcher),
+    * so (docFreq, ttf) per term never changes and repeat queries skip the
+    * dictionary-lookup job entirely. Bounded LRU; ttf == -1 marks a term
+    * proven absent from the dictionary (negative lookups are cacheable too). */
+  @transient private lazy val statsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long)](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+          size() > 100000
+      })
+
   def plan(q0: Query): (Query, SearchContext) = {
     val q = Query.rewrite(q0)
     val terms = Query.terms(q).toSeq
-    val rows =
-      if (terms.isEmpty) Array.empty[TermStatsRow]
-      else statsIdx.termStats.filter($"term".isin(terms: _*)).collect()
-    val dfMap: Map[String, Long] = rows.map(t => t.term -> t.docFreq).toMap
-    val ttfMap: Map[String, Long] = rows.map(t => t.term -> t.totalTermFreq).toMap
+    val missing = terms.filterNot(statsCache.containsKey)
+    if (missing.nonEmpty) {
+      val fetched = statsIdx.termStats.filter($"term".isin(missing: _*)).collect()
+      fetched.foreach(t => statsCache.put(t.term, (t.docFreq, t.totalTermFreq)))
+      val found = fetched.map(_.term).toSet
+      missing.filterNot(found).foreach(t => statsCache.put(t, (0L, -1L)))
+    }
+    val present = terms.flatMap { t =>
+      Option(statsCache.get(t)).collect { case (df, ttf) if ttf >= 0 => (t, df, ttf) }
+    }
+    val dfMap: Map[String, Long] = present.map(p => p._1 -> p._2).toMap
+    val ttfMap: Map[String, Long] = present.map(p => p._1 -> p._3).toMap
     val statsFs = statsIdx.fieldStats
     val stats = CollectionStats(statsFs.docCount, statsFs.sumTotalTermFreq)
     (q, SearchContext(k1, b, stats, dfMap, counters = counters,
