@@ -30,8 +30,21 @@ object DocsIndex {
     dirs.get(s"${System.identityHashCode(spark)}#$sfDir#del")
   }
 
-  def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+  /** Scan-parallelism floor (r06; guide §6): the local fixture corpus is a
+    * single sub-row-group parquet file, so the scan plans as ONE task and
+    * every per-doc tokenize across the query surface (regex inversion,
+    * shingling, quality scoring — the expensive map work of most td_ and
+    * ft_ queries) ran single-threaded (~2 s per pass at sf0.1). A small corpus
+    * is round-robined across the cores once (~1 MB shuffle); a corpus that
+    * already scans with >= defaultParallelism partitions — any real-scale
+    * table — is returned untouched, so nothing is re-shuffled at 100 TB.
+    * Row order is never load-bearing downstream (the repo's determinism
+    * discipline: every output is explicitly ordered / order-independent). */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < p) d.repartition(p) else d
+  }
 
   def get(spark: SparkSession, sfDir: String): (GraftIndex, GraftSearcher) =
     // key includes the session: cached Dataset handles are bound to the

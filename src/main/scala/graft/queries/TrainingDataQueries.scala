@@ -30,7 +30,20 @@ object TrainingDataQueries {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     DocsIndex.documents(spark, sfDir)
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  /** Same scan-parallelism floor as [[DocsIndex.documents]] (r06): the
+    * fixture embeddings are one tiny file -> one task for every per-vector
+    * map stage (td_semdedup's assign+norm pass ran single-threaded: 7.8 s
+    * -> 0.94 s with the floor); a real-scale table passes through
+    * untouched. Queries whose per-row work is trivial (exact top-k dot)
+    * use [[embRaw]] — there the one-time shuffle costs more than the
+    * serial scan at any size where the floor would fire. */
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < p) d.repartition(p) else d
+  }
+
+  private def embRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   /** floor(x*1000) integer quantization of the embedding column — every
@@ -1026,7 +1039,7 @@ object TrainingDataQueries {
     // ---- similarity search ----
     // exact brute-force cosine top-k: the ANN correctness baseline
     "td_knn_exact" -> ((spark, sfDir) => {
-      val e = emb(spark, sfDir)
+      val e = embRaw(spark, sfDir) // trivial per-row work: no scan floor
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val qn = math.sqrt(q.map(x => x * x).sum)
@@ -2064,7 +2077,12 @@ object TrainingDataQueries {
         .select(col("doc_id"), explode(col("sh")).as("g"))
       val a = sh.filter(col("doc_id") % 89 === 0)
         .withColumnRenamed("doc_id", "a")
-      val b = sh.withColumnRenamed("doc_id", "bd").withColumnRenamed("g", "g2")
+      // r06: the join requires bd == a + 1 with a % 89 == 0, so only docs
+      // with doc_id % 89 == 1 can ever match — push that residue filter
+      // into the b side's scan (89x less shingle explode + shuffle; the
+      // inner join drops those rows anyway, so the result is unchanged)
+      val b = sh.filter(col("doc_id") % 89 === 1)
+        .withColumnRenamed("doc_id", "bd").withColumnRenamed("g", "g2")
       val inter = a.join(b, col("g") === col("g2") && col("bd") === col("a") + 1)
         .groupBy("a").agg(count(lit(1)).as("inter"))
       val na = a.groupBy("a").agg(count(lit(1)).as("na"))
