@@ -137,9 +137,14 @@ object TrainingDataQueries {
     * 28 / 10k pairs. */
   private def shingles(d: DataFrame): DataFrame = d
     .select(col("doc_id"), expr(TOKS).as("tk"))
-    .filter(size(col("tk")) >= 2)
+    // size guard lives INSIDE the explode expression (empty array = row
+    // dropped, identical to the old filter): a filter referencing tk is
+    // inlined by predicate pushdown below the scan-parallelism floor and
+    // re-runs the whole tokenize single-threaded in the scan stage (r06)
     .select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))).as("s"))
+      "CASE WHEN size(tk) >= 2 THEN " +
+        "transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1])) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"))).as("s"))
 
   /** MinHash signature columns h0..h{n-1}: permutation i is the md5 of the
     * shingle salted with '#i' (identical hash family in Spark and DuckDB). */
@@ -244,9 +249,13 @@ object TrainingDataQueries {
     "td_perplexity_bigram" -> ((spark, sfDir) => {
       import spark.implicits._
       val d = docs(spark, sfDir).select($"doc_id", expr(TOKS).as("tk"))
-      val bg = d.filter(size($"tk") >= 2)
+      // size guard inside the explode (see shingles) instead of a pushable
+      // tokenize-referencing filter
+      val bg = d
         .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS prev, tk[i+1] AS w))")).as("b"))
+          "CASE WHEN size(tk) >= 2 THEN " +
+            "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS prev, tk[i+1] AS w)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<prev: STRING, w: STRING>>) END")).as("b"))
         .select($"doc_id", $"b.prev".as("prev"), $"b.w".as("w"))
       val train = bg.filter($"doc_id" >= 5)
       val cpw = train.groupBy("prev", "w").agg(count(lit(1)).as("cpw"))
@@ -319,8 +328,10 @@ object TrainingDataQueries {
     "td_length_buckets" -> ((spark, sfDir) => {
       import spark.implicits._
       docs(spark, sfDir)
+        // n_tok > 0 <=> text contains an alphanumeric char: the cheap text
+        // predicate filters BEFORE the tokenize instead of inlining it
+        .filter($"text".rlike("[a-zA-Z0-9]"))
         .select($"doc_id", expr(s"size($TOKS)").cast("long").as("n_tok"))
-        .filter($"n_tok" > 0)
         .withColumn("bin", expr(
           "CAST(power(CAST(2 AS DOUBLE), CAST(ceil(ln(CAST(n_tok AS DOUBLE)) / ln(CAST(2 AS DOUBLE))) AS BIGINT)) AS BIGINT)"))
         .groupBy("bin")
@@ -460,9 +471,12 @@ object TrainingDataQueries {
     "td_dsir" -> ((spark, sfDir) => {
       import spark.implicits._
       val d = docs(spark, sfDir).select($"doc_id", $"lang", expr(TOKS).as("tk"))
-      val bg = d.filter(size($"tk") >= 2)
+      // size guard inside the explode (see shingles)
+      val bg = d
         .select($"doc_id", $"lang", explode(expr(
-          "transform(sequence(0, size(tk)-2), i -> concat(tk[i], '_', tk[i+1]))")).as("b"))
+          "CASE WHEN size(tk) >= 2 THEN " +
+            "transform(sequence(0, size(tk)-2), i -> concat(tk[i], '_', tk[i+1])) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("b"))
         .withColumn("bucket", expr("conv(substring(md5(b), 1, 4), 16, 10)").cast("long") % 256)
       // ONE aggregation builds both 256-bucket tables (conditional count for
       // the target slice), and the totals are driver-side sums of the
@@ -927,8 +941,11 @@ object TrainingDataQueries {
     // list, never an explode+shuffle.
     "td_quality_gopher" -> ((spark, sfDir) => {
       docs(spark, sfDir)
+        // size(tk) >= 2 <=> two alphanumeric runs separated by a non-alnum
+        // gap: cheap text predicate BEFORE the tokenize instead of a
+        // pushable tokenize-referencing filter (r06)
+        .filter(col("text").rlike("[a-zA-Z0-9][^a-zA-Z0-9]+[a-zA-Z0-9]"))
         .select(col("doc_id"), expr(TOKS).as("tk"))
-        .filter(size(col("tk")) >= 2)
         .select(col("doc_id"),
           size(col("tk")).cast("long").as("n_toks"),
           expr("CAST(array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t)))) AS BIGINT)")
@@ -1128,9 +1145,12 @@ object TrainingDataQueries {
     "td_decontaminate" -> ((spark, sfDir) => {
       val sh = docs(spark, sfDir)
         .select(col("doc_id"), expr(TOKS).as("tk"))
-        .filter(size(col("tk")) >= 4) // sequence(0, <0) would descend
+        // size guard inside the explode (see shingles); the CASE also keeps
+        // sequence(0, <0) from descending
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(tk) - 4), i -> md5(array_join(slice(tk, i + 1, 4), ' ')))"))
+          "CASE WHEN size(tk) >= 4 THEN " +
+            "transform(sequence(0, size(tk) - 4), i -> md5(array_join(slice(tk, i + 1, 4), ' '))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END"))
           .as("h"))
       val bench = sh.filter(col("doc_id") < 5).select(col("h")).distinct()
       sh.filter(col("doc_id") >= 5)
@@ -2070,10 +2090,12 @@ object TrainingDataQueries {
     "td_containment" -> ((spark, sfDir) => {
       val sh = docs(spark, sfDir)
         .selectExpr("doc_id", s"$TOKS AS tk")
-        .filter(expr("size(tk) >= 2"))
+        // size guard inside the explode (see shingles)
         .selectExpr("doc_id",
-          "array_distinct(transform(sequence(1, size(tk) - 1), " +
-            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) AS sh")
+          "CASE WHEN size(tk) >= 2 THEN " +
+            "array_distinct(transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END AS sh")
         .select(col("doc_id"), explode(col("sh")).as("g"))
       val a = sh.filter(col("doc_id") % 89 === 0)
         .withColumnRenamed("doc_id", "a")
@@ -2125,8 +2147,10 @@ object TrainingDataQueries {
     // no float appears. Map-only at any scale.
     "td_quality_gopher2" -> ((spark, sfDir) => {
       docs(spark, sfDir)
+        // size(tk) >= 1 <=> text contains an alphanumeric char: cheap text
+        // predicate BEFORE the tokenize instead of inlining it (r06)
+        .filter(col("text").rlike("[a-zA-Z0-9]"))
         .selectExpr("doc_id", s"$TOKS AS tk")
-        .filter(expr("size(tk) >= 1"))
         .selectExpr("doc_id",
           "CAST(size(tk) AS BIGINT) AS n_toks",
           "CAST(aggregate(tk, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS chars",
@@ -2267,10 +2291,12 @@ object TrainingDataQueries {
     "td_rouge_overlap" -> ((spark, sfDir) => {
       val bg = docs(spark, sfDir)
         .selectExpr("doc_id", s"$TOKS AS tk")
-        .filter(expr("size(tk) >= 2"))
+        // size guard inside the explode (see shingles)
         .selectExpr("doc_id",
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) AS bgs")
+          "CASE WHEN size(tk) >= 2 THEN " +
+            "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END AS bgs")
         .select(col("doc_id"), explode(col("bgs")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val r = bg.filter(col("doc_id") < 250 && col("doc_id") % 50 === 0)
