@@ -215,6 +215,12 @@ object IndexStore {
           spark.createDataset(metrics.value)
             .write.mode("overwrite").parquet(s"$segDir/buildmetrics")
         }
+        // term stats from the still-persisted analysis (vocab-sized shuffle)
+        // instead of re-reading the blocks parquet just written; the blocks
+        // fallback below still serves resumed builds
+        if (!isComplete(statsPath))
+          IndexBuilder.termStatsOfAnalyzed(analyzed).write.mode("overwrite")
+            .option("compression", "zstd").parquet(statsPath)
       } finally {
         analyzed.unpersist(blocking = false)
         releaseKeys()
